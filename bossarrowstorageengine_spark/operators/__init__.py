@@ -10,6 +10,10 @@ from bossarrowstorageengine_spark.operators.registry import ORACLES, QUERIES
 #: Operator-family modules; each registers its queries on import.
 _MODULES = [
     "aggregates",
+    "filters",
+    "joins",
+    "setops",
+    "sorts",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,299 @@
+"""B.3 joins (SURVEY.md §2.B3).
+
+Scale notes (100 TB design point):
+- Dimension tables (region/nation/customer/supplier/part) are broadcast —
+  explicitly hinted where the optimizer might not see the size, so the fact
+  table never shuffles for those joins.
+- Fact⋈fact (orders⋈lineitem shapes) shuffle on the join key; AQE handles
+  skew splitting (session.py).
+- The as-of join is a union + running-`last` window rather than a pairwise
+  range join: one shuffle on (user_id), state linear in events — the same
+  shape works as a streaming stateful op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+
+@query(
+    "q_join_inner_hash",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, orders⋈customer; Spark picks SMJ/SHJ under AQE."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           count(*)                  AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join — the dimension ships to every executor, the fact
+    table never shuffles.  The hint changes the plan, not the result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one fact⋈fact shuffle (lineitem⋈orders), everything
+    else broadcast; region filter prunes before joining."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_nationkey,
+           count(*)                                                       AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — unmatched customers survive with null order columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_no_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey) s
+    USING (nationkey)
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer/supplier counts — keys present
+    on only one side survive with nulls on the other."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select("nationkey", "n_cust", "n_supp")
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS) — probe side streams, no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS) — customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT count(*)                              AS n_rows,
+           CAST(sum(r_regionkey * 100 + n_nationkey) AS BIGINT) AS key_checksum
+    FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (5 × 25) — cardinality + key checksum."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("r_regionkey") * 100 + F.col("n_nationkey"))
+        .cast("long").alias("key_checksum"),
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                           AS n_pairs,
+           round(sum(c_acctbal - s_acctbal), 2) AS bal_gap
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: the equi part (nationkey) executes as a hash join, the
+    range residual (acctbal <) filters probe matches — so the non-equi
+    condition costs no extra shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("bal_gap"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.user_id, p.event_id, p.ts AS purchase_ts, e.ts AS matched_err_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the most recent error at-or-before
+    its timestamp for the same user.
+
+    Spark has no native ASOF JOIN; rather than a pairwise range join
+    (quadratic per user), union both streams and take a running
+    ``last(err_ts, ignorenulls)`` over a (user_id, ts) window — one shuffle,
+    linear state, and the same shape works incrementally under streaming.
+    Errors sort before purchases at equal ts (prio 0 < 1) so an
+    equal-timestamp error matches, mirroring DuckDB's ``>=`` bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("prio"),
+        F.col("ts").alias("err_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("prio"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        err.unionByName(pur)
+        .withColumn("matched_err_ts", F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("prio") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("purchase_ts"),
+            "matched_err_ts",
+        )
+    )
