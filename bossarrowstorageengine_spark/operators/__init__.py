@@ -12,8 +12,10 @@ _MODULES = [
     "aggregates",
     "filters",
     "joins",
+    "scalar_funcs",
     "setops",
     "sorts",
+    "windows",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,200 @@
+"""B.8 scalar functions: string / regex / date / math / array / explode /
+JSON (SURVEY.md §2.B8).
+
+Everything here is a built-in Catalyst expression — JVM-side, inside
+whole-stage codegen; no Python executes per row.  Cross-engine determinism
+rules from SURVEY.md §8 are annotated per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                         AS brand_upper,
+           lower(p_type)                          AS type_lower,
+           substring(p_name, 1, 8)                AS name_prefix,
+           CAST(length(p_name) AS BIGINT)         AS name_len,
+           concat(p_brand, ':', p_type)           AS brand_type,
+           replace(p_type, ' ', '_')              AS type_snake,
+           trim(concat('  ', p_brand, '  '))      AS brand_trim
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions (1-based substring in both engines)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+    )
+
+
+@query(
+    "q_str_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '[0-9]+')           AS cust_digits,
+           CAST(length(string_split(c_name, '#')) AS BIGINT) AS n_hash_parts
+    FROM customer
+    WHERE c_custkey % 11 = 0
+    """,
+)
+def q_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract + split — patterns restricted to [0-9]+ simplicity
+    (Java regex vs RE2, §8.5)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("cust_digits"),
+        F.size(F.split("c_name", "#")).cast("long").alias("n_hash_parts"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)  AS BIGINT)           AS yr,
+           CAST(month(o_orderdate) AS BIGINT)           AS mon,
+           CAST(day(o_orderdate)   AS BIGINT)           AS dom,
+           date_trunc('month', o_orderdate)             AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                                                        AS days_since_1995
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions.  Spark ``datediff(end, start)`` ≡ DuckDB
+    ``date_diff('day', start, end)`` — argument order flips (§8.4)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_1995"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           round(abs(s_acctbal), 2)                   AS abs_bal,
+           CAST(ceil(s_acctbal)  AS BIGINT)           AS ceil_bal,
+           CAST(floor(s_acctbal) AS BIGINT)           AS floor_bal,
+           round(sqrt(abs(s_acctbal)), 4)             AS sqrt_bal,
+           round(ln(abs(s_acctbal) + 1), 4)           AS ln_bal,
+           round(pow(s_nationkey, 2), 1)              AS nation_sq,
+           s_suppkey % 7                              AS key_mod
+    FROM supplier
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (4dp rounding for irrational outputs, §8.1)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs("s_acctbal"), 2).alias("abs_bal"),
+        F.ceil("s_acctbal").cast("long").alias("ceil_bal"),
+        F.floor("s_acctbal").cast("long").alias("floor_bal"),
+        F.round(F.sqrt(F.abs("s_acctbal")), 4).alias("sqrt_bal"),
+        F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 4).alias("ln_bal"),
+        F.round(F.pow("s_nationkey", F.lit(2)), 1).alias("nation_sq"),
+        (F.col("s_suppkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT)                    AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)            AS first_elem,
+           round(CAST(embedding[64] AS DOUBLE), 6)           AS last_elem,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over embeddings via higher-order functions — float→double
+    cast before arithmetic (§8.1); element_at is 1-based in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.element_at(F.col("embedding"), 64).cast("double"), 6).alias("last_elem"),
+        F.round(
+            F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+    )
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    HAVING count(*) >= 25
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest (table-generating) — word frequencies over documents.
+    At 100 TB the explode is pipelined (no materialized cross product) and
+    the count aggregates map-side before the word shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 25)
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the ``props`` string column (§8.9: both engines
+    return the raw string; cast to int on both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,200 @@
+"""B.5 window functions (SURVEY.md §2.B5).
+
+Window execution shuffles once on the partition key, then sorts within
+partitions — at 100 TB the partition key choice (o_orderstatus, user_id,
+o_custkey) bounds per-task state; none of these windows is global/unbounded
+over the whole table except via explicit low-cardinality partitions.
+
+Tiebreak discipline (§8.3): every ORDER BY ends with a unique key.
+Rank-family outputs are cast to long — Spark emits int32, DuckDB BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 50
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over (status, price DESC, key) with top-50 filter."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets per user ordered by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER w, 2) AS moving_sum,
+           round(avg(o_totalprice) OVER w, 4) AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame: 3-row moving sum/avg per customer.
+
+    Frames ≤3 rows keep the float-summation order identical in both engines
+    (left-to-right over the same rows), so round() is safe here.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_sum"),
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_range
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: count of rows within quantity
+    distance 5.  COUNT (not float sum) keeps it order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+    )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           ntile(4) OVER w                 AS quartile
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution family: percent_rank / cume_dist / ntile(4)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS running_last_price
+    FROM orders
+    WHERE o_custkey % 5 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a running frame."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 5 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("running_last_price"),
+    )
+
+
+@query(
+    "q_win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the standard window+filter top-k idiom.
+    At scale this is the shuffle-once alternative to a self-join max."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
