@@ -10,8 +10,10 @@ from bossarrowstorageengine_spark.operators.registry import ORACLES, QUERIES
 #: Operator-family modules; each registers its queries on import.
 _MODULES = [
     "aggregates",
+    "event_time",
     "filters",
     "joins",
+    "llm_pipeline",
     "scalar_funcs",
     "setops",
     "sorts",

@@ -1,0 +1,168 @@
+"""B.9 event-time / streaming-capable operators (SURVEY.md §2.B9).
+
+Each query is declared with batch semantics (oracle-checkable); the same
+transformations run under Structured Streaming via ``readStream`` — the
+streaming harness in ``bossarrowstorageengine_spark.streaming`` exercises
+that path in the pytest suite (watermarks, late data, state).
+
+Scale: windowed aggregates shuffle on (window, keys); session windows
+shuffle on user_id — per-key state is bounded by the gap/watermark, which is
+exactly how the same plan holds on an unbounded 100 TB stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           count(*)                           AS n_events,
+           round(sum(value), 2)               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window × event_type.  Spark ``window()`` bucket start
+    ≡ DuckDB ``time_bucket`` (§8.7, verified).  Streaming variant adds
+    ``withWatermark("ts", ...)`` — same aggregation code."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS win_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour length, 15 min slide — every event lands in
+    exactly 4 windows; the oracle replays the 4 slide offsets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), per_session AS (
+        SELECT user_id, session_id,
+               min(ts)  AS session_start,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*)                                   AS n_sessions,
+           CAST(sum(n_events) AS BIGINT)              AS n_events,
+           CAST(sum(epoch_ms(session_start)) AS BIGINT) AS start_checksum_ms
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-min inactivity gap) per user.
+
+    Spark merges an event into the current session iff it starts strictly
+    before session end (= prev ts + gap), i.e. a new session opens when
+    ``ts - prev_ts >= gap``... empirically Spark uses ``>`` (gap-equal events
+    merge); the oracle's gaps-and-islands uses the same strict ``>``.
+    ``start_checksum_ms`` (sum of per-session start epochs) verifies the
+    boundary placement, not just the counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.unix_millis(F.col("sw.start"))).cast("long").alias("start_checksum_ms"),
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(min(event_id) AS BIGINT) AS first_event_id,
+           count(*)                      AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup: one row per (user_id, event_type), keeping min
+    event_id (deterministic variant of streaming ``dropDuplicates``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").cast("long").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+@query("q_stream_late")  # ROWS-only: watermark semantics are streaming-only (§2.B9)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / late-data handling, batch-simulated.
+
+    In streaming, ``withWatermark("ts", "1 hour")`` drops events arriving
+    more than 1 h behind the max observed event time.  Batch simulation:
+    compute the terminal watermark (max ts − 1 h) and the tumbling-window
+    aggregate over surviving events.  The true micro-batch behavior (state
+    eviction, append-mode emission) is asserted in the streaming pytest
+    harness with a crafted late-event file sequence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm"))
+    return (
+        ev.join(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("wm"))
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )

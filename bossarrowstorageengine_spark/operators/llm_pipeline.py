@@ -1,0 +1,577 @@
+"""B.10 LLM-data-pipeline operators (SURVEY.md §2.B10) plus the
+training-data-pipeline extensions: exact/near dedup (MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine), similarity search (brute-force +
+LSH-bucketed ANN), and text analysis (language-ID, quality, tokens,
+fingerprints).
+
+Scale design (100 TB of documents):
+- Exact dedup groups on md5(text) — the shuffle key is a 32-byte hash, not
+  the document body.
+- Near-dup candidates come from inverted-index joins (shingle → doc) and
+  LSH band-buckets — never an all-pairs cross join.  The all-pairs step
+  only ever runs on *bucket-mates*, whose count LSH keeps bounded.
+- Similarity search broadcasts the (tiny) probe set and computes cosine as
+  a JVM-side higher-order function over the fact side; the LSH-bucketed
+  variant prunes the fact side to matching buckets first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.functions import text as TX
+from bossarrowstorageengine_spark.functions import vector as V
+from bossarrowstorageengine_spark.operators.registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT count(*)                  AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (same md5 algorithm both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+@query(
+    "q_dedup_exact_groups",
+    oracle="""
+    SELECT md5(text)                 AS content_hash,
+           count(*)                  AS group_size,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups with the deterministic keeper (min doc_id) — the
+    actionable form of exact dedup for a removal pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc: doc_id → exploded distinct shingle.
+    Built with JVM-side higher-order functions (transform over token index)."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           round(CAST(n_common AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    The shingle→doc join produces only pairs sharing ≥1 shingle (never an
+    all-pairs product); at 100 TB hot shingles would be capped by a
+    document-frequency filter before the self-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.08)
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query("q_dedup_near")  # ROWS-only: MinHash permutations use xxhash64 (no DuckDB twin)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
+    seeds, pure DataFrame ops — deterministic across runs).
+
+    Pipeline: shingle → 16 minhash permutations (xxhash64 with seed salt)
+    → 4 bands × 4 rows → band-bucket self-join → distinct candidate pairs.
+    At scale each stage is a bounded shuffle (doc_id or bucket key); no
+    all-pairs step ever materializes.
+    """
+    n_perm, n_bands = 16, 4
+    rows_per_band = n_perm // n_bands
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    # 16 permutations: minhash_j = min(xxhash64(seed_j, shingle))
+    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("perm"))
+    mh = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min(F.xxhash64(F.col("perm"), F.col("shingle"))).alias("mh"))
+    )
+    # band signature = md5 of the band's concatenated minhashes
+    bands = (
+        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("perm"), F.col("mh")))))).alias("sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY doc_id, t
+    ), bits AS (
+        SELECT doc_id, b.b AS bit,
+               sum(CASE WHEN (CAST(('0x' || substr(md5(token), 1 + b.b // 4, 1)) AS INT)
+                              >> (3 - b.b % 4)) & 1 = 1
+                        THEN cnt ELSE -cnt END) AS score
+        FROM tok CROSS JOIN generate_series(0, 31) AS b(b)
+        GROUP BY doc_id, b.b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(CASE WHEN score > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT)
+               AS simhash32
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5 token hashes — near-dup docs get
+    small Hamming distances.  The bit expansion (32 rows/token) is a
+    map-side explode; the shuffle carries only (doc_id, bit) partial sums.
+
+    Bit b of a token = bit (3 - b%4) of hex digit (b//4) of md5(token) —
+    the same arithmetic in Spark (conv) and DuckDB (hex cast), so the
+    sketch is EXACT-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("md5", F.md5("token"))
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    scored = (
+        tok.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "hexdigit",
+            F.conv(F.substring(F.col("md5"), (F.col("bit") / 4).cast("int") + 1, 1), 16, 10)
+            .cast("int"),
+        )
+        .withColumn("bitval", F.expr("(hexdigit >> (3 - bit % 4)) & 1"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.when(F.col("bitval") == 1, F.col("cnt"))
+                   .otherwise(-F.col("cnt"))).alias("score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("score") > 0,
+                          F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                   .otherwise(F.lit(0))).cast("long").alias("simhash32"))
+        .select(F.col("doc_id").cast("long"), "simhash32")
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+    )
+    SELECT CAST(vec_a AS BIGINT) AS vec_a,
+           CAST(vec_b AS BIGINT) AS vec_b,
+           round(cos_sim, 4)     AS cos_sim
+    FROM pairs
+    WHERE cos_sim >= 0.25
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a similarity threshold, on a
+    deterministic 1-in-10 sample.  The all-pairs form is declared on the
+    sample only; the scale path is the LSH-bucketed variant (q_ann_lsh)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = V.cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.25)
+        .select(
+            F.col("vec_a").cast("long"),
+            F.col("vec_b").cast("long"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_search",
+    oracle="""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_emb
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+        SELECT probe_id, e.vec_id,
+               (SELECT sum(CAST(probe_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(probe_emb[i] AS DOUBLE) * CAST(probe_emb[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim
+        FROM probes CROSS JOIN embeddings e
+        WHERE e.vec_id NOT IN (0, 1, 2)
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(vec_id  AS BIGINT) AS vec_id,
+           round(cos_sim, 6)       AS cos_sim,
+           CAST(rn AS BIGINT)      AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 fixed probe vectors.
+
+    The probe set broadcasts; cosine is a JVM-side higher-order expression
+    over the fact table; per-probe top-k is the window top-k idiom — the
+    exact baseline an ANN variant is measured against.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        e.filter(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb"))
+    )
+    scored = (
+        e.filter(~F.col("vec_id").isin(0, 1, 2))
+        .crossJoin(F.broadcast(probes))
+        .withColumn("cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("probe_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+@query("q_ann_lsh")  # ROWS-only: LSH bucketing uses xxhash64-derived hyperplanes
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors — the 100 TB scale path.
+
+    Random-hyperplane LSH: 8 fixed pseudo-hyperplanes (sign pattern derived
+    from xxhash64(plane, dim) parity), bucket = 8-bit sign signature.
+    Probes only compare against their own bucket → the cross join shrinks
+    by ~2^8.  Returns each probe's approximate top-3 bucket-mates by true
+    cosine (deterministic: fixed hyperplanes, rounded scores, id tiebreak).
+    """
+    n_planes = 8
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
+    dims = spark.range(64).select(F.col("id").cast("int").alias("dim"))
+    # hyperplane sign h[plane][dim] ∈ {-1, +1} from xxhash64 parity
+    hyper = (
+        planes.crossJoin(dims)
+        .withColumn("h", (F.pmod(F.xxhash64("plane", "dim"), F.lit(2)) * 2 - 1).cast("double"))
+    )
+    elems = e.select(
+        "vec_id", F.posexplode(V.to_double(F.col("embedding"))).alias("dim", "x"))
+    sigs = (
+        elems.join(F.broadcast(hyper), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.when(F.col("proj") > 0,
+                          F.expr("shiftleft(1, plane)")).otherwise(0))
+             .cast("int").alias("bucket"))
+    )
+    bucketed = e.join(sigs, "vec_id")
+    probes = bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        "bucket",
+    )
+    cands = bucketed.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    return (
+        cands.withColumn("cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("probe_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rn",
+        )
+        .orderBy("probe_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                          AS n_docs,
+           round(avg(n_chars), 4)                            AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           count(DISTINCT source)                            AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS distinct_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+                 AS chars_per_token
+    FROM documents
+    WHERE doc_id % 4 = 0
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: token count, stopword ratio, vocabulary
+    diversity, chars/token — the standard pre-training filter features."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("long"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(TX.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(TX.distinct_token_ratio(F.col("text")), 4).alias("distinct_ratio"),
+        F.round(F.col("n_chars") / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_text_language_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of')))    AS c_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('der', 'die', 'das'))) AS c_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('le', 'la', 'les')))   AS c_fr,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('el', 'los', 'una')))  AS c_es,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('de5', 'shi4', 'le5'))) AS c_zh
+        FROM documents
+    )
+    SELECT CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+                WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+                ELSE 'zh' END AS detected_lang,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic, aggregated to detected-language
+    counts (the corpus vocabulary is synthetic, so the heuristic's value
+    here is its determinism, not its accuracy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(TX.language_id(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)          AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                                                                 AS bpe_ish_tokens
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return d.select(
+        F.col("doc_id").cast("long"),
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(lower(trim(text))) AS fp_raw,
+           md5(array_to_string(list_sort(string_split(lower(trim(text)), ' ')), ' '))
+                                  AS fp_bag
+    FROM documents
+    WHERE doc_id % 6 = 0
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content hash + order-insensitive token-bag
+    hash (catches word-permuted duplicates)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    return d.select(
+        F.col("doc_id").cast("long"),
+        TX.fingerprint_raw(F.col("text")).alias("fp_raw"),
+        TX.fingerprint_bag(F.col("text")).alias("fp_bag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal",
+    oracle="""
+    SELECT lang,
+           CAST(label AS BIGINT)  AS label,
+           count(*)               AS n_rows,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    WHERE label < 5
+    GROUP BY lang, label
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row = text + vector in one schema; the join is a plain
+    broadcast equi-join (multimodality is schema design, not an operator)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("label") < 5)
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
