@@ -15,8 +15,10 @@ _MODULES = [
     "joins",
     "llm_pipeline",
     "scalar_funcs",
+    "scans",
     "setops",
     "sorts",
+    "udfs",
     "windows",
 ]
 

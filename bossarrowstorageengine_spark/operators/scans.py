@@ -1,0 +1,170 @@
+"""B.1 scans / sources / sinks (SURVEY.md §2.B1).
+
+Round-trip queries write to a per-(query, sf) scratch dir under /tmp and
+re-read through the format under test; the oracle runs the same aggregate
+on the ORIGINAL parquet, so a hash match proves the round-trip lossless.
+
+Scale notes: the partitioned sink demonstrates directory partition pruning
+(the read lists one ``o_orderstatus=…`` directory); the arrowipc round-trip
+exercises the custom data source's parallel write (one IPC file per task)
+and stats-pruned parallel read.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+from bossarrowstorageengine_spark.sources import register_arrowipc
+
+_SCRATCH_ROOT = "/tmp/spark_graft_io"
+
+
+def _scratch(sf_dir: str, key: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_SCRATCH_ROOT, tag, key)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+    SELECT count(*)                          AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT)   AS sum_okey,
+           round(sum(l_quantity), 2)         AS sum_qty,
+           count(DISTINCT l_returnflag)      AS n_flags
+    FROM lineitem
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + projection; Catalyst prunes the read schema to the
+    4 referenced columns (ReadSchema in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_okey"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@query(
+    "q_scan_arrow_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                  AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_scan_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: write lineitem to zstd-compressed Arrow IPC via the custom
+    ``arrowipc`` data source, read it back, aggregate.  The oracle aggregates
+    the original parquet — a hash match proves losslessness end-to-end
+    (values, types, timestamps)."""
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "arrow_roundtrip")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.format("arrowipc").option("compression", "zstd").mode("append").save(path)
+    back = spark.read.format("arrowipc").load(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT n_regionkey,
+           count(*)              AS n_nations,
+           min(n_name)           AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with explicit schema (int/string columns only —
+    timestamp text formats differ across engines, §8.6)."""
+    path = _scratch(sf_dir, "csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    back = spark.read.csv(path, schema=schema, header=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@query(
+    "q_scan_json",
+    oracle="""
+    SELECT event_type,
+           count(*)                        AS n_events,
+           CAST(sum(user_id) AS BIGINT)    AS sum_users,
+           round(sum(value), 2)            AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema (int/double/string
+    columns; timestamps excluded per §8.6)."""
+    path = _scratch(sf_dir, "json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    back = spark.read.json(path, schema=schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").cast("long").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read: the filter on the
+    partition column resolves to directory listing (PartitionFilters in
+    .explain), reading only ``o_orderstatus=F/``."""
+    path = _scratch(sf_dir, "partitioned")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

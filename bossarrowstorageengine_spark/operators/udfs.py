@@ -1,0 +1,170 @@
+"""B.11 UDF / UDAF / UDTF surface (SURVEY.md §2.B11).
+
+The declared showcase of every Python-execution pathway Spark offers,
+ordered slowest→fastest:
+
+- row-at-a-time Python UDF (``q_udf_python``) — the anti-pattern baseline;
+  kept ONLY as the declared showcase, never used elsewhere in the engine.
+- Arrow-vectorized pandas UDF (``q_udf_pandas``) — batch columnar exchange.
+- grouped-agg pandas UDF (``q_udaf_pandas``) — custom UDAF.
+- ``applyInPandas`` (``q_udtf_apply``) — grouped-map (UDTF-shaped).
+- ``mapInArrow`` (``q_map_in_arrow``) — raw RecordBatch transform, the same
+  pathway the Arrow IPC data source uses for decompression.
+
+All computations are also SQL-expressible so each carries an EXACT oracle —
+the point is exercising the Python boundary, not novel semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+_REV_CENTS_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+"""
+
+
+@query("q_udf_python", oracle=_REV_CENTS_ORACLE)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow-path baseline)."""
+    import math
+
+    @F.udf(returnType="long")
+    def revenue_cents(price: float, discount: float) -> int:
+        return int(math.floor(price * (1.0 - discount) * 100.0 + 0.5))
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        revenue_cents("l_extendedprice", "l_discount").alias("revenue_cents"),
+    )
+
+
+@query("q_udf_pandas", oracle=_REV_CENTS_ORACLE)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF — Arrow batch exchange, ~10-100× the row UDF."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def revenue_cents(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.floor(price.to_numpy() * (1.0 - discount.to_numpy()) * 100.0 + 0.5)
+        ).astype("int64")
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        revenue_cents("l_extendedprice", "l_discount").alias("revenue_cents"),
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (custom UDAF): quantity-weighted mean price."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        q = qty.to_numpy()
+        return float(np.dot(price.to_numpy(), q) / q.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4)
+        .alias("weighted_avg_price")
+    )
+
+
+@query(
+    "q_udtf_apply",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4)
+               AS price_zscore
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_udtf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (UDTF-shaped): per-group z-score.
+    pandas ``std(ddof=1)`` ≡ SQL ``stddev_samp`` (§8.1)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame({
+            "o_orderkey": pdf["o_orderkey"],
+            "o_orderstatus": pdf["o_orderstatus"],
+            "price_zscore": ((pdf["o_totalprice"] - mu) / sd).round(4),
+        })
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.groupBy("o_orderstatus").applyInPandas(
+        zscore, "o_orderkey long, o_orderstatus string, price_zscore double")
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+               AS revenue_cents,
+           CAST(l_quantity * 10 AS BIGINT) AS deci_qty
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: whole-RecordBatch transform in pyarrow — the pathway
+    the arrowipc data source shares (batch in, batch out, zero pandas)."""
+
+    def batch_revenue(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            qty = batch.column("l_quantity")
+            rev = pc.floor(pc.add(pc.multiply(pc.multiply(
+                price, pc.subtract(pa.scalar(1.0), disc)), pa.scalar(100.0)),
+                pa.scalar(0.5)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    pc.cast(rev, pa.int64()),
+                    pc.cast(pc.multiply(qty, pa.scalar(10.0)), pa.int64()),
+                ],
+                names=["l_orderkey", "revenue_cents", "deci_qty"],
+            )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
+    )
+    return li.mapInArrow(
+        batch_revenue, "l_orderkey long, revenue_cents long, deci_qty long")

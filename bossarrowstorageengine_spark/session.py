@@ -32,6 +32,8 @@ ENGINE_SQL_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast threshold: default 10 MB is right for the dims here.
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    # Allow Python data sources (arrowipc) to receive pushed filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise an illegal type for
     # Spark's reader; read as long and convert in catalog.load_table — the
     # floor-to-µs conversion matches DuckDB's TIMESTAMP read (FIXTURES.md).

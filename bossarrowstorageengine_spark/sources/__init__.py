@@ -1,0 +1,10 @@
+"""Custom data sources — the storage-engine identity of this project
+(the reference is an *Arrow-format storage engine* plugin; SURVEY.md §0).
+"""
+
+from bossarrowstorageengine_spark.sources.arrowipc import (
+    ArrowIPCDataSource,
+    register_arrowipc,
+)
+
+__all__ = ["ArrowIPCDataSource", "register_arrowipc"]

