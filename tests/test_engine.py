@@ -1,0 +1,56 @@
+"""Engine-contract tests (SURVEY.md §1.2 C1–C5 — the behaviors ported from
+the reference, ``/root/reference/Source/BOSSArrowStorageEngine.cpp:29-59``)."""
+
+from __future__ import annotations
+
+from bossarrowstorageengine_spark import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_c1_total_function_reifies_errors(spark):
+    eng = Engine(spark, sf_dir=SF)
+    res = eng.evaluate("SELECT * FROM table_that_does_not_exist")
+    assert not res.ok
+    assert res.error is not None
+    assert res.error.exception_type == "AnalysisException"
+    assert "table_that_does_not_exist" in res.error.message
+    # the offending payload is carried in the error (ErrorWhenEvaluatingExpression shape)
+    assert "table_that_does_not_exist" in str(res.error.payload)
+
+
+def test_c2_pass_through_unhandled_payload(spark):
+    eng = Engine(spark, sf_dir=SF)
+    for payload in (42, {"not": "a query"}, None):
+        res = eng.evaluate(payload)
+        assert res.ok
+        assert res.value == payload
+
+
+def test_c2_identity_on_dataframe(spark):
+    eng = Engine(spark, sf_dir=SF)
+    df = spark.range(3)
+    res = eng.evaluate(df)
+    assert res.ok and res.value is df  # returned unchanged, not copied
+
+
+def test_evaluate_sql_and_callable(spark):
+    eng = Engine(spark, sf_dir=SF)
+    r1 = eng.evaluate("SELECT count(*) AS n FROM lineitem")
+    assert r1.ok and r1.value.collect()[0].n == 6000
+    r2 = eng.evaluate(lambda s: s.table("nation").count())
+    assert r2.ok and r2.value == 25
+
+
+def test_c4_reset_lifecycle(spark):
+    eng = Engine(spark, sf_dir=SF)
+    assert eng.evaluate("SELECT 1 AS x").ok
+    eng.reset()
+    # temp views are gone until lazily re-registered by the next evaluate
+    res = eng.evaluate("SELECT count(*) AS n FROM orders")
+    assert res.ok and res.value.collect()[0].n == 1500
+
+
+def test_table_accessor(spark):
+    eng = Engine(spark, sf_dir=SF)
+    assert eng.table("region").count() == 5

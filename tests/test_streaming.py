@@ -1,0 +1,83 @@
+"""Structured Streaming tests (SURVEY.md §5.3/§2.B9): micro-batch file
+source, watermark late-data semantics — the behaviors no batch oracle can
+check."""
+
+from __future__ import annotations
+
+import pytest
+
+from bossarrowstorageengine_spark.streaming.harness import FileStreamHarness
+from bossarrowstorageengine_spark.streaming.pipelines import (
+    sessionized_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _ev(eid, ts, user=1, etype="click", value=1.0):
+    return {"event_id": eid, "ts": ts, "user_id": user,
+            "event_type": etype, "value": value, "props": "{}"}
+
+
+@pytest.mark.slow
+def test_tumbling_append_emits_closed_windows_and_drops_late(spark):
+    """Append mode only emits a window once the watermark passes its end;
+    an event arriving behind the watermark is dropped from state."""
+    h = FileStreamHarness(spark, tumbling_counts, mode="append")
+    try:
+        # batch 1: two events in hour-0, one in hour-1
+        h.push([_ev(1, "2024-01-01 00:10:00"), _ev(2, "2024-01-01 00:20:00"),
+                _ev(3, "2024-01-01 01:05:00")])
+        out1 = h.step().toPandas()
+        assert len(out1) == 0  # nothing closed yet (watermark = max-1h)
+
+        # batch 2: jump event time to 02:30 → watermark 01:30 → hour-0 closes
+        h.push([_ev(4, "2024-01-01 02:30:00")])
+        out2 = h.step().toPandas()
+        out2["w"] = [str(t) for t in out2["win_start"]]
+        assert "2024-01-01 00:00:00" in set(out2["w"])
+        assert out2[out2["w"] == "2024-01-01 00:00:00"]["n_events"].iloc[0] == 2
+
+        # batch 3: LATE event for hour-0 (behind watermark) then advance time
+        h.push([_ev(5, "2024-01-01 00:40:00")])  # late: watermark is 01:30
+        h.push([_ev(6, "2024-01-01 04:00:00")])  # watermark → 03:00, hour-1+2 close
+        out3 = h.step().toPandas()
+        out3["w"] = [str(t) for t in out3["win_start"]]
+        h0 = out3[out3["w"] == "2024-01-01 00:00:00"]
+        # hour-0 was already emitted with 2 events and the late row was dropped:
+        # no second emission with 3 events may appear
+        assert list(h0["n_events"]) == [2]
+    finally:
+        h.stop()
+
+
+@pytest.mark.slow
+def test_streaming_dedup_within_watermark(spark):
+    h = FileStreamHarness(spark, streaming_dedup, mode="append")
+    try:
+        h.push([_ev(1, "2024-01-01 00:00:00", user=1, etype="click"),
+                _ev(2, "2024-01-01 00:01:00", user=1, etype="click"),
+                _ev(3, "2024-01-01 00:02:00", user=2, etype="view")])
+        out = h.step().toPandas()
+        assert len(out) == 2  # one per (user, type)
+        h.push([_ev(4, "2024-01-01 00:03:00", user=1, etype="click")])
+        out2 = h.step().toPandas()
+        assert len(out2) == 2  # duplicate suppressed by state
+    finally:
+        h.stop()
+
+
+@pytest.mark.slow
+def test_session_window_gap_merge(spark):
+    """Events ≤gap apart merge into one session; a >gap hole splits."""
+    h = FileStreamHarness(spark, sessionized_counts, mode="append")
+    try:
+        h.push([_ev(1, "2024-01-01 00:00:00"), _ev(2, "2024-01-01 00:05:00"),
+                _ev(3, "2024-01-01 00:30:00")])  # 25-min hole → 2 sessions
+        h.push([_ev(4, "2024-01-01 03:00:00")])  # advance watermark, close both
+        out = h.step().toPandas().sort_values("session_start")
+        assert list(out["n_events"]) == [2, 1]
+        starts = [str(t) for t in out["session_start"]]
+        assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
+    finally:
+        h.stop()
