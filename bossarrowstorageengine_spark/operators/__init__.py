@@ -14,6 +14,7 @@ _MODULES = [
     "filters",
     "joins",
     "llm_pipeline",
+    "multimodal",
     "scalar_funcs",
     "scans",
     "setops",

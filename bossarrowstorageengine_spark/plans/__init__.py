@@ -1,0 +1,9 @@
+"""Plan-shaping helpers for the 100 TB design point."""
+
+from bossarrowstorageengine_spark.plans.hints import (
+    broadcast_if_small,
+    salted_join,
+    scale_conf,
+)
+
+__all__ = ["broadcast_if_small", "salted_join", "scale_conf"]
