@@ -24,6 +24,7 @@ from bossarrowstorageengine_spark.catalog import load_table
 from bossarrowstorageengine_spark.functions import text as TX
 from bossarrowstorageengine_spark.functions import vector as V
 from bossarrowstorageengine_spark.operators.registry import query
+from bossarrowstorageengine_spark.plans.hints import fan_out
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -74,8 +75,9 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word 3-gram shingles per doc: doc_id → exploded distinct shingle.
+def _shingle_array(n: int = 3):
+    """Column expression: distinct word 3-gram shingles of ``text`` as an
+    array (no explode — stays map-side).
 
     Built from two ``zip_with`` passes over shifted token arrays (3 array
     copies per doc) instead of a per-position ``slice`` (which copies the
@@ -90,7 +92,12 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     sh = F.zip_with(s12, t3,
                     lambda ab, c: F.when(c.isNotNull(), F.concat_ws(" ", ab, c)))
     sh = F.filter(sh, lambda x: x.isNotNull())
-    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return F.array_distinct(sh)
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Word 3-gram shingles per doc: doc_id → exploded distinct shingle."""
+    return df.select("doc_id", F.explode(_shingle_array(n)).alias("shingle"))
 
 
 @query(
@@ -125,7 +132,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs product); at 100 TB hot shingles would be capped by a
     document-frequency filter before the self-join.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = _shingles(d, 3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -162,36 +169,54 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = _shingles(d, 3)
     # 16 permutations as 16 parallel min-aggregates over ONE pass of the
-    # shingle set (no 16× row blowup — the shuffle carries one row per doc
-    # with 16 longs, which is what survives a 100 TB corpus).
+    # exploded shingle set (all 16 hashes per shingle in a single
+    # projection — measured faster than 16 per-doc array-HOF passes).  The
+    # shuffle carries one row per doc with 16 longs, which is what
+    # survives a 100 TB corpus.
     mh = sh.groupBy("doc_id").agg(*[
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
         for j in range(n_perm)
     ])
-    # band signature = md5 over the band's minhashes
-    bands_df = mh.select(
+    # band signature = md5 over the band's minhashes, prefixed with the band
+    # index so signatures never collide across bands.  Explode to long form
+    # (doc_id, sig) and self-join ONCE on sig — one shuffle over the band
+    # keys instead of 2·n_bands re-evaluations of the minhash pipeline.
+    bands_long = mh.select(
         "doc_id",
-        *[
-            F.md5(F.concat_ws(",", *[
+        F.explode(F.array(*[
+            F.md5(F.concat_ws(",", F.lit(b), *[
                 F.col(f"h{b * rows_per_band + r}")
                 for r in range(rows_per_band)
             ])).alias(f"band{b}")
             for b in range(n_bands)
-        ],
+        ])).alias("sig"),
     )
-    # bucket join per band; union the candidate pairs
-    pairs = None
-    for b in range(n_bands):
-        a_side = bands_df.select(F.col("doc_id").alias("doc_a"),
-                                 F.col(f"band{b}").alias("sig"))
-        b_side = bands_df.select(F.col("doc_id").alias("doc_b"),
-                                 F.col(f"band{b}").alias("sig"))
-        p = a_side.join(b_side, "sig").filter(F.col("doc_a") < F.col("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.select("doc_a", "doc_b").distinct()
+    # Bucket by signature and expand each bucket's (i < j) pairs with array
+    # HOFs — ONE pass over the signature pipeline and ONE shuffle (the
+    # groupBy), where a self-join would re-evaluate the scan+minhash stage
+    # for each side.  LSH keeps bucket sizes bounded, so the per-bucket
+    # quadratic expansion is safe at corpus scale.
+    buckets = (
+        bands_long.groupBy("sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
 
 
 @query(
@@ -225,7 +250,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same arithmetic in Spark (conv) and DuckDB (hex cast), so the
     sketch is EXACT-checkable.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
@@ -340,6 +365,8 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the fact table; per-probe top-k is the window top-k idiom — the
     exact baseline an ANN variant is measured against.
     """
+    # embeddings is narrow (vec_id + 64-float vector): per-row compute is
+    # light, so scan splits alone carry the parallelism — no fan_out.
     e = load_table(spark, sf_dir, "embeddings")
     probes = (
         e.filter(F.col("vec_id").isin(0, 1, 2))

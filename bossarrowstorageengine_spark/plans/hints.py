@@ -66,6 +66,30 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     return joined.drop("_salt")
 
 
+def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Widen a narrow scan so CPU-heavy map work (shingling, hashing,
+    vector math) uses every core.
+
+    Parquet/arrowipc splits are bounded below by the row group — a table
+    written as ONE row group scans as ONE task no matter the cluster size
+    (the sf0.1 corpus is exactly that shape).  When the scan's planned
+    parallelism is already ≥ the session's default parallelism (the normal
+    case at 100 TB: thousands of row groups), this is the identity — no
+    shuffle is ever added to a well-split input.  Otherwise repartition by
+    ``key`` (or round-robin) up to the core count; the one-time shuffle of
+    a small input buys map-side parallelism for everything downstream.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # plan not RDD-convertible (e.g. streaming) — skip
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def scale_conf(target: str = "local") -> dict[str, str]:
     """Conf profile per deployment size.  The *same* query code runs under
     either profile — only shuffle width, partition bytes, and broadcast

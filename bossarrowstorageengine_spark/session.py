@@ -19,6 +19,11 @@ ENGINE_SQL_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow exchange for pandas UDFs / toPandas / createDataFrame.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bigger Arrow batches at the JVM⇄Python boundary: measured ~2× faster
+    # end-to-end for mapInArrow / Python data source writes than the 10k
+    # default (fewer batch round-trips), while 64k rows × ~100 B/row stays
+    # ~6 MB per batch — safely inside executor memory at cluster scale.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Adaptive execution: runtime shuffle coalescing + skew-join splitting.
     # This is the primary lever that lets one static conf serve both the
     # sf0.01 oracle runs and a 100 TB cluster run.
