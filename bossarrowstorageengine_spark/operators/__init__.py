@@ -15,6 +15,7 @@ _MODULES = [
     "joins",
     "llm_pipeline",
     "multimodal",
+    "reshape",
     "scalar_funcs",
     "scans",
     "setops",

@@ -1,0 +1,160 @@
+"""Reshaping + ordered/conditional aggregate operators: pivot, unpivot
+(melt), ordered string aggregation, exact percentiles, and conditional /
+boolean aggregates.
+
+These extend the SURVEY.md §2 Part B surface with the table-reshaping
+operators an analytics engine is expected to carry (the reference snapshot
+implements no operators at all — see SURVEY.md §0; the target surface is
+driver-defined).
+
+Scale notes (100 TB design point):
+- ``pivot`` with an explicit value list is a single partial+final hash
+  aggregate (one shuffle); never call pivot without values at scale — the
+  value-discovery pass is a second full scan.
+- ``unpivot`` is a map-side expand (no shuffle).
+- exact ``percentile`` needs the full group in memory — fine for bounded
+  groups; at unbounded cardinality switch to ``approx_percentile`` (the
+  same trade as q_agg_approx_distinct).
+- ordered string-agg sorts within each group's collected array (bounded by
+  group size, not partition size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P,
+           round(COALESCE(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS sum_F,
+           round(COALESCE(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS sum_O,
+           round(COALESCE(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS sum_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders: status values become columns (explicit value list —
+    one aggregate pass, no value-discovery scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum"))
+    )
+    # Spark names pivot output "<value>_<agg-alias>"; align with the oracle
+    # and make empty cells 0 (FILTER-on-empty yields NULL count=0 in DuckDB,
+    # pivot yields NULL for both — coalesce both sides' sums, counts to 0).
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(f"{v}_n"), F.lit(0)).cast("long").alias(f"n_{v}")
+          for v in ("F", "O", "P")],
+        *[F.round(F.coalesce(F.col(f"{v}_sum"), F.lit(0.0)), 2).alias(f"sum_{v}")
+          for v in ("F", "O", "P")],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'retail', round(p_retailprice, 2) FROM part
+    )
+    WHERE p_partkey <= 500
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) part measures into (metric, val) long form — a
+    map-side expand, no shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return (
+        p.select("p_partkey",
+                 F.col("p_size").cast("double").alias("size"),
+                 F.round("p_retailprice", 2).alias("retail"))
+        .unpivot("p_partkey", ["size", "retail"], "metric", "val")
+    )
+
+
+@query(
+    "q_agg_string_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment)
+               FILTER (c_custkey % 100 = 0)          AS segs,
+           CAST(count(*) AS BIGINT)                  AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_string_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (deterministic: sorted within group)."""
+    c = load_table(spark, sf_dir, "customer")
+    segs = F.array_join(
+        F.array_sort(F.collect_list(
+            F.when(F.col("c_custkey") % 100 == 0, F.col("c_mktsegment")))),
+        ",")
+    return c.groupBy("c_nationkey").agg(
+        # collect_list drops the when()'s NULLs, matching FILTER
+        F.nullif(segs, F.lit("")).alias("segs"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4)      AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(median(l_discount), 4)                  AS med_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — verified equal on this corpus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.median("l_discount"), 4).alias("med_disc"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0)                              AS all_pos,
+           bool_or(o_orderstatus = 'P')                            AS any_pending,
+           round(avg(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS avg_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + boolean aggregates (count_if / every / any / filtered
+    avg) — all partial+final hash aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("count_if(o_totalprice > 150000)").alias("n_big"),
+        F.expr("every(o_totalprice > 0)").alias("all_pos"),
+        F.expr("any(o_orderstatus = 'P')").alias("any_pending"),
+        F.round(F.avg(F.when(F.col("o_orderstatus") == "F",
+                             F.col("o_totalprice"))), 2).alias("avg_f"),
+    )

@@ -4,8 +4,10 @@ test harness."""
 
 from bossarrowstorageengine_spark.streaming.pipelines import (
     sessionized_counts,
+    running_user_totals,
     streaming_dedup,
     tumbling_counts,
 )
 
-__all__ = ["tumbling_counts", "sessionized_counts", "streaming_dedup"]
+__all__ = ["tumbling_counts", "sessionized_counts", "streaming_dedup",
+           "running_user_totals"]

@@ -67,3 +67,54 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         src = events.withWatermark("ts", watermark)
         return src.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     return src.dropDuplicates(["user_id", "event_type"])
+
+
+#: Output/state schemas for ``running_user_totals`` (arbitrary custom state —
+#: the operator Spark's built-in aggregations can't express incrementally).
+_RUN_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+_RUN_STATE_SCHEMA = "n long, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value)) that
+    survives across micro-batches — ``applyInPandasWithState`` with
+    explicit state, emitting the refreshed running totals for every user
+    seen in a micro-batch (update mode).
+
+    This is the extension point for operators with *arbitrary* state
+    transitions (counters, decaying scores, small per-key models) that
+    windowed aggregation cannot express.  State is one row of
+    ``(n: long, total: double)`` per user_id — bounded by key cardinality,
+    partitioned by the state store across executors at scale.
+
+    Batch mode computes the same totals with a plain aggregate (the
+    equivalence a test can assert).
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    import pandas as pd  # arrow-batched; never row-at-a-time
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType=_RUN_OUT_SCHEMA,
+        stateStructType=_RUN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -8,6 +8,7 @@ import pytest
 
 from bossarrowstorageengine_spark.streaming.harness import FileStreamHarness
 from bossarrowstorageengine_spark.streaming.pipelines import (
+    running_user_totals,
     sessionized_counts,
     streaming_dedup,
     tumbling_counts,
@@ -63,6 +64,41 @@ def test_streaming_dedup_within_watermark(spark):
         h.push([_ev(4, "2024-01-01 00:03:00", user=1, etype="click")])
         out2 = h.step().toPandas()
         assert len(out2) == 2  # duplicate suppressed by state
+    finally:
+        h.stop()
+
+
+@pytest.mark.slow
+def test_custom_stateful_running_totals(spark):
+    """applyInPandasWithState keeps per-user (count, sum) across micro-
+    batches; each batch emits refreshed running totals, and the final
+    state matches the batch-mode aggregate of all pushed events."""
+    h = FileStreamHarness(spark, running_user_totals, mode="update")
+    rows1 = [_ev(1, "2024-01-01 00:00:00", user=1, value=2.0),
+             _ev(2, "2024-01-01 00:01:00", user=1, value=3.0),
+             _ev(3, "2024-01-01 00:02:00", user=2, value=5.0)]
+    rows2 = [_ev(4, "2024-01-01 00:03:00", user=1, value=10.0)]
+    try:
+        h.push(rows1)
+        out1 = h.step().toPandas()
+        u1 = out1[out1["user_id"] == 1].iloc[-1]
+        assert (u1["n_events"], u1["total_value"]) == (2, 5.0)
+
+        h.push(rows2)
+        out2 = h.step().toPandas()
+        u1b = out2[out2["user_id"] == 1].iloc[-1]
+        assert (u1b["n_events"], u1b["total_value"]) == (3, 15.0)
+        # user 2 untouched by batch 2 — latest emission still (1, 5.0)
+        u2 = out2[out2["user_id"] == 2].iloc[-1]
+        assert (u2["n_events"], u2["total_value"]) == (1, 5.0)
+
+        # batch-mode equivalence on the union of all pushed rows
+        batch = spark.createDataFrame(
+            [(r["event_id"], r["user_id"], r["value"]) for r in rows1 + rows2],
+            "event_id long, user_id long, value double")
+        got = {r.user_id: (r.n_events, r.total_value)
+               for r in running_user_totals(batch).collect()}
+        assert got == {1: (3, 15.0), 2: (1, 5.0)}
     finally:
         h.stop()
 
