@@ -20,6 +20,7 @@ _MODULES = [
     "scans",
     "setops",
     "sorts",
+    "subqueries",
     "udfs",
     "windows",
 ]

@@ -1,0 +1,103 @@
+"""Subquery operators (scalar / IN / correlated EXISTS) and composite
+TPC-H-shaped flagship queries, exercised through the SQL entry point (E2 in
+SURVEY.md §3.2) over registered temp views.
+
+Catalyst rewrites every subquery below into a join before execution
+(scalar → broadcast of a 1-row aggregate; IN → left-semi; correlated
+EXISTS → decorrelated left-semi, SURVEY.md §4), so the physical plans are
+the same shuffle/broadcast shapes as the explicit-join queries — there is
+no per-row subquery evaluation anywhere, at any scale.
+
+The Spark SQL text and the DuckDB oracle text are intentionally identical
+ANSI SQL where possible — the differential check then validates the whole
+parse→plan→execute pipeline rather than a hand-translated twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bossarrowstorageengine_spark.catalog import register_views
+from bossarrowstorageengine_spark.operators.registry import query
+
+_SCALAR_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+"""
+
+_IN_SQL = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)          AS n_cust,
+           CAST(sum(c_nationkey) AS BIGINT)  AS sum_nk
+    FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey IN (1, 3)
+    )
+    GROUP BY c_mktsegment
+"""
+
+_EXISTS_SQL = """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_big_spenders
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    GROUP BY c.c_nationkey
+"""
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+_Q10_SQL = """
+    SELECT c_custkey,
+           c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _sql_query(name: str, sql: str):
+    @query(name, oracle=sql)
+    def _fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    _fn.__name__ = name
+    _fn.__doc__ = f"SQL-entry query (identical text runs on the oracle):\n{sql}"
+    return _fn
+
+
+q_subquery_scalar = _sql_query("q_subquery_scalar", _SCALAR_SQL)
+q_subquery_in = _sql_query("q_subquery_in", _IN_SQL)
+q_subquery_exists = _sql_query("q_subquery_exists", _EXISTS_SQL)
+q_tpch_q3 = _sql_query("q_tpch_q3", _Q3_SQL)
+q_tpch_q10 = _sql_query("q_tpch_q10", _Q10_SQL)

@@ -174,28 +174,43 @@ class ArrowIPCReader(DataSourceReader):
         # Yield all filters back → Spark evaluates them post-scan too.
         return filters
 
+    #: Max record batches per input partition.  A big IPC file splits into
+    #: several tasks (batch-range granularity) instead of scanning as one —
+    #: the split level a many-executor cluster needs; small files stay one
+    #: task each.  At 64 k rows/batch this is ~0.5-1 M rows per task.
+    BATCHES_PER_SPLIT = 8
+
     # -- planning -----------------------------------------------------------
     def partitions(self) -> Sequence[ArrowIPCPartition]:
         parts: list[ArrowIPCPartition] = []
+        split = max(1, int(self._options.get(
+            "batchesPerSplit", self.BATCHES_PER_SPLIT)))
         for path in _list_ipc_files(self._path):
             stats = None
             sp = stats_path(path)
             if os.path.exists(sp):
                 with open(sp) as f:
                     stats = json.load(f)
+            n_batches = None
+            if stats is not None and "batches" in stats:
+                n_batches = len(stats["batches"])
+            keep = None
             if stats and self._filters:
                 if not _stats_overlap(stats.get("file", {}), self._filters):
                     continue  # whole file pruned before any task launches
-                batches = stats.get("batches", [])
                 keep = [
-                    i for i, bs in enumerate(batches)
+                    i for i, bs in enumerate(stats.get("batches", []))
                     if _stats_overlap(bs, self._filters)
                 ]
-                if len(keep) == len(batches):
-                    keep = None  # type: ignore[assignment]
-                parts.append(ArrowIPCPartition(path, keep))
-            else:
-                parts.append(ArrowIPCPartition(path, None))
+            if keep is None:
+                if n_batches is None:
+                    # No sidecar (foreign file): read footer for the count
+                    # so the file can still split by batch range.
+                    with pa.OSFile(path, "rb") as f:
+                        n_batches = pa.ipc.open_file(f).num_record_batches
+                keep = list(range(n_batches))
+            for lo in range(0, len(keep), split):
+                parts.append(ArrowIPCPartition(path, keep[lo:lo + split]))
         if not parts:
             # Everything pruned. Spark still calls read() once when the
             # partition list is empty, so hand it an explicit empty marker.

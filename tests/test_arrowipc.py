@@ -132,6 +132,31 @@ def test_compression_actually_compresses(spark):
     shutil.rmtree(out_n, ignore_errors=True)
 
 
+def test_big_file_splits_into_batch_range_partitions(spark):
+    """One IPC file with many record batches scans as several input
+    partitions (batch-range splits) — the parallelism a single big file
+    needs on a many-executor cluster — with identical results."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = load_table(spark, SF, "lineitem")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+        df.coalesce(1).write.format("arrowipc").mode("append").save(out)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(glob.glob(os.path.join(out, "*.arrows"))) == 1
+    back = spark.read.format("arrowipc").option("batchesPerSplit", "8").load(out)
+    n_rows = df.count()
+    # ~ n_rows/100 batches chunked 8-per-split → many partitions
+    assert back.rdd.getNumPartitions() >= (n_rows // 100) // 8
+    assert back.count() == n_rows
+    # round the double sum: summation order differs across partitionings
+    agg = lambda d: d.agg(F.round(F.sum("l_extendedprice"), 2),
+                          F.max("l_orderkey")).collect()
+    assert agg(back) == agg(df)
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_read_missing_path_raises_cleanly(spark):
     with pytest.raises(Exception) as ei:
         spark.read.format("arrowipc").load("/tmp/definitely/not/there").count()
