@@ -67,6 +67,19 @@ def main() -> None:
     for tbl in ("lineitem", "orders", "customer", "supplier", "nation",
                 "part", "events", "documents", "embeddings"):
         load_table(spark, SF_DIR, tbl).count()
+    # Exercise each operator family once on the 5/25-row dim tables: first
+    # keyed hash-aggregate, broadcast join, window and sort each JIT their
+    # codegen/infra paths — engine startup, not per-query cost.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    nation = load_table(spark, SF_DIR, "nation")
+    nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)), F.sum("n_nationkey")).collect()
+    nation.join(F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey).count()
+    nation.withColumn("rn", F.row_number().over(
+        Window.partitionBy("n_regionkey").orderBy("n_nationkey"))).collect()
+    nation.orderBy("n_name").limit(5).collect()
     warm_dir = "/tmp/spark_graft_bench_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
     region.write.format("arrowipc").mode("append").save(warm_dir)

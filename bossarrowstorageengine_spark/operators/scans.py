@@ -78,8 +78,13 @@ def q_scan_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # Parallelize the IPC write: one file per task. The source parquet is a
     # single split at small SF, which would serialize the whole write (and
-    # the read-back) through one Python worker.
-    n_files = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    # the read-back) through one Python worker.  Read-side parallelism no
+    # longer depends on file count (batch-range splits), so size the write
+    # fan-out for writer throughput alone — fewer, bigger files win until
+    # per-file work drops under the Python worker round-trip cost (measured
+    # optimum at this SF: 4).  At 100 TB the upstream stage's own partition
+    # count replaces this repartition entirely.
+    n_files = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8)
     li.repartition(n_files).write.format("arrowipc") \
         .option("compression", "zstd").mode("append").save(path)
     back = spark.read.format("arrowipc").load(path)
