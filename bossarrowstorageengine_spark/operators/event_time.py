@@ -166,3 +166,89 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
     )
+
+
+@query(
+    "q_join_range_events",
+    oracle="""
+    SELECT e1.user_id,
+           CAST(e1.event_id AS BIGINT)  AS view_id,
+           CAST(count(*) AS BIGINT)     AS n_follow
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >  e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+    GROUP BY e1.user_id, e1.event_id
+    """,
+)
+def q_join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each view, count clicks by the same user within the
+    next 5 minutes.
+
+    Scale path: a naive time-range join is a broadcast-nested-loop at
+    worst.  Joining on (user_id, 5-minute bucket) — each left row probes
+    its own AND the next bucket — turns it into an equi-join (hash
+    shuffle on bounded keys) with the range predicate as a residual
+    filter.  Bucket width = range width, so each row lands in exactly 2
+    candidate buckets and the candidate set stays O(events-per-10-min).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"),
+                F.col("ts").alias("ts1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("ts2"))
+    )
+    bucket = lambda c: (F.unix_timestamp(c) / 300).cast("long")
+    # left row probes bucket b and b+1; right side keyed by its own bucket
+    views_b = views.withColumn(
+        "bkt", F.explode(F.array(bucket(F.col("ts1")),
+                                 bucket(F.col("ts1")) + 1)))
+    clicks_b = clicks.withColumn("bkt", bucket(F.col("ts2")))
+    joined = views_b.join(clicks_b, ["user_id", "bkt"]).filter(
+        (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES")))
+    return joined.groupBy("user_id", "view_id").agg(
+        F.count(F.lit(1)).alias("n_follow"))
+
+
+@query(
+    "q_rollup_time",
+    oracle="""
+    SELECT date_trunc('day', ts)                          AS bucket_day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END           AS bucket_hour,
+           event_type,
+           CAST(count(*) AS BIGINT)                       AS n_events,
+           round(sum(value), 2)                           AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+        (date_trunc('day', ts), event_type)
+    )
+    """,
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly and daily
+    continuous aggregates in one pass (GROUPING SETS share the scan and
+    the partial aggregation; one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_rollup_src")
+    return spark.sql("""
+        SELECT date_trunc('day', ts)                          AS bucket_day,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN date_trunc('hour', ts) END           AS bucket_hour,
+               event_type,
+               CAST(count(*) AS BIGINT)                       AS n_events,
+               round(sum(value), 2)                           AS sum_value
+        FROM events_rollup_src
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+            (date_trunc('day', ts), event_type)
+        )
+    """)

@@ -96,6 +96,32 @@ def q_scan_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_orc",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           round(sum(o_totalprice), 2)       AS sum_price,
+           CAST(max(o_orderkey) AS BIGINT)   AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (Spark-native columnar format, zlib-compressed by
+    default).  The oracle aggregates the original parquet — a hash match
+    proves the ORC round-trip is lossless (values, types, timestamps)."""
+    path = _scratch(sf_dir, "orc")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
     "q_scan_csv",
     oracle="""
     SELECT n_regionkey,
