@@ -75,6 +75,24 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(plain.collect()) == sorted(salted.collect())
 
 
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The bucketed range join executes as an equi-join (hash/sort-merge on
+    user_id+bucket) with the range predicate residual — never a
+    BroadcastNestedLoopJoin, which would be quadratic at scale."""
+    plan = _plan(QUERIES["q_join_range_events"](spark, SF))
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_rollup_time_single_scan(spark):
+    """GROUPING SETS rollup reads events once (Expand feeds one aggregate),
+    not once per granularity."""
+    plan = _plan(QUERIES["q_rollup_time"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
 def test_no_python_udf_outside_udf_family(spark):
     """Hot-path queries stay JVM-side: no Python eval nodes in their plans
     (the declared UDF family and data-source round-trips excepted)."""
