@@ -204,3 +204,37 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_sink_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed sink + co-located join: both tables bucketed 8-ways on the
+    join key at write time, so the join needs NO shuffle on either side
+    (the plan-shape test asserts no Exchange feeds it).  This is the
+    write-once-join-many layout for repeated fact⋈fact joins at 100 TB —
+    the shuffle is paid once at ingest, not per query.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    tag = _scratch(sf_dir, "bucketed")  # cleans any previous layout
+    for name, df, key in (("bkt_orders", o, "o_custkey"),
+                          ("bkt_customer", c, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, key).sortBy(key)
+         .option("path", f"{tag}/{name}")
+         .mode("overwrite").saveAsTable(name))
+    bo, bc = spark.table("bkt_orders"), spark.table("bkt_customer")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -168,3 +168,42 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.mapInArrow(
         batch_revenue, "l_orderkey long, revenue_cents long, deci_qty long")
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT)   AS doc_id,
+           CAST(u.i - 1 AS INT)     AS pos,
+           u.tok                    AS token,
+           CAST(len(u.tok) AS INT)  AS token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents WHERE doc_id % 50 = 0),
+         LATERAL (SELECT unnest(ts) AS tok,
+                         unnest(range(1, len(ts) + 1)) AS i) u
+    WHERE len(u.tok) >= 6
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (``@udtf``): one input row → many output rows with
+    per-row computed columns — the table-function API surface proper
+    (``q_udtf_apply`` covers the grouped-map variant).  Arrow-optimized
+    UDTF execution is enabled by the session conf."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, tok in enumerate(text.split(" ")):
+                if len(tok) >= 6:
+                    yield pos, tok, len(tok)
+
+    spark.udtf.register("tokenize_long", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    d.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, t.pos, t.token, t.token_len
+        FROM udtf_docs_src, LATERAL tokenize_long(text) AS t
+    """)

@@ -93,11 +93,24 @@ def test_rollup_time_single_scan(spark):
     assert "Expand" in plan
 
 
+def test_bucketed_join_has_no_shuffle_on_join_keys(spark):
+    """Both sides bucketed on the join key at write time → the join reads
+    bucket files directly; no Exchange on o_custkey/c_custkey (the only
+    shuffle left is the final groupBy on c_mktsegment)."""
+    plan = _plan(QUERIES["q_sink_bucketed"](spark, SF))
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    # the scan reads bucket files (at tiny SF Spark may still choose a
+    # broadcast join — also shuffle-free; at scale the bucketed SMJ wins)
+    assert "SelectedBucketsCount" in plan
+
+
 def test_no_python_udf_outside_udf_family(spark):
     """Hot-path queries stay JVM-side: no Python eval nodes in their plans
     (the declared UDF family and data-source round-trips excepted)."""
     exempt = {"q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf_apply",
-              "q_map_in_arrow", "q_multimodal_binary", "q_scan_arrow_roundtrip"}
+              "q_udtf_python", "q_map_in_arrow", "q_multimodal_binary",
+              "q_scan_arrow_roundtrip"}
     for name, fn in QUERIES.items():
         if name in exempt:
             continue
