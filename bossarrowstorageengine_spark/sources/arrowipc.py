@@ -26,6 +26,9 @@ Design:
 - **Column pruning**: the engine-facing helpers accept a ``columns``
   option; Arrow IPC is columnar so unrequested columns are never
   decompressed.
+- **Streaming read** (``DataSourceStreamReader``): micro-batch source over
+  the same directory layout — lexicographic file-name high-water-mark
+  offsets, one partition per newly-arrived file.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -315,11 +319,71 @@ def _chain_first(first: pa.RecordBatch, rest: Iterator[pa.RecordBatch]):
     yield from rest
 
 
+class ArrowIPCStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming reader over an arrowipc directory.
+
+    Offset model: lexicographic high-water mark over file names
+    (``{"last": "<name>"}``); a micro-batch covers every ``.arrows`` file
+    whose basename sorts strictly after the previous mark.  Appenders must
+    therefore use monotonically increasing names (the standard
+    ``batchNNNN``/ULID convention — at production scale this would read a
+    commit log instead of listing the directory, same offset shape).
+    One input partition per new file; the per-file read path is the batch
+    reader's (record batches straight to the JVM, no Python rows).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("arrowipc stream reader requires a path")
+        cols = options.get("columns")
+        self._columns = [c.strip() for c in cols.split(",")] if cols else None
+
+    def _names(self) -> list[str]:
+        try:
+            return [os.path.basename(p) for p in _list_ipc_files(self._path)]
+        except FileNotFoundError:
+            return []  # nothing arrived yet — empty stream, not an error
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._names()
+        return {"last": names[-1] if names else ""}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[ArrowIPCPartition]:
+        lo, hi = start.get("last", ""), end.get("last", "")
+        parts = [
+            ArrowIPCPartition(os.path.join(self._path, n), None)
+            for n in self._names() if lo < n <= hi
+        ]
+        return parts or [ArrowIPCPartition("", [])]
+
+    def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
+        if not partition.path:
+            return
+        with pa.OSFile(partition.path, "rb") as f:
+            reader = pa.ipc.open_file(f)
+            for i in range(reader.num_record_batches):
+                batch = reader.get_batch(i)
+                if self._columns:
+                    batch = batch.select(self._columns)
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        # Offsets are recoverable from the directory listing; checkpointed
+        # offsets carry the durable state, nothing engine-side to persist.
+        return None
+
+
 class ArrowIPCDataSource(DataSource):
-    """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``.
+    """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``
+    / ``spark.readStream.format("arrowipc")``.
 
     Options: ``compression`` (zstd | lz4 | none; write), ``columns``
-    (comma list; read-side projection), ``path``.
+    (comma list; read-side projection), ``batchesPerSplit`` (batch read
+    parallelism), ``path``.
     """
 
     @classmethod
@@ -347,6 +411,9 @@ class ArrowIPCDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ArrowIPCReader:
         return ArrowIPCReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> ArrowIPCStreamReader:
+        return ArrowIPCStreamReader(schema, dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
         return ArrowIPCWriter(schema, dict(self.options), overwrite)

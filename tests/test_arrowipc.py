@@ -157,6 +157,41 @@ def test_big_file_splits_into_batch_range_partitions(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_stream_read_incremental_micro_batches(spark):
+    """readStream over an arrowipc directory: each newly-arrived file (named
+    above the lexicographic high-water mark) lands in exactly one
+    micro-batch; totals match the files pushed."""
+    import pyarrow as pa
+
+    src = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    os.makedirs(src, exist_ok=True)
+
+    def push(name, ids):
+        table = pa.table({"id": pa.array(ids, pa.int64())})
+        tmp = os.path.join(src, f".{name}.tmp")
+        with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, table.schema) as w:
+            w.write_table(table)
+        os.replace(tmp, os.path.join(src, name))
+
+    push("batch000.arrows", [1, 2, 3])
+    sink = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("arrowipc").load(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(sink).collect()) == [1, 2, 3]
+        push("batch001.arrows", [4, 5])
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(sink).collect()) == [1, 2, 3, 4, 5]
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_read_missing_path_raises_cleanly(spark):
     with pytest.raises(Exception) as ei:
         spark.read.format("arrowipc").load("/tmp/definitely/not/there").count()
