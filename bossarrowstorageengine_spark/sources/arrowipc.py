@@ -29,6 +29,9 @@ Design:
 - **Streaming read** (``DataSourceStreamReader``): micro-batch source over
   the same directory layout — lexicographic file-name high-water-mark
   offsets, one partition per newly-arrived file.
+- **Streaming write** (``DataSourceStreamArrowWriter``): each micro-batch
+  appends timestamp-named compressed IPC files via the batch writer's
+  atomic-rename commit, so the sink's output is itself streamable.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -261,7 +265,7 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         JSON (the transaction-log pattern — no second pass over data).
         Temp-name + rename makes the part file's appearance atomic."""
         os.makedirs(self._path, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}"
+        name = f"{getattr(self, '_name_prefix', 'part')}-{uuid.uuid4().hex}"
         tmp = os.path.join(self._path, f".{name}.arrows.tmp")
         final = os.path.join(self._path, f"{name}.arrows")
         opts = pa.ipc.IpcWriteOptions(compression=self._compression)
@@ -317,6 +321,31 @@ class ArrowIPCWriter(DataSourceArrowWriter):
 def _chain_first(first: pa.RecordBatch, rest: Iterator[pa.RecordBatch]):
     yield first
     yield from rest
+
+
+class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: each micro-batch task appends one compressed IPC
+    file (same stats sidecar + tmp-rename commit as the batch writer).
+    File names embed a nanosecond timestamp so the directory keeps the
+    (loosely) monotonic naming the streaming reader's high-water-mark
+    offset expects; exactly-once within a task comes from the atomic
+    rename, replay dedup is the checkpoint's job (standard file-sink
+    semantics)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._delegate = ArrowIPCWriter(schema, options, overwrite)
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> ArrowIPCCommitMessage:
+        import time
+
+        self._delegate._name_prefix = f"part-{time.time_ns():020d}"
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        return None  # per-task atomic renames already landed the files
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)
 
 
 class ArrowIPCStreamReader(DataSourceStreamReader):
@@ -417,6 +446,9 @@ class ArrowIPCDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
         return ArrowIPCWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ArrowIPCStreamWriter:
+        return ArrowIPCStreamWriter(schema, dict(self.options), overwrite)
 
 
 def register_arrowipc(spark) -> None:

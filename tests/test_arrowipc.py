@@ -192,6 +192,44 @@ def test_stream_read_incremental_micro_batches(spark):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stream_write_sink_appends_per_micro_batch(spark):
+    """writeStream to arrowipc: each micro-batch lands as compressed IPC
+    files (atomic rename, stats sidecars); the batch reader sees the union
+    of all committed batches."""
+    src = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}_out"
+    ckpt = f"/tmp/spark_graft_test/{uuid.uuid4().hex}_ckpt"
+    os.makedirs(src, exist_ok=True)
+
+    def push_json(name, rows):
+        import json as _json
+        tmp = os.path.join(src, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.replace(tmp, os.path.join(src, name))
+
+    push_json("b0.json", [{"id": 1}, {"id": 2}])
+    q = (
+        spark.readStream.schema("id long").json(src)
+        .writeStream.format("arrowipc")
+        .option("compression", "zstd")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(processingTime="100 milliseconds")
+        .start(out)
+    )
+    try:
+        q.processAllAvailable()
+        push_json("b1.json", [{"id": 3}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.format("arrowipc").load(out)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_read_missing_path_raises_cleanly(spark):
     with pytest.raises(Exception) as ei:
         spark.read.format("arrowipc").load("/tmp/definitely/not/there").count()
