@@ -191,3 +191,25 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS band,
+           CAST(bit_or(l_orderkey) AS BIGINT)  AS bor,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — partial+final like any
+    hash aggregate; verified bit-identical to DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_orderkey)").alias("band"),
+        F.expr("bit_or(l_orderkey)").alias("bor"),
+        F.expr("bit_xor(l_orderkey)").alias("bxor"),
+    )

@@ -198,3 +198,30 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_frame_interval",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT)     AS event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_10min,
+           round(sum(value) OVER w, 2)  AS sum_10min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user rolling 10-minute count/sum.
+    Value-based frames are deterministic without a tiebreak (equal
+    timestamps share a frame), unlike ROWS frames (§8.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("win_interval_src")
+    return spark.sql("""
+        SELECT CAST(event_id AS BIGINT)        AS event_id,
+               count(*) OVER w                 AS n_10min,
+               round(sum(value) OVER w, 2)     AS sum_10min
+        FROM win_interval_src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """)

@@ -2,8 +2,9 @@
 
 from bossarrowstorageengine_spark.plans.hints import (
     broadcast_if_small,
+    fan_out,
     salted_join,
     scale_conf,
 )
 
-__all__ = ["broadcast_if_small", "salted_join", "scale_conf"]
+__all__ = ["broadcast_if_small", "fan_out", "salted_join", "scale_conf"]
