@@ -297,3 +297,42 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_err_ts",
         )
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer
+    ), r AS (
+        SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS nk,
+               n_name
+        FROM nation
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(count(l.nk) AS BIGINT)         AS n_nonnull_keys,
+           CAST(sum(c_custkey) AS BIGINT)      AS sum_cust
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` ≡ ``IS NOT DISTINCT FROM``): NULL keys
+    match each other instead of disappearing — still a hash join (the
+    null bucket is just another key), unlike a ``=`` join with OR-IS-NULL
+    fallbacks which degrades to nested-loop."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+         .otherwise(F.col("c_nationkey")).alias("nk"))
+    n = load_table(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+         .otherwise(F.col("n_nationkey")).alias("nk"),
+        "n_name")
+    joined = c.join(n, c.nk.eqNullSafe(n.nk))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(c.nk).alias("n_nonnull_keys"),
+        F.sum("c_custkey").cast("long").alias("sum_cust"),
+    )
