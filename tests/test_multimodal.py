@@ -51,3 +51,27 @@ def test_q_multimodal_binary_aggregate(spark):
         .select(F.sum(F.length("text"))).collect()[0][0]
     # ascii corpus: utf-8 byte length == char length
     assert row.total_bytes == total
+
+
+def test_resize_pad_and_truncate(spark):
+    from bossarrowstorageengine_spark.operators.multimodal import resize_payload
+
+    df = spark.createDataFrame(
+        [(1, "image/fake", b"abcdef"), (2, "image/fake", b"xy")],
+        "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r for r in resize_payload(df, 4).collect()}
+    assert bytes(out[1].payload) == b"abcd"          # truncated
+    assert bytes(out[2].payload) == b"xy\x00\x00"    # zero-padded
+    assert out[1].n_bytes == out[2].n_bytes == 4
+
+
+def test_sample_frames_stride_and_short_last_frame(spark):
+    from bossarrowstorageengine_spark.operators.multimodal import sample_frames
+
+    # 300 bytes → frames of 64: idx 0..4 (last = 44 bytes); stride 4 keeps 0, 4
+    df = spark.createDataFrame(
+        [(7, "video/fake", bytes(range(256)) + bytes(44))],
+        "doc_id long, media_type string, payload binary")
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.frame_len) for r in rows] == [(0, 64), (4, 44)]
+    assert bytes(rows[0].frame) == bytes(range(64))
