@@ -336,3 +336,27 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(c.nk).alias("n_nonnull_keys"),
         F.sum("c_custkey").cast("long").alias("sum_cust"),
     )
+
+
+@query(
+    "q_join_right_outer",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)   AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — the preserved side is the build-side mirror of
+    q_join_left_outer (Spark plans it as the flipped left join)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey, "right")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_no_orders"),
+    )

@@ -198,3 +198,39 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE string_split(text, ' ')[1:3] END AS toks
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT)          AS n_docs
+    FROM (SELECT doc_id,
+                 unnest(CASE WHEN toks IS NULL THEN [NULL] ELSE toks END) AS tok
+          FROM src)
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with NULL arrays survive with a NULL element
+    (plain explode drops them) — the null-preserving unnest a sparse
+    multimodal/metadata column needs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    src = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None)
+         .otherwise(F.slice(F.split("text", " "), 1, 3)).alias("toks"))
+    ex = src.select("doc_id", F.explode_outer("toks").alias("tok"))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_null_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
