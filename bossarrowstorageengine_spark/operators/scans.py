@@ -96,6 +96,40 @@ def q_scan_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_arrow_stream",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                        AS n_orders,
+           round(sum(o_totalprice), 2)     AS sum_price,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC *stream* encoding round-trip with dictionary-encoded
+    low-cardinality columns: write ``orders`` as footer-less sequential IPC
+    (``ipcFormat=stream``) with ``o_orderstatus``/``o_orderpriority``
+    dictionary-encoded on disk, read it back (readers sniff the encoding
+    and decode dictionaries transparently), aggregate.  Oracle aggregates
+    the original parquet, proving the second IPC encoding is lossless."""
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "arrow_stream")
+    orders = load_table(spark, sf_dir, "orders")
+    n_files = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8)
+    orders.repartition(n_files).write.format("arrowipc") \
+        .option("compression", "zstd").option("ipcFormat", "stream") \
+        .option("dictionary", "o_orderstatus,o_orderpriority") \
+        .mode("append").save(path)
+    back = spark.read.format("arrowipc").load(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@query(
     "q_scan_orc",
     oracle="""
     SELECT o_orderstatus,

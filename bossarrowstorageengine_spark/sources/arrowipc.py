@@ -32,6 +32,16 @@ Design:
 - **Streaming write** (``DataSourceStreamArrowWriter``): each micro-batch
   appends timestamp-named compressed IPC files via the batch writer's
   atomic-rename commit, so the sink's output is itself streamable.
+- **Both IPC encodings**: the random-access *file* format (default; magic
+  ``ARROW1`` header, footer with batch offsets → batch-range task splits)
+  and the sequential *stream* format (``ipcFormat=stream``; no footer, so
+  one task per file — the wire/append-log encoding).  Readers sniff the
+  encoding from the first bytes, so a directory may mix both.
+- **Dictionary encoding** (``dictionary=col,...``, stream format only —
+  the IPC file format rejects per-batch dictionary replacement): listed
+  columns are dictionary-encoded per batch on write (big win for
+  low-cardinality strings) and transparently decoded on read, so the
+  Spark-facing schema stays plain.
 """
 
 from __future__ import annotations
@@ -139,11 +149,72 @@ def _list_ipc_files(path: str) -> List[str]:
     files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
-        if f.endswith(".arrows") and not f.startswith((".", "_"))
+        if f.endswith((".arrows", ".arrow")) and not f.startswith((".", "_"))
     )
     if not files:
         raise FileNotFoundError(f"no .arrows files under {path}")
     return files
+
+
+#: Magic bytes opening an Arrow random-access ("file"-format) IPC file.
+#: The stream format has no magic — it starts with an encapsulated message
+#: (continuation marker 0xFFFFFFFF) — so absence of ARROW1 means stream.
+_FILE_MAGIC = b"ARROW1"
+
+
+def _is_file_format(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(len(_FILE_MAGIC)) == _FILE_MAGIC
+
+
+def _decode_dictionaries(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Decode any dictionary-encoded columns back to their plain value type
+    (the Spark-facing schema is always plain; encoding is a storage detail)."""
+    if not any(pa.types.is_dictionary(f.type) for f in batch.schema):
+        return batch
+    cols, fields = [], []
+    for i, field in enumerate(batch.schema):
+        col = batch.column(i)
+        if pa.types.is_dictionary(field.type):
+            col = col.dictionary_decode()
+            field = pa.field(field.name, field.type.value_type,
+                             field.nullable, field.metadata)
+        cols.append(col)
+        fields.append(field)
+    return pa.RecordBatch.from_arrays(
+        cols, schema=pa.schema(fields, metadata=batch.schema.metadata))
+
+
+def _read_ipc_batches(
+    path: str,
+    batch_indices: Sequence[int] | None,
+    columns: Sequence[str] | None,
+) -> Iterator[pa.RecordBatch]:
+    """Yield (projected, dictionary-decoded) record batches from either IPC
+    encoding.  File format random-accesses exactly the requested batches;
+    stream format scans forward and skips non-kept ones."""
+    if _is_file_format(path):
+        with pa.OSFile(path, "rb") as f:
+            reader = pa.ipc.open_file(f)
+            indices = (
+                batch_indices if batch_indices is not None
+                else range(reader.num_record_batches)
+            )
+            for i in indices:
+                batch = reader.get_batch(i)
+                if columns:
+                    batch = batch.select(columns)
+                yield _decode_dictionaries(batch)
+    else:
+        keep = set(batch_indices) if batch_indices is not None else None
+        with pa.OSFile(path, "rb") as f:
+            reader = pa.ipc.open_stream(f)
+            for i, batch in enumerate(reader):
+                if keep is not None and i not in keep:
+                    continue
+                if columns:
+                    batch = batch.select(columns)
+                yield _decode_dictionaries(batch)
 
 
 @dataclass
@@ -210,6 +281,14 @@ class ArrowIPCReader(DataSourceReader):
                     i for i, bs in enumerate(stats.get("batches", []))
                     if _stats_overlap(bs, self._filters)
                 ]
+            if not _is_file_format(path):
+                # Stream encoding: no footer/random access, so the file is
+                # one sequential task (splitting would re-stream the prefix
+                # per split).  Batch-level stat pruning still applies — the
+                # task skips non-kept batches as it streams past them.
+                if keep is None or keep:
+                    parts.append(ArrowIPCPartition(path, keep))
+                continue
             if keep is None:
                 if n_batches is None:
                     # No sidecar (foreign file): read footer for the count
@@ -229,18 +308,8 @@ class ArrowIPCReader(DataSourceReader):
     def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
         if partition is None or not partition.path:
             return  # empty marker (all files stat-pruned)
-        with pa.OSFile(partition.path, "rb") as f:
-            reader = pa.ipc.open_file(f)
-            indices = (
-                partition.batch_indices
-                if partition.batch_indices is not None
-                else range(reader.num_record_batches)
-            )
-            for i in indices:
-                batch = reader.get_batch(i)
-                if self._columns:
-                    batch = batch.select(self._columns)
-                yield batch
+        yield from _read_ipc_batches(
+            partition.path, partition.batch_indices, self._columns)
 
 
 @dataclass
@@ -258,6 +327,34 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         if self._compression in ("none", "uncompressed", ""):
             self._compression = None
         self._schema = schema
+        fmt = options.get("ipcformat", options.get("ipcFormat", "file")).lower()
+        if fmt not in ("file", "stream"):
+            raise ValueError(f"ipcFormat must be file|stream, got {fmt!r}")
+        self._stream_format = fmt == "stream"
+        dict_cols = options.get("dictionary")
+        self._dict_cols = (
+            [c.strip() for c in dict_cols.split(",")] if dict_cols else [])
+        if self._dict_cols and not self._stream_format:
+            # The IPC *file* format forbids dictionary replacement, and a
+            # single-pass writer cannot unify dictionaries across batches.
+            raise ValueError(
+                "dictionary encoding requires ipcFormat=stream "
+                "(IPC file format cannot replace dictionaries per batch)")
+
+    def _encode_dictionaries(self, batch: pa.RecordBatch) -> pa.RecordBatch:
+        if not self._dict_cols:
+            return batch
+        cols, fields = [], []
+        for i, field in enumerate(batch.schema):
+            col = batch.column(i)
+            if field.name in self._dict_cols:
+                col = col.dictionary_encode()
+                field = pa.field(field.name, col.type,
+                                 field.nullable, field.metadata)
+            cols.append(col)
+            fields.append(field)
+        return pa.RecordBatch.from_arrays(
+            cols, schema=pa.schema(fields, metadata=batch.schema.metadata))
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ArrowIPCCommitMessage:
         """Single streaming pass: batches go straight into the compressed
@@ -269,18 +366,19 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         tmp = os.path.join(self._path, f".{name}.arrows.tmp")
         final = os.path.join(self._path, f"{name}.arrows")
         opts = pa.ipc.IpcWriteOptions(compression=self._compression)
+        new_writer = pa.ipc.new_stream if self._stream_format else pa.ipc.new_file
         batch_stats: list[dict] = []
         first = next(iterator, None)
         if first is None:
             return ArrowIPCCommitMessage(final_path=None)  # empty task
-        schema = first.schema
         sink = pa.OSFile(tmp, "wb")
         writer = None
         try:
             for batch in _chain_first(first, iterator):
-                if writer is None:
-                    writer = pa.ipc.new_file(sink, schema, options=opts)
                 batch_stats.append(_batch_stats(batch))
+                batch = self._encode_dictionaries(batch)
+                if writer is None:
+                    writer = new_writer(sink, batch.schema, options=opts)
                 writer.write_batch(batch)
         finally:
             if writer is not None:
@@ -392,13 +490,7 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
     def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
         if not partition.path:
             return
-        with pa.OSFile(partition.path, "rb") as f:
-            reader = pa.ipc.open_file(f)
-            for i in range(reader.num_record_batches):
-                batch = reader.get_batch(i)
-                if self._columns:
-                    batch = batch.select(self._columns)
-                yield batch
+        yield from _read_ipc_batches(partition.path, None, self._columns)
 
     def commit(self, end: dict) -> None:
         # Offsets are recoverable from the directory listing; checkpointed
@@ -410,9 +502,11 @@ class ArrowIPCDataSource(DataSource):
     """``spark.read.format("arrowipc")`` / ``df.write.format("arrowipc")``
     / ``spark.readStream.format("arrowipc")``.
 
-    Options: ``compression`` (zstd | lz4 | none; write), ``columns``
-    (comma list; read-side projection), ``batchesPerSplit`` (batch read
-    parallelism), ``path``.
+    Options: ``compression`` (zstd | lz4 | none; write), ``ipcFormat``
+    (file | stream; write — readers sniff per file), ``dictionary``
+    (comma list of columns to dictionary-encode; write, stream format
+    only), ``columns`` (comma list; read-side projection),
+    ``batchesPerSplit`` (batch read parallelism), ``path``.
     """
 
     @classmethod
@@ -425,7 +519,20 @@ class ArrowIPCDataSource(DataSource):
             raise ValueError("arrowipc requires a path")
         first = _list_ipc_files(path)[0]
         with pa.OSFile(first, "rb") as f:
-            arrow_schema = pa.ipc.open_file(f).schema
+            if _is_file_format(first):
+                arrow_schema = pa.ipc.open_file(f).schema
+            else:
+                arrow_schema = pa.ipc.open_stream(f).schema
+        # Dictionary encoding is a storage detail — Spark sees value types.
+        if any(pa.types.is_dictionary(f.type) for f in arrow_schema):
+            arrow_schema = pa.schema(
+                [
+                    pa.field(f.name, f.type.value_type, f.nullable, f.metadata)
+                    if pa.types.is_dictionary(f.type) else f
+                    for f in arrow_schema
+                ],
+                metadata=arrow_schema.metadata,
+            )
         cols = self.options.get("columns")
         if cols:
             names = [c.strip() for c in cols.split(",")]

@@ -234,3 +234,82 @@ def test_read_missing_path_raises_cleanly(spark):
     with pytest.raises(Exception) as ei:
         spark.read.format("arrowipc").load("/tmp/definitely/not/there").count()
     assert "not found" in str(ei.value) or "PATH" in str(ei.value).upper()
+
+
+# -- stream encoding + dictionary preservation ------------------------------
+
+
+def test_stream_format_roundtrip(spark):
+    """ipcFormat=stream writes sequential (footer-less) IPC; readers sniff
+    the encoding per file and produce identical data."""
+    df = load_table(spark, SF, "lineitem")
+    pdf, schema, out = _roundtrip(spark, df, ipcFormat="stream")
+    assert len(pdf) == df.count()
+    assert schema == df.schema
+    for p in glob.glob(os.path.join(out, "*.arrows")):
+        with open(p, "rb") as f:
+            assert f.read(6) != b"ARROW1", "stream file must not carry file-format magic"
+    orig = df.agg(F.sum("l_extendedprice"), F.max("l_orderkey")).collect()
+    got = spark.read.format("arrowipc").load(out).agg(
+        F.sum("l_extendedprice"), F.max("l_orderkey")).collect()
+    assert orig == got
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_dictionary_roundtrip(spark):
+    """dictionary=cols encodes listed columns per batch on disk; the
+    Spark-facing schema and values stay plain on read-back."""
+    import pyarrow as pa
+
+    df = load_table(spark, SF, "lineitem")
+    pdf, schema, out = _roundtrip(
+        spark, df, ipcFormat="stream", dictionary="l_returnflag,l_linestatus")
+    assert schema == df.schema  # plain types, encoding is storage-only
+    files = glob.glob(os.path.join(out, "*.arrows"))
+    assert files
+    with pa.OSFile(files[0], "rb") as f:
+        disk_schema = pa.ipc.open_stream(f).schema
+    assert pa.types.is_dictionary(disk_schema.field("l_returnflag").type)
+    assert not pa.types.is_dictionary(disk_schema.field("l_orderkey").type)
+    orig = df.groupBy("l_returnflag").count().collect()
+    got = spark.read.format("arrowipc").load(out).groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, orig)) == sorted(map(tuple, got))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dictionary_requires_stream_format(spark):
+    df = load_table(spark, SF, "nation")
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    with pytest.raises(Exception) as ei:
+        df.write.format("arrowipc").mode("append") \
+            .option("dictionary", "n_name").save(out)
+    assert "ipcFormat=stream" in str(ei.value)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mixed_encoding_directory(spark):
+    """A directory may mix file- and stream-encoded parts; the reader
+    sniffs each file independently."""
+    df = load_table(spark, SF, "nation")
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.write.format("arrowipc").mode("append").save(out)
+    df.write.format("arrowipc").mode("append").option("ipcFormat", "stream").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == 2 * df.count()
+    assert back.schema == df.schema
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_format_filter_pushdown_prunes_batches(spark):
+    """Batch-level stat pruning applies while streaming past batches (file
+    pruning drops whole stream files via the sidecar too)."""
+    df = load_table(spark, SF, "orders")
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.repartition(4).write.format("arrowipc").mode("append") \
+        .option("ipcFormat", "stream").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    hi = df.agg(F.max("o_orderkey")).first()[0]
+    got = back.filter(F.col("o_orderkey") > hi - 10).count()
+    want = df.filter(F.col("o_orderkey") > hi - 10).count()
+    assert got == want
+    shutil.rmtree(out, ignore_errors=True)
