@@ -169,6 +169,38 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_profile",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT)               AS n_events,
+             round(sum(value), 2)                   AS total_value,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT t.user_id, t.n_events, t.total_value, t.n_types,
+           r.event_type AS top_type
+    FROM totals t JOIN ranked r ON t.user_id = r.user_id AND r.rn = 1
+    """,
+)
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the ``transformWithStateInPandas`` stateful operator
+    (``streaming.pipelines.user_event_profile``): per-user event count,
+    value sum, distinct-type count, and modal event type (lexicographic
+    tie-break).  In streaming mode the same builder maintains this profile
+    incrementally in ValueState + MapState (Spark 4 StatefulProcessor);
+    the batch plan here is what the oracle can check."""
+    from bossarrowstorageengine_spark.streaming.pipelines import user_event_profile
+
+    return user_event_profile(load_table(spark, sf_dir, "events"))
+
+
+@query(
     "q_join_range_events",
     oracle="""
     SELECT e1.user_id,

@@ -117,3 +117,82 @@ def test_session_window_gap_merge(spark):
         assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
     finally:
         h.stop()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state-server protocol needs "
+           "google.protobuf, not shipped in this container; the streaming "
+           "branch is exercised where protobuf exists — batch equivalence "
+           "is still asserted below via test_profile_batch_mode",
+)
+def test_transform_with_state_profile(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): ValueState
+    totals + MapState per-type counts survive across micro-batches; the
+    final emission matches the batch-mode profile of all pushed events."""
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        ROCKSDB_PROVIDER,
+        user_event_profile,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        h = FileStreamHarness(spark, user_event_profile, mode="update")
+        rows1 = [_ev(1, "2024-01-01 00:00:00", user=1, etype="view", value=2.0),
+                 _ev(2, "2024-01-01 00:01:00", user=1, etype="click", value=3.0),
+                 _ev(3, "2024-01-01 00:02:00", user=2, etype="view", value=5.0)]
+        rows2 = [_ev(4, "2024-01-01 00:03:00", user=1, etype="click", value=10.0),
+                 _ev(5, "2024-01-01 00:04:00", user=1, etype="error", value=0.5)]
+        try:
+            h.push(rows1)
+            out1 = h.step().toPandas()
+            u1 = out1[out1["user_id"] == 1].iloc[-1]
+            assert (u1["n_events"], u1["total_value"], u1["n_types"]) == (2, 5.0, 2)
+            assert u1["top_type"] == "click"  # tie view/click → lexicographic
+
+            h.push(rows2)
+            out2 = h.step().toPandas()
+            u1b = out2[out2["user_id"] == 1].iloc[-1]
+            # 4 events, 2 clicks → modal type now unambiguous
+            assert (u1b["n_events"], u1b["total_value"], u1b["n_types"]) == (4, 15.5, 3)
+            assert u1b["top_type"] == "click"
+
+            # batch-mode equivalence on the union of all pushed rows
+            batch = spark.createDataFrame(
+                [(r["event_id"], r["user_id"], r["event_type"], r["value"])
+                 for r in rows1 + rows2],
+                "event_id long, user_id long, event_type string, value double")
+            got = {r.user_id: (r.n_events, r.total_value, r.n_types, r.top_type)
+                   for r in user_event_profile(batch).collect()}
+            assert got == {1: (4, 15.5, 3, "click"), 2: (1, 5.0, 1, "view")}
+        finally:
+            h.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_profile_batch_mode(spark):
+    """Batch branch of user_event_profile: counts, sums, distinct types,
+    modal type with lexicographic tie-break."""
+    from bossarrowstorageengine_spark.streaming.pipelines import user_event_profile
+
+    batch = spark.createDataFrame(
+        [(1, 1, "view", 2.0), (2, 1, "click", 3.0), (3, 2, "view", 5.0),
+         (4, 1, "click", 10.0), (5, 1, "error", 0.5)],
+        "event_id long, user_id long, event_type string, value double")
+    got = {r.user_id: (r.n_events, r.total_value, r.n_types, r.top_type)
+           for r in user_event_profile(batch).collect()}
+    assert got == {1: (4, 15.5, 3, "click"), 2: (1, 5.0, 1, "view")}
