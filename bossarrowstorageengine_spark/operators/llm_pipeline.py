@@ -443,6 +443,85 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivf")  # ROWS-only: centroid training sums are FP-order sensitive
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the trained
+    counterpart to ``q_ann_lsh``'s data-independent bucketing.
+
+    Coarse quantizer: k=16 centroids seeded from the k lowest ``vec_id``
+    vectors (deterministic), refined by 2 Lloyd iterations expressed as
+    DataFrame ops (assign = broadcast-centroid cross join + window argmax;
+    recompute = posexplode → per-(centroid, dim) mean, rounded 4dp to
+    absorb FP summation-order noise).  Centroids are collected to the
+    driver between iterations — k×64 doubles, the standard k-means driver
+    loop (MLlib does the same); everything per-vector stays distributed.
+
+    Search: every vector lands in exactly one inverted list; each probe
+    scans its nprobe=2 nearest lists only, so the candidate set is
+    ~nprobe/k of the data (vs all of it for brute force).  True cosine +
+    window top-3 inside the candidates, rounded scores, id tiebreak.
+    """
+    k, nprobe, lloyd_iters = 16, 2, 2
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def nearest(vecs: DataFrame, cents: DataFrame, n: int,
+                id_cols: list[str]) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "sim", V.cosine(F.col("embedding"), F.col("centroid")))
+        w = Window.partitionBy(*id_cols).orderBy(
+            F.round("sim", 6).desc(), F.asc("centroid_id"))
+        return scored.withColumn("crn", F.row_number().over(w)) \
+            .filter(F.col("crn") <= n).drop("crn", "sim")
+
+    # seed: k lowest vec_ids (stable across partitionings)
+    cent_rows = [
+        (i, [float(x) for x in r.embedding])
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+    ]
+    cent_schema = "centroid_id int, centroid array<double>"
+    for _ in range(lloyd_iters):
+        cents = spark.createDataFrame(cent_rows, cent_schema)
+        assigned = nearest(e, cents, 1, ["vec_id"])
+        new_cents = (
+            assigned.select("centroid_id",
+                            F.posexplode(V.to_double(F.col("embedding")))
+                            .alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m).alias("centroid"))
+        )
+        cent_rows = [(r.centroid_id, list(r.centroid))
+                     for r in new_cents.collect()]
+    cents = spark.createDataFrame(cent_rows, cent_schema)
+
+    lists = nearest(e, cents, 1, ["vec_id"]).select("vec_id", "embedding",
+                                                    "centroid_id")
+    probe_vecs = e.filter(F.col("vec_id").isin(0, 1, 2))
+    probe_lists = nearest(probe_vecs, cents, nprobe, ["vec_id"]).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        "centroid_id",
+    )
+    cands = lists.join(F.broadcast(probe_lists), "centroid_id").filter(
+        F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    return (
+        cands.withColumn("cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("probe_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -86,3 +86,30 @@ def test_simhash_near_dupes_have_small_hamming_distance(spark):
 
     assert ham(out[1], out[2]) < ham(out[1], out[3])
     assert ham(out[1], out[2]) < ham(out[2], out[3])
+
+
+def test_ann_ivf_deterministic_and_sane(spark):
+    """IVF returns top-3 per probe from its nprobe lists; fixed seeding +
+    rounded centroid means make back-to-back runs identical."""
+    out1 = QUERIES["q_ann_ivf"](spark, SF).toPandas()
+    out2 = QUERIES["q_ann_ivf"](spark, SF).toPandas()
+    assert out1.sort_values(["probe_id", "rn"]).reset_index(drop=True).equals(
+        out2.sort_values(["probe_id", "rn"]).reset_index(drop=True))
+    assert set(out1["probe_id"]) == {0, 1, 2}
+    assert (out1.groupby("probe_id")["rn"].max() == 3).all()
+    assert out1["cos_sim"].between(-1.0, 1.0).all()
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """The probed lists hold the probe's own neighborhood, so IVF top-3
+    should mostly agree with brute-force top-5 (recall sanity, not a
+    tight bound — quantization may miss boundary vectors)."""
+    ivf = QUERIES["q_ann_ivf"](spark, SF).toPandas()
+    bf = QUERIES["q_sim_search"](spark, SF).toPandas()
+    hits = tot = 0
+    for pid in (0, 1, 2):
+        truth = set(bf[bf["probe_id"] == pid]["vec_id"])
+        got = set(ivf[ivf["probe_id"] == pid]["vec_id"])
+        hits += len(got & truth)
+        tot += len(got)
+    assert hits / tot >= 0.5, f"IVF recall too low: {hits}/{tot}"
