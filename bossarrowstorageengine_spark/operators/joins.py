@@ -360,3 +360,39 @@ def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
          .cast("long").alias("n_no_orders"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)  AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈fact join (``plans.salted_join``) — result-identical
+    to the plain join (the oracle proves it), but no single reducer ever
+    owns a hot key: the probe side gets a deterministic row-hash salt in
+    [0, S), the build side is replicated S×, and the shuffle key becomes
+    (l_orderkey, salt), splitting each hot orderkey across S reducers.
+    S=8 here; at 100 TB, S is sized to cap the largest (key, salt) cell
+    and salting targets only detected heavy hitters (AQE skew-split
+    handles moderate skew; this is the explicit extreme-skew fallback)."""
+    from bossarrowstorageengine_spark.plans import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    return (
+        salted_join(li, o, "okey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+        )
+    )

@@ -693,3 +693,79 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_systematic",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key
+    FROM lineitem
+    WHERE (l_orderkey * 8 + l_linenumber) % 20 = 3
+    GROUP BY l_returnflag
+    """,
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 corpus sample keyed on a unique row identity
+    (``l_orderkey*8 + l_linenumber``) — the reproducible, engine-portable
+    alternative to seeded ``TABLESAMPLE``: any engine computing the same
+    key keeps exactly the same rows, so downstream training runs are
+    byte-reproducible.
+
+    Scale: the predicate is a pure row-local filter — pushed to the scan,
+    no shuffle, no RNG state; sampling 100 TB costs one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return (
+        li.filter(F.pmod(key, F.lit(20)) == 3)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.min("l_orderkey").cast("long").alias("min_key"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE (l_orderkey * 8 + l_linenumber) %
+          (CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 5 ELSE 10 END) = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (keep 1/2 of 'A', 1/5 of
+    'N', 1/10 of everything else) — rebalancing skewed classes is routine
+    in training-data curation.  The rate lookup is a literal
+    ``map<string,int>`` resolved per row via ``element_at`` (JVM-side, no
+    join); row identity keying keeps it reproducible like
+    ``q_sample_systematic``.  ``sampleBy`` is the RNG-seeded equivalent
+    when cross-engine reproducibility doesn't matter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rates = F.create_map(
+        F.lit("A"), F.lit(2),
+        F.lit("N"), F.lit(5),
+    )
+    rate = F.coalesce(F.element_at(rates, F.col("l_returnflag")), F.lit(10))
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return (
+        li.filter(F.pmod(key, rate) == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
