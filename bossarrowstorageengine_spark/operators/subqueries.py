@@ -85,6 +85,63 @@ _Q10_SQL = """
 """
 
 
+_Q5_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+_Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                    AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+_Q14_SQL = """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END) /
+                 sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+_Q18_SQL = """
+    SELECT c_custkey,
+           o_orderkey,
+           o_orderdate,
+           round(o_totalprice, 2)    AS o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+"""
+
+
 def _sql_query(name: str, sql: str):
     @query(name, oracle=sql)
     def _fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
@@ -101,3 +158,7 @@ q_subquery_in = _sql_query("q_subquery_in", _IN_SQL)
 q_subquery_exists = _sql_query("q_subquery_exists", _EXISTS_SQL)
 q_tpch_q3 = _sql_query("q_tpch_q3", _Q3_SQL)
 q_tpch_q10 = _sql_query("q_tpch_q10", _Q10_SQL)
+q_tpch_q5 = _sql_query("q_tpch_q5", _Q5_SQL)
+q_tpch_q6 = _sql_query("q_tpch_q6", _Q6_SQL)
+q_tpch_q14 = _sql_query("q_tpch_q14", _Q14_SQL)
+q_tpch_q18 = _sql_query("q_tpch_q18", _Q18_SQL)
