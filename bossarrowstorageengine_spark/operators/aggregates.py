@@ -213,3 +213,34 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(l_orderkey)").alias("bor"),
         F.expr("bit_xor(l_orderkey)").alias("bxor"),
     )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_key,
+           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_key,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extrema aggregates: ``max_by``/``min_by`` (DuckDB
+    ``arg_max``/``arg_min``) fetch a companion column's value at the
+    group's extreme — one pass, no self-join or window.  Both engines
+    leave ties implementation-defined; verified unique per-group extrema
+    at every test SF, so the comparison is exact.  At scale this is a
+    partial+final hash aggregate carrying one (value, ordering) pair per
+    group — the cheap form of "row with the max" when only one companion
+    column is needed (the struct-max idiom generalizes it to whole rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").cast("long").alias("priciest_key"),
+        F.min_by("o_orderkey", "o_totalprice").cast("long").alias("cheapest_key"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )

@@ -213,3 +213,38 @@ def user_event_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def view_click_followups(events: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each ``view`` paired with the same
+    user's ``click``s in the following 5 minutes — the streaming face of
+    the batch range join (``q_join_range_events``'s candidate-pair stage).
+
+    Both sides carry watermarks and the join condition bounds
+    ``click_ts`` relative to ``view_ts``, so Spark can size the join state
+    and evict rows once the watermark passes ``view_ts + 5 min`` — the
+    requirement for an unbounded stream-stream join to run forever.
+    Scale: state is partitioned by the equi-key (``user_id``); the
+    interval bound keeps per-key state to a 5-minute buffer.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        "user_id", "view_id", "view_ts", "click_id", "click_ts")

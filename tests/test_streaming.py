@@ -5,6 +5,7 @@ check."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bossarrowstorageengine_spark.streaming.harness import FileStreamHarness
 from bossarrowstorageengine_spark.streaming.pipelines import (
@@ -196,3 +197,35 @@ def test_profile_batch_mode(spark):
     got = {r.user_id: (r.n_events, r.total_value, r.n_types, r.top_type)
            for r in user_event_profile(batch).collect()}
     assert got == {1: (4, 15.5, 3, "click"), 2: (1, 5.0, 1, "view")}
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join(spark):
+    """Stream-stream join with watermarks: only clicks within 5 minutes
+    after a view (same user) pair up; out-of-window and cross-user clicks
+    never appear, and results match the batch-mode join."""
+    from bossarrowstorageengine_spark.streaming.pipelines import view_click_followups
+
+    h = FileStreamHarness(spark, view_click_followups, mode="append")
+    rows = [
+        _ev(1, "2024-01-01 00:00:00", user=1, etype="view"),
+        _ev(2, "2024-01-01 00:02:00", user=1, etype="click"),   # in window
+        _ev(3, "2024-01-01 00:10:00", user=1, etype="click"),   # too late
+        _ev(4, "2024-01-01 00:01:00", user=2, etype="click"),   # other user
+    ]
+    try:
+        h.push(rows)
+        # advance both watermarks far enough to emit and evict
+        h.push([_ev(9, "2024-01-01 05:00:00", user=9, etype="view")])
+        out = h.step().toPandas()
+        assert list(zip(out["view_id"], out["click_id"])) == [(1, 2)]
+
+        batch = spark.createDataFrame(
+            [(r["event_id"], r["ts"], r["user_id"], r["event_type"]) for r in rows],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = [(r.view_id, r.click_id)
+               for r in view_click_followups(batch).collect()]
+        assert got == [(1, 2)]
+    finally:
+        h.stop()
