@@ -117,3 +117,25 @@ def test_no_python_udf_outside_udf_family(spark):
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_tpch_q5_snowflake_all_hash_joins(spark):
+    """Six-way snowflake must never degrade to a nested-loop join; the
+    dimension legs broadcast."""
+    plan = _plan(QUERIES["q_tpch_q5"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_systematic_sample_is_scan_local(spark):
+    """The sampling predicate must not induce a shuffle of its own — the
+    only Exchange is the final aggregation's."""
+    plan = _plan(QUERIES["q_sample_systematic"](spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_salted_join_key_includes_salt(spark):
+    """The join must key on (okey, _salt) so hot keys split across
+    reducers; the only nested-loop piece is the S-row salt replication."""
+    plan = _plan(QUERIES["q_join_salted"](spark, SF))
+    assert "_salt" in plan
