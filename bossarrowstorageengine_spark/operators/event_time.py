@@ -284,3 +284,61 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             (date_trunc('day', ts), event_type)
         )
     """)
+
+
+@query(
+    "q_rollup_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ), days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_day
+      FROM bounds
+    ), actual AS (
+      SELECT date_trunc('day', ts)  AS bucket_day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2)     AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT d.bucket_day,
+           COALESCE(a.n_events, 0)   AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM days d LEFT JOIN actual a USING (bucket_day)
+    """,
+)
+def q_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup (the ``time_bucket_gapfill`` idiom): every
+    day between min and max event time appears, zero-filled when no events
+    landed — downstream dashboards and window models need dense series.
+
+    Spark shape: the day spine comes from ``sequence()`` over the global
+    min/max (a 1-row broadcast — no driver round-trip), exploded to one
+    row per day, left-joined to the actual daily aggregate.  At 100 TB the
+    spine is ~years × 365 rows — broadcast side — while the aggregate
+    shuffles once on the day bucket; gap density never touches the fact
+    scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY")))
+        .alias("bucket_day"))
+    actual = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return (
+        F.broadcast(days).join(actual, "bucket_day", "left")
+        .select(
+            "bucket_day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
