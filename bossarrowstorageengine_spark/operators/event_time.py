@@ -342,3 +342,56 @@ def q_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_cdc_upsert",
+    oracle="""
+    WITH unioned AS (
+      SELECT *, 0 AS is_change FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT *, 1 AS is_change FROM events WHERE event_id % 2 = 1
+    ), ranked AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM unioned
+    )
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           ts                       AS last_ts,
+           round(value, 2)          AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert / merge-latest: apply a change set to a base snapshot,
+    keeping the newest version per key — the batch face of a Delta-style
+    ``MERGE`` (keys here: ``(user_id, event_type)``; version order:
+    ``(ts, event_id)``, the unique id making "latest" total).
+
+    Shape: union(base, changes) → one shuffle on the key → window rn=1.
+    At 100 TB the union never materializes — both legs stream into the
+    same hash partitioning; AQE-coalesced output becomes the new snapshot
+    (at which point you'd write it partitioned by a stable key prefix so
+    the next merge co-locates).  Deletes would ride the same plan as
+    tombstone rows filtered after rank.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    changes = ev.filter(F.col("event_id") % 2 == 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        base.unionByName(changes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )

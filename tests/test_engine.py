@@ -54,3 +54,30 @@ def test_c4_reset_lifecycle(spark):
 def test_table_accessor(spark):
     eng = Engine(spark, sf_dir=SF)
     assert eng.table("region").count() == 5
+
+
+def test_observation_metrics_piggyback_on_query(spark):
+    """df.observe(Observation, ...) collects accumulator-style metrics on
+    the same pass as the query — no second scan; the observability hook a
+    production pipeline uses for row-count/quality gauges."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("total_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+    out = observed.groupBy("l_returnflag").count()
+    n_groups = out.count()  # triggers the single pass
+    got = obs.get
+    assert n_groups >= 1
+    assert got["n_rows"] == li.count()
+    exp_qty = li.agg(F.sum("l_quantity")).first()[0]
+    assert abs(got["total_qty"] - exp_qty) < 1e-6
+    assert 0 < got["n_discounted"] < got["n_rows"]
