@@ -185,14 +185,44 @@ def _decode_dictionaries(batch: pa.RecordBatch) -> pa.RecordBatch:
         cols, schema=pa.schema(fields, metadata=batch.schema.metadata))
 
 
+def _align_to_schema(batch: pa.RecordBatch, target: pa.Schema) -> pa.RecordBatch:
+    """Schema evolution at read time: conform a batch to the (union)
+    target schema — missing columns become all-null arrays, column order
+    follows the target.  Extra file-local columns are dropped (they are
+    not part of the requested schema)."""
+    if batch.schema == target:
+        return batch
+    cols = []
+    names = set(batch.schema.names)
+    for field in target:
+        if field.name in names:
+            col = batch.column(batch.schema.get_field_index(field.name))
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(batch.num_rows, field.type)
+        cols.append(col)
+    return pa.RecordBatch.from_arrays(cols, schema=target)
+
+
 def _read_ipc_batches(
     path: str,
     batch_indices: Sequence[int] | None,
     columns: Sequence[str] | None,
+    target_schema: pa.Schema | None = None,
 ) -> Iterator[pa.RecordBatch]:
-    """Yield (projected, dictionary-decoded) record batches from either IPC
-    encoding.  File format random-accesses exactly the requested batches;
-    stream format scans forward and skips non-kept ones."""
+    """Yield (projected, dictionary-decoded, schema-aligned) record batches
+    from either IPC encoding.  File format random-accesses exactly the
+    requested batches; stream format scans forward and skips non-kept ones."""
+
+    def finish(batch: pa.RecordBatch) -> pa.RecordBatch:
+        batch = _decode_dictionaries(batch)
+        if target_schema is not None:
+            batch = _align_to_schema(batch, target_schema)
+        elif columns:
+            batch = batch.select(columns)
+        return batch
+
     if _is_file_format(path):
         with pa.OSFile(path, "rb") as f:
             reader = pa.ipc.open_file(f)
@@ -201,10 +231,7 @@ def _read_ipc_batches(
                 else range(reader.num_record_batches)
             )
             for i in indices:
-                batch = reader.get_batch(i)
-                if columns:
-                    batch = batch.select(columns)
-                yield _decode_dictionaries(batch)
+                yield finish(reader.get_batch(i))
     else:
         keep = set(batch_indices) if batch_indices is not None else None
         with pa.OSFile(path, "rb") as f:
@@ -212,18 +239,47 @@ def _read_ipc_batches(
             for i, batch in enumerate(reader):
                 if keep is not None and i not in keep:
                     continue
-                if columns:
-                    batch = batch.select(columns)
-                yield _decode_dictionaries(batch)
+                yield finish(batch)
+
+
+def _file_arrow_schema(path: str) -> pa.Schema:
+    with pa.OSFile(path, "rb") as f:
+        if _is_file_format(path):
+            return pa.ipc.open_file(f).schema
+        return pa.ipc.open_stream(f).schema
+
+
+def _plain_field(fld: pa.Field, nullable: bool | None = None) -> pa.Field:
+    """Dictionary types are a storage detail — expose the value type."""
+    typ = fld.type.value_type if pa.types.is_dictionary(fld.type) else fld.type
+    return pa.field(fld.name, typ,
+                    fld.nullable if nullable is None else nullable,
+                    fld.metadata)
+
+
+def _union_schema(files: Sequence[str]) -> pa.Schema:
+    """Schema evolution: the union of every file's columns, first
+    occurrence fixing the type/position; every field nullable (a column
+    absent from some file is null there)."""
+    fields: dict[str, pa.Field] = {}
+    order: list[str] = []
+    for p in files:
+        for fld in _file_arrow_schema(p):
+            if fld.name not in fields:
+                fields[fld.name] = _plain_field(fld, nullable=True)
+                order.append(fld.name)
+    return pa.schema([fields[n] for n in order])
 
 
 @dataclass
 class ArrowIPCPartition(InputPartition):
     """One task's slice: a file plus the record-batch indices that survived
-    batch-level stat pruning (None = all batches)."""
+    batch-level stat pruning (None = all batches); ``schema_ser`` carries
+    the serialized union target schema when mergeSchema is on."""
 
     path: str
     batch_indices: list[int] | None
+    schema_ser: bytes | None = None
 
 
 class ArrowIPCReader(DataSourceReader):
@@ -236,6 +292,8 @@ class ArrowIPCReader(DataSourceReader):
         cols = options.get("columns")
         if cols:
             self._columns = [c.strip() for c in cols.split(",")]
+        self._merge = options.get(
+            "mergeschema", options.get("mergeSchema", "false")).lower() == "true"
         self._filters: list[Filter] = []
 
     # -- optimizer hooks ----------------------------------------------------
@@ -264,7 +322,16 @@ class ArrowIPCReader(DataSourceReader):
         parts: list[ArrowIPCPartition] = []
         split = max(1, int(self._options.get(
             "batchesPerSplit", self.BATCHES_PER_SPLIT)))
-        for path in _list_ipc_files(self._path):
+        files = _list_ipc_files(self._path)
+        schema_ser = None
+        if self._merge:
+            target = _union_schema(files)
+            if self._columns:
+                target = pa.schema(
+                    [target.field(c) for c in self._columns],
+                    metadata=target.metadata)
+            schema_ser = target.serialize().to_pybytes()
+        for path in files:
             stats = None
             sp = stats_path(path)
             if os.path.exists(sp):
@@ -287,7 +354,7 @@ class ArrowIPCReader(DataSourceReader):
                 # per split).  Batch-level stat pruning still applies — the
                 # task skips non-kept batches as it streams past them.
                 if keep is None or keep:
-                    parts.append(ArrowIPCPartition(path, keep))
+                    parts.append(ArrowIPCPartition(path, keep, schema_ser))
                 continue
             if keep is None:
                 if n_batches is None:
@@ -297,7 +364,8 @@ class ArrowIPCReader(DataSourceReader):
                         n_batches = pa.ipc.open_file(f).num_record_batches
                 keep = list(range(n_batches))
             for lo in range(0, len(keep), split):
-                parts.append(ArrowIPCPartition(path, keep[lo:lo + split]))
+                parts.append(
+                    ArrowIPCPartition(path, keep[lo:lo + split], schema_ser))
         if not parts:
             # Everything pruned. Spark still calls read() once when the
             # partition list is empty, so hand it an explicit empty marker.
@@ -308,8 +376,11 @@ class ArrowIPCReader(DataSourceReader):
     def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
         if partition is None or not partition.path:
             return  # empty marker (all files stat-pruned)
+        target = None
+        if partition.schema_ser is not None:
+            target = pa.ipc.read_schema(pa.py_buffer(partition.schema_ser))
         yield from _read_ipc_batches(
-            partition.path, partition.batch_indices, self._columns)
+            partition.path, partition.batch_indices, self._columns, target)
 
 
 @dataclass
@@ -506,7 +577,11 @@ class ArrowIPCDataSource(DataSource):
     (file | stream; write — readers sniff per file), ``dictionary``
     (comma list of columns to dictionary-encode; write, stream format
     only), ``columns`` (comma list; read-side projection),
+    ``mergeSchema`` (true → read the union of all files' columns,
+    null-filling files that lack one — schema evolution), and
     ``batchesPerSplit`` (batch read parallelism), ``path``.
+    Directory maintenance (small-file compaction) lives in
+    ``sources.maintenance.compact_arrowipc``.
     """
 
     @classmethod
@@ -517,12 +592,13 @@ class ArrowIPCDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("arrowipc requires a path")
-        first = _list_ipc_files(path)[0]
-        with pa.OSFile(first, "rb") as f:
-            if _is_file_format(first):
-                arrow_schema = pa.ipc.open_file(f).schema
-            else:
-                arrow_schema = pa.ipc.open_stream(f).schema
+        files = _list_ipc_files(path)
+        merge = self.options.get(
+            "mergeschema", self.options.get("mergeSchema", "false"))
+        if str(merge).lower() == "true":
+            arrow_schema = _union_schema(files)
+        else:
+            arrow_schema = _file_arrow_schema(files[0])
         # Dictionary encoding is a storage detail — Spark sees value types.
         if any(pa.types.is_dictionary(f.type) for f in arrow_schema):
             arrow_schema = pa.schema(

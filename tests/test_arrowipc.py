@@ -313,3 +313,59 @@ def test_stream_format_filter_pushdown_prunes_batches(spark):
     want = df.filter(F.col("o_orderkey") > hi - 10).count()
     assert got == want
     shutil.rmtree(out, ignore_errors=True)
+
+
+# -- maintenance: compaction + schema evolution -----------------------------
+
+
+def test_compaction_rewrites_small_files(spark):
+    """compact_arrowipc collapses a many-small-files directory into few
+    large parts with identical data and fresh stats sidecars."""
+    from bossarrowstorageengine_spark.sources.maintenance import compact_arrowipc
+
+    df = load_table(spark, SF, "lineitem")
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.repartition(8).write.format("arrowipc").mode("append").save(out)
+    assert len(glob.glob(os.path.join(out, "*.arrows"))) == 8
+
+    # rounded sum: repartitioning changes FP summation order, not data
+    checksum = [F.round(F.sum("l_extendedprice"), 2),
+                F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_shipdate")]
+    before = df.agg(*checksum).collect()
+    info = compact_arrowipc(spark, out, target_files=2)
+    assert info == {"files_before": 8, "files_after": 2, "rows": df.count()}
+
+    parts = glob.glob(os.path.join(out, "*.arrows"))
+    assert len(parts) == 2
+    for p in parts:
+        assert os.path.exists(stats_path(p))
+    back = spark.read.format("arrowipc").load(out)
+    assert back.agg(*checksum).collect() == before
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_merge_schema_union_with_null_fill(spark):
+    """mergeSchema=true reads a directory whose files disagree on columns:
+    the union schema applies, missing columns are null."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    new = spark.createDataFrame([(3, "c", 9.5)], "id long, name string, score double")
+    old.coalesce(1).write.format("arrowipc").mode("append").save(out)
+    new.coalesce(1).write.format("arrowipc").mode("append").save(out)
+
+    back = spark.read.format("arrowipc").option("mergeSchema", "true").load(out)
+    assert set(back.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    # without mergeSchema the first file's schema wins and scans of the
+    # wider file still align via column projection? No — reads must fail
+    # or project; the documented contract is: use mergeSchema for mixed
+    # directories.  Assert merge + column pruning compose instead:
+    pruned = (
+        spark.read.format("arrowipc")
+        .option("mergeSchema", "true").option("columns", "id,score").load(out)
+    )
+    assert pruned.columns == ["id", "score"]
+    assert {tuple(r) for r in pruned.collect()} == {(1, None), (2, None), (3, 9.5)}
+    shutil.rmtree(out, ignore_errors=True)
