@@ -229,3 +229,55 @@ def test_stream_stream_interval_join(spark):
         assert got == [(1, 2)]
     finally:
         h.stop()
+
+
+@pytest.mark.slow
+def test_foreach_batch_merge_snapshot(spark):
+    """foreachBatch CDC merge: the parquet snapshot always holds the
+    newest version per (user_id, event_type) across micro-batches."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.streaming.harness import FileStreamHarness
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        EVENTS_SCHEMA,
+        merge_stream_into_snapshot,
+    )
+
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    snap, ckpt, src = f"{base}/snap", f"{base}/ckpt", f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+
+    # hand-rolled harness: foreachBatch returns a query, not a DataFrame
+    stream = spark.readStream.schema(EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).json(src)
+    q = merge_stream_into_snapshot(stream, snap, ckpt)
+
+    import pandas as pd
+
+    def push(name, rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        tmp, final = os.path.join(src, f".{name}.tmp"), os.path.join(src, name)
+        pdf.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, final)
+
+    try:
+        push("b0.json", [_ev(1, "2024-01-01 00:00:00", user=1, etype="click", value=1.0),
+                         _ev(2, "2024-01-01 00:01:00", user=2, etype="view", value=2.0)])
+        q.processAllAvailable()
+        s1 = {(r.user_id, r.event_type): (r.event_id, r.value)
+              for r in spark.read.parquet(snap).collect()}
+        assert s1 == {(1, "click"): (1, 1.0), (2, "view"): (2, 2.0)}
+
+        # newer version for user 1 + out-of-order stale row for user 2
+        push("b1.json", [_ev(5, "2024-01-01 00:09:00", user=1, etype="click", value=9.0),
+                         _ev(3, "2024-01-01 00:00:30", user=2, etype="view", value=0.5)])
+        q.processAllAvailable()
+        s2 = {(r.user_id, r.event_type): (r.event_id, r.value)
+              for r in spark.read.parquet(snap).collect()}
+        assert s2 == {(1, "click"): (5, 9.0), (2, "view"): (2, 2.0)}
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
