@@ -57,3 +57,22 @@ def test_roundtrip_identity_arbitrary_rows(spark, rows, codec):
     got = _canon([tuple(r) for r in back.collect()])
     want = _canon([tuple(r) for r in df.collect()])
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=30))
+def test_roundtrip_identity_stream_encoding(spark, rows):
+    """Same identity property through the sequential (stream) IPC encoding
+    with a dictionary-encoded string column."""
+    register_arrowipc(spark)
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = f"/tmp/spark_graft_test/prop_{uuid.uuid4().hex}"
+    df.coalesce(1).write.format("arrowipc") \
+        .option("ipcFormat", "stream").option("dictionary", "label") \
+        .mode("append").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    assert back.schema == df.schema
+    got = _canon([tuple(r) for r in back.collect()])
+    want = _canon([tuple(r) for r in df.collect()])
+    assert got == want
