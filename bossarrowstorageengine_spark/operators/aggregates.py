@@ -244,3 +244,45 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_orders,
+           round(min(o_totalprice), 2)  AS bucket_min,
+           round(max(o_totalprice), 2)  AS bucket_max
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets over [min, max]): the binning
+    expression ``least(floor((x-lo)/w), 9)`` is portable SQL (no engine
+    histogram UDAF), with the max value clamped into the last bucket.
+
+    Shape: min/max is a 1-row broadcast joined onto the fact scan — two
+    passes over data but no driver round-trip; the bucket groupBy has 10
+    keys, so the final aggregate is a trivial shuffle.  At 100 TB the
+    bounds pass would be replaced by catalog/file-stats bounds (the
+    arrowipc sidecars carry exactly these min/max values).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"),
+                   F.max("o_totalprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 10
+    return (
+        o.join(F.broadcast(bounds))
+        .groupBy(F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                         F.lit(9)).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
