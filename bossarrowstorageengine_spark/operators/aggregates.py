@@ -286,3 +286,33 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), thresh AS (
+      SELECT avg(n) * 1.2 AS t FROM per_user
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events
+    FROM per_user, thresh
+    WHERE n > t
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys whose frequency exceeds 1.2× the mean
+    per-key count.  Shape: one keyed aggregate, then a 1-row broadcast of
+    the threshold — no second scan of the fact table.  At 100 TB the same
+    two-phase plan holds (the per-key aggregate is the only full shuffle);
+    a sketch (count-min / Misra-Gries via mapInPandas) would replace it
+    only when the key cardinality itself is unmanageable."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    thresh = per_user.agg((F.avg("n") * 1.2).alias("t"))
+    return (
+        per_user.join(F.broadcast(thresh))
+        .filter(F.col("n") > F.col("t"))
+        .select("user_id", F.col("n").cast("long").alias("n_events"))
+    )

@@ -234,3 +234,34 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("n_null_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@query(
+    "q_json_from_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_high,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+               AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q_json_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-projected JSON parse: ``from_json(props, 'k long')`` turns
+    the string column into a typed struct once, then ordinary column
+    pruning/filtering applies — the scalable alternative to repeated
+    ``get_json_object`` path extraction (one parse, N field reads; at
+    100 TB parse cost dominates, so parse-once wins for multi-field
+    access)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k long"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.round(F.avg("p.k"), 4).alias("avg_k"),
+        )
+    )
