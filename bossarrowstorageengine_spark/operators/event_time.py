@@ -395,3 +395,107 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("last_value"),
         )
     )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each stage keeps users
+    whose first stage-N event strictly follows their first stage-(N-1)
+    event.
+
+    Shape: three keyed min-aggregates joined on user_id — every shuffle is
+    on the same key, so at 100 TB one hash partitioning on user_id serves
+    the whole funnel, and each stage's survivor set only shrinks (later
+    joins are broadcast candidates under AQE)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_at(stage: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == stage)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = first_at("view")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select("user_id", F.col("t").alias("t0")), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t1"), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firstseen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(f.cohort_date AS VARCHAR)     AS cohort_date,
+           date_diff('day', f.cohort_date, a.d) AS day_offset,
+           CAST(count(*) AS BIGINT)             AS n_active
+    FROM firstseen f JOIN activity a ON f.user_id = a.user_id
+    WHERE date_diff('day', f.cohort_date, a.d) IN (0, 1, 3, 7)
+    GROUP BY f.cohort_date, day_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen date, counted on the
+    days they return (offsets 0/1/3/7).
+
+    Shape: both legs are keyed aggregates on user_id and join on user_id —
+    one partitioning serves firstseen, activity, and the join; only the
+    final (cohort_date, offset) rollup re-shuffles, and its cardinality is
+    days x 4 regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_date")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    off = F.datediff(F.col("d"), F.col("cohort_date"))
+    return (
+        firstseen.join(activity, "user_id")
+        .filter(off.isin(0, 1, 3, 7))
+        .groupBy(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            off.cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -663,6 +663,70 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           term                   AS top_term,
+           round(score, 4)        AS tfidf
+    FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (tokenize → term frequency → document
+    frequency → score → per-doc argmax).
+
+    Scale shape: the only full shuffle is the (doc_id, term) aggregate; the
+    document-frequency table is vocabulary-sized, so it and the 1-row corpus
+    count broadcast to the scorers, and the final top-1 window re-uses the
+    doc_id clustering.  Ties (equal tf and df give bit-identical doubles)
+    break on term order, so the result is engine-independent."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("term").alias("top_term"),
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

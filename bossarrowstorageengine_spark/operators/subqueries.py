@@ -123,6 +123,29 @@ _Q14_SQL = """
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
 """
 
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
 _Q18_SQL = """
     SELECT c_custkey,
            o_orderkey,
@@ -161,4 +184,5 @@ q_tpch_q10 = _sql_query("q_tpch_q10", _Q10_SQL)
 q_tpch_q5 = _sql_query("q_tpch_q5", _Q5_SQL)
 q_tpch_q6 = _sql_query("q_tpch_q6", _Q6_SQL)
 q_tpch_q14 = _sql_query("q_tpch_q14", _Q14_SQL)
+q_tpch_q7 = _sql_query("q_tpch_q7", _Q7_SQL)
 q_tpch_q18 = _sql_query("q_tpch_q18", _Q18_SQL)
