@@ -157,6 +157,97 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_cluster",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+    ), e2 AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ), walk AS (
+        SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM e2)
+        UNION
+        SELECT w.node, e2.v FROM walk w JOIN e2 ON w.reach = e2.u
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    n-gram-Jaccard near-dup pairs (edges = ``q_dedup_ngram_jaccard``);
+    every clustered doc gets its component's minimum doc_id as cluster id —
+    the label a dedup pipeline keeps one representative per.
+
+    Iterative min-label propagation: each round joins labels to the edge
+    list and takes the neighborhood minimum, converging in graph-diameter
+    rounds (dedup graphs are shallow — near-dup clusters are cliques or
+    short chains).  Every round is a pair of keyed shuffles on doc_id;
+    ``localCheckpoint`` truncates lineage so round N's plan does not replay
+    rounds 1..N-1.  At 100 TB the same loop runs with the edge list
+    persisted and the label frame checkpointed to storage; asymptotically
+    better variants (large-star/small-star, pointer jumping) drop in as the
+    per-round transformation without changing the fixpoint."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    e2 = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(20):
+        nbr_min = (
+            e2.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 @query("q_dedup_near")  # ROWS-only: MinHash permutations use xxhash64 (no DuckDB twin)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
