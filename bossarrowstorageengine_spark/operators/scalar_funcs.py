@@ -265,3 +265,79 @@ def q_json_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p.k"), 4).alias("avg_k"),
         )
     )
+
+
+@query(
+    "q_hof_array",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.5)) > 0            AS any_big,
+           len(list_filter(embedding, x -> x <= -10)) = 0           AS all_gt,
+           round(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) *
+                      CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))), 4)
+                                                                    AS rev_dot
+    FROM embeddings
+    WHERE vec_id % 7 = 0
+    """,
+)
+def q_hof_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: ``filter`` / ``exists`` / ``forall`` /
+    ``zip_with`` + ``aggregate`` over the embedding column — all JVM-side
+    Catalyst expressions (no Python), so the per-element work stays inside
+    whole-stage codegen at any scale.  Elements are cast to double before
+    arithmetic so both engines sum the same sequence in the same precision
+    (SURVEY.md §8.1)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    rev_dot = F.aggregate(
+        F.zip_with(emb_d, F.reverse(emb_d), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.size(F.filter(emb_d, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(emb_d, lambda x: x > 0.5).alias("any_big"),
+        F.forall(emb_d, lambda x: x > -10.0).alias("all_gt"),
+        F.round(rev_dot, 4).alias("rev_dot"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 END), 0) AS BIGINT) AS n_purchase,
+           min(event_type) AS first_type
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a per-user event_type→count map with
+    ``map_from_entries`` (entries sorted first — ``collect_list`` order is
+    nondeterministic), then read it back with ``size`` / ``element_at`` /
+    ``map_keys``.  The oracle states the same results in plain SQL — the
+    map is the mechanism under test, not the output schema.  The map stays
+    a per-row value built inside one keyed aggregate, so nothing here
+    changes shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0))
+        .cast("long").alias("n_purchase"),
+        F.element_at(F.map_keys("m"), 1).alias("first_type"),
+    )
