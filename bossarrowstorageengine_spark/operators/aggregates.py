@@ -316,3 +316,38 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > F.col("t"))
         .select("user_id", F.col("n").cast("long").alias("n_events"))
     )
+
+
+@query(
+    "q_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a,
+           b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence (market-basket shape): users-per-unordered-pair of
+    event types.  The self-join runs on the deduplicated (user, type) frame
+    — both sides share the user_id partitioning, and the pair space is
+    |types|^2, so the final aggregate is tiny no matter the input size."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

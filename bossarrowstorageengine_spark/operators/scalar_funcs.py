@@ -341,3 +341,27 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_purchase"),
         F.element_at(F.map_keys("m"), 1).alias("first_type"),
     )
+
+
+@query(
+    "q_str_fuzzy",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(levenshtein(p_name, p_type)  AS BIGINT) AS dist_name_type,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS dist_brand_type
+    FROM part
+    WHERE p_partkey % 11 = 0
+    """,
+)
+def q_str_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via Levenshtein edit distance (both engines
+    implement the same unit-cost dynamic program — verified identical).
+    Per-row, shuffle-free, codegen'd: the building block for fuzzy joins,
+    which at scale pair it with a blocking key so only candidate pairs pay
+    the O(len^2) distance."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0)
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.levenshtein("p_name", "p_type").cast("long").alias("dist_name_type"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("dist_brand_type"),
+    )
