@@ -146,6 +146,60 @@ _Q7_SQL = """
     ORDER BY supp_nation, cust_nation, l_year
 """
 
+_Q13_SQL = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+_Q17_SQL = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+_Q22_SQL = """
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+          )
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+"""
+
 _Q18_SQL = """
     SELECT c_custkey,
            o_orderkey,
@@ -185,4 +239,8 @@ q_tpch_q5 = _sql_query("q_tpch_q5", _Q5_SQL)
 q_tpch_q6 = _sql_query("q_tpch_q6", _Q6_SQL)
 q_tpch_q14 = _sql_query("q_tpch_q14", _Q14_SQL)
 q_tpch_q7 = _sql_query("q_tpch_q7", _Q7_SQL)
+q_tpch_q13 = _sql_query("q_tpch_q13", _Q13_SQL)
+q_tpch_q15 = _sql_query("q_tpch_q15", _Q15_SQL)
+q_tpch_q17 = _sql_query("q_tpch_q17", _Q17_SQL)
+q_tpch_q22 = _sql_query("q_tpch_q22", _Q22_SQL)
 q_tpch_q18 = _sql_query("q_tpch_q18", _Q18_SQL)
