@@ -272,3 +272,35 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT count(*)                          AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                    % 1000000007) AS BIGINT)  AS content_checksum
+    FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink + source: one document per line via ``spark.read.text``
+    (the corpus ingestion path for raw text dumps — document texts contain
+    no newlines, so line ≡ document).  The oracle aggregates the original
+    table; a lossless round-trip makes them equal.  The content checksum
+    (sum of per-row md5-prefix values, order-insensitive and map-side
+    combinable — no collect of row data anywhere) proves byte equality,
+    not just counts — text files have no schema to lean on."""
+    path = _scratch(sf_dir, "text")
+    d = load_table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("sum_len"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("value").cast("binary")), 1, 15),
+                   16, 10).cast("long") % 1000000007
+        ).cast("long").alias("content_checksum"),
+    )
