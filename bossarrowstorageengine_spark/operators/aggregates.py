@@ -171,14 +171,42 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # ROWS-only: HLL++ estimates differ across engines by design
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++) — the sketch that replaces
     exact distinct at 100 TB (no giant distinct-key shuffle, fixed-size
-    mergeable state)."""
+    mergeable state).
+
+    HLL++ estimates are engine-specific by design, so the EXACT-checkable
+    face emits the exact distinct count plus a boolean asserting the HLL
+    estimate (rsd=2%) landed within 5% of it — the oracle expects TRUE, so
+    a broken sketch fails the hash, while the estimate's engine-specific
+    value never enters the comparison."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < 0.05
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -146,16 +146,28 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_late")  # ROWS-only: watermark semantics are streaming-only (§2.B9)
+@query(
+    "q_stream_late",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+           event_type,
+           count(*)                               AS n_events
+    FROM events, wm
+    WHERE ts >= wm.wm
+    GROUP BY 1, 2
+    """,
+)
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark / late-data handling, batch-simulated.
 
     In streaming, ``withWatermark("ts", "1 hour")`` drops events arriving
-    more than 1 h behind the max observed event time.  Batch simulation:
-    compute the terminal watermark (max ts − 1 h) and the tumbling-window
-    aggregate over surviving events.  The true micro-batch behavior (state
-    eviction, append-mode emission) is asserted in the streaming pytest
-    harness with a crafted late-event file sequence.
+    more than 1 h behind the max observed event time.  Batch simulation
+    (this is also the declared oracle face): compute the terminal watermark
+    (max ts − 1 h) and the tumbling-window aggregate over surviving events.
+    The true micro-batch behavior (state eviction, append-mode emission) is
+    asserted in the streaming pytest harness with a crafted late-event file
+    sequence.
     """
     ev = load_table(spark, sf_dir, "events")
     wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm"))

@@ -100,40 +100,45 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     return df.select("doc_id", F.explode(_shingle_array(n)).alias("shingle"))
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
+#: Max document frequency a shingle may have and still enter the inverted-
+#: index self-join.  A "stop shingle" appearing in d documents would emit
+#: d·(d−1)/2 join rows — one hot key is a quadratic bucket at corpus scale —
+#: so both engines drop shingles with df > cap BEFORE the join (the hot set
+#: is tiny, so Spark removes it with a broadcast anti-join; jaccard is then
+#: consistently "jaccard over non-stop shingles" on both sides).
+_SHINGLE_DF_CAP = 100
+
+_JACCARD_EDGE_CTES = f"""
+    sh0 AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, len(toks) - 1),
                       i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), sh AS (
+        SELECT doc_id, shingle FROM sh0
+        WHERE shingle NOT IN (SELECT shingle FROM sh0
+                              GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP})
     ), sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), pair_inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT CAST(doc_a AS BIGINT) AS doc_a,
-           CAST(doc_b AS BIGINT) AS doc_b,
-           round(CAST(n_common AS DOUBLE) /
-                 (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-    FROM pair_inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
-    """,
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    )"""
 
-    The shingle→doc join produces only pairs sharing ≥1 shingle (never an
-    all-pairs product); at 100 TB hot shingles would be capped by a
-    document-frequency filter before the self-join.
-    """
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = _shingles(d, 3).cache()
+
+def _jaccard_pairs(d: DataFrame, df_cap: int = _SHINGLE_DF_CAP) -> DataFrame:
+    """Near-dup pair candidates with exact (capped-index) Jaccard: columns
+    ``doc_a, doc_b, jaccard`` (unrounded double), pairs sharing ≥1 surviving
+    shingle only.  Shared by ``q_dedup_ngram_jaccard`` / ``q_dedup_cluster``."""
+    sh0 = _shingles(d, 3).cache()
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -148,31 +153,49 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= 0.08)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_EDGE_CTES.strip()}
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           round(CAST(n_common AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    The shingle→doc join produces only pairs sharing ≥1 surviving shingle
+    (never an all-pairs product), and shingles with document frequency
+    above ``_SHINGLE_DF_CAP`` are dropped before the join on BOTH engines —
+    a stop shingle can no longer create a quadratic join bucket.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        _jaccard_pairs(d)
+        .filter(F.col("jaccard") >= 0.08)
         .select(
             F.col("doc_a").cast("long"),
             F.col("doc_b").cast("long"),
-            F.round(jac, 4).alias("jaccard"),
+            F.round("jaccard", 4).alias("jaccard"),
         )
     )
 
 
 @query(
     "q_dedup_cluster",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
-    sh AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, len(toks) - 1),
-                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    ), sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-    ), pair_inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ), edges AS (
+    {_JACCARD_EDGE_CTES.strip()}, edges AS (
         SELECT doc_a, doc_b
         FROM pair_inter
         JOIN sizes sa ON sa.doc_id = doc_a
@@ -248,13 +271,43 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_near")  # ROWS-only: MinHash permutations use xxhash64 (no DuckDB twin)
+@query(
+    "q_dedup_near",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), mh AS (
+        SELECT doc_id, p.p AS perm,
+               min(CAST('0x' || substr(md5(concat_ws(',', p.p, shingle)), 1, 15)
+                        AS BIGINT)) AS h
+        FROM sh CROSS JOIN generate_series(0, 15) AS p(p)
+        GROUP BY doc_id, p.p
+    ), bands AS (
+        SELECT doc_id, perm // 4 AS band,
+               md5(concat_ws(',', perm // 4,
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY perm))) AS sig
+        FROM mh
+        GROUP BY doc_id, perm // 4
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                    CAST(b.doc_id AS BIGINT) AS doc_b
+    FROM bands a JOIN bands b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
-    seeds, pure DataFrame ops — deterministic across runs).
+    seeds, pure DataFrame ops — deterministic across runs AND engines).
 
-    Pipeline: shingle → 16 minhash permutations (xxhash64 with seed salt)
-    → 4 bands × 4 rows → band-bucket self-join → distinct candidate pairs.
+    Pipeline: shingle → 16 minhash permutations → 4 bands × 4 rows →
+    band-bucket groupBy → distinct candidate pairs.  Permutation j of a
+    shingle is the first 60 bits of ``md5(j ',' shingle)`` read as a
+    non-negative int64 — the same arithmetic in Spark
+    (``conv(substr(md5(..),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(..),1,15) AS BIGINT)``), so the sketch is
+    EXACT-checkable (same trick as ``q_dedup_simhash``).
     At scale each stage is a bounded shuffle (doc_id or bucket key); no
     all-pairs step ever materializes.
     """
@@ -268,7 +321,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle carries one row per doc with 16 longs, which is what
     # survives a 100 TB corpus.
     mh = sh.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(",", F.lit(j), F.col("shingle"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias(f"h{j}")
         for j in range(n_perm)
     ])
     # band signature = md5 over the band's minhashes, prefixed with the band
@@ -370,10 +430,55 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_embedding",
-    oracle="""
-    WITH pairs AS (
+def _hyperplane_sign(plane: int, dim: int) -> float:
+    """±1 from the parity of the first hex digit of ``md5("plane,dim")`` —
+    the same value DuckDB computes as
+    ``(CAST('0x'||substr(md5(concat_ws(',',p,d)),1,1) AS INT) % 2) * 2 - 1``,
+    so LSH bucket assignment is EXACT-checkable."""
+    import hashlib
+
+    return float(int(hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[0], 16) % 2 * 2 - 1)
+
+
+def _lsh_bucket_col(n_planes: int) -> "F.Column":
+    """JVM-side map-only bucket signature: for each of ``n_planes`` fixed
+    md5-derived hyperplanes, fold ``sum(emb[d] * h[p][d])`` left-to-right
+    (``F.aggregate`` — same order as the oracle's ``list_reduce``) and set
+    bit p iff the projection is positive.  No shuffle, no explode."""
+    import functools
+    import operator
+
+    emb_d = V.to_double(F.col("embedding"))
+    bits = []
+    for p in range(n_planes):
+        harr = F.array(*[F.lit(_hyperplane_sign(p, d)) for d in range(64)])
+        proj = F.aggregate(
+            F.zip_with(emb_d, harr, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return functools.reduce(operator.add, bits).cast("int")
+
+
+def _lsh_bucket_sql(n_planes: int) -> str:
+    """DuckDB twin of ``_lsh_bucket_col`` (sequential ``list_reduce`` fold ≡
+    Spark's ``F.aggregate`` left fold, so the float sign is bit-identical)."""
+    return " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"((CAST('0x' || substr(md5(concat_ws(',', {p}, i - 1)), 1, 1) AS INT) % 2) * 2 - 1)), "
+        f"(a, b) -> a + b) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+def _dedup_embedding_oracle() -> str:
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql(6)}) AS bucket
+        FROM embeddings
+    ), pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
                 FROM generate_series(1, 64) AS g(i)) /
@@ -381,36 +486,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       FROM generate_series(1, 64) AS g(i))) *
                 sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
                       FROM generate_series(1, 64) AS g(i)))) AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT CAST(vec_a AS BIGINT) AS vec_a,
            CAST(vec_b AS BIGINT) AS vec_b,
            round(cos_sim, 4)     AS cos_sim
     FROM pairs
-    WHERE cos_sim >= 0.25
-    """,
-)
+    WHERE round(cos_sim, 4) >= 0.25
+    """
+
+
+@query("q_dedup_embedding", oracle=_dedup_embedding_oracle())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a similarity threshold, on a
-    deterministic 1-in-10 sample.  The all-pairs form is declared on the
-    sample only; the scale path is the LSH-bucketed variant (q_ann_lsh)."""
+    """Embedding-cosine near-dup pairs above a similarity threshold.
+
+    Scale shape: candidate pairs come ONLY from 6-bit hyperplane-LSH
+    buckets (same md5-derived planes as ``q_ann_lsh``; bucket assignment is
+    map-side), with the exact cosine verified inside each bucket — there is
+    no unbounded all-pairs join anywhere in the plan.  Cosine-similar
+    vectors agree on most hyperplane signs, so true near-dups land in the
+    same bucket with high probability; at a larger corpus the plane count
+    grows (buckets ∝ 2^planes) to keep per-bucket membership bounded.
+    EXACT-checked: DuckDB replays the identical bucketing + in-bucket
+    cosine."""
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 10 == 0)
         .select("vec_id", "embedding")
+        .withColumn("bucket", _lsh_bucket_col(6))
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = V.cosine(F.col("emb_a"), F.col("emb_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cos)
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= 0.25)
         .select(
             F.col("vec_a").cast("long"),
             F.col("vec_b").cast("long"),
-            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("cos_sim"),
         )
     )
 
@@ -481,37 +596,51 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_lsh")  # ROWS-only: LSH bucketing uses xxhash64-derived hyperplanes
+_ANN_LSH_ORACLE = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql(8)}) AS bucket
+        FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
+        FROM sig WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+        SELECT p.probe_id, s.vec_id,
+               (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(p.probe_emb[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim
+        FROM sig s JOIN probes p ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(vec_id  AS BIGINT) AS vec_id,
+           round(cos_sim, 6)       AS cos_sim,
+           CAST(rn AS BIGINT)      AS rn
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("q_ann_lsh", oracle=_ANN_LSH_ORACLE)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors — the 100 TB scale path.
 
-    Random-hyperplane LSH: 8 fixed pseudo-hyperplanes (sign pattern derived
-    from xxhash64(plane, dim) parity), bucket = 8-bit sign signature.
-    Probes only compare against their own bucket → the cross join shrinks
-    by ~2^8.  Returns each probe's approximate top-3 bucket-mates by true
-    cosine (deterministic: fixed hyperplanes, rounded scores, id tiebreak).
+    Random-hyperplane LSH: 8 fixed pseudo-hyperplanes (sign pattern =
+    md5("plane,dim") hex-digit parity, computed once driver-side), bucket =
+    8-bit sign signature evaluated entirely map-side (array HOF fold — no
+    explode, no shuffle to assign buckets).  Probes only compare against
+    their own bucket → the cross join shrinks by ~2^8.  Returns each
+    probe's approximate top-3 bucket-mates by true cosine (deterministic:
+    fixed hyperplanes, rounded scores, id tiebreak) — EXACT-checked
+    against a DuckDB twin of the whole pipeline.
     """
-    n_planes = 8
     e = load_table(spark, sf_dir, "embeddings")
-    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
-    dims = spark.range(64).select(F.col("id").cast("int").alias("dim"))
-    # hyperplane sign h[plane][dim] ∈ {-1, +1} from xxhash64 parity
-    hyper = (
-        planes.crossJoin(dims)
-        .withColumn("h", (F.pmod(F.xxhash64("plane", "dim"), F.lit(2)) * 2 - 1).cast("double"))
-    )
-    elems = e.select(
-        "vec_id", F.posexplode(V.to_double(F.col("embedding"))).alias("dim", "x"))
-    sigs = (
-        elems.join(F.broadcast(hyper), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("h")).alias("proj"))
-        .groupBy("vec_id")
-        .agg(F.sum(F.when(F.col("proj") > 0,
-                          F.expr("shiftleft(1, plane)")).otherwise(0))
-             .cast("int").alias("bucket"))
-    )
-    bucketed = e.join(sigs, "vec_id")
+    bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
     probes = bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_emb"),
