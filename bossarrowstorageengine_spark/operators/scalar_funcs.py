@@ -73,7 +73,7 @@ def q_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate)  AS BIGINT)           AS yr,
            CAST(month(o_orderdate) AS BIGINT)           AS mon,
            CAST(day(o_orderdate)   AS BIGINT)           AS dom,
-           date_trunc('month', o_orderdate)             AS month_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
                                                         AS days_since_1995
     FROM orders
@@ -89,7 +89,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("yr"),
         F.month("o_orderdate").cast("long").alias("mon"),
         F.dayofmonth("o_orderdate").cast("long").alias("dom"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
         .cast("long").alias("days_since_1995"),
     )

@@ -21,17 +21,26 @@ from bossarrowstorageengine_spark.operators.registry import query
 @query(
     "q_sort_multi",
     oracle="""
-    SELECT o_orderkey, o_orderdate, o_totalprice
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice
     FROM orders
     ORDER BY o_orderdate DESC, o_totalprice ASC, o_orderkey
     LIMIT 100
     """,
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort + limit → TakeOrderedAndProject (per-partition top-k)."""
+    """Multi-key sort + limit → TakeOrderedAndProject (per-partition top-k).
+
+    The date key is emitted as an ISO yyyy-MM-dd string on both engines
+    (same ordering as the timestamp) so the compare is dtype-exact."""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        o.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
         .orderBy(F.desc("o_orderdate"), F.asc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )

@@ -53,7 +53,7 @@ _EXISTS_SQL = """
 _Q3_SQL = """
     SELECT l_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           o_orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
            o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -203,7 +203,7 @@ _Q22_SQL = """
 _Q18_SQL = """
     SELECT c_custkey,
            o_orderkey,
-           o_orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
            round(o_totalprice, 2)    AS o_totalprice,
            round(sum(l_quantity), 2) AS sum_qty
     FROM customer, orders, lineitem
