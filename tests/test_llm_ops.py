@@ -32,6 +32,31 @@ def test_minhash_lsh_deterministic_and_finds_planted_dupe(spark):
     assert out1.equals(out2)  # fixed seeds → identical candidate pairs
 
 
+def test_hot_shingle_df_cap_blocks_quadratic_bucket(spark):
+    """A stop shingle shared by every doc must NOT create the all-pairs
+    candidate set: with the document-frequency cap it contributes zero join
+    rows, so only the genuinely-similar planted pair survives."""
+    from bossarrowstorageengine_spark.operators import llm_pipeline as L
+
+    stop = "click here now"  # one 3-gram shared by every doc
+    n = 40
+    rows = [(i, f"{stop} unique{i} filler{i} body{i} tail{i}") for i in range(n)]
+    # plant one true near-dup pair whose overlap does not rely on the stop shingle
+    rows[0] = (0, f"{stop} alpha beta gamma delta epsilon zeta")
+    rows[1] = (1, f"{stop} alpha beta gamma delta epsilon eta")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = L._jaccard_pairs(df, df_cap=10).filter(F.col("jaccard") >= 0.08)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # the stop-shingle bucket (n·(n−1)/2 = 780 pairs) is gone; only the
+    # planted pair (plus nothing else) shares a surviving shingle
+    assert got == {(0, 1)}
+
+    # without a cap the same frame explodes into the quadratic candidate set
+    uncapped = L._jaccard_pairs(df, df_cap=10**9)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
 def test_ann_lsh_candidates_subset_of_bruteforce_space(spark):
     ann = QUERIES["q_ann_lsh"](spark, SF).toPandas()
     assert set(ann["probe_id"]) <= {0, 1, 2}
