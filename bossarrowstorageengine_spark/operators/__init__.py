@@ -38,6 +38,7 @@ for _m in _MODULES:
 _DRIVER_WINDOW = [
     "q_scan_arrow_roundtrip",
     "q_scan_arrow_stream",
+    "q_arrowipc_partitioned",
     "q_scan_parquet",
     "q_scan_orc",
     "q_scan_csv",

@@ -130,6 +130,41 @@ def q_scan_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_arrowipc_partitioned",
+    oracle="""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id)  AS BIGINT) AS min_doc,
+           CAST(max(doc_id)  AS BIGINT) AS max_doc
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY lang
+    """,
+)
+def q_arrowipc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned arrowipc layout: write ``documents`` into Hive-style
+    ``lang=…`` subdirectories (``partitionBy`` write option), read ONE
+    partition back through an equality filter — the reader prunes the
+    other ``lang`` directories at planning time, before any file or
+    sidecar is opened.  The oracle aggregates the original parquet, so a
+    hash match proves the partitioned round-trip is lossless."""
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "arrowipc_partitioned")
+    d = load_table(spark, sf_dir, "documents")
+    d.repartition(2).write.format("arrowipc") \
+        .option("compression", "zstd").option("partitionBy", "lang") \
+        .mode("append").save(path)
+    back = spark.read.format("arrowipc").load(path).filter(F.col("lang") == "en")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@query(
     "q_scan_orc",
     oracle="""
     SELECT o_orderstatus,

@@ -96,8 +96,13 @@ def _statable(typ: pa.DataType) -> bool:
 
 
 def _batch_stats(batch: pa.RecordBatch) -> dict[str, list]:
-    """min/max per statable column; values JSON-serialized via str for
-    timestamps (compared lexically only for strings, numerically otherwise)."""
+    """min/max per statable column.  Timestamps are stored as epoch-µs
+    ints (JSON-portable AND comparable against pushed filter values, so
+    time-range scans can skip files/batches).  Floating columns containing
+    NaN get NO stats: pyarrow's min_max ignores NaN but Spark orders NaN
+    above every double (and NaN = NaN is true), so a ``col > k`` or
+    ``col = NaN`` filter could otherwise prune a chunk whose NaN rows
+    match — stats-less means unprunable, which is the safe direction."""
     import pyarrow.compute as pc
 
     out: dict[str, list] = {}
@@ -107,17 +112,37 @@ def _batch_stats(batch: pa.RecordBatch) -> dict[str, list]:
         col = batch.column(i)
         if col.null_count == len(col):
             continue
-        mm = pc.min_max(col)
-        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if pa.types.is_floating(field.type):
+            if pc.any(pc.is_nan(col)).as_py():
+                continue
         if pa.types.is_timestamp(field.type):
-            mn, mx = str(mn), str(mx)
-        out[field.name] = [mn, mx]
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        mm = pc.min_max(col)
+        out[field.name] = [mm["min"].as_py(), mm["max"].as_py()]
     return out
+
+
+def _filter_value_canon(v):
+    """Canonicalize a pushed filter value to the sidecar's stats domain:
+    datetimes/dates become epoch-µs ints (all-integer arithmetic — no FP
+    epoch conversion), everything else passes through."""
+    import calendar
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+    if isinstance(v, _dt.date):
+        return calendar.timegm(v.timetuple()) * 1_000_000
+    return v
 
 
 def _stats_overlap(stats: dict[str, list] | None, filters: Sequence[Filter]) -> bool:
     """Can a chunk with these stats contain rows matching ALL filters?
     Conservative: unknown columns/filters → True (cannot skip)."""
+    import math
+
     if not stats:
         return True
     for f in filters:
@@ -125,16 +150,19 @@ def _stats_overlap(stats: dict[str, list] | None, filters: Sequence[Filter]) -> 
         if col is None or col not in stats:
             continue
         mn, mx = stats[col]
+        value = _filter_value_canon(getattr(f, "value", None))
+        if isinstance(value, float) and math.isnan(value):
+            continue  # NaN compares false to everything — never prune on it
         try:
-            if isinstance(f, EqualTo) and not (mn <= f.value <= mx):
+            if isinstance(f, EqualTo) and not (mn <= value <= mx):
                 return False
-            if isinstance(f, GreaterThan) and not (mx > f.value):
+            if isinstance(f, GreaterThan) and not (mx > value):
                 return False
-            if isinstance(f, GreaterThanOrEqual) and not (mx >= f.value):
+            if isinstance(f, GreaterThanOrEqual) and not (mx >= value):
                 return False
-            if isinstance(f, LessThan) and not (mn < f.value):
+            if isinstance(f, LessThan) and not (mn < value):
                 return False
-            if isinstance(f, LessThanOrEqual) and not (mn <= f.value):
+            if isinstance(f, LessThanOrEqual) and not (mn <= value):
                 return False
         except TypeError:  # incomparable types — never skip on doubt
             continue
@@ -142,18 +170,60 @@ def _stats_overlap(stats: dict[str, list] | None, filters: Sequence[Filter]) -> 
 
 
 def _list_ipc_files(path: str) -> List[str]:
+    """All part files under ``path``, recursing into (Hive-style
+    ``col=value``) partition subdirectories; hidden dirs/files skipped."""
     if os.path.isfile(path):
         return [path]
     if not os.path.isdir(path):
         raise FileNotFoundError(f"arrowipc path not found: {path}")
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith((".arrows", ".arrow")) and not f.startswith((".", "_"))
-    )
+    files: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith((".", "_")))
+        files.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith((".arrows", ".arrow")) and not f.startswith((".", "_"))
+        )
+    files.sort()
     if not files:
         raise FileNotFoundError(f"no .arrows files under {path}")
     return files
+
+
+def _partition_values(root: str, file_path: str) -> dict[str, str]:
+    """Parse Hive-style ``col=value`` segments between ``root`` and the part
+    file (empty dict for flat layouts).  Values are unquoted strings."""
+    from urllib.parse import unquote
+
+    rel = os.path.relpath(os.path.dirname(file_path), root)
+    out: dict[str, str] = {}
+    if rel in (".", ""):
+        return out
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = unquote(v)
+    return out
+
+
+def _dir_prunable(part_vals: dict[str, str], filters: Sequence[Filter]) -> bool:
+    """True iff an EqualTo filter on a partition column definitely excludes
+    this directory.  Only exact string/int matches prune (floats and
+    timestamps fall through to stats pruning — formatting differences must
+    never skip a live file)."""
+    for f in filters:
+        if not isinstance(f, EqualTo):
+            continue
+        col = f.attribute[-1] if hasattr(f, "attribute") else None
+        if col is None or col not in part_vals:
+            continue
+        v = f.value
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            continue
+        if str(v) != part_vals[col]:
+            return True
+    return False
 
 
 #: Magic bytes opening an Arrow random-access ("file"-format) IPC file.
@@ -331,7 +401,16 @@ class ArrowIPCReader(DataSourceReader):
                     [target.field(c) for c in self._columns],
                     metadata=target.metadata)
             schema_ser = target.serialize().to_pybytes()
+        root_is_dir = os.path.isdir(self._path)
         for path in files:
+            if root_is_dir and self._filters:
+                # Hive-style directory pruning: an EqualTo on a partition
+                # column skips the whole col=value subtree without even
+                # opening the sidecar (stats pruning still covers range
+                # filters — partition columns are stored in the data too).
+                pv = _partition_values(self._path, path)
+                if pv and _dir_prunable(pv, self._filters):
+                    continue
             stats = None
             sp = stats_path(path)
             if os.path.exists(sp):
@@ -385,7 +464,73 @@ class ArrowIPCReader(DataSourceReader):
 
 @dataclass
 class ArrowIPCCommitMessage(WriterCommitMessage):
-    final_path: str | None
+    final_paths: list[str] | None
+
+
+def _partition_segment(value) -> str:
+    """Hive-style directory segment value (URL-quoted; nulls get the
+    conventional marker)."""
+    from urllib.parse import quote
+
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return quote(str(value), safe="")
+
+
+class _OpenPart:
+    """One in-flight part file: streams batches into a compressed tmp IPC
+    file while accumulating per-batch stats; ``finish`` makes it visible
+    (atomic rename THEN stats sidecar — a crash in between leaves an
+    unprunable-but-correct file, never an orphan sidecar); ``abandon``
+    removes the tmp so failed tasks leave no garbage behind."""
+
+    def __init__(self, dirpath: str, prefix: str, compression,
+                 stream_format: bool):
+        os.makedirs(dirpath, exist_ok=True)
+        name = f"{prefix}-{uuid.uuid4().hex}"
+        self.tmp = os.path.join(dirpath, f".{name}.arrows.tmp")
+        self.final = os.path.join(dirpath, f"{name}.arrows")
+        self._opts = pa.ipc.IpcWriteOptions(compression=compression)
+        self._new_writer = pa.ipc.new_stream if stream_format else pa.ipc.new_file
+        self._sink = pa.OSFile(self.tmp, "wb")
+        self._writer = None
+        self.batch_stats: list[dict] = []
+
+    def append(self, batch: pa.RecordBatch, raw_stats_batch: pa.RecordBatch | None = None) -> None:
+        self.batch_stats.append(_batch_stats(raw_stats_batch or batch))
+        if self._writer is None:
+            self._writer = self._new_writer(
+                self._sink, batch.schema, options=self._opts)
+        self._writer.write_batch(batch)
+
+    def _close_handles(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        if not self._sink.closed:
+            self._sink.close()
+
+    def finish(self) -> str:
+        self._close_handles()
+        os.replace(self.tmp, self.final)
+        payload = json.dumps({
+            "file": ArrowIPCWriter._merge_stats(self.batch_stats),
+            "batches": self.batch_stats,
+        })
+        with open(stats_path(self.final), "w") as f:
+            f.write(payload)
+        return self.final
+
+    def abandon(self) -> None:
+        try:
+            self._close_handles()
+        except Exception:
+            pass
+        for p in (self.tmp, stats_path(self.final)):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 class ArrowIPCWriter(DataSourceArrowWriter):
@@ -411,6 +556,9 @@ class ArrowIPCWriter(DataSourceArrowWriter):
             raise ValueError(
                 "dictionary encoding requires ipcFormat=stream "
                 "(IPC file format cannot replace dictionaries per batch)")
+        part_cols = options.get("partitionby", options.get("partitionBy"))
+        self._partition_cols = (
+            [c.strip() for c in part_cols.split(",")] if part_cols else [])
 
     def _encode_dictionaries(self, batch: pa.RecordBatch) -> pa.RecordBatch:
         if not self._dict_cols:
@@ -428,39 +576,70 @@ class ArrowIPCWriter(DataSourceArrowWriter):
             cols, schema=pa.schema(fields, metadata=batch.schema.metadata))
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ArrowIPCCommitMessage:
-        """Single streaming pass: batches go straight into the compressed
-        IPC file while min/max stats accumulate; stats land in a sidecar
-        JSON (the transaction-log pattern — no second pass over data).
-        Temp-name + rename makes the part file's appearance atomic."""
-        os.makedirs(self._path, exist_ok=True)
-        name = f"{getattr(self, '_name_prefix', 'part')}-{uuid.uuid4().hex}"
-        tmp = os.path.join(self._path, f".{name}.arrows.tmp")
-        final = os.path.join(self._path, f"{name}.arrows")
-        opts = pa.ipc.IpcWriteOptions(compression=self._compression)
-        new_writer = pa.ipc.new_stream if self._stream_format else pa.ipc.new_file
-        batch_stats: list[dict] = []
+        """Single streaming pass: batches go straight into compressed IPC
+        files while min/max stats accumulate; stats land in sidecar JSONs
+        (the transaction-log pattern — no second pass over data).
+        Temp-name + rename makes each part file's appearance atomic; a
+        failing task abandons its tmp files instead of leaking them.
+
+        With ``partitionBy``, each batch is split by its partition-column
+        values and appended to one open part file per live value combo in
+        Hive-style ``col=value`` subdirectories (the partition columns stay
+        in the data too — a constant column compresses to nothing and keeps
+        the read path free of column re-injection)."""
         first = next(iterator, None)
         if first is None:
-            return ArrowIPCCommitMessage(final_path=None)  # empty task
-        sink = pa.OSFile(tmp, "wb")
-        writer = None
+            return ArrowIPCCommitMessage(final_paths=None)  # empty task
+        batches = _chain_first(first, iterator)
+        prefix = getattr(self, "_name_prefix", "part")
+        parts: dict[tuple, _OpenPart] = {}
         try:
-            for batch in _chain_first(first, iterator):
-                batch_stats.append(_batch_stats(batch))
-                batch = self._encode_dictionaries(batch)
-                if writer is None:
-                    writer = new_writer(sink, batch.schema, options=opts)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-            sink.close()
-        payload = json.dumps(
-            {"file": self._merge_stats(batch_stats), "batches": batch_stats})
-        with open(stats_path(final), "w") as f:
-            f.write(payload)
-        os.replace(tmp, final)
-        return ArrowIPCCommitMessage(final_path=final)
+            if not self._partition_cols:
+                parts[()] = part = _OpenPart(
+                    self._path, prefix, self._compression, self._stream_format)
+                for batch in batches:
+                    part.append(self._encode_dictionaries(batch), batch)
+            else:
+                self._write_partitioned(batches, parts, prefix)
+            return ArrowIPCCommitMessage(
+                final_paths=sorted(p.finish() for p in parts.values()))
+        except BaseException:
+            for p in parts.values():
+                p.abandon()
+            raise
+
+    def _write_partitioned(self, batches: Iterator[pa.RecordBatch],
+                           parts: dict[tuple, _OpenPart], prefix: str) -> None:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            table = pa.Table.from_batches([batch])
+            combos = (
+                table.select(self._partition_cols)
+                .group_by(self._partition_cols)
+                .aggregate([])
+                .to_pylist()
+            )
+            for combo in combos:
+                key = tuple(combo[c] for c in self._partition_cols)
+                masks = [
+                    pc.is_null(table[c]) if combo[c] is None
+                    else pc.equal(table[c], combo[c])
+                    for c in self._partition_cols
+                ]
+                mask = masks[0]
+                for m in masks[1:]:
+                    mask = pc.and_kleene(mask, m)
+                sub = table.filter(mask)
+                if key not in parts:
+                    subdir = os.path.join(self._path, *(
+                        f"{c}={_partition_segment(v)}"
+                        for c, v in zip(self._partition_cols, key)
+                    ))
+                    parts[key] = _OpenPart(
+                        subdir, prefix, self._compression, self._stream_format)
+                for sb in sub.to_batches():
+                    parts[key].append(self._encode_dictionaries(sb), sb)
 
     @staticmethod
     def _merge_stats(batch_stats: list[dict]) -> dict:
@@ -479,8 +658,8 @@ class ArrowIPCWriter(DataSourceArrowWriter):
 
     def abort(self, messages, *args, **kwargs) -> None:
         for m in messages or []:
-            if m is not None and getattr(m, "final_path", None):
-                for p in (m.final_path, stats_path(m.final_path)):
+            for fp in (getattr(m, "final_paths", None) or []) if m else []:
+                for p in (fp, stats_path(fp)):
                     try:
                         os.remove(p)
                     except OSError:
@@ -493,25 +672,48 @@ def _chain_first(first: pa.RecordBatch, rest: Iterator[pa.RecordBatch]):
 
 
 class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
-    """Streaming sink: each micro-batch task appends one compressed IPC
-    file (same stats sidecar + tmp-rename commit as the batch writer).
-    File names embed a nanosecond timestamp so the directory keeps the
-    (loosely) monotonic naming the streaming reader's high-water-mark
-    offset expects; exactly-once within a task comes from the atomic
-    rename, replay dedup is the checkpoint's job (standard file-sink
-    semantics)."""
+    """Streaming sink with commit-scope naming.
+
+    Tasks write their compressed IPC files (plus stats sidecars) into a
+    hidden ``.staging`` subdirectory — invisible to readers.  ``commit``
+    then promotes them, in order, to ``part-{batchId:010d}-{seq:05d}``
+    names.  Because promotion happens at commit scope, file names are
+    strictly monotonic across micro-batches regardless of task timing, so
+    a concurrent ``ArrowIPCStreamReader``'s lexicographic high-water-mark
+    offset can never advance past a file that a slow task renames later
+    (the data-loss window a per-task wall-clock name would leave open).  A
+    mid-commit listing sees a prefix of the batch's files; the rest sort
+    above the mark and land in the next micro-batch.  Replay dedup after
+    crash-before-checkpoint remains the checkpoint's job (standard
+    file-sink at-least-once semantics)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
-        self._delegate = ArrowIPCWriter(schema, options, overwrite)
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("arrowipc stream writer requires a path")
+        staged = dict(options)
+        staged["path"] = os.path.join(self._path, ".staging")
+        self._delegate = ArrowIPCWriter(schema, staged, overwrite)
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ArrowIPCCommitMessage:
-        import time
-
-        self._delegate._name_prefix = f"part-{time.time_ns():020d}"
         return self._delegate.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        return None  # per-task atomic renames already landed the files
+        staged = sorted(
+            fp
+            for m in messages or [] if m is not None
+            for fp in (getattr(m, "final_paths", None) or [])
+        )
+        os.makedirs(self._path, exist_ok=True)
+        for seq, sp in enumerate(staged):
+            final = os.path.join(
+                self._path, f"part-{batchId:010d}-{seq:05d}.arrows")
+            src_stats = stats_path(sp)
+            # Data file first, then its sidecar: a reader between the two
+            # renames sees a valid (merely unprunable) file.
+            os.replace(sp, final)
+            if os.path.exists(src_stats):
+                os.replace(src_stats, stats_path(final))
 
     def abort(self, messages, batchId: int) -> None:
         self._delegate.abort(messages)
@@ -539,7 +741,10 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
 
     def _names(self) -> list[str]:
         try:
-            return [os.path.basename(p) for p in _list_ipc_files(self._path)]
+            return sorted(
+                os.path.relpath(p, self._path)
+                for p in _list_ipc_files(self._path)
+            )
         except FileNotFoundError:
             return []  # nothing arrived yet — empty stream, not an error
 
@@ -576,10 +781,14 @@ class ArrowIPCDataSource(DataSource):
     Options: ``compression`` (zstd | lz4 | none; write), ``ipcFormat``
     (file | stream; write — readers sniff per file), ``dictionary``
     (comma list of columns to dictionary-encode; write, stream format
-    only), ``columns`` (comma list; read-side projection),
-    ``mergeSchema`` (true → read the union of all files' columns,
-    null-filling files that lack one — schema evolution), and
-    ``batchesPerSplit`` (batch read parallelism), ``path``.
+    only), ``partitionBy`` (comma list; write — Hive-style ``col=value``
+    subdirectories, pruned on read by equality filters before any file or
+    sidecar is opened; partition columns stay in the data, so stats
+    pruning covers range predicates on them too), ``columns`` (comma
+    list; read-side projection), ``mergeSchema`` (true → read the union
+    of all files' columns, null-filling files that lack one — schema
+    evolution), and ``batchesPerSplit`` (batch read parallelism),
+    ``path``.
     Directory maintenance (small-file compaction) lives in
     ``sources.maintenance.compact_arrowipc``.
     """

@@ -48,7 +48,28 @@ def compact_arrowipc(
     """
     register_arrowipc(spark)
     before = _list_ipc_files(path)
-    df = spark.read.format("arrowipc").load(path)
+
+    # Pin the input to the snapshot: hard-link (fall back to copy) exactly
+    # the `before` file set into a hidden source dir and scan THAT, so the
+    # count, the rewrite, and the deletion all cover the same files even if
+    # a concurrent appender lands new parts mid-compaction (those survive
+    # untouched — they are neither rewritten nor removed).
+    snapshot = os.path.join(path, f".compact-src-{uuid.uuid4().hex}")
+    os.makedirs(snapshot, exist_ok=True)
+    for old in before:
+        for src in (old, stats_path(old)):
+            if not os.path.exists(src):
+                continue
+            # keep relative layout: partitioned (col=value) part files may
+            # share basenames across subdirectories
+            dst = os.path.join(snapshot, os.path.relpath(src, path))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+    df = spark.read.format("arrowipc").load(snapshot)
     rows = df.count()
 
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
@@ -79,4 +100,5 @@ def compact_arrowipc(
             os.replace(sp, stats_path(os.path.join(path, name)))
         promoted += 1
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(snapshot, ignore_errors=True)
     return {"files_before": len(before), "files_after": promoted, "rows": rows}

@@ -226,6 +226,16 @@ def test_stream_write_sink_appends_per_micro_batch(spark):
         q.stop()
     back = spark.read.format("arrowipc").load(out)
     assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+    # commit-scope naming: part-{batchId:010d}-{seq:05d}.arrows, strictly
+    # monotonic across micro-batches (what the stream reader's
+    # lexicographic high-water mark requires), no stale .staging leftovers
+    import re
+
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(out, "*.arrows")))
+    assert names and all(
+        re.fullmatch(r"part-\d{10}-\d{5}\.arrows", n) for n in names)
+    assert not glob.glob(os.path.join(out, ".staging", "*.arrows"))
     for d in (src, out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
@@ -312,6 +322,86 @@ def test_stream_format_filter_pushdown_prunes_batches(spark):
     got = back.filter(F.col("o_orderkey") > hi - 10).count()
     want = df.filter(F.col("o_orderkey") > hi - 10).count()
     assert got == want
+    shutil.rmtree(out, ignore_errors=True)
+
+
+# -- stats pruning details: timestamps, NaN, partition directories ----------
+
+
+def test_timestamp_filter_prunes_files_and_batches(spark):
+    """Sidecars store timestamps as epoch-µs ints, so a time-range filter
+    skips whole files/batches at planning time (and results still match)."""
+    import datetime as dt
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader, GreaterThan)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(48)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    # range-partition on ts → part files with disjoint time ranges
+    df.repartitionByRange(4, "ts").write.format("arrowipc").mode("append").save(out)
+    assert len(glob.glob(os.path.join(out, "*.arrows"))) == 4
+
+    reader = ArrowIPCReader(None, {"path": out})
+    n_all = len(reader.partitions())
+    late = ArrowIPCReader(None, {"path": out})
+    late.pushFilters([GreaterThan(("ts",), base + dt.timedelta(hours=40))])
+    kept = [p for p in late.partitions() if p.path]
+    assert 0 < len(kept) < n_all, (len(kept), n_all)
+
+    back = spark.read.format("arrowipc").load(out)
+    cond = F.col("ts") > F.lit(base + dt.timedelta(hours=40))
+    assert back.filter(cond).count() == df.filter(cond).count() == 7
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_nan_column_gets_no_stats_and_is_never_pruned(spark):
+    """pyarrow min_max ignores NaN but Spark orders NaN above every double,
+    so a NaN-bearing float column must carry no stats (unprunable)."""
+    import json
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 5.0)], "id long, x double")
+    df.coalesce(1).write.format("arrowipc").mode("append").save(out)
+    part = glob.glob(os.path.join(out, "*.arrows"))[0]
+    stats = json.load(open(stats_path(part)))
+    assert "x" not in stats["file"] and all("x" not in b for b in stats["batches"])
+    assert "id" in stats["file"]  # non-NaN columns still carry stats
+
+    back = spark.read.format("arrowipc").load(out)
+    # Spark: NaN > 100.0 is true — the NaN row must survive any pruning
+    assert back.filter("x > 100.0").count() == df.filter("x > 100.0").count() == 1
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partitioned_write_and_directory_pruning(spark):
+    """partitionBy writes Hive-style col=value subdirectories; an equality
+    filter prunes non-matching directories at planning time and the data
+    round-trips exactly."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader, EqualTo)
+
+    df = load_table(spark, SF, "documents")
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.repartition(2).write.format("arrowipc") \
+        .option("partitionBy", "lang").mode("append").save(out)
+    langs = {r.lang for r in df.select("lang").distinct().collect()}
+    assert {d for d in os.listdir(out) if not d.startswith(".")} == \
+        {f"lang={l}" for l in langs}
+
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == df.count()
+    one = sorted(langs)[0]
+    assert back.filter(F.col("lang") == one).count() == \
+        df.filter(F.col("lang") == one).count()
+
+    reader = ArrowIPCReader(None, {"path": out})
+    reader.pushFilters([EqualTo(("lang",), one)])
+    kept = [p.path for p in reader.partitions() if p.path]
+    assert kept and all(f"lang={one}" in p for p in kept)
     shutil.rmtree(out, ignore_errors=True)
 
 
