@@ -126,6 +126,64 @@ _PROFILE_OUT_SCHEMA = (
     "n_types long, top_type string"
 )
 
+#: Fallback state blob for the ``applyInPandasWithState`` profile path.
+_PROFILE_STATE_SCHEMA = "n long, total double, types_json string"
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's Python↔JVM state-server protocol is protobuf-
+    encoded; without ``google.protobuf`` the StatefulProcessor path cannot
+    execute, so ``user_event_profile`` falls back to the (protobuf-free)
+    ``applyInPandasWithState`` implementation of the same operator."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _profile_with_group_state(events: DataFrame) -> DataFrame:
+    """``user_event_profile`` on the Spark 3.x arbitrary-state API: one
+    GroupState row per user holding ``(n, total, types_json)`` — the
+    monolithic-blob shape the old API forces (each update rewrites the
+    whole per-key state, which is exactly the cost MapState removes in the
+    transformWithState version).  Semantics are identical; real streaming
+    state execution with zero optional dependencies."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_profile(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, total, types_json = state.get
+            counts = json.loads(types_json)
+        else:
+            n, total, counts = 0, 0.0, {}
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            for et, cnt in pdf.groupby("event_type").size().items():
+                counts[et] = counts.get(et, 0) + int(cnt)
+        state.update((n, total, json.dumps(counts, sort_keys=True)))
+        top_type = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "n_types": [len(counts)],
+            "top_type": [top_type],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=_PROFILE_OUT_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 #: State store provider transformWithState requires (Spark 4 ships it; the
 #: default HDFS-backed provider rejects the new multi-column-family state).
 ROCKSDB_PROVIDER = (
@@ -148,6 +206,11 @@ def user_event_profile(events: DataFrame) -> DataFrame:
 
     Batch mode computes the same profile with aggregates + a window — the
     oracle equivalence tests assert on.
+
+    When ``google.protobuf`` is unavailable (transformWithState's state
+    server cannot start without it), the streaming branch falls back to
+    ``_profile_with_group_state`` — same operator on the older
+    ``applyInPandasWithState`` API, still real incremental state.
     """
     if not events.isStreaming:
         from pyspark.sql import Window
@@ -168,6 +231,9 @@ def user_event_profile(events: DataFrame) -> DataFrame:
         )
         return totals.join(top, "user_id").select(
             "user_id", "n_events", "total_value", "n_types", "top_type")
+
+    if not _has_protobuf():
+        return _profile_with_group_state(events)
 
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

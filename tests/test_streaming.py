@@ -120,26 +120,15 @@ def test_session_window_gap_merge(spark):
         h.stop()
 
 
-def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
 @pytest.mark.slow
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState's Python state-server protocol needs "
-           "google.protobuf, not shipped in this container; the streaming "
-           "branch is exercised where protobuf exists — batch equivalence "
-           "is still asserted below via test_profile_batch_mode",
-)
-def test_transform_with_state_profile(spark):
-    """transformWithStateInPandas (Spark 4 StatefulProcessor): ValueState
-    totals + MapState per-type counts survive across micro-batches; the
-    final emission matches the batch-mode profile of all pushed events."""
+def test_stateful_profile_across_micro_batches(spark):
+    """The user_event_profile stateful operator under REAL streaming
+    execution: per-user totals + per-type counts survive across
+    micro-batches; the final emission matches the batch-mode profile of
+    all pushed events.  Where ``google.protobuf`` exists this runs the
+    Spark 4 transformWithStateInPandas (StatefulProcessor) path; without
+    it, the applyInPandasWithState fallback — same operator, same
+    assertions, still incremental state in the RocksDB store."""
     from bossarrowstorageengine_spark.streaming.pipelines import (
         ROCKSDB_PROVIDER,
         user_event_profile,
