@@ -271,65 +271,88 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_near",
-    oracle="""
+#: Mersenne prime 2^31 − 1: the universal-hash modulus for minhash
+#: permutations.  One md5 per shingle yields the base hash h0; permutation
+#: j is the affine map (a_j·h0 + b_j) mod P — 62-bit intermediate, exact
+#: int64 arithmetic in BOTH engines, 16× fewer md5 evaluations than
+#: hashing per permutation.
+_MINHASH_P = 2_147_483_647
+
+
+def _minhash_coeffs(n_perm: int) -> list[tuple[int, int]]:
+    """Fixed (a_j, b_j) affine coefficients (Knuth multiplicative mixing;
+    a_j never 0 mod P)."""
+    out = []
+    for j in range(n_perm):
+        a = (j * 2_654_435_761 + 1) % _MINHASH_P
+        b = (j * 40_503 + 17) % _MINHASH_P
+        out.append((a or 1, b))
+    return out
+
+
+def _dedup_near_oracle(n_perm: int = 16) -> str:
+    perms = ", ".join(
+        f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_minhash_coeffs(n_perm))
+    )
+    bands = ", ".join(
+        "md5(concat_ws(',', {b}, {hs})) AS sig{b}".format(
+            b=b, hs=", ".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(n_perm // 4)
+    )
+    sig_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig{b} AS sig FROM bands" for b in range(n_perm // 4))
+    return f"""
     WITH sh AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, len(toks) - 1),
                       i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), h0s AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {_MINHASH_P} AS h0
+        FROM sh
     ), mh AS (
-        SELECT doc_id, p.p AS perm,
-               min(CAST('0x' || substr(md5(concat_ws(',', p.p, shingle)), 1, 15)
-                        AS BIGINT)) AS h
-        FROM sh CROSS JOIN generate_series(0, 15) AS p(p)
-        GROUP BY doc_id, p.p
+        SELECT doc_id, {perms} FROM h0s GROUP BY doc_id
     ), bands AS (
-        SELECT doc_id, perm // 4 AS band,
-               md5(concat_ws(',', perm // 4,
-                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY perm))) AS sig
-        FROM mh
-        GROUP BY doc_id, perm // 4
-    )
+        SELECT doc_id, {bands} FROM mh
+    ), sigs AS ({sig_union})
     SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
                     CAST(b.doc_id AS BIGINT) AS doc_b
-    FROM bands a JOIN bands b ON a.sig = b.sig AND a.doc_id < b.doc_id
-    """,
-)
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_dedup_near", oracle=_dedup_near_oracle())
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
     seeds, pure DataFrame ops — deterministic across runs AND engines).
 
-    Pipeline: shingle → 16 minhash permutations → 4 bands × 4 rows →
-    band-bucket groupBy → distinct candidate pairs.  Permutation j of a
-    shingle is the first 60 bits of ``md5(j ',' shingle)`` read as a
-    non-negative int64 — the same arithmetic in Spark
-    (``conv(substr(md5(..),1,15),16,10)``) and DuckDB
-    (``CAST('0x'||substr(md5(..),1,15) AS BIGINT)``), so the sketch is
-    EXACT-checkable (same trick as ``q_dedup_simhash``).
-    At scale each stage is a bounded shuffle (doc_id or bucket key); no
-    all-pairs step ever materializes.
+    Pipeline: shingle → base hash h0 = first 60 bits of ``md5(shingle)``
+    mod P (P = 2³¹−1) → 16 affine permutations ``(a_j·h0 + b_j) mod P``
+    (universal hashing: ONE md5 per shingle, the 16 permutations are
+    integer ops) → 4 bands × 4 rows → band-bucket groupBy → distinct
+    candidate pairs.  All arithmetic is exact int64 in Spark and DuckDB,
+    so the sketch is EXACT-checkable (same md5 trick as
+    ``q_dedup_simhash``).  At scale each stage is a bounded shuffle
+    (doc_id or bucket key); no all-pairs step ever materializes.
     """
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = _shingles(d, 3)
-    # 16 permutations as 16 parallel min-aggregates over ONE pass of the
-    # exploded shingle set (all 16 hashes per shingle in a single
-    # projection — measured faster than 16 per-doc array-HOF passes).  The
-    # shuffle carries one row per doc with 16 longs, which is what
-    # survives a 100 TB corpus.
-    mh = sh.groupBy("doc_id").agg(*[
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(",", F.lit(j), F.col("shingle"))), 1, 15
-                ),
-                16, 10,
-            ).cast("long")
-        ).alias(f"h{j}")
-        for j in range(n_perm)
+    # ONE md5 per (doc, shingle); 16 permutations as 16 parallel affine
+    # min-aggregates over a single pass of the exploded shingle set.  The
+    # shuffle carries one row per doc with 16 longs (map-side partial
+    # aggregation), which is what survives a 100 TB corpus.
+    h0 = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % _MINHASH_P
+    )
+    mh = sh.select("doc_id", h0.alias("h0")).groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs(n_perm))
     ])
     # band signature = md5 over the band's minhashes, prefixed with the band
     # index so signatures never collide across bands.  Explode to long form
