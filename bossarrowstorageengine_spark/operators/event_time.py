@@ -22,17 +22,19 @@ from bossarrowstorageengine_spark.operators.registry import query
 @query(
     "q_stream_tumbling",
     oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
-           count(*)                           AS n_events,
-           round(sum(value), 2)               AS sum_value
+           count(*)                      AS n_events,
+           round(sum(value), 2)          AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window × event_type.  Spark ``window()`` bucket start
-    ≡ DuckDB ``time_bucket`` (§8.7, verified).  Streaming variant adds
+    ≡ DuckDB ``time_bucket`` (§8.7, verified); emitted as an ISO string on
+    both engines (dtype-exact compare).  Streaming variant adds
     ``withWatermark("ts", ...)`` — same aggregation code."""
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -41,14 +43,19 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n_events", "sum_value",
+        )
     )
 
 
 @query(
     "q_stream_sliding",
     oracle="""
-    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS win_start,
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - k.k * INTERVAL '15 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*)             AS n_events,
            round(sum(value), 2) AS sum_value
@@ -67,7 +74,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n_events", "sum_value",
+        )
     )
 
 
@@ -150,7 +160,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_late",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
-    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S')          AS win_start,
            event_type,
            count(*)                               AS n_events
     FROM events, wm
@@ -176,7 +187,10 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("wm"))
         .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n_events",
+        )
     )
 
 
@@ -264,9 +278,10 @@ def q_join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_rollup_time",
     oracle="""
-    SELECT date_trunc('day', ts)                          AS bucket_day,
-           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
-                THEN date_trunc('hour', ts) END           AS bucket_hour,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')    AS bucket_day,
+           strftime(CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                         THEN date_trunc('hour', ts) END,
+                    '%Y-%m-%d %H:%M:%S')                  AS bucket_hour,
            event_type,
            CAST(count(*) AS BIGINT)                       AS n_events,
            round(sum(value), 2)                           AS sum_value
@@ -284,12 +299,13 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_rollup_src")
     return spark.sql("""
-        SELECT date_trunc('day', ts)                          AS bucket_day,
-               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
-                    THEN date_trunc('hour', ts) END           AS bucket_hour,
+        SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS bucket_day,
+               date_format(CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                                THEN date_trunc('hour', ts) END,
+                           'yyyy-MM-dd HH:mm:ss')               AS bucket_hour,
                event_type,
-               CAST(count(*) AS BIGINT)                       AS n_events,
-               round(sum(value), 2)                           AS sum_value
+               CAST(count(*) AS BIGINT)                         AS n_events,
+               round(sum(value), 2)                             AS sum_value
         FROM events_rollup_src
         GROUP BY GROUPING SETS (
             (date_trunc('day', ts), date_trunc('hour', ts), event_type),
@@ -313,7 +329,7 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(value), 2)     AS sum_value
       FROM events GROUP BY 1
     )
-    SELECT d.bucket_day,
+    SELECT strftime(d.bucket_day, '%Y-%m-%d') AS bucket_day,
            COALESCE(a.n_events, 0)   AS n_events,
            COALESCE(a.sum_value, 0.0) AS sum_value
     FROM days d LEFT JOIN actual a USING (bucket_day)
@@ -349,7 +365,7 @@ def q_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(days).join(actual, "bucket_day", "left")
         .select(
-            "bucket_day",
+            F.date_format("bucket_day", "yyyy-MM-dd").alias("bucket_day"),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
@@ -371,7 +387,7 @@ def q_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type,
            CAST(event_id AS BIGINT) AS last_event_id,
-           ts                       AS last_ts,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
            round(value, 2)          AS last_value
     FROM ranked WHERE rn = 1
     """,
@@ -403,7 +419,7 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "event_type",
             F.col("event_id").cast("long").alias("last_event_id"),
-            F.col("ts").alias("last_ts"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
             F.round("value", 2).alias("last_value"),
         )
     )

@@ -249,7 +249,9 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_asof",
     oracle="""
-    SELECT p.user_id, p.event_id, p.ts AS purchase_ts, e.ts AS matched_err_ts
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_err_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       ON p.user_id = e.user_id AND p.ts >= e.ts
@@ -293,8 +295,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.col("ts").alias("purchase_ts"),
-            "matched_err_ts",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("purchase_ts"),
+            F.date_format("matched_err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("matched_err_ts"),
         )
     )
 

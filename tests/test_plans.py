@@ -139,3 +139,22 @@ def test_salted_join_key_includes_salt(spark):
     reducers; the only nested-loop piece is the S-row salt replication."""
     plan = _plan(QUERIES["q_join_salted"](spark, SF))
     assert "_salt" in plan
+
+
+def test_ann_lsh_bucket_signature_is_map_side(spark):
+    """The hyperplane bucket signature is an array-HOF fold evaluated in
+    the scan's projection — no posexplode and no extra shuffle to assign
+    buckets (the only Exchanges belong to the bucket join + window)."""
+    plan = _plan(QUERIES["q_ann_lsh"](spark, SF))
+    assert "Generate" not in plan  # no explode anywhere in the plan
+    assert "aggregate(" in plan    # the HOF fold, inside a Project
+
+
+def test_dedup_embedding_join_is_bucket_keyed(spark):
+    """Candidate pairs must come from the LSH-bucket equi-join; the
+    vec_a < vec_b predicate is a residual, never the join itself (no
+    nested-loop / cartesian all-pairs stage)."""
+    plan = _plan(QUERIES["q_dedup_embedding"](spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
