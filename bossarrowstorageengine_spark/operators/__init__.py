@@ -21,6 +21,7 @@ _MODULES = [
     "setops",
     "sorts",
     "subqueries",
+    "training_data",
     "udfs",
     "windows",
 ]

@@ -400,3 +400,51 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-bloom-filter-pruned fact⋈fact join: lineitem ⋈ the ~5% of
+    orders with ``o_totalprice > 450000``.
+
+    Catalyst's ``InjectRuntimeFilter`` builds a bloom filter over the
+    filtered orders keys and pushes ``might_contain(l_orderkey)`` beneath
+    the lineitem scan, so ~95% of the big side is dropped BEFORE the join
+    shuffle instead of after it.  At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the matching twentieth.
+
+    session.py zeroes the application-side size threshold (default 10 GB)
+    so scan size never vetoes the rule; the remaining gate is Spark's
+    "probably a shuffle join" check — at toy SF the filtered orders side
+    can broadcast by size, so the optimizer (correctly) skips the bloom
+    filter, and at cluster scale, where neither side broadcasts, it fires.
+    tests/test_plans.py locks exactly that: with broadcast disabled (the
+    at-scale condition) the plan applies ``might_contain(bloom_filter_agg
+    (o_orderkey..))`` under the lineitem side.  The ``merge`` hint keeps
+    the benchmarked shape the at-scale one.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .hint("merge")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+        )
+    )

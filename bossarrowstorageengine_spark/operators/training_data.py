@@ -1,0 +1,325 @@
+"""Training-data curation operators (SURVEY.md §2.B10 extensions): weighted
+corpus sampling, sequence packing, train/val/test splitting, span-level
+(segment) dedup, and embedding quantization.
+
+These are the steps between "raw corpus" and "training shards" that the
+B.10 dedup/similarity family doesn't cover.  Determinism discipline: every
+pseudo-random choice derives from md5 arithmetic both engines replay
+bit-identically (the trick proven by q_dedup_simhash/q_dedup_near), so each
+query carries an EXACT DuckDB oracle.
+
+Scale design (100 TB of documents):
+- Weighted sampling is a distributed top-k by integer priority
+  (``TakeOrderedAndProject``: per-partition heaps, driver merges k rows) —
+  no global sort, no shuffle of the corpus.
+- Sequence packing is per-shard (hash-bucketed): the running-offset window
+  partitions by bucket, so no global ordering bottleneck exists and shards
+  pack independently — exactly how production pipelines shard token streams.
+- Segment dedup is an inverted-index join (segment-hash → doc), linear in
+  postings; per-doc counting never expands pairs, so a stop-segment cannot
+  create a quadratic bucket.
+- Quantization is a pure map (JVM higher-order functions, no Python, no
+  shuffle); output int8-ranged vectors are the ANN-at-scale storage format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+
+#: Portable 60-bit uniform hash of a document id: first 15 hex digits of
+#: md5(doc_id-as-string), identical in Spark (`conv(substring(md5(..)))`)
+#: and DuckDB (`CAST('0x' || substr(md5(..),1,15) AS BIGINT)`).
+_H60 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_H60_DUCK = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT)  AS doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           {_H60_DUCK} // n_chars  AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement: k=100 docs, weight = n_chars.
+
+    Priority sampling (Duffield–Lund–Thorup): each item draws a uniform
+    u and keeps priority u/weight; the k smallest priorities form the
+    weighted sample.  The uniform here is a 60-bit md5 integer and the
+    division integer division, so both engines rank identically — a
+    deterministic, resumable sample (re-running on an appended corpus
+    keeps prior picks unless displaced).
+
+    Scale: `ORDER BY .. LIMIT k` compiles to TakeOrderedAndProject —
+    per-partition top-k heaps, only k rows per partition reach the driver
+    merge.  No shuffle of the corpus, no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(_H60).alias("h60"),
+        )
+        .withColumn("priority", F.expr("h60 div n_chars"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars", "priority")
+    )
+
+
+@query(
+    "q_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_H60_DUCK}                               AS h60,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ), placed AS (
+        SELECT h60 % 32 AS bucket, doc_id, tokens,
+               COALESCE(sum(tokens) OVER (
+                   PARTITION BY h60 % 32 ORDER BY h60, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_offset
+        FROM t
+    )
+    SELECT CAST(bucket AS BIGINT)       AS bucket,
+           CAST(tok_offset // 2048 AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(tokens) AS BIGINT)  AS sum_tokens
+    FROM placed
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents into fixed-size (2048-token)
+    training chunks, sharded into 32 hash buckets.
+
+    Per shard, docs are laid out in deterministic (md5, doc_id) order; a
+    running token offset assigns each doc to chunk ``offset div 2048`` —
+    the GPT-style "concatenate then split every L tokens" packing, with
+    shard-local order replacing a (non-scalable) global order.
+
+    Scale: the window partitions by bucket — with B buckets sized to the
+    cluster there is exactly one shuffle (by bucket) and each task packs
+    its shard sequentially, which is how token-shard writers behave in
+    production.  No global sort; no driver involvement.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(_H60).alias("h60"),
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    ).withColumn("bucket", F.expr("h60 % 32"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h60", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = t.withColumn(
+        "tok_offset", F.coalesce(F.sum("tokens").over(w), F.lit(0)))
+    return (
+        placed.groupBy(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("tok_offset div 2048").alias("chunk_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_H60_DUCK} % 100 < 80 THEN 'train'
+                WHEN {_H60_DUCK} % 100 < 90 THEN 'val'
+                ELSE 'test' END          AS split,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable hash.
+
+    Hash-range splitting (not row numbering) keeps the assignment stable
+    under corpus growth and across engines — a doc's split never depends
+    on what other docs exist.  Reported per language to expose stratum
+    balance.
+
+    Scale: a pure map plus one aggregation on (lang, split) — cardinality
+    ≤ 3 × languages, so the final shuffle is trivially small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.expr(_H60) % 100 < 80, "train")
+        .when(F.expr(_H60) % 100 < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "q_dedup_segment",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), seg AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')) AS seg_hash
+        FROM t, unnest(range((len(toks) + 7) // 8)) AS u(i)
+    ), df AS (
+        SELECT seg_hash, count(DISTINCT doc_id) AS n_docs
+        FROM seg GROUP BY seg_hash
+    ), per_doc AS (
+        SELECT s.doc_id,
+               count(DISTINCT s.seg_hash) AS n_dup_segments
+        FROM seg s JOIN df ON s.seg_hash = df.seg_hash
+        WHERE df.n_docs >= 2
+        GROUP BY s.doc_id
+    ), totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+        FROM seg GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT)        AS doc_id,
+           t.n_segments,
+           CAST(p.n_dup_segments AS BIGINT) AS n_dup_segments
+    FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def q_dedup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup: find documents sharing exact 8-word segments.
+
+    Fixed-granularity approximation of suffix-array substring dedup (the
+    C4/RefinedWeb "repeated span" pass): each doc splits into consecutive
+    non-overlapping 8-token segments, each segment hashes to md5, and a
+    segment present in ≥2 distinct docs marks all its holders.  Output:
+    per affected doc, total segments and how many distinct segments of it
+    are shared.
+
+    Scale: one shuffle builds the (seg_hash → doc) inverted index; the
+    document-frequency table and the per-doc rollup are linear in postings
+    — no pair expansion exists anywhere, so even a stop-segment (a span in
+    millions of docs) costs O(postings), never O(postings²).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seg = (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+        )
+        .withColumn(
+            "seg_hash",
+            F.explode(F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT) - 1),"
+                " i -> md5(array_join(slice(toks, i * 8 + 1, 8), ' ')))")),
+        )
+        .select("doc_id", "seg_hash")
+    )
+    df_tbl = (
+        seg.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("seg_hash")
+    )
+    per_doc = (
+        seg.join(df_tbl, "seg_hash")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("seg_hash").cast("long").alias("n_dup_segments"))
+    )
+    totals = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(per_doc, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_segments",
+            "n_dup_segments",
+        )
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, label, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS max_abs
+        FROM v
+    ), q AS (
+        SELECT vec_id, label, max_abs,
+               list_transform(vec,
+                   x -> CAST(round(x * (127.0 / max_abs)) AS INTEGER)) AS qv
+        FROM m WHERE max_abs > 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT)  AS label,
+           round(max_abs, 6)      AS max_abs,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+                AS BIGINT)        AS q_l1
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    format ANN serving uses at scale (4× smaller, SIMD-friendly dot
+    products).  Per vector: scale = 127 / max|x|, q[i] = round(x[i]·scale).
+    Emits integer checksums (sum, L1) of the quantized vector so the
+    oracle verifies every component without shipping arrays.
+
+    Determinism: float32 components are widened to float64 before any
+    arithmetic; *, /, abs, max and round-half-away are bit-identical IEEE
+    operations in both engines, so the integer checksums match exactly.
+
+    Scale: a pure JVM higher-order-function map — no Python, no shuffle;
+    quantization throughput is scan-bound.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec"),
+    )
+    m = v.withColumn(
+        "max_abs",
+        F.expr("aggregate(vec, CAST(0.0 AS DOUBLE),"
+               " (acc, x) -> greatest(acc, abs(x)))"),
+    ).filter(F.col("max_abs") > 0)
+    q = m.withColumn(
+        "qv",
+        F.expr("transform(vec, x -> CAST(round(x * (127.0D / max_abs)) AS INT))"),
+    )
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.round("max_abs", 6).alias("max_abs"),
+        F.expr("CAST(aggregate(qv, 0L, (acc, x) -> acc + x) AS BIGINT)")
+        .alias("q_sum"),
+        F.expr("CAST(aggregate(qv, 0L, (acc, x) -> acc + abs(x)) AS BIGINT)")
+        .alias("q_l1"),
+    )

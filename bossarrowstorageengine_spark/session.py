@@ -39,6 +39,13 @@ ENGINE_SQL_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     # Allow Python data sources (arrowipc) to receive pushed filters.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Runtime (bloom) filters: let a selective filter on one join side build
+    # a bloom filter that prunes the other side's scan before the shuffle.
+    # The application-side threshold defaults to 10 GB — sensible on a
+    # cluster, but it would disable the rule at every test scale, so it is
+    # zeroed: semi-join reduction is cheap insurance at any size.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
     # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise an illegal type for
     # Spark's reader; read as long and convert in catalog.load_table — the
     # floor-to-µs conversion matches DuckDB's TIMESTAMP read (FIXTURES.md).

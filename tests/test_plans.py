@@ -158,3 +158,21 @@ def test_dedup_embedding_join_is_bucket_keyed(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
+
+
+def test_bloom_runtime_filter_injects_at_scale_conditions(spark):
+    """q_join_bloom: when neither join side can broadcast (the cluster-scale
+    condition, simulated by disabling the broadcast threshold), Catalyst
+    injects a bloom filter from the selective orders side into the lineitem
+    side — semi-join reduction before the shuffle."""
+    # Build the (lazy) DataFrame first: the queries() wrapper re-applies
+    # engine conf, so the threshold override must land after construction
+    # and before the plan is optimized.
+    df = QUERIES["q_join_bloom"](spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
