@@ -379,3 +379,87 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q_sketch_rollup",
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+           TRUE                                   AS within_5pct
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(lang, source) HLL sketches of doc_id
+    are UNIONED into per-lang estimates (``hll_sketch_agg`` →
+    ``hll_union_agg``, the DataSketches pair) — the pre-aggregation
+    pattern that makes distinct-count dashboards possible at 100 TB: raw
+    data is sketched once at the finest grain, and every coarser rollup
+    merges kilobyte sketches instead of rescanning rows.  The oracle
+    checks the exact-companion column plus a within-5% bound on the
+    estimate (HLL at lgK=12 carries ~1.6% standard error)."""
+    d = load_table(spark, sf_dir, "documents")
+    fine = d.groupBy("lang", "source").agg(
+        F.expr("hll_sketch_agg(doc_id)").alias("sk"))
+    merged = fine.groupBy("lang").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("exact_docs"))
+    return (
+        exact.join(merged, "lang")
+        .select(
+            "lang", "exact_docs",
+            (F.abs(F.col("est") - F.col("exact_docs"))
+             <= 0.05 * F.col("exact_docs")).alias("within_5pct"),
+        )
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored per-key partial
+    state (count, sum) built from the base 90% of events is merged with
+    the partial state of a 10% delta batch — the merge re-aggregates two
+    partial-state tables and never rescans base rows.
+
+    The partial states are algebraic (counts and sums add), so refresh
+    cost is O(|delta| + |MV|) instead of O(|base|): at 100 TB this is the
+    difference between an hourly refresh touching gigabytes and one
+    touching the whole corpus.  The oracle recomputes from scratch, so a
+    hash match proves the incremental path equals the full recompute."""
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+
+    ev = load_table(spark, sf_dir, "events")
+    mv_path = _scratch(sf_dir, "incr_mv")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum("value").alias("p_sum"),
+        )
+
+    # Build + store the MV from the base (in production this already
+    # exists; rebuilding here makes the query self-contained).
+    partial(ev.filter(F.col("event_id") % 10 != 0)) \
+        .write.mode("overwrite").parquet(mv_path)
+    mv = spark.read.parquet(mv_path)
+    delta = partial(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        mv.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("p_count").cast("long").alias("n_events"),
+            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+        )
+    )

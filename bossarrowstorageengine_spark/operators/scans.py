@@ -444,3 +444,56 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("long").alias("min_cust"),
         F.max("o_custkey").cast("long").alias("max_cust"),
     )
+
+
+@query(
+    "q_arrowipc_snapshot",
+    oracle="""
+    SELECT 'v1' AS snapshot,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2)         AS sum_value
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'latest' AS snapshot,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2)         AS sum_value
+    FROM events
+    """,
+)
+def q_arrowipc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning (time travel) on the arrowipc source.
+
+    Two committed writes (`snapshots=true`) publish manifest versions 1
+    and 2; reading ``version=1`` sees only the first write's rows while a
+    latest-snapshot read sees both — the Delta/Iceberg transaction-log
+    pattern at directory scale (src/arrowipc.py `_write_manifest`).  The
+    oracle replays both faces on the original events table, so a hash
+    match proves version-1 isolation AND the append's completeness.
+
+    Scale: a manifest is one small JSON per commit listing visible part
+    files — commit cost is O(files), reads plan from a single manifest
+    read, and snapshot reads are immune to concurrent appenders (the
+    in-flight files are simply not in the manifest yet)."""
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "snapshot")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    for df in (base, delta):
+        (df.write.format("arrowipc").option("snapshots", "true")
+           .mode("append").save(path))
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    v1 = spark.read.format("arrowipc").option("version", "1").load(path)
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(path))
+    return _agg(v1, "v1").unionByName(_agg(latest, "latest"))

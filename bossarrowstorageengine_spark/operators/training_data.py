@@ -323,3 +323,70 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(aggregate(qv, 0L, (acc, x) -> acc + abs(x)) AS BIGINT)")
         .alias("q_l1"),
     )
+
+
+@query(
+    "q_split_contamination",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CASE WHEN {_H60_DUCK} % 100 < 80 THEN 'train'
+                    WHEN {_H60_DUCK} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), seg AS (
+        SELECT doc_id, split,
+               md5(array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')) AS seg_hash
+        FROM split, unnest(range((len(toks) + 7) // 8)) AS u(i)
+    ), train_segs AS (
+        SELECT DISTINCT seg_hash FROM seg WHERE split = 'train'
+    ), test_hits AS (
+        SELECT s.doc_id, s.seg_hash
+        FROM seg s JOIN train_segs t ON s.seg_hash = t.seg_hash
+        WHERE s.split = 'test'
+    )
+    SELECT CAST((SELECT count(*) FROM split WHERE split = 'test') AS BIGINT)
+               AS n_test_docs,
+           CAST((SELECT count(DISTINCT doc_id) FROM test_hits) AS BIGINT)
+               AS n_contaminated,
+           CAST((SELECT count(DISTINCT seg_hash) FROM test_hits) AS BIGINT)
+               AS n_shared_segments
+    """,
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination audit: test-split documents sharing an
+    exact 8-token segment with any train-split document — the eval-leakage
+    check every training corpus needs before a benchmark claim.  Composes
+    the hash split of ``q_train_test_split`` with the segment index of
+    ``q_dedup_segment``.
+
+    Scale: one (seg_hash) shuffle joins test segments against the distinct
+    train-segment index; counting is linear in postings.  The train index
+    at 100 TB would be persisted once and probed by every eval batch."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.expr(_H60) % 100 < 80, "train")
+        .when(F.expr(_H60) % 100 < 90, "val")
+        .otherwise("test")
+    )
+    seg = (
+        d.select("doc_id", split.alias("split"),
+                 F.split("text", " ").alias("toks"))
+        .withColumn(
+            "seg_hash",
+            F.explode(F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT) - 1),"
+                " i -> md5(array_join(slice(toks, i * 8 + 1, 8), ' ')))")),
+        )
+        .select("doc_id", "split", "seg_hash")
+    )
+    train_segs = (
+        seg.filter(F.col("split") == "train").select("seg_hash").distinct())
+    test_hits = (
+        seg.filter(F.col("split") == "test").join(train_segs, "seg_hash"))
+    totals = seg.filter(F.col("split") == "test").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_test_docs"))
+    hits = test_hits.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated"),
+        F.countDistinct("seg_hash").cast("long").alias("n_shared_segments"))
+    return totals.crossJoin(hits)

@@ -82,6 +82,74 @@ def stats_path(data_path: str) -> str:
     d, base = os.path.split(data_path)
     return os.path.join(d, f"_{base}.stats.json")
 
+
+# -- snapshot manifests (time travel) ---------------------------------------
+#
+# Opt-in (`snapshots=true` on write): each commit writes `_manifest-N.json`
+# listing the table-relative part files visible at version N.  Readers with
+# `version=N` (or `snapshots=true` for the latest) see exactly that file
+# set — snapshot isolation against concurrent appends, and time travel to
+# any retained version.  The underscore prefix keeps manifests invisible to
+# data-file listings, so tables without the option behave exactly as before.
+# This is the transaction-log pattern (Delta/Iceberg) at directory scale;
+# on an object store the same JSON would live in the log prefix.
+
+def _manifest_file(path: str, version: int) -> str:
+    return os.path.join(path, f"_manifest-{version:010d}.json")
+
+
+def _manifest_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("_manifest-") and name.endswith(".json"):
+            try:
+                out.append(int(name[len("_manifest-"):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> list[str]:
+    """Absolute part-file paths recorded at ``version`` (sorted)."""
+    mf = _manifest_file(path, version)
+    if not os.path.exists(mf):
+        raise FileNotFoundError(
+            f"arrowipc snapshot version {version} not found under {path} "
+            f"(have: {_manifest_versions(path)})")
+    with open(mf) as f:
+        doc = json.load(f)
+    return sorted(os.path.join(path, rel) for rel in doc["files"])
+
+
+def _write_manifest(path: str, new_files: list[str], replace: bool) -> int:
+    """Publish the next snapshot version: previous visible set ∪ new files
+    (or just the new files when ``replace``).  The manifest lands via
+    tmp + atomic rename; O_EXCL on the final name detects a concurrent
+    committer, in which case the union is recomputed against the winner
+    (single-writer is the documented mode; this keeps a race non-silent)."""
+    rels = sorted(os.path.relpath(p, path) for p in new_files)
+    while True:
+        versions = _manifest_versions(path)
+        prev = versions[-1] if versions else 0
+        files = set(rels)
+        if not replace and versions:
+            files |= {os.path.relpath(p, path)
+                      for p in _read_manifest(path, prev)}
+        target = _manifest_file(path, prev + 1)
+        tmp = target + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": prev + 1, "files": sorted(files)}, f)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race — recompute against the new latest
+        os.close(fd)
+        os.replace(tmp, target)
+        return prev + 1
+
 #: Columns types we collect min/max stats for (orderable primitives).
 _STATS_TYPES = (
     pa.types.is_integer,
@@ -364,7 +432,20 @@ class ArrowIPCReader(DataSourceReader):
             self._columns = [c.strip() for c in cols.split(",")]
         self._merge = options.get(
             "mergeschema", options.get("mergeSchema", "false")).lower() == "true"
+        self._version = options.get("version")
+        self._snapshots = str(options.get("snapshots", "false")).lower() == "true"
         self._filters: list[Filter] = []
+
+    def _visible_files(self) -> List[str]:
+        """The file set this read may see: a pinned manifest version, the
+        latest snapshot, or (default) the live directory listing."""
+        if self._version is not None:
+            return _read_manifest(self._path, int(self._version))
+        if self._snapshots:
+            versions = _manifest_versions(self._path)
+            if versions:
+                return _read_manifest(self._path, versions[-1])
+        return _list_ipc_files(self._path)
 
     # -- optimizer hooks ----------------------------------------------------
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
@@ -392,7 +473,7 @@ class ArrowIPCReader(DataSourceReader):
         parts: list[ArrowIPCPartition] = []
         split = max(1, int(self._options.get(
             "batchesPerSplit", self.BATCHES_PER_SPLIT)))
-        files = _list_ipc_files(self._path)
+        files = self._visible_files()
         schema_ser = None
         if self._merge:
             target = _union_schema(files)
@@ -559,6 +640,8 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         part_cols = options.get("partitionby", options.get("partitionBy"))
         self._partition_cols = (
             [c.strip() for c in part_cols.split(",")] if part_cols else [])
+        self._snapshots = str(options.get("snapshots", "false")).lower() == "true"
+        self._overwrite = overwrite
 
     def _encode_dictionaries(self, batch: pa.RecordBatch) -> pa.RecordBatch:
         if not self._dict_cols:
@@ -653,7 +736,15 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         return merged
 
     def commit(self, messages, *args, **kwargs):
-        # Files were atomically renamed per-task; nothing global to do.
+        # Files were atomically renamed per-task.  With snapshots on, the
+        # commit additionally publishes the next manifest version making
+        # this write's files (plus, for appends, the previous snapshot's)
+        # the visible set — the only global step, one small JSON.
+        if self._snapshots:
+            new = sorted(
+                p for m in messages or []
+                for p in ((getattr(m, "final_paths", None) or []) if m else []))
+            _write_manifest(self._path, new, replace=self._overwrite)
         return None
 
     def abort(self, messages, *args, **kwargs) -> None:
@@ -787,8 +878,12 @@ class ArrowIPCDataSource(DataSource):
     pruning covers range predicates on them too), ``columns`` (comma
     list; read-side projection), ``mergeSchema`` (true → read the union
     of all files' columns, null-filling files that lack one — schema
-    evolution), and ``batchesPerSplit`` (batch read parallelism),
-    ``path``.
+    evolution), ``batchesPerSplit`` (batch read parallelism),
+    ``snapshots`` (true on write → each commit publishes a
+    ``_manifest-N.json`` snapshot version; true on read → read the latest
+    snapshot instead of the live listing), ``version`` (read — time-travel
+    to snapshot N; snapshot reads also give snapshot isolation against
+    concurrent appenders), and ``path``.
     Directory maintenance (small-file compaction) lives in
     ``sources.maintenance.compact_arrowipc``.
     """

@@ -459,3 +459,66 @@ def test_merge_schema_union_with_null_fill(spark):
     assert pruned.columns == ["id", "score"]
     assert {tuple(r) for r in pruned.collect()} == {(1, None), (2, None), (3, 9.5)}
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_snapshot_versions_isolate_and_accumulate(spark):
+    """snapshots=true: each commit publishes a manifest version; version-1
+    reads exclude later appends, latest-snapshot reads include them, and a
+    plain (listing-based) read still sees everything — back-compat."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    first = nat.filter(F.col("n_regionkey") <= 1)
+    second = nat.filter(F.col("n_regionkey") > 1)
+    for df in (first, second):
+        (df.write.format("arrowipc").option("snapshots", "true")
+           .mode("append").save(out))
+
+    v1 = (spark.read.format("arrowipc").option("version", "1").load(out))
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(out))
+    plain = spark.read.format("arrowipc").load(out)
+    assert v1.count() == first.count()
+    assert latest.count() == nat.count()
+    assert plain.count() == nat.count()
+    assert sorted(r.n_nationkey for r in v1.collect()) == \
+        sorted(r.n_nationkey for r in first.collect())
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_snapshot_overwrite_replaces_visible_set_but_keeps_history(spark):
+    """mode('overwrite') with snapshots: the new manifest lists only the
+    new files, while earlier versions stay readable (time travel)."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    (nat.write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                       # v1: all nations
+    replacement = nat.filter(F.col("n_regionkey") == 0)
+    (replacement.write.format("arrowipc").option("snapshots", "true")
+        .mode("overwrite").save(out))                    # v2: replacement only
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(out))
+    v1 = spark.read.format("arrowipc").option("version", "1").load(out)
+    assert latest.count() == replacement.count()
+    assert v1.count() == nat.count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_snapshot_read_ignores_uncommitted_listing_noise(spark):
+    """A snapshot read plans only from the manifest: a part file that
+    appears in the directory without a manifest entry (an in-flight or
+    failed-commit writer) is invisible until a commit publishes it."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    (nat.write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))
+    # simulate a concurrent appender that has renamed its file but not
+    # yet committed a manifest: plain listing sees it, snapshots don't
+    nat.limit(3).write.format("arrowipc").mode("append").save(out)
+
+    snap = (spark.read.format("arrowipc")
+            .option("snapshots", "true").load(out))
+    plain = spark.read.format("arrowipc").load(out)
+    assert snap.count() == nat.count()
+    assert plain.count() == nat.count() + 3
+    shutil.rmtree(out, ignore_errors=True)
