@@ -176,3 +176,19 @@ def test_bloom_runtime_filter_injects_at_scale_conditions(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "might_contain" in plan and "bloom_filter_agg" in plan
+
+
+def test_weighted_sample_is_distributed_topk(spark):
+    """q_sample_weighted must compile to TakeOrderedAndProject (per-partition
+    heaps, k rows to the driver) with NO shuffle of the corpus — the plan a
+    weighted sample needs to survive 100 TB."""
+    plan = _plan(QUERIES["q_sample_weighted"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_pack_chunks_single_bucket_shuffle(spark):
+    """q_pack_chunks: the per-shard window and the chunk aggregation share
+    the bucket hash partitioning — exactly one Exchange end-to-end."""
+    plan = _plan(QUERIES["q_pack_chunks"](spark, SF))
+    assert plan.count("Exchange") == 1
