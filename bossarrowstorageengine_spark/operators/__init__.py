@@ -12,6 +12,7 @@ _MODULES = [
     "aggregates",
     "event_time",
     "filters",
+    "graph",
     "joins",
     "llm_pipeline",
     "multimodal",
