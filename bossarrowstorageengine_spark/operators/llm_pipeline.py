@@ -75,15 +75,19 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_array(n: int = 3):
-    """Column expression: distinct word 3-gram shingles of ``text`` as an
-    array (no explode — stays map-side).
+def _shingle_array(n: int = 3, distinct: bool = True):
+    """Column expression: word 3-gram shingles of ``text`` as an array (no
+    explode — stays map-side).
 
     Built from two ``zip_with`` passes over shifted token arrays (3 array
     copies per doc) instead of a per-position ``slice`` (which copies the
     token array once per shingle — ~1.8× slower measured at sf0.1).
     ``zip_with`` pads the shorter side with null; the trailing partial
     shingles are dropped by the null filter.
+
+    ``distinct=False`` skips the per-doc ``array_distinct`` — correct for
+    consumers whose aggregate is duplicate-idempotent (minhash ``min``),
+    ~25% faster at sf0.1.
     """
     toks = F.split(F.col("text"), " ")
     t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
@@ -92,12 +96,14 @@ def _shingle_array(n: int = 3):
     sh = F.zip_with(s12, t3,
                     lambda ab, c: F.when(c.isNotNull(), F.concat_ws(" ", ab, c)))
     sh = F.filter(sh, lambda x: x.isNotNull())
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word 3-gram shingles per doc: doc_id → exploded distinct shingle."""
-    return df.select("doc_id", F.explode(_shingle_array(n)).alias("shingle"))
+def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word 3-gram shingles per doc: doc_id → exploded shingle (distinct
+    per doc unless the consumer is duplicate-idempotent)."""
+    return df.select(
+        "doc_id", F.explode(_shingle_array(n, distinct)).alias("shingle"))
 
 
 #: Max document frequency a shingle may have and still enter the inverted-
@@ -341,7 +347,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = _shingles(d, 3)
+    # min() is idempotent over duplicate shingles, so skip per-doc
+    # array_distinct (the oracle's DISTINCT is likewise harmless).
+    sh = _shingles(d, 3, distinct=False)
     # ONE md5 per (doc, shingle); 16 permutations as 16 parallel affine
     # min-aggregates over a single pass of the exploded shingle set.  The
     # shuffle carries one row per doc with 16 longs (map-side partial
