@@ -1,0 +1,556 @@
+"""Corpus-curation analytics (SURVEY.md §2.B10/B12 extensions): vocabulary
+building, collocation (PMI) mining, length-decile profiling, group-skew
+profiling, salted two-stage aggregation, blocked record linkage, shard
+assignment, and a multi-gate quality funnel.
+
+These are the reporting/diagnostic passes a 100 TB training-data pipeline
+runs between ingestion and shard writing.  Determinism discipline matches
+the rest of the surface: every pseudo-random choice is md5 arithmetic, every
+float emitted is the result of a single IEEE operation (or rounded), every
+order-sensitive output carries a total tiebreak — so each query has an EXACT
+DuckDB oracle.
+
+Scale design notes (the per-query docstrings elaborate):
+- Vocabulary / collocation counts are classic map-side-combine aggregations:
+  the shuffle carries one row per distinct term, never per token.
+- The decile profile computes a scalable global rank (per-value window +
+  broadcast cumulative-offset table) instead of a single-partition
+  ``row_number over (ORDER BY ...)`` — the oracle uses the naive form, the
+  engine the scalable one; outputs are identical.
+- Skew profiling and salting are the diagnose/fix pair for hot keys: the
+  profile's log2 histogram of group sizes is what tells you salting is
+  needed, and the salted aggregate demonstrates the two-stage pattern.
+- Record linkage is *blocked* (bounded block key), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.operators.registry import query
+from bossarrowstorageengine_spark.plans.hints import fan_out
+
+#: Portable 60-bit uniform hash (see training_data._H60).
+_H60 = "CAST(conv(substring(md5(CAST({c} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_H60_DUCK = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word,
+           CAST(count(*) AS BIGINT)               AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM w
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 corpus terms by occurrence count, with
+    document frequency — the first pass of every tokenizer-training /
+    stopword-derivation job.
+
+    Scale: token explosion is map-side; the groupBy(word) aggregation
+    partial-aggregates before the shuffle, so the exchange carries one row
+    per distinct term per task (vocabulary-sized, not corpus-sized), and
+    the final top-k is TakeOrderedAndProject (per-partition heaps, k rows
+    to the driver).
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(50)
+    )
+
+
+@query(
+    "q_colloc_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+        SELECT unnest(toks) AS word FROM t
+    ), ucnt AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY word
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni
+    ), big AS (
+        SELECT toks[i + 1] AS a, toks[i + 2] AS b
+        FROM t, unnest(range(len(toks) - 1)) AS u(i)
+    ), bcnt AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM big GROUP BY a, b HAVING count(*) >= 5
+    )
+    SELECT bc.a, bc.b, bc.n_ab,
+           CAST(bc.n_ab * n.n_total AS DOUBLE)
+               / CAST(ua.n_w * ub.n_w AS DOUBLE) AS lift
+    FROM bcnt bc
+    JOIN ucnt ua ON bc.a = ua.word
+    JOIN ucnt ub ON bc.b = ub.word
+    CROSS JOIN n
+    ORDER BY lift DESC, a, b
+    LIMIT 20
+    """,
+)
+def q_colloc_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by PMI lift — phrase discovery
+    for tokenizer merges and boilerplate phrase detection.
+
+    The score is the PMI *lift* ``P(ab) / (P(a)·P(b))`` left unlogged:
+    both integer products stay below 2^53, so the single double division
+    is the only float op and is IEEE-identical in both engines (taking
+    ``ln`` would hit libm differences).
+
+    Scale: unigram and bigram counts are map-side-combined aggregations
+    (shuffle = distinct-term-sized); the unigram table joins back twice —
+    vocabulary-sized, so broadcastable at any corpus scale; final top-k is
+    TakeOrderedAndProject.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2)
+    uni = t.select(F.explode("toks").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    n_total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    big = t.select(F.explode(F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> struct(toks[i] AS a, toks[i + 1] AS b))")).alias("p")
+    ).select("p.a", "p.b")
+    bcnt = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    return (
+        bcnt.join(F.broadcast(ucnt.withColumnRenamed("n_w", "n_a")),
+                  bcnt.a == ucnt.word)
+        .drop("word")
+        .join(F.broadcast(ucnt.withColumnRenamed("n_w", "n_b")),
+              bcnt.b == ucnt.word)
+        .drop("word")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "a", "b", "n_ab",
+            (F.expr("CAST(n_ab * n_total AS DOUBLE)")
+             / F.expr("CAST(n_a * n_b AS DOUBLE)")).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "q_length_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+               count(*) OVER ()                             AS n
+        FROM documents
+    )
+    SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT)                AS n_docs,
+           CAST(min(n_chars) AS BIGINT)            AS min_chars,
+           CAST(max(n_chars) AS BIGINT)            AS max_chars,
+           CAST(sum(n_chars) AS BIGINT)            AS sum_chars
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile profile of the corpus: exact equal-frequency bins of
+    ``n_chars`` with per-bin count/min/max/sum — the distribution audit
+    behind length-filter thresholds and packing-efficiency estimates.
+
+    Decile of a row = ``(rank - 1) * 10 div N + 1`` over the total order
+    ``(n_chars, doc_id)`` — an explicit formula used on BOTH sides (NTILE's
+    front-loaded remainder rule would also work, but the formula makes the
+    semantics engine-independent).
+
+    Scale: the oracle uses a naive global ``row_number`` (fine for DuckDB);
+    the Spark plan computes the same rank scalably — ``row_number`` is
+    partitioned BY VALUE (parallel), and each value's global offset comes
+    from a value-cardinality-sized cumulative table joined by broadcast.
+    No single-partition window touches the corpus.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    rows = d.select("doc_id", "n_chars")
+    # Per-value counts -> cumulative offset of each distinct n_chars value.
+    # This table is value-cardinality-sized; its window is cheap and the
+    # result broadcasts.
+    offsets = (
+        rows.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("n_chars")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)),
+        )
+        .select("n_chars", "base")
+    )
+    n_total = rows.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        rows.join(F.broadcast(offsets), "n_chars")
+        .withColumn(
+            "rnk",
+            F.col("base") + F.row_number().over(
+                Window.partitionBy("n_chars").orderBy("doc_id")),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    return (
+        ranked.groupBy(
+            F.expr("CAST((rnk - 1) * 10 div n + 1 AS BIGINT)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH sizes AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS grp_size
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(len(to_base(grp_size, 2)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT)                      AS n_groups,
+           CAST(sum(grp_size) AS BIGINT)                 AS sum_rows,
+           CAST(max(grp_size) AS BIGINT)                 AS max_size
+    FROM sizes
+    GROUP BY 1
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile: histogram of per-key group sizes in log2 buckets
+    (bucket = floor(log2(size)) via binary-digit count — pure integer
+    arithmetic, no float log).  This is the diagnostic you run BEFORE a
+    big join/agg: a long tail in high buckets says "salt this key" (the
+    fix is ``q_agg_salted``) or "enable AQE skew join".
+
+    Scale: two bounded aggregations — sizes are one map-side-combined
+    groupBy(key); the histogram groups the *group-size table* (one row per
+    key) into ~40 buckets.  Nothing is corpus-sized after the first
+    combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sizes = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("grp_size"))
+    return (
+        sizes.groupBy(
+            (F.length(F.bin("grp_size")) - 1).cast("long").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("grp_size").cast("long").alias("sum_rows"),
+            F.max("grp_size").cast("long").alias("max_size"),
+        )
+    )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                           AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                                              AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation of a low-cardinality hot key: stage 1
+    groups by (event_type, salt) — 16 partial rows per type spread across
+    the cluster — stage 2 merges the partials per type.  The standard fix
+    when a handful of group keys would otherwise serialize into a handful
+    of reducers (the condition ``q_skew_profile`` detects).
+
+    The measure is integer cents (``round(value·100)``) so the two-level
+    re-association cannot produce float-order drift; the oracle is the
+    plain one-stage GROUP BY — same answer by associativity.
+
+    Scale: both shuffles are tiny (16·|types| then |types| rows); the heavy
+    lifting is map-side partial aggregation, now balanced across 16× more
+    reducers than naive grouping would use.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salted = e.select(
+        "event_type",
+        (F.expr(_H60.format(c="event_id")) % 16).alias("salt"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("cents").alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("psum").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "q_record_linkage",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_name, substr(c_name, 1, 16) AS block
+        FROM customer
+    ), sizes AS (
+        SELECT block, CAST(count(*) AS BIGINT) AS block_size
+        FROM c GROUP BY block
+    ), matches AS (
+        SELECT a.block, CAST(count(*) AS BIGINT) AS n_matches
+        FROM c a JOIN c b
+          ON a.block = b.block AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        GROUP BY a.block
+    )
+    SELECT s.block,
+           s.block_size,
+           s.block_size * (s.block_size - 1) // 2 AS n_pairs_checked,
+           COALESCE(m.n_matches, 0)               AS n_matches
+    FROM sizes s LEFT JOIN matches m ON s.block = m.block
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage: near-duplicate customer names (edit distance
+    ≤ 1) found by comparing only within 16-char-prefix blocks — the entity
+    -resolution primitive (same shape as Splink/dedupe blocking).
+
+    Scale: the self-join key is the block, so comparisons are O(Σ b_i²)
+    with b_i bounded by the blocking key's selectivity — never all-pairs
+    across the corpus.  In production you'd cap or sub-block oversized
+    blocks exactly like the shingle DF cap in q_dedup_ngram_jaccard; the
+    per-block ``n_pairs_checked`` output is the audit for that.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name",
+                F.substring("c_name", 1, 16).alias("block"))
+    )
+    sizes = c.groupBy("block").agg(F.count(F.lit(1)).alias("block_size"))
+    a, b = c.alias("a"), c.alias("b")
+    matches = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .groupBy(F.col("a.block").alias("block"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        sizes.join(matches, "block", "left")
+        .select(
+            "block",
+            F.col("block_size").cast("long").alias("block_size"),
+            F.expr("block_size * (block_size - 1) div 2")
+            .alias("n_pairs_checked"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+@query(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_H60_DUCK.format(c="doc_id")} % 64 AS shard,
+               n_chars
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT)        AS shard,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment: route every document to one of 64
+    output shards by content-stable hash and report per-shard row/byte
+    load — the balance audit run before writing training shards (the
+    writer itself is ``q_pack_chunks``; this is its planning face).
+
+    Scale: pure map + 64-key aggregation; the per-shard totals expose
+    imbalance before any expensive write.  Hash routing keeps assignment
+    stable under corpus growth (append-only reshard).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (F.expr(_H60.format(c="doc_id")) % 64).cast("long").alias("shard"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "q_quality_gate",
+    oracle="""
+    WITH t AS (
+        SELECT n_chars,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT n_chars BETWEEN 50 AND 400                        AS g_len,
+               CAST(n_chars - (len(toks) - 1) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) BETWEEN 2 AND 8   AS g_wordlen,
+               CAST(len(list_filter(toks,
+                        x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) <= 0.5            AS g_stop
+        FROM t
+    )
+    SELECT gate, n_pass, n_fail FROM (
+        SELECT 'length' AS gate,
+               CAST(count(*) FILTER (WHERE g_len) AS BIGINT)     AS n_pass,
+               CAST(count(*) FILTER (WHERE NOT g_len) AS BIGINT) AS n_fail
+        FROM g
+        UNION ALL
+        SELECT 'word_len',
+               CAST(count(*) FILTER (WHERE g_wordlen) AS BIGINT),
+               CAST(count(*) FILTER (WHERE NOT g_wordlen) AS BIGINT)
+        FROM g
+        UNION ALL
+        SELECT 'stopword_ratio',
+               CAST(count(*) FILTER (WHERE g_stop) AS BIGINT),
+               CAST(count(*) FILTER (WHERE NOT g_stop) AS BIGINT)
+        FROM g
+        UNION ALL
+        SELECT 'all',
+               CAST(count(*) FILTER (WHERE g_len AND g_wordlen AND g_stop)
+                    AS BIGINT),
+               CAST(count(*) FILTER (WHERE NOT (g_len AND g_wordlen AND g_stop))
+                    AS BIGINT)
+        FROM g
+    )
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quality funnel: per-gate pass/fail counts for a stack of
+    document filters (length window, mean word length, stopword ratio,
+    and their conjunction) — the report a filtering pipeline publishes so
+    you can see which gate is responsible for the rejections.
+
+    Mean word length is derived exactly from ``n_chars`` and the token
+    count (chars minus separators over tokens); ratios are single double
+    divisions, IEEE-identical in both engines.
+
+    Scale: ONE pass over the corpus — per-doc booleans explode into
+    (gate, flag) pairs map-side, and a single 4-key aggregation produces
+    the funnel.  No per-gate rescans of 100 TB.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    g = d.select(
+        F.expr("n_chars BETWEEN 50 AND 400").alias("g_len"),
+        F.expr(
+            "CAST(n_chars - (size(split(text, ' ')) - 1) AS DOUBLE)"
+            " / CAST(size(split(text, ' ')) AS DOUBLE) BETWEEN 2 AND 8"
+        ).alias("g_wordlen"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '),"
+            " x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)"
+            " / CAST(size(split(text, ' ')) AS DOUBLE) <= 0.5"
+        ).alias("g_stop"),
+    )
+    gates = g.select(F.explode(F.expr(
+        "array(struct('length' AS gate, g_len AS ok),"
+        " struct('word_len' AS gate, g_wordlen AS ok),"
+        " struct('stopword_ratio' AS gate, g_stop AS ok),"
+        " struct('all' AS gate, g_len AND g_wordlen AND g_stop AS ok))")
+    ).alias("x")
+    ).select("x.gate", "x.ok")
+    return (
+        gates.groupBy("gate")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long")
+            .alias("n_pass"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long")
+            .alias("n_fail"),
+        )
+    )
+
+
+@query(
+    "q_outlier_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)    AS n,
+               CAST(sum(cents) AS BIGINT)  AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           round(CAST(s.n * c.cents - s.s1 AS DOUBLE)
+                 / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)), 6) AS z
+    FROM c JOIN stats s ON c.event_type = s.event_type
+    ORDER BY abs(CAST(s.n * c.cents - s.s1 AS DOUBLE)
+                 / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))) DESC,
+             c.event_id
+    LIMIT 20
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-outlier detection: top-20 events by |z-score| within their
+    event type — the numeric-anomaly gate of a curation pipeline (drop or
+    quarantine records whose measures are implausible for their class).
+
+    Determinism: the measure is integer cents, so per-type count/sum/
+    sum-of-squares are exact integers, and
+    ``z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²)`` (the algebraic form of
+    (x−μ)/σ_pop scaled through by n) uses exactly three IEEE float ops —
+    both engines produce bit-identical z.
+
+    Scale: one map-side-combined aggregation builds the per-type stats
+    table (|types| rows — broadcast), one map computes z, and the top-k is
+    TakeOrderedAndProject.  The corpus is scanned once and never shuffled.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.expr("cents * cents")).alias("s2"),
+    )
+    z = F.expr(
+        "CAST(n * cents - s1 AS DOUBLE)"
+        " / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))")
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "cents", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+        .select("event_id", "event_type", "cents", F.round("z", 6).alias("z"))
+    )

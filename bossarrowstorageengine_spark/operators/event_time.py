@@ -12,7 +12,7 @@ exactly how the same plan holds on an unbounded 100 TB stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bossarrowstorageengine_spark.catalog import load_table
@@ -526,4 +526,83 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             off.cast("long").alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                         OR lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    )
+    SELECT CAST(user_id AS BIGINT)            AS user_id,
+           CAST(session_seq AS BIGINT)        AS session_seq,
+           CAST(count(*) AS BIGINT)           AS n_events,
+           CAST(min(ts_us) // 1000 AS BIGINT) AS start_ms,
+           CAST((max(ts_us) - min(ts_us)) // 1000 AS BIGINT) AS duration_ms
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per user, a new session
+    starts when the gap to the previous event exceeds 30 minutes; emits one
+    row per session with its ordinal, event count, start, and duration.
+    The per-session face of ``q_stream_session`` (which rolls sessions up
+    per user via ``session_window``), built on the classic running-sum-of-
+    boundary-markers pattern that also powers funnels and CDC ordering.
+
+    Timestamps are compared as integer epoch-µs on both engines, so the
+    boundary predicate (strict ``>`` — gap-equal events merge) is exact.
+
+    Scale: both windows partition by user_id — one shuffle, then fully
+    parallel per-key linear scans; the session rollup re-uses the same
+    partitioning (no second exchange of the corpus).  No global order
+    exists anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ts_us = F.unix_micros("ts")
+    marked = ev.select(
+        "user_id", "event_id", ts_us.alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_seq").cast("long").alias("session_seq"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("min(ts_us) div 1000").alias("start_ms"),
+            F.expr("(max(ts_us) - min(ts_us)) div 1000").alias("duration_ms"),
+        )
     )

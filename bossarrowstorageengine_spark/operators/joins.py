@@ -448,3 +448,41 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)  AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity >= 30
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with an explicit SHUFFLE_HASH hint: when neither side
+    broadcasts but one side's per-partition share fits in memory, a hash
+    join skips BOTH sort passes a sort-merge join would pay — on a 100 TB
+    fact⋈fact shuffle those sorts (and their spills) dominate the stage.
+
+    The hint pins the physical strategy so the benchmarked shape is the
+    at-scale choice regardless of AQE's size estimates at toy SF;
+    tests/test_plans.py locks ``ShuffledHashJoin`` into the plan.  Join
+    semantics (and the oracle) are unchanged — this query is the planner-
+    control face of the join family, like ``q_join_bloom`` for runtime
+    filters.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -330,6 +330,20 @@ def _dedup_near_oracle(n_perm: int = 16) -> str:
     """
 
 
+def _minhash_table(d: DataFrame, n_perm: int = 16) -> DataFrame:
+    """doc_id → n_perm minhash columns ``h0..h{n-1}`` over word-3-gram
+    shingles (md5 base hash, affine permutations — see ``q_dedup_near``)."""
+    sh = _shingles(d, 3, distinct=False)
+    h0 = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % _MINHASH_P
+    )
+    return sh.select("doc_id", h0.alias("h0x")).groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h0x") + F.lit(b)) % _MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs(n_perm))
+    ])
+
+
 @query("q_dedup_near", oracle=_dedup_near_oracle())
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
@@ -347,21 +361,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    # min() is idempotent over duplicate shingles, so skip per-doc
-    # array_distinct (the oracle's DISTINCT is likewise harmless).
-    sh = _shingles(d, 3, distinct=False)
-    # ONE md5 per (doc, shingle); 16 permutations as 16 parallel affine
-    # min-aggregates over a single pass of the exploded shingle set.  The
-    # shuffle carries one row per doc with 16 longs (map-side partial
-    # aggregation), which is what survives a 100 TB corpus.
-    h0 = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("long") % _MINHASH_P
-    )
-    mh = sh.select("doc_id", h0.alias("h0")).groupBy("doc_id").agg(*[
-        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MINHASH_P).alias(f"h{j}")
-        for j, (a, b) in enumerate(_minhash_coeffs(n_perm))
-    ])
+    # ONE md5 per (doc, shingle) — min() is idempotent over duplicate
+    # shingles so per-doc array_distinct is skipped; 16 permutations are 16
+    # parallel affine min-aggregates over a single pass of the exploded
+    # shingle set.  The shuffle carries one row per doc with 16 longs
+    # (map-side partial aggregation), which is what survives a 100 TB
+    # corpus.
+    mh = _minhash_table(d, n_perm)
     # band signature = md5 over the band's minhashes, prefixed with the band
     # index so signatures never collide across bands.  Explode to long form
     # (doc_id, sig) and self-join ONCE on sig — one shuffle over the band
@@ -1082,5 +1088,114 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _minhash_accuracy_oracle(n_perm: int = 16) -> str:
+    perms = ", ".join(
+        f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_minhash_coeffs(n_perm))
+    )
+    bands = ", ".join(
+        "md5(concat_ws(',', {b}, {hs})) AS sig{b}".format(
+            b=b, hs=", ".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(n_perm // 4)
+    )
+    sig_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig{b} AS sig FROM bands" for b in range(n_perm // 4))
+    est = " + ".join(
+        f"CASE WHEN ma.h{j} = mb.h{j} THEN 1 ELSE 0 END"
+        for j in range(n_perm))
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), h0s AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {_MINHASH_P} AS h0
+        FROM sh
+    ), mh AS (
+        SELECT doc_id, {perms} FROM h0s GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, {bands} FROM mh
+    ), sigs AS ({sig_union}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    ), lists AS (
+        SELECT doc_id, list(shingle) AS ls FROM sh GROUP BY doc_id
+    )
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+           CAST({est} AS BIGINT)   AS est_matches,
+           CAST(len(list_intersect(la.ls, lb.ls)) AS BIGINT) AS n_common,
+           CAST(len(la.ls) + len(lb.ls) - len(list_intersect(la.ls, lb.ls))
+                AS BIGINT)         AS n_union,
+           CAST({est} AS DOUBLE) / {n_perm} AS est_jaccard,
+           CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
+               / CAST(len(la.ls) + len(lb.ls) - len(list_intersect(la.ls, lb.ls))
+                      AS DOUBLE)   AS exact_jaccard,
+           round(abs(CAST({est} AS DOUBLE) / {n_perm}
+                     - CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
+                       / CAST(len(la.ls) + len(lb.ls)
+                              - len(list_intersect(la.ls, lb.ls)) AS DOUBLE)), 6)
+               AS abs_err
+    FROM pairs p
+    JOIN mh ma    ON ma.doc_id = p.doc_a
+    JOIN mh mb    ON mb.doc_id = p.doc_b
+    JOIN lists la ON la.doc_id = p.doc_a
+    JOIN lists lb ON lb.doc_id = p.doc_b
+    """
+
+
+@query("q_minhash_accuracy", oracle=_minhash_accuracy_oracle())
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair from
+    ``q_dedup_near``, the 16-permutation minhash Jaccard ESTIMATE next to
+    the EXACT shingle-set Jaccard and their absolute error — the report
+    that justifies (or vetoes) a sketch size before a 100 TB dedup run.
+
+    Estimate = matching permutations / 16 (integer agreement count);
+    exact = |A∩B| / |A∪B| over distinct shingle arrays.  Both are single
+    IEEE divisions over integers, so the audit itself is EXACT-checkable.
+
+    Scale: the candidate set is LSH-bounded (never all-pairs); the exact
+    side joins the per-doc distinct-shingle arrays only for those
+    candidates and intersects per pair — linear in candidates × doc
+    length.  The minhash table is the same one bucketing already built.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_perm = 16
+    pairs = q_dedup_near(spark, sf_dir)
+    mh = _minhash_table(d, n_perm)
+    lists = d.select(
+        "doc_id", F.array_distinct(_shingle_array(3)).alias("ls"))
+    est = sum(
+        F.when(F.col(f"ma.h{j}") == F.col(f"mb.h{j}"), 1).otherwise(0)
+        for j in range(n_perm)
+    ).cast("long")
+    n_common = F.size(F.array_intersect(F.col("la.ls"), F.col("lb.ls")))
+    n_union = (F.size(F.col("la.ls")) + F.size(F.col("lb.ls")) - n_common)
+    est_j = est.cast("double") / n_perm
+    exact_j = n_common.cast("double") / n_union.cast("double")
+    return (
+        pairs
+        .join(mh.alias("ma"), F.col("ma.doc_id") == pairs.doc_a)
+        .join(mh.alias("mb"), F.col("mb.doc_id") == pairs.doc_b)
+        .join(lists.alias("la"), F.col("la.doc_id") == pairs.doc_a)
+        .join(lists.alias("lb"), F.col("lb.doc_id") == pairs.doc_b)
+        .select(
+            pairs.doc_a.cast("long").alias("doc_a"),
+            pairs.doc_b.cast("long").alias("doc_b"),
+            est.alias("est_matches"),
+            n_common.cast("long").alias("n_common"),
+            n_union.cast("long").alias("n_union"),
+            est_j.alias("est_jaccard"),
+            exact_j.alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact_j), 6).alias("abs_err"),
         )
     )

@@ -1,0 +1,155 @@
+"""Semantic + plan-shape tests for the corpus-curation family
+(operators/curation.py): vocabulary, collocations, deciles, skew profile,
+salted aggregation, record linkage, shard routing, quality funnel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_topk_descends_and_uses_topk_plan(spark):
+    df = QUERIES["q_vocab_topk"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.doc_freq <= r.n_occurrences for r in rows)
+
+
+def test_colloc_pmi_lift_descends_and_min_support(spark):
+    rows = QUERIES["q_colloc_pmi"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert all(r.n_ab >= 5 for r in rows)
+
+
+def test_length_deciles_partition_corpus_evenly(spark):
+    rows = QUERIES["q_length_deciles"](spark, SF).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equal-frequency bins
+    by_decile = sorted(rows, key=lambda r: r.decile)
+    for lo, hi in zip(by_decile, by_decile[1:]):
+        assert lo.max_chars <= hi.min_chars  # bins are value-ordered
+
+
+def test_length_deciles_corpus_window_is_partitioned(spark):
+    # The corpus-side row_number must partition by n_chars (parallel); only
+    # the tiny per-value offset table may see a single-partition window.
+    plan = _plan(QUERIES["q_length_deciles"](spark, SF))
+    assert plan.count("Window [") == 2  # offsets window + per-value window
+    row_number_window = next(
+        ln for ln in plan.splitlines() if "row_number()" in ln)
+    # partition spec "[n_chars#..]" present => the corpus window is keyed,
+    # not a single global partition
+    assert ", [n_chars#" in row_number_window
+
+
+def test_skew_profile_accounts_for_every_row(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    total = e.count()
+    rows = QUERIES["q_skew_profile"](spark, SF).collect()
+    assert sum(r.sum_rows for r in rows) == total
+    for r in rows:
+        assert 2 ** r.log2_bucket <= r.max_size < 2 ** (r.log2_bucket + 1)
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    got = {
+        r.event_type: (r.n_events, r.sum_cents)
+        for r in QUERIES["q_agg_salted"](spark, SF).collect()
+    }
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        r.event_type: (r.n, r.c)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_record_linkage_pair_counts_are_block_bounded(spark):
+    rows = QUERIES["q_record_linkage"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs_checked == r.block_size * (r.block_size - 1) // 2
+        assert 0 <= r.n_matches <= r.n_pairs_checked
+
+
+def test_shard_assignment_covers_corpus(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = QUERIES["q_shard_assignment"](spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert all(0 <= r.shard < 64 for r in rows)
+
+
+def test_quality_gate_funnel_is_consistent(spark):
+    rows = {r.gate: r for r in QUERIES["q_quality_gate"](spark, SF).collect()}
+    assert set(rows) == {"length", "word_len", "stopword_ratio", "all"}
+    n = rows["length"].n_pass + rows["length"].n_fail
+    for r in rows.values():
+        assert r.n_pass + r.n_fail == n
+    # conjunction can't pass more than any single gate
+    assert rows["all"].n_pass <= min(
+        rows["length"].n_pass,
+        rows["word_len"].n_pass,
+        rows["stopword_ratio"].n_pass,
+    )
+
+
+def test_sessionize_sessions_are_ordered_islands(spark):
+    rows = QUERIES["q_sessionize"](spark, SF).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == total
+    for sess in by_user.values():
+        seqs = sorted(s.session_seq for s in sess)
+        assert seqs == list(range(1, len(seqs) + 1))  # dense ordinals
+        by_seq = sorted(sess, key=lambda s: s.session_seq)
+        for cur, nxt in zip(by_seq, by_seq[1:]):
+            # next session starts > 30 min after this one began
+            assert nxt.start_ms > cur.start_ms + cur.duration_ms
+
+
+def test_outlier_zscore_descends_in_magnitude(spark):
+    rows = QUERIES["q_outlier_zscore"](spark, SF).collect()
+    assert len(rows) == 20
+    mags = [abs(r.z) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_shuffle_hash_hint_pins_hash_join(spark):
+    plan = _plan(QUERIES["q_join_shuffle_hash"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    rows = QUERIES["q_minhash_accuracy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_matches <= 16
+        assert 0 < r.n_common <= r.n_union
+        assert abs(r.est_jaccard - r.est_matches / 16) < 1e-12
+        assert abs(r.exact_jaccard - r.n_common / r.n_union) < 1e-12
+    # the sketch should be informative on average: mean abs error well
+    # below a coin flip
+    assert sum(r.abs_err for r in rows) / len(rows) < 0.35
