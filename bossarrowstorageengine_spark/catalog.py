@@ -30,18 +30,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Catalyst handles predicate pushdown,
     column pruning and (for partitioned layouts) partition pruning.
 
-    ``events.ts`` is parquet ``timestamp[ns]`` — an illegal type for Spark's
-    parquet reader. With ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
-    as a long of nanoseconds; we floor-divide to µs and rebuild a timestamp,
-    which is bit-identical to DuckDB 1.0's read of the same file (DuckDB
-    returns TIMESTAMP = µs, floor-truncated — verified empirically).
+    ``events.ts`` has shipped as three different parquet physical types across
+    fixture generations, so the scan normalizes all of them to one engine type,
+    ``TIMESTAMP`` (LTZ), which every event-time operator is written against:
+
+    - ``timestamp[ns]`` — illegal for Spark's reader; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
+      nanoseconds, floor-divided to µs and rebuilt (bit-identical to DuckDB's
+      µs floor-truncated TIMESTAMP read — verified empirically).
+    - ``timestamp[us]`` without isAdjustedToUTC — Spark reads TIMESTAMP_NTZ,
+      which crashes ``unix_micros``/``unix_millis``/``session_window`` epoch
+      math downstream.  The session timezone is pinned to UTC
+      (session.ENGINE_SQL_CONF), so ``cast("timestamp")`` is an exact
+      relabeling of the same µs instant, matching DuckDB's naive read.
+    - ``timestamp[us]`` UTC-adjusted — already TIMESTAMP; passthrough.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
