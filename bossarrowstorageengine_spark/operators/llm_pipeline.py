@@ -744,80 +744,189 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf")  # ROWS-only: centroid training sums are FP-order sensitive
+#: IVF parameters: k inverted lists, nprobe lists scanned per probe, Lloyd
+#: refinement passes.  _IVF_MICRO is the fixed-point scale: embeddings are
+#: quantized to integer micro-units so every training aggregation is an
+#: integer sum — order-independent, hence bit-identical on any engine.
+_IVF_K, _IVF_NPROBE, _IVF_ITERS = 16, 2, 2
+_IVF_MICRO = 1_000_000
+
+
+def _ivf_int_vec(col: "F.Column") -> "F.Column":
+    """array<float> → array<bigint> micro-units (round half away from zero —
+    same semantics as DuckDB's round, verified)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * _IVF_MICRO, 0).cast("long"))
+
+
+def _ivf_int_dot(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Exact integer dot product (longs; |x|≤~5e6 ⇒ products ≤2.5e13,
+    64-dim sums ≤1.6e15 — far inside long range)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_cos(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Cosine from exact integer inputs: one double division + two IEEE
+    sqrts of exact integers — bit-identical across engines, so rankings
+    need no rounding epsilon."""
+    return _ivf_int_dot(a, b).cast("double") / (
+        F.sqrt(_ivf_int_dot(a, a).cast("double"))
+        * F.sqrt(_ivf_int_dot(b, b).cast("double")))
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the full IVF pipeline (seed → Lloyd×2 → lists →
+    probe → top-3).  Integer sums make every aggregate order-independent;
+    cosines are doubles computed from exact integers, so the two engines
+    rank identically without any tolerance."""
+    def dot(a: str, b: str) -> str:
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+    def cos(a: str, b: str) -> str:
+        return (f"(CAST({dot(a, b)} AS DOUBLE) / "
+                f"(sqrt(CAST({dot(a, a)} AS DOUBLE)) * "
+                f"sqrt(CAST({dot(b, b)} AS DOUBLE))))")
+
+    # One assign + recompute block per Lloyd pass.
+    blocks = []
+    for j in range(1, _IVF_ITERS + 1):
+        blocks.append(f"""
+    assign{j} AS (
+        SELECT vec_id, iemb, centroid_id FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {cos('v.iemb', 'c.cent')} DESC, c.centroid_id) AS rn
+            FROM iv v CROSS JOIN cent{j - 1} c
+        ) WHERE rn = 1
+    ), cent{j} AS (
+        SELECT centroid_id, list(m ORDER BY d) AS cent FROM (
+            SELECT centroid_id, g.d AS d,
+                   CAST(round(CAST(sum(iemb[g.d + 1]) AS DOUBLE) / count(*), 0)
+                        AS BIGINT) AS m
+            FROM assign{j} CROSS JOIN generate_series(0, 63) AS g(d)
+            GROUP BY centroid_id, g.d
+        ) GROUP BY centroid_id
+    )""")
+    return f"""
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_IVF_MICRO}, 0) AS BIGINT)) AS iemb
+        FROM embeddings
+    ), cent0 AS (
+        SELECT centroid_id, cent FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   iemb AS cent
+            FROM iv
+        ) WHERE centroid_id < {_IVF_K}
+    ),{','.join(blocks)}
+    , lists AS (
+        SELECT vec_id, iemb, centroid_id FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {cos('v.iemb', 'c.cent')} DESC, c.centroid_id) AS rn
+            FROM iv v CROSS JOIN cent{_IVF_ITERS} c
+        ) WHERE rn = 1
+    ), probe_lists AS (
+        SELECT probe_id, piemb, centroid_id FROM (
+            SELECT v.vec_id AS probe_id, v.iemb AS piemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {cos('v.iemb', 'c.cent')} DESC, c.centroid_id) AS rn
+            FROM iv v CROSS JOIN cent{_IVF_ITERS} c
+            WHERE v.vec_id IN (0, 1, 2)
+        ) WHERE rn <= {_IVF_NPROBE}
+    ), ranked AS (
+        SELECT p.probe_id, l.vec_id,
+               {cos('p.piemb', 'l.iemb')} AS cos_sim,
+               row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY {cos('p.piemb', 'l.iemb')} DESC, l.vec_id) AS rn
+        FROM probe_lists p
+        JOIN lists l ON p.centroid_id = l.centroid_id AND l.vec_id <> p.probe_id
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(vec_id  AS BIGINT) AS vec_id,
+           round(cos_sim, 6)       AS cos_sim,
+           CAST(rn AS BIGINT)      AS rn
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@query("q_ann_ivf", oracle=_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors — the trained
     counterpart to ``q_ann_lsh``'s data-independent bucketing.
 
-    Coarse quantizer: k=16 centroids seeded from the k lowest ``vec_id``
-    vectors (deterministic), refined by 2 Lloyd iterations expressed as
-    DataFrame ops (assign = broadcast-centroid cross join + window argmax;
-    recompute = posexplode → per-(centroid, dim) mean, rounded 4dp to
-    absorb FP summation-order noise).  Centroids are collected to the
-    driver between iterations — k×64 doubles, the standard k-means driver
-    loop (MLlib does the same); everything per-vector stays distributed.
+    EXACT-checkable k-means via fixed-point arithmetic (the ``q_pagerank``
+    trick): embeddings are quantized to integer micro-units, so centroid
+    training sums are order-independent integer adds and the per-dim mean
+    is one deterministic double division + round.  Cosines divide exact
+    integer dots by exact integer norms — bit-identical across engines, so
+    assignment argmax and final ranking need no tolerance.  Quantization
+    perturbs cosines by ≤~1e-5 relative — irrelevant for ANN ranking.
+
+    This also removes round 2's driver-side Lloyd ``collect()`` loop: the
+    whole pipeline (seed → assign → recompute → assign → recompute → lists
+    → probe → top-3) is one declarative DAG; centroid tables are 16-row
+    computed DataFrames that broadcast to the assignment joins.
 
     Search: every vector lands in exactly one inverted list; each probe
     scans its nprobe=2 nearest lists only, so the candidate set is
-    ~nprobe/k of the data (vs all of it for brute force).  True cosine +
-    window top-3 inside the candidates, rounded scores, id tiebreak.
+    ~nprobe/k of the data (vs all of it for brute force).
     """
-    k, nprobe, lloyd_iters = 16, 2, 2
-    e = load_table(spark, sf_dir, "embeddings")
+    iv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
 
     def nearest(vecs: DataFrame, cents: DataFrame, n: int,
-                id_cols: list[str]) -> DataFrame:
+                vec_col: str) -> DataFrame:
         scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", V.cosine(F.col("embedding"), F.col("centroid")))
-        w = Window.partitionBy(*id_cols).orderBy(
-            F.round("sim", 6).desc(), F.asc("centroid_id"))
+            "sim", _ivf_cos(F.col(vec_col), F.col("cent")))
+        w = Window.partitionBy(vecs.columns[0]).orderBy(
+            F.col("sim").desc(), F.asc("centroid_id"))
         return scored.withColumn("crn", F.row_number().over(w)) \
             .filter(F.col("crn") <= n).drop("crn", "sim")
 
-    # seed: k lowest vec_ids (stable across partitionings)
-    cent_rows = [
-        (i, [float(x) for x in r.embedding])
-        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
-    ]
-    cent_schema = "centroid_id int, centroid array<double>"
-    for _ in range(lloyd_iters):
-        cents = spark.createDataFrame(cent_rows, cent_schema)
-        assigned = nearest(e, cents, 1, ["vec_id"])
-        new_cents = (
+    # Seed: the k lowest vec_ids (TakeOrdered — no global-window shuffle),
+    # numbered by a window over just those k rows.
+    seeds = iv.orderBy("vec_id").limit(_IVF_K)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("centroid_id"),
+        F.col("iemb").alias("cent"),
+    )
+    for _ in range(_IVF_ITERS):
+        assigned = nearest(iv, cents, 1, "iemb")
+        cents = (
             assigned.select("centroid_id",
-                            F.posexplode(V.to_double(F.col("embedding")))
-                            .alias("dim", "x"))
+                            F.posexplode("iemb").alias("dim", "x"))
             .groupBy("centroid_id", "dim")
-            .agg(F.round(F.avg("x"), 4).alias("m"))
+            .agg(F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
+                 .cast("long").alias("m"))
             .groupBy("centroid_id")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s.m).alias("centroid"))
+                lambda s: s.m).alias("cent"))
         )
-        cent_rows = [(r.centroid_id, list(r.centroid))
-                     for r in new_cents.collect()]
-    cents = spark.createDataFrame(cent_rows, cent_schema)
 
-    lists = nearest(e, cents, 1, ["vec_id"]).select("vec_id", "embedding",
-                                                    "centroid_id")
-    probe_vecs = e.filter(F.col("vec_id").isin(0, 1, 2))
-    probe_lists = nearest(probe_vecs, cents, nprobe, ["vec_id"]).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_emb"),
-        "centroid_id",
-    )
+    lists = nearest(iv, cents, 1, "iemb").select("vec_id", "iemb", "centroid_id")
+    probes = iv.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"), F.col("iemb").alias("piemb"))
+    probe_lists = nearest(probes, cents, _IVF_NPROBE, "piemb").select(
+        "probe_id", "piemb", "centroid_id")
     cands = lists.join(F.broadcast(probe_lists), "centroid_id").filter(
         F.col("vec_id") != F.col("probe_id"))
-    w = Window.partitionBy("probe_id").orderBy(
-        F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    cos = _ivf_cos(F.col("piemb"), F.col("iemb"))
+    w = Window.partitionBy("probe_id").orderBy(cos.desc(), F.asc("vec_id"))
     return (
-        cands.withColumn("cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        cands.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             F.col("probe_id").cast("long"),
             F.col("vec_id").cast("long"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
             "rn",
         )
     )
