@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Sequence
@@ -123,32 +124,88 @@ def _read_manifest(path: str, version: int) -> list[str]:
     return sorted(os.path.join(path, rel) for rel in doc["files"])
 
 
-def _write_manifest(path: str, new_files: list[str], replace: bool) -> int:
-    """Publish the next snapshot version: previous visible set ∪ new files
-    (or just the new files when ``replace``).  The manifest lands via
-    tmp + atomic rename; O_EXCL on the final name detects a concurrent
-    committer, in which case the union is recomputed against the winner
-    (single-writer is the documented mode; this keeps a race non-silent)."""
+class ConditionalPut:
+    """The ONE storage primitive snapshot commits require: publish a blob at
+    a name iff the name does not exist yet, atomically and fully-formed
+    (a concurrent reader sees either nothing or the complete payload —
+    never a partial file).
+
+    Commit logic is written only against this interface, so porting the
+    table format to an object store is a backend swap, not a redesign:
+    S3 ``PutObject`` with ``If-None-Match: *`` (first-writer-wins since
+    2024-08), GCS ``x-goods-if-generation-match: 0``, ADLS ``If-None-Match``
+    conditional create, or an external CAS (DynamoDB/etcd) for stores
+    without conditional writes.  Returns True iff this caller won the name.
+    """
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        raise NotImplementedError
+
+
+class PosixConditionalPut(ConditionalPut):
+    """Local/NFS-class filesystems: write a private temp file, then
+    ``os.link`` it to the target name.  Hard-link creation is atomic and
+    fails with EEXIST if the name is taken — and unlike O_EXCL-then-rename
+    the target only ever appears fully-formed (O_EXCL claims the name with
+    an EMPTY file first, which a concurrent reader could see)."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        tmp = f"{target}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+
+#: Process-wide commit backend; swap via ``set_commit_backend`` to target an
+#: object store.  (Per-table backends would hang off the table options; one
+#: global suffices for the declared single-store deployment.)
+_COMMIT_BACKEND: ConditionalPut = PosixConditionalPut()
+
+
+def set_commit_backend(backend: ConditionalPut) -> ConditionalPut:
+    """Install a ConditionalPut implementation; returns the previous one."""
+    global _COMMIT_BACKEND
+    prev = _COMMIT_BACKEND
+    _COMMIT_BACKEND = backend
+    return prev
+
+
+def _write_manifest(path: str, new_files: list[str], replace: bool,
+                    remove: Sequence[str] = ()) -> int:
+    """Publish the next snapshot version: (previous visible set − ``remove``)
+    ∪ new files (or just the new files when ``replace``).  Optimistic-
+    concurrency loop over the ConditionalPut primitive: read latest version,
+    build the next manifest, try to claim ``_manifest-(v+1)``; on losing the
+    race, recompute against the winner and retry — the Delta/Iceberg commit
+    protocol at directory scale.
+
+    ``remove`` (compaction's logical-delete of the parts it rewrote) is
+    applied against the latest manifest INSIDE the retry loop, so a
+    concurrent appender's files land in the final set even when its commit
+    wins a version mid-compaction."""
     rels = sorted(os.path.relpath(p, path) for p in new_files)
+    rm = {os.path.relpath(p, path) for p in remove}
     while True:
         versions = _manifest_versions(path)
         prev = versions[-1] if versions else 0
         files = set(rels)
         if not replace and versions:
             files |= {os.path.relpath(p, path)
-                      for p in _read_manifest(path, prev)}
+                      for p in _read_manifest(path, prev)} - rm
         target = _manifest_file(path, prev + 1)
-        tmp = target + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"version": prev + 1, "files": sorted(files)}, f)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            os.remove(tmp)
-            continue  # lost the race — recompute against the new latest
-        os.close(fd)
-        os.replace(tmp, target)
-        return prev + 1
+        payload = json.dumps(
+            {"version": prev + 1, "files": sorted(files)}).encode()
+        if _COMMIT_BACKEND.put_if_absent(target, payload):
+            return prev + 1
+        # lost the race — recompute against the new latest and retry
 
 #: Columns types we collect min/max stats for (orderable primitives).
 _STATS_TYPES = (

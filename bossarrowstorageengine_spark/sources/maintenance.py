@@ -26,6 +26,10 @@ from pyspark.sql import SparkSession
 
 from bossarrowstorageengine_spark.sources.arrowipc import (
     _list_ipc_files,
+    _manifest_file,
+    _manifest_versions,
+    _read_manifest,
+    _write_manifest,
     register_arrowipc,
     stats_path,
 )
@@ -47,7 +51,14 @@ def compact_arrowipc(
     after every new part file has committed.
     """
     register_arrowipc(spark)
-    before = _list_ipc_files(path)
+    # On a snapshotted table, compact the latest COMMITTED set (the
+    # manifest), never the raw listing: a directory listing can include an
+    # in-flight appender's renamed-but-uncommitted part, which must be
+    # neither rewritten (its own commit would later double its rows) nor
+    # deleted.
+    versions = _manifest_versions(path)
+    before = (_read_manifest(path, versions[-1]) if versions
+              else _list_ipc_files(path))
 
     # Pin the input to the snapshot: hard-link (fall back to copy) exactly
     # the `before` file set into a hidden source dir and scan THAT, so the
@@ -84,21 +95,74 @@ def compact_arrowipc(
         writer = writer.option("dictionary", dictionary)
     writer.save(staging)
 
-    # Swap: remove old parts (+ sidecars), promote staged parts.
-    for old in before:
-        os.remove(old)
-        sp = stats_path(old)
-        if os.path.exists(sp):
-            os.remove(sp)
+    # Swap.  On a snapshotted table (manifests present) the swap is LOGICAL:
+    # promote the new parts, then publish one manifest version whose visible
+    # set replaces the compacted inputs with their rewrite — readers flip
+    # atomically from old parts to new, concurrent appender commits survive
+    # (the removal set is applied inside the manifest CAS retry loop), and
+    # the old parts stay on disk so time travel to pre-compaction versions
+    # keeps working until `vacuum_arrowipc` reclaims them.  On a plain
+    # directory there is no manifest to flip, so the swap is physical:
+    # delete old parts, promote new.
+    snapshotted = bool(versions)
+    if not snapshotted:
+        for old in before:
+            os.remove(old)
+            sp = stats_path(old)
+            if os.path.exists(sp):
+                os.remove(sp)
     promoted = 0
+    promoted_paths: list[str] = []
     for name in sorted(os.listdir(staging)):
         if name.startswith((".", "_")) or not name.endswith(".arrows"):
             continue  # sidecars promoted with their data file below
-        os.replace(os.path.join(staging, name), os.path.join(path, name))
+        dst = os.path.join(path, name)
+        os.replace(os.path.join(staging, name), dst)
         sp = stats_path(os.path.join(staging, name))
         if os.path.exists(sp):
-            os.replace(sp, stats_path(os.path.join(path, name)))
+            os.replace(sp, stats_path(dst))
         promoted += 1
+        promoted_paths.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(snapshot, ignore_errors=True)
-    return {"files_before": len(before), "files_after": promoted, "rows": rows}
+    out = {"files_before": len(before), "files_after": promoted, "rows": rows}
+    if snapshotted:
+        out["version"] = _write_manifest(
+            path, promoted_paths, replace=False, remove=before)
+    return out
+
+
+def vacuum_arrowipc(path: str, keep_versions: int = 1) -> dict:
+    """Reclaim storage on a snapshotted table: drop all but the last
+    ``keep_versions`` manifests and delete part files referenced ONLY by
+    the dropped versions (the Delta ``VACUUM`` contract — compaction is a
+    logical replace, vacuum is the physical delete).
+
+    Safety: a file is removed only if some dropped manifest referenced it
+    and no retained manifest does.  Files the manifests never mention
+    (e.g. an appender's just-renamed-but-uncommitted part) are untouched.
+    """
+    versions = _manifest_versions(path)
+    if not versions or keep_versions >= len(versions):
+        return {"removed_files": 0, "removed_versions": 0,
+                "retained_versions": versions}
+    keep_versions = max(1, keep_versions)
+    kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
+    retained: set[str] = set()
+    for v in kept:
+        retained |= set(_read_manifest(path, v))
+    dropped_refs: set[str] = set()
+    for v in dropped:
+        dropped_refs |= set(_read_manifest(path, v))
+    removed = 0
+    for f in sorted(dropped_refs - retained):
+        if os.path.exists(f):
+            os.remove(f)
+            removed += 1
+        sp = stats_path(f)
+        if os.path.exists(sp):
+            os.remove(sp)
+    for v in dropped:
+        os.remove(_manifest_file(path, v))
+    return {"removed_files": removed, "removed_versions": len(dropped),
+            "retained_versions": kept}

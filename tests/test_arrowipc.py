@@ -522,3 +522,184 @@ def test_snapshot_read_ignores_uncommitted_listing_noise(spark):
     assert snap.count() == nat.count()
     assert plain.count() == nat.count() + 3
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_concurrent_committers_serialize_through_conditional_put(tmp_path):
+    """N threads race _write_manifest on one table: the ConditionalPut CAS
+    must serialize them into N distinct versions whose final union holds
+    every committer's files — no lost update, no skipped version, and every
+    manifest readable (fully-formed) at all times."""
+    import concurrent.futures as cf
+
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    n = 16
+
+    def commit(i: int) -> int:
+        p = os.path.join(path, f"part-{i}.arrow")
+        open(p, "w").close()
+        return a._write_manifest(path, [p], replace=False)
+
+    with cf.ThreadPoolExecutor(max_workers=n) as ex:
+        versions = sorted(ex.map(commit, range(n)))
+    assert versions == list(range(1, n + 1)), versions
+    latest = a._read_manifest(path, n)
+    names = {os.path.basename(f) for f in latest}
+    assert names == {f"part-{i}.arrow" for i in range(n)}
+    # every intermediate manifest is valid JSON with a monotone file count
+    sizes = [len(a._read_manifest(path, v)) for v in range(1, n + 1)]
+    assert sizes == sorted(sizes) and sizes[-1] == n
+
+
+def test_commit_backend_is_swappable_and_loser_recomputes(tmp_path):
+    """The commit loop must be written purely against ConditionalPut: a
+    backend that reports one lost race forces a recompute against the
+    winner's manifest, exactly like an object-store conditional PUT."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+
+    class OneLoss(a.PosixConditionalPut):
+        def __init__(self):
+            self.calls = 0
+
+        def put_if_absent(self, target, payload):
+            self.calls += 1
+            if self.calls == 1:
+                # simulate a concurrent winner claiming this version first
+                super().put_if_absent(target, b'{"version": 1, "files": ["w.arrow"]}')
+                return False
+            return super().put_if_absent(target, payload)
+
+    backend = OneLoss()
+    prev = a.set_commit_backend(backend)
+    try:
+        p = os.path.join(path, "mine.arrow")
+        open(p, "w").close()
+        v = a._write_manifest(path, [p], replace=False)
+    finally:
+        a.set_commit_backend(prev)
+    assert backend.calls == 2  # one loss, one successful retry
+    assert v == 2
+    names = {os.path.basename(f) for f in a._read_manifest(path, 2)}
+    assert names == {"w.arrow", "mine.arrow"}  # union with the winner
+
+
+def test_compaction_on_snapshotted_table_publishes_replace_manifest(spark):
+    """Round-2 gap: compaction on a snapshotted table silently bypassed the
+    manifest, so a snapshot reader could mix pre- and post-compaction sets.
+    Contract now: compaction publishes one replace manifest (atomic flip),
+    keeps old parts on disk for time travel, and leaves an uncommitted
+    in-flight part alone."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+    from bossarrowstorageengine_spark.sources.maintenance import compact_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    for rk in (0, 1, 2):
+        (nat.filter(F.col("n_regionkey") == rk)
+            .write.format("arrowipc").option("snapshots", "true")
+            .mode("append").save(out))                          # v1..v3
+    # in-flight appender: renamed part, no manifest commit yet
+    nat.filter(F.col("n_regionkey") == 3).write.format("arrowipc") \
+        .mode("append").save(out)
+    committed = nat.filter(F.col("n_regionkey") <= 2)
+
+    old_parts = a._read_manifest(out, 3)
+    info = compact_arrowipc(spark, out, target_files=1)
+    assert info["rows"] == committed.count()       # not the in-flight rows
+    assert info["version"] == 4
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(out))
+    assert sorted(r.n_nationkey for r in latest.collect()) == \
+        sorted(r.n_nationkey for r in committed.collect())
+    # time travel to a pre-compaction version still works (files retained)
+    v2 = spark.read.format("arrowipc").option("version", "2").load(out)
+    assert v2.count() == nat.filter(F.col("n_regionkey") <= 1).count()
+    for p in old_parts:
+        assert os.path.exists(p), "logical swap must retain old parts"
+    # the manifest flip replaced old entries with the compacted part
+    visible = a._read_manifest(out, 4)
+    assert not set(visible) & set(old_parts)
+    assert len(visible) == 1
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_replace_survives_concurrent_append_commit(tmp_path):
+    """An appender that wins a manifest version while compaction is
+    publishing must keep its file: the removal set applies inside the CAS
+    retry, not against a stale snapshot of the manifest."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    for name in ("old1.arrows", "old2.arrows"):
+        open(os.path.join(path, name), "w").close()
+    olds = [os.path.join(path, n) for n in ("old1.arrows", "old2.arrows")]
+    a._write_manifest(path, olds, replace=False)               # v1
+
+    class AppendMidway(a.PosixConditionalPut):
+        def __init__(self):
+            self.injected = False
+
+        def put_if_absent(self, target, payload):
+            if not self.injected:
+                self.injected = True
+                # concurrent appender commits first and wins this version
+                open(os.path.join(path, "appended.arrows"), "w").close()
+                a._write_manifest(
+                    path, [os.path.join(path, "appended.arrows")],
+                    replace=False)
+            return super().put_if_absent(target, payload)
+
+    prev = a.set_commit_backend(AppendMidway())
+    try:
+        new = os.path.join(path, "compacted.arrows")
+        open(new, "w").close()
+        v = a._write_manifest(path, [new], replace=False, remove=olds)
+    finally:
+        a.set_commit_backend(prev)
+    assert v == 3
+    names = {os.path.basename(f) for f in a._read_manifest(path, 3)}
+    assert names == {"compacted.arrows", "appended.arrows"}
+
+
+def test_vacuum_reclaims_only_dropped_version_files(spark):
+    """vacuum keeps the retained manifests' files, physically deletes parts
+    referenced only by dropped versions, and never touches unmanifested
+    files (an in-flight appender's part)."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc, vacuum_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    for rk in (0, 1):
+        (nat.filter(F.col("n_regionkey") == rk)
+            .write.format("arrowipc").option("snapshots", "true")
+            .mode("append").save(out))                          # v1, v2
+    old_parts = a._read_manifest(out, 2)
+    nat.limit(2).write.format("arrowipc").mode("append").save(out)  # in-flight
+    inflight = set(glob.glob(os.path.join(out, "*.arrows"))) - set(old_parts)
+
+    compact_arrowipc(spark, out, target_files=1)                # v3 (replace)
+    info = vacuum_arrowipc(out, keep_versions=1)
+    assert info["removed_versions"] == 2
+    assert info["retained_versions"] == [3]
+    for p in old_parts:
+        assert not os.path.exists(p), "dropped-version files must be removed"
+    for p in inflight:
+        assert os.path.exists(p), "unmanifested files must survive vacuum"
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(out))
+    expect = nat.filter(F.col("n_regionkey") <= 1)
+    assert sorted(r.n_nationkey for r in latest.collect()) == \
+        sorted(r.n_nationkey for r in expect.collect())
+    with pytest.raises(Exception):
+        spark.read.format("arrowipc").option("version", "1").load(out).count()
+    shutil.rmtree(out, ignore_errors=True)
