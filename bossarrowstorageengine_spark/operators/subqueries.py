@@ -219,6 +219,239 @@ _Q18_SQL = """
 """
 
 
+# -- the remaining TPC-H queries ---------------------------------------------
+#
+# The driver's tables are a REDUCED TPC-H schema: no partsupp table, and no
+# l_shipmode / l_commitdate / l_receiptdate / p_container / p_mfgr / comment
+# columns.  Each query below keeps its canonical TPC-H *plan shape* (the
+# thing that matters at 100 TB — the same joins, subquery decorrelations,
+# disjunctive pushdowns, and aggregation patterns) with predicates adapted
+# to the columns that exist:
+#   Q2   ps_supplycost  → min observed lineitem unit price per (part, supp)
+#   Q4   commit<receipt → shipped >60 days after order date
+#   Q9   ps_supplycost  → 0.5 × p_retailprice
+#   Q11  partsupp value → lineitem revenue in integer cents (exact HAVING
+#        threshold via multiply-through, no FP boundary flakes)
+#   Q12  l_shipmode     → l_returnflag buckets, "late" = >90 days
+#   Q16  partsupp       → distinct lineitem suppliers; comment filter →
+#        negative-balance suppliers
+#   Q19  p_container    → p_size bands
+#   Q20  availability   → shipped quantity per supplier over a year
+#   Q21  receipt>commit → shipped >90 days after order date
+
+_Q1_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(sum(l_extendedprice), 2)                    AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                             AS sum_charge,
+           round(avg(l_quantity), 4)                         AS avg_qty,
+           round(avg(l_extendedprice), 4)                    AS avg_price,
+           round(avg(l_discount), 4)                         AS avg_disc,
+           CAST(count(*) AS BIGINT)                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q2_SQL = """
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey,
+               min(round(l_extendedprice / l_quantity, 2)) AS ps_supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal,
+           s_name, n_name, p_partkey, p_type
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND p_size = 15
+      AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT min(ps_supplycost)
+          FROM supply, supplier, nation, region
+          WHERE p_partkey = ps_partkey
+            AND s_suppkey = ps_suppkey
+            AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+_Q4_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT)  AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name                          AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_Q9_SQL = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name                            AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey
+          AND p_partkey = l_partkey
+          AND l_orderkey = o_orderkey
+          AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+_Q11_SQL = """
+    WITH stock AS (
+        SELECT l_partkey AS ps_partkey,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_1', 'NATION_6')
+    )
+    SELECT ps_partkey,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS value
+    FROM stock
+    GROUP BY ps_partkey
+    HAVING sum(cents) * 1000 > (SELECT sum(cents) FROM stock)
+    ORDER BY value DESC, ps_partkey
+"""
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q19_SQL = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+            AND l_quantity BETWEEN 20 AND 30))
+"""
+
+_Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+    )
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = 2
+    ORDER BY s_suppkey
+"""
+
+_Q21_SQL = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 def _sql_query(name: str, sql: str):
     @query(name, oracle=sql)
     def _fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
@@ -244,3 +477,14 @@ q_tpch_q15 = _sql_query("q_tpch_q15", _Q15_SQL)
 q_tpch_q17 = _sql_query("q_tpch_q17", _Q17_SQL)
 q_tpch_q22 = _sql_query("q_tpch_q22", _Q22_SQL)
 q_tpch_q18 = _sql_query("q_tpch_q18", _Q18_SQL)
+q_tpch_q1 = _sql_query("q_tpch_q1", _Q1_SQL)
+q_tpch_q2 = _sql_query("q_tpch_q2", _Q2_SQL)
+q_tpch_q4 = _sql_query("q_tpch_q4", _Q4_SQL)
+q_tpch_q8 = _sql_query("q_tpch_q8", _Q8_SQL)
+q_tpch_q9 = _sql_query("q_tpch_q9", _Q9_SQL)
+q_tpch_q11 = _sql_query("q_tpch_q11", _Q11_SQL)
+q_tpch_q12 = _sql_query("q_tpch_q12", _Q12_SQL)
+q_tpch_q16 = _sql_query("q_tpch_q16", _Q16_SQL)
+q_tpch_q19 = _sql_query("q_tpch_q19", _Q19_SQL)
+q_tpch_q20 = _sql_query("q_tpch_q20", _Q20_SQL)
+q_tpch_q21 = _sql_query("q_tpch_q21", _Q21_SQL)
