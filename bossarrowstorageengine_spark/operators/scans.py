@@ -497,3 +497,58 @@ def q_arrowipc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = (spark.read.format("arrowipc")
               .option("snapshots", "true").load(path))
     return _agg(v1, "v1").unionByName(_agg(latest, "latest"))
+
+
+@query(
+    "q_storage_delete",
+    oracle="""
+    SELECT 'pre' AS face, lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'post' AS face, lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE NOT (lang = 'en' AND n_chars < 500)
+    GROUP BY lang
+    """,
+)
+def q_storage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (copy-on-write) on the arrowipc table format.
+
+    Writes the documents table as a 4-part snapshotted arrowipc table,
+    deletes short English docs via ``delete_arrowipc`` (one attributed
+    scan finds affected part files, one job rewrites only those, one
+    replace-manifest commit flips readers — sources/maintenance.py), then
+    reads BOTH faces: version 1 (pre-delete, proving copy-on-write kept
+    time travel intact) and the latest snapshot (post-delete).  The
+    oracle replays both faces on the original table, so a hash match
+    proves the delete removed exactly the predicate's rows and nothing
+    else.
+
+    Scale: the delete never reads unaffected files twice, never collects
+    rows (only the affected file-name list), and commits through the same
+    ConditionalPut CAS as every other manifest write."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "delete")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").mode("append").save(path))
+    delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500")
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(F.lit(tag).alias("face"), "*")
+
+    pre = spark.read.format("arrowipc").option("version", "1").load(path)
+    post = (spark.read.format("arrowipc")
+            .option("snapshots", "true").load(path))
+    return _agg(pre, "pre").unionByName(_agg(post, "post"))

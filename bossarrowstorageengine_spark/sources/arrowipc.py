@@ -491,6 +491,8 @@ class ArrowIPCReader(DataSourceReader):
             "mergeschema", options.get("mergeSchema", "false")).lower() == "true"
         self._version = options.get("version")
         self._snapshots = str(options.get("snapshots", "false")).lower() == "true"
+        self._fname_col = options.get(
+            "filenamecolumn", options.get("filenameColumn"))
         self._filters: list[Filter] = []
 
     def _visible_files(self) -> List[str]:
@@ -596,8 +598,20 @@ class ArrowIPCReader(DataSourceReader):
         target = None
         if partition.schema_ser is not None:
             target = pa.ipc.read_schema(pa.py_buffer(partition.schema_ser))
-        yield from _read_ipc_batches(
+        batches = _read_ipc_batches(
             partition.path, partition.batch_indices, self._columns, target)
+        if self._fname_col is None:
+            yield from batches
+            return
+        # File attribution (filenameColumn option): append a constant string
+        # column carrying the part-file path — the hook row-level DELETE's
+        # copy-on-write planning hangs off (and generally the arrowipc
+        # equivalent of input_file_name(), which Python data sources don't
+        # populate).
+        for batch in batches:
+            fcol = pa.array([partition.path] * batch.num_rows, pa.string())
+            yield batch.append_column(
+                pa.field(self._fname_col, pa.string(), False), fcol)
 
 
 @dataclass
@@ -940,9 +954,11 @@ class ArrowIPCDataSource(DataSource):
     ``_manifest-N.json`` snapshot version; true on read → read the latest
     snapshot instead of the live listing), ``version`` (read — time-travel
     to snapshot N; snapshot reads also give snapshot isolation against
-    concurrent appenders), and ``path``.
-    Directory maintenance (small-file compaction) lives in
-    ``sources.maintenance.compact_arrowipc``.
+    concurrent appenders), ``filenameColumn`` (read — append a string
+    column carrying each row's part-file path, the arrowipc equivalent of
+    ``input_file_name()``), and ``path``.
+    Directory maintenance (small-file compaction, row-level DELETE,
+    vacuum) lives in ``sources.maintenance``.
     """
 
     @classmethod
@@ -977,6 +993,11 @@ class ArrowIPCDataSource(DataSource):
                 [arrow_schema.field(n) for n in names],
                 metadata=arrow_schema.metadata,
             )
+        fname = self.options.get(
+            "filenamecolumn", self.options.get("filenameColumn"))
+        if fname:
+            arrow_schema = arrow_schema.append(
+                pa.field(fname, pa.string(), False))
         # prefer_timestamp_ntz: tz-less Arrow timestamps (parquet ms
         # timestamps come through Spark as TIMESTAMP_NTZ) round-trip to NTZ;
         # tz-tagged ones still map to TIMESTAMP_LTZ.

@@ -23,6 +23,7 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from bossarrowstorageengine_spark.sources.arrowipc import (
     _list_ipc_files,
@@ -129,6 +130,105 @@ def compact_arrowipc(
     if snapshotted:
         out["version"] = _write_manifest(
             path, promoted_paths, replace=False, remove=before)
+    return out
+
+
+def delete_arrowipc(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    compression: str = "zstd",
+    ipc_format: str = "file",
+) -> dict:
+    """Row-level DELETE via copy-on-write at part-file granularity — the
+    Delta/Iceberg CoW model on the arrowipc layout.
+
+    ``predicate`` is a Spark SQL boolean expression over the table's
+    columns; rows matching it are removed.
+
+    Scale shape: one distributed scan (with ``filenameColumn`` attribution
+    and the predicate pushed to the stats-pruned arrowipc reader) finds
+    the AFFECTED part files; only the collected artifact is that file-name
+    list, never rows.  A second distributed job rewrites just the affected
+    files with matching rows dropped; untouched files are not read again.
+    On a snapshotted table the swap is one replace-manifest commit (old
+    parts retained for time travel until vacuum); otherwise the affected
+    files are physically replaced.
+
+    Returns ``{"rows_deleted": n, "files_rewritten": k, "version": v?}``.
+    """
+    register_arrowipc(spark)
+    versions = _manifest_versions(path)
+    snapshotted = bool(versions)
+    visible = (_read_manifest(path, versions[-1]) if snapshotted
+               else _list_ipc_files(path))
+
+    # Pin the input set (hard-link mirror), exactly like compaction: the
+    # scan, the rewrite, and the swap must all cover the same files even if
+    # appenders land new parts mid-delete.
+    pin = os.path.join(path, f".delete-src-{uuid.uuid4().hex}")
+    os.makedirs(pin, exist_ok=True)
+    pinned_to_orig: dict[str, str] = {}
+    for orig in visible:
+        for src in (orig, stats_path(orig)):
+            if not os.path.exists(src):
+                continue
+            dst = os.path.join(pin, os.path.relpath(src, path))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        pinned_to_orig[os.path.join(pin, os.path.relpath(orig, path))] = orig
+
+    fcol = "_part_file"
+    df = (spark.read.format("arrowipc")
+          .option("filenameColumn", fcol).load(pin))
+    matches = df.filter(predicate)
+    per_file = (matches.groupBy(fcol)
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    if not per_file:
+        shutil.rmtree(pin, ignore_errors=True)
+        return {"rows_deleted": 0, "files_rewritten": 0}
+    affected_pinned = [r[fcol] for r in per_file]
+    rows_deleted = sum(r["n"] for r in per_file)
+    affected_orig = [pinned_to_orig[p] for p in affected_pinned]
+
+    # Rewrite ONLY the affected files, keeping their non-matching rows.
+    staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
+    survivors = (
+        df.filter(F.col(fcol).isin(affected_pinned))
+        .filter(~F.expr(predicate))
+        .drop(fcol)
+    )
+    (survivors.write.format("arrowipc")
+     .option("compression", compression)
+     .option("ipcFormat", ipc_format)
+     .mode("append").save(staging))
+
+    if not snapshotted:
+        for old in affected_orig:
+            os.remove(old)
+            sp = stats_path(old)
+            if os.path.exists(sp):
+                os.remove(sp)
+    promoted: list[str] = []
+    if os.path.isdir(staging):
+        for name in sorted(os.listdir(staging)):
+            if name.startswith((".", "_")) or not name.endswith(".arrows"):
+                continue
+            dst = os.path.join(path, name)
+            os.replace(os.path.join(staging, name), dst)
+            sp = stats_path(os.path.join(staging, name))
+            if os.path.exists(sp):
+                os.replace(sp, stats_path(dst))
+            promoted.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(pin, ignore_errors=True)
+    out = {"rows_deleted": rows_deleted, "files_rewritten": len(promoted)}
+    if snapshotted:
+        out["version"] = _write_manifest(
+            path, promoted, replace=False, remove=affected_orig)
     return out
 
 

@@ -703,3 +703,95 @@ def test_vacuum_reclaims_only_dropped_version_files(spark):
     with pytest.raises(Exception):
         spark.read.format("arrowipc").option("version", "1").load(out).count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_filename_column_attributes_rows_to_part_files(spark):
+    """filenameColumn appends each row's part-file path — the arrowipc
+    equivalent of input_file_name(), and the hook DELETE planning uses."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    nat.repartition(4).write.format("arrowipc").mode("append").save(out)
+
+    df = (spark.read.format("arrowipc")
+          .option("filenameColumn", "_f").load(out))
+    assert "_f" in df.columns
+    rows = df.select("n_nationkey", "_f").collect()
+    assert len(rows) == nat.count()
+    files = {r._f for r in rows}
+    assert files == set(glob.glob(os.path.join(out, "*.arrows")))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_rewrites_only_affected_files(spark):
+    """Copy-on-write DELETE on a plain table: matching rows disappear,
+    untouched part files keep their identity (not rewritten)."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    # two files split by region range → the predicate hits only one
+    nat.filter(F.col("n_regionkey") <= 1).write.format("arrowipc") \
+        .mode("append").save(out)
+    nat.filter(F.col("n_regionkey") > 1).write.format("arrowipc") \
+        .mode("append").save(out)
+    before_files = set(glob.glob(os.path.join(out, "*.arrows")))
+
+    info = delete_arrowipc(spark, out, "n_regionkey = 0")
+    n_r0 = nat.filter(F.col("n_regionkey") == 0).count()
+    assert info["rows_deleted"] == n_r0
+    assert info["files_rewritten"] == 1
+
+    back = spark.read.format("arrowipc").load(out)
+    expect = nat.filter(F.col("n_regionkey") != 0)
+    assert sorted(r.n_nationkey for r in back.collect()) == \
+        sorted(r.n_nationkey for r in expect.collect())
+    after_files = set(glob.glob(os.path.join(out, "*.arrows")))
+    assert len(before_files & after_files) == 1, \
+        "the unaffected part file must survive untouched"
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_on_snapshotted_table_commits_replace_manifest(spark):
+    """DELETE on a snapshotted table: one replace-manifest commit flips
+    readers atomically; pre-delete versions stay time-travelable."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    (nat.write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                              # v1
+
+    info = delete_arrowipc(spark, out, "n_regionkey IN (2, 3)")
+    expect_deleted = nat.filter(F.col("n_regionkey").isin(2, 3)).count()
+    assert info["rows_deleted"] == expect_deleted
+    assert info["version"] == 2
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(out))
+    expect = nat.filter(~F.col("n_regionkey").isin(2, 3))
+    assert sorted(r.n_nationkey for r in latest.collect()) == \
+        sorted(r.n_nationkey for r in expect.collect())
+    # pre-delete version still reads in full (CoW retains old parts)
+    v1 = spark.read.format("arrowipc").option("version", "1").load(out)
+    assert v1.count() == nat.count()
+    # manifest no longer references the rewritten input
+    old = set(a._read_manifest(out, 1))
+    new = set(a._read_manifest(out, 2))
+    assert not old & new
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_with_no_matches_is_a_noop(spark):
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    nat.write.format("arrowipc").mode("append").save(out)
+    files = set(glob.glob(os.path.join(out, "*.arrows")))
+    info = delete_arrowipc(spark, out, "n_regionkey = 999")
+    assert info == {"rows_deleted": 0, "files_rewritten": 0}
+    assert set(glob.glob(os.path.join(out, "*.arrows"))) == files
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == nat.count()
+    shutil.rmtree(out, ignore_errors=True)
