@@ -552,3 +552,62 @@ def q_storage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (spark.read.format("arrowipc")
             .option("snapshots", "true").load(path))
     return _agg(pre, "pre").unionByName(_agg(post, "post"))
+
+
+@query(
+    "q_storage_merge",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+        FROM documents WHERE doc_id % 97 = 0
+    ), merged AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM src WHERE doc_id < 1000000)
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars FROM src
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+    FROM merged
+    GROUP BY lang
+    """,
+)
+def q_storage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (upsert) on the arrowipc table format.
+
+    Writes documents (sans text) as a snapshotted arrowipc table, then
+    merges a source that UPDATES every 10th doc (n_chars + 1000) and
+    INSERTS a shifted-key copy of every 97th — matched part files are
+    rewritten copy-on-write, inserts land as new parts, all published in
+    ONE replace-manifest commit (sources/maintenance.py merge_arrowipc).
+    The oracle replays the upsert relationally (anti-join ∪ source), so a
+    hash match proves matched rows took the source version, unmatched
+    target rows survived, and inserts arrived exactly once."""
+    from bossarrowstorageengine_spark.sources.maintenance import merge_arrowipc
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "merge")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").mode("append").save(path))
+
+    updates = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000)
+    inserts = d.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    merge_arrowipc(spark, path, updates.unionByName(inserts), "doc_id")
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(path))
+    return latest.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )

@@ -133,29 +133,37 @@ def compact_arrowipc(
     return out
 
 
-def delete_arrowipc(
+#: Column name the copy-on-write scans use for part-file attribution.
+_FCOL = "_part_file"
+
+
+def _cow_rewrite(
     spark: SparkSession,
     path: str,
-    predicate: str,
+    affected_rows,
+    rewrite,
+    appends=None,
     compression: str = "zstd",
     ipc_format: str = "file",
 ) -> dict:
-    """Row-level DELETE via copy-on-write at part-file granularity — the
-    Delta/Iceberg CoW model on the arrowipc layout.
+    """Copy-on-write core shared by DELETE / UPDATE / MERGE — the
+    Delta/Iceberg CoW model at part-file granularity.
 
-    ``predicate`` is a Spark SQL boolean expression over the table's
-    columns; rows matching it are removed.
+    ``affected_rows(df)``: rows whose presence makes a part file affected
+    (``df`` is the attributed snapshot read; the result must keep the
+    attribution column).  ``rewrite(affected)``: the full replacement
+    content for the affected files (attribution column still present on
+    input; must be dropped in the output).  ``appends(df)``: optional
+    extra rows to add alongside the rewrites (MERGE inserts).
 
-    Scale shape: one distributed scan (with ``filenameColumn`` attribution
-    and the predicate pushed to the stats-pruned arrowipc reader) finds
-    the AFFECTED part files; only the collected artifact is that file-name
-    list, never rows.  A second distributed job rewrites just the affected
-    files with matching rows dropped; untouched files are not read again.
-    On a snapshotted table the swap is one replace-manifest commit (old
-    parts retained for time travel until vacuum); otherwise the affected
-    files are physically replaced.
+    Scale shape: one distributed scan finds the affected file list (only
+    file names + counts are collected, never rows); one distributed job
+    rewrites just those files; untouched files are not read again.  On a
+    snapshotted table the swap is one replace-manifest commit through the
+    ConditionalPut CAS (old parts retained for time travel until vacuum);
+    otherwise affected files are physically replaced.
 
-    Returns ``{"rows_deleted": n, "files_rewritten": k, "version": v?}``.
+    Returns ``{"rows_matched": n, "files_rewritten": k, "version": v?}``.
     """
     register_arrowipc(spark)
     versions = _manifest_versions(path)
@@ -165,8 +173,8 @@ def delete_arrowipc(
 
     # Pin the input set (hard-link mirror), exactly like compaction: the
     # scan, the rewrite, and the swap must all cover the same files even if
-    # appenders land new parts mid-delete.
-    pin = os.path.join(path, f".delete-src-{uuid.uuid4().hex}")
+    # appenders land new parts mid-operation.
+    pin = os.path.join(path, f".cow-src-{uuid.uuid4().hex}")
     os.makedirs(pin, exist_ok=True)
     pinned_to_orig: dict[str, str] = {}
     for orig in visible:
@@ -181,30 +189,37 @@ def delete_arrowipc(
                 shutil.copy2(src, dst)
         pinned_to_orig[os.path.join(pin, os.path.relpath(orig, path))] = orig
 
-    fcol = "_part_file"
     df = (spark.read.format("arrowipc")
-          .option("filenameColumn", fcol).load(pin))
-    matches = df.filter(predicate)
-    per_file = (matches.groupBy(fcol)
+          .option("filenameColumn", _FCOL).load(pin))
+    per_file = (affected_rows(df).groupBy(_FCOL)
                 .agg(F.count(F.lit(1)).alias("n")).collect())
-    if not per_file:
-        shutil.rmtree(pin, ignore_errors=True)
-        return {"rows_deleted": 0, "files_rewritten": 0}
-    affected_pinned = [r[fcol] for r in per_file]
-    rows_deleted = sum(r["n"] for r in per_file)
+    affected_pinned = [r[_FCOL] for r in per_file]
+    rows_matched = sum(r["n"] for r in per_file)
     affected_orig = [pinned_to_orig[p] for p in affected_pinned]
+    extra = appends(df) if appends is not None else None
+    if not per_file and extra is None:
+        shutil.rmtree(pin, ignore_errors=True)
+        return {"rows_matched": 0, "files_rewritten": 0, "rows_appended": 0}
 
-    # Rewrite ONLY the affected files, keeping their non-matching rows.
-    staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
-    survivors = (
-        df.filter(F.col(fcol).isin(affected_pinned))
-        .filter(~F.expr(predicate))
-        .drop(fcol)
-    )
-    (survivors.write.format("arrowipc")
-     .option("compression", compression)
-     .option("ipcFormat", ipc_format)
-     .mode("append").save(staging))
+    staging = os.path.join(path, f".cow-{uuid.uuid4().hex}")
+
+    def _stage(out_df):
+        (out_df.write.format("arrowipc")
+         .option("compression", compression)
+         .option("ipcFormat", ipc_format)
+         .mode("append").save(staging))
+
+    if affected_pinned:
+        _stage(rewrite(df.filter(F.col(_FCOL).isin(affected_pinned))))
+    n_extra = 0
+    if extra is not None:
+        extra = extra.cache()
+        try:
+            n_extra = extra.count()
+            if n_extra:
+                _stage(extra)
+        finally:
+            extra.unpersist()
 
     if not snapshotted:
         for old in affected_orig:
@@ -225,10 +240,138 @@ def delete_arrowipc(
             promoted.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(pin, ignore_errors=True)
-    out = {"rows_deleted": rows_deleted, "files_rewritten": len(promoted)}
-    if snapshotted:
+    out = {"rows_matched": rows_matched, "files_rewritten": len(promoted),
+           "rows_appended": n_extra}
+    if snapshotted and (promoted or affected_orig):
         out["version"] = _write_manifest(
             path, promoted, replace=False, remove=affected_orig)
+    return out
+
+
+def delete_arrowipc(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    compression: str = "zstd",
+    ipc_format: str = "file",
+) -> dict:
+    """Row-level DELETE: remove rows matching a Spark SQL boolean
+    ``predicate`` via the copy-on-write core (see ``_cow_rewrite`` for the
+    scale shape and commit semantics).
+
+    Returns ``{"rows_deleted": n, "files_rewritten": k, "version": v?}``.
+    """
+    res = _cow_rewrite(
+        spark, path,
+        affected_rows=lambda df: df.filter(predicate),
+        rewrite=lambda aff: aff.filter(~F.expr(predicate)).drop(_FCOL),
+        compression=compression, ipc_format=ipc_format,
+    )
+    out = {"rows_deleted": res["rows_matched"],
+           "files_rewritten": res["files_rewritten"]}
+    if "version" in res:
+        out["version"] = res["version"]
+    return out
+
+
+def update_arrowipc(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    compression: str = "zstd",
+    ipc_format: str = "file",
+) -> dict:
+    """Row-level UPDATE: for rows matching ``predicate``, set each column
+    in ``assignments`` to its Spark SQL expression (evaluated against the
+    pre-update row, all assignments simultaneously — standard SQL UPDATE
+    semantics).  Copy-on-write: only part files containing matching rows
+    are rewritten; non-matching rows in those files are carried unchanged.
+
+    Returns ``{"rows_updated": n, "files_rewritten": k, "version": v?}``.
+    """
+
+    def _rewrite(aff):
+        cond = F.expr(predicate)
+        # withColumns applies all assignments against the INPUT row set,
+        # so assignments may reference columns that other assignments
+        # modify without ordering effects.
+        return aff.withColumns({
+            col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            for col, expr in assignments.items()
+        }).drop(_FCOL)
+
+    res = _cow_rewrite(
+        spark, path,
+        affected_rows=lambda df: df.filter(predicate),
+        rewrite=_rewrite,
+        compression=compression, ipc_format=ipc_format,
+    )
+    out = {"rows_updated": res["rows_matched"],
+           "files_rewritten": res["files_rewritten"]}
+    if "version" in res:
+        out["version"] = res["version"]
+    return out
+
+
+def merge_arrowipc(
+    spark: SparkSession,
+    path: str,
+    source,
+    key: str | list[str],
+    compression: str = "zstd",
+    ipc_format: str = "file",
+) -> dict:
+    """Keyed upsert (the core of SQL MERGE): target rows whose ``key``
+    appears in ``source`` are replaced by the source row; source rows with
+    unseen keys are appended.  ``source`` must have the target's schema
+    and unique keys (raises otherwise — a nondeterministic multi-match
+    MERGE is an error per ANSI semantics).
+
+    Copy-on-write: only part files containing matched keys are rewritten;
+    inserts land as new part files in the same commit — one atomic
+    replace-manifest publish on snapshotted tables.
+
+    Returns ``{"rows_updated": n, "rows_inserted": m, "files_rewritten": k,
+    "version": v?}``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    n_src = source.count()
+    if source.select(*keys).distinct().count() != n_src:
+        raise ValueError("merge_arrowipc: source keys must be unique")
+    src = source.cache()
+
+    def _aligned(df):
+        """Source conformed to the target's columns and exact types —
+        appended part files must be type-identical to existing ones (the
+        scan takes one schema for the whole directory)."""
+        return src.select([
+            F.col(f.name).cast(f.dataType)
+            for f in df.schema.fields if f.name != _FCOL
+        ])
+
+    try:
+        res = _cow_rewrite(
+            spark, path,
+            affected_rows=lambda df: df.join(src.select(*keys), keys, "semi"),
+            rewrite=lambda aff: (
+                # replace matched rows with the source version, keep the rest
+                aff.join(src.select(*keys), keys, "anti").drop(_FCOL)
+                .unionByName(
+                    _aligned(aff).join(
+                        aff.select(*keys).distinct(), keys, "semi"))
+            ),
+            appends=lambda df: _aligned(df).join(
+                df.select(*keys), keys, "anti"),
+            compression=compression, ipc_format=ipc_format,
+        )
+    finally:
+        src.unpersist()
+    out = {"rows_updated": res["rows_matched"],
+           "rows_inserted": res["rows_appended"],
+           "files_rewritten": res["files_rewritten"]}
+    if "version" in res:
+        out["version"] = res["version"]
     return out
 
 

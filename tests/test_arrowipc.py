@@ -795,3 +795,99 @@ def test_delete_with_no_matches_is_a_noop(spark):
     back = spark.read.format("arrowipc").load(out)
     assert back.count() == nat.count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_update_rewrites_matching_rows_in_place(spark):
+    """CoW UPDATE: assignments apply simultaneously against the pre-update
+    row, only matching rows change, only affected files are rewritten."""
+    from bossarrowstorageengine_spark.sources.maintenance import update_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    nat.filter(F.col("n_regionkey") <= 1).write.format("arrowipc") \
+        .mode("append").save(out)
+    nat.filter(F.col("n_regionkey") > 1).write.format("arrowipc") \
+        .mode("append").save(out)
+    before_files = set(glob.glob(os.path.join(out, "*.arrows")))
+
+    info = update_arrowipc(
+        spark, out, "n_regionkey = 4",
+        {"n_name": "concat(n_name, '_X')", "n_regionkey": "n_regionkey + 10"})
+    assert info["rows_updated"] == nat.filter(F.col("n_regionkey") == 4).count()
+    assert info["files_rewritten"] == 1
+
+    back = spark.read.format("arrowipc").load(out)
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in back.collect()}
+    expect = {
+        (r.n_nationkey,
+         r.n_name + "_X" if r.n_regionkey == 4 else r.n_name,
+         14 if r.n_regionkey == 4 else r.n_regionkey)
+        for r in nat.collect()
+    }
+    assert got == expect
+    after_files = set(glob.glob(os.path.join(out, "*.arrows")))
+    assert len(before_files & after_files) == 1  # untouched file survives
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_merge_upserts_by_key_in_one_snapshot_commit(spark):
+    """CoW MERGE: matched keys take the source row, new keys append, all
+    in ONE manifest version; pre-merge snapshot stays readable."""
+    from bossarrowstorageengine_spark.sources.maintenance import merge_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    (nat.write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                              # v1
+
+    source = spark.createDataFrame(
+        [(0, "UPDATED_0", 9), (1, "UPDATED_1", 9), (990, "NEW_990", 9)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    info = merge_arrowipc(spark, out, source, "n_nationkey")
+    assert info["rows_updated"] == 2
+    assert info["rows_inserted"] == 1
+    assert info["version"] == 2
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true").load(out))
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in latest.collect()}
+    expect = {(r.n_nationkey, r.n_name, r.n_regionkey)
+              for r in nat.filter(~F.col("n_nationkey").isin(0, 1)).collect()}
+    expect |= {(0, "UPDATED_0", 9), (1, "UPDATED_1", 9), (990, "NEW_990", 9)}
+    assert got == expect
+    v1 = spark.read.format("arrowipc").option("version", "1").load(out)
+    assert v1.count() == nat.count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_merge_rejects_duplicate_source_keys(spark):
+    from bossarrowstorageengine_spark.sources.maintenance import merge_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    load_table(spark, SF, "nation").select("n_nationkey", "n_name") \
+        .write.format("arrowipc").mode("append").save(out)
+    dup = spark.createDataFrame(
+        [(0, "A"), (0, "B")], "n_nationkey long, n_name string")
+    with pytest.raises(ValueError, match="unique"):
+        merge_arrowipc(spark, out, dup, "n_nationkey")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_merge_pure_insert_without_matches(spark):
+    """MERGE with only-new keys must not rewrite any existing file."""
+    from bossarrowstorageengine_spark.sources.maintenance import merge_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    nat.write.format("arrowipc").mode("append").save(out)
+    files = set(glob.glob(os.path.join(out, "*.arrows")))
+    src = spark.createDataFrame(
+        [(991, "NEW")], "n_nationkey long, n_name string")
+    info = merge_arrowipc(spark, out, src, "n_nationkey")
+    assert info["rows_updated"] == 0
+    assert info["rows_inserted"] == 1
+    assert files <= set(glob.glob(os.path.join(out, "*.arrows")))
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == nat.count() + 1
+    shutil.rmtree(out, ignore_errors=True)
