@@ -554,3 +554,125 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("event_id", "event_type", "cents", F.round("z", 6).alias("z"))
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 3 = 0
+    ), g AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), c AS (
+        SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(max(cnt) AS BIGINT) AS top_gram_count,
+           round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / sum(cnt), 4) AS dup_gram_ratio
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher / MassiveText filter
+    family): per document, the total 2-gram count, the hottest 2-gram's
+    frequency, and the fraction of 2-gram mass sitting in repeated grams —
+    the standard screens for boilerplate and degenerate generation loops
+    in pre-training corpora.
+
+    Scale: gram construction is a map-side array HOF (two shifted-array
+    zips, no explode until counting); the only shuffle carries one row per
+    (doc, distinct gram).  Both aggregations partition by doc_id, so the
+    second reuses the first's clustering.  No global state anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    toks = F.split(F.col("text"), " ")
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.filter(
+        F.zip_with(toks, t2,
+                   lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))),
+        lambda x: x.isNotNull(),
+    )
+    per_gram = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_gram.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.max("cnt").cast("long").alias("top_gram_count"),
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                .cast("double") / F.sum("cnt"), 4).alias("dup_gram_ratio"),
+        )
+    )
+
+
+#: PII patterns shared by the Spark query and the DuckDB oracle — plain
+#: POSIX-compatible regexes that parse identically under Java regex and RE2.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PII_DIGITS = "[0-9]{3,}"
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com code ' || CAST(doc_id * 7919 AS VARCHAR)
+                    AS raw
+        FROM documents WHERE doc_id % 5 = 0
+    ), scrubbed AS (
+        SELECT doc_id, raw,
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g') AS no_email
+        FROM injected
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '{_PII_DIGITS}')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(CAST('0x' || substr(md5(
+               regexp_replace(no_email, '{_PII_DIGITS}', '<NUM>', 'g')
+           ), 1, 15) AS BIGINT) % 1000000007 AS BIGINT) AS scrub_checksum
+    FROM scrubbed
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails then long digit runs are replaced by
+    typed placeholders; emits per-doc redaction counts and an md5 checksum
+    of the scrubbed text so the oracle proves byte-identical output.
+
+    The corpus is synthetic, so a deterministic PII suffix (derived from
+    doc_id) is injected first — the redaction provably fires on every row
+    rather than vacuously matching nothing.
+
+    Scale: pure per-row JVM regex work (regexp_replace / regexp_count
+    inside codegen) — no shuffle at all; the scan's column pruning keeps
+    only doc_id and text.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com code "),
+        (F.col("doc_id") * 7919).cast("string"))
+    no_email = F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, _PII_DIGITS, "<NUM>")
+    checksum = (
+        F.conv(F.substring(F.md5(scrubbed), 1, 15), 16, 10).cast("long")
+        % 1_000_000_007
+    ).cast("long")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_PII_DIGITS)).cast("long")
+            .alias("n_digit_runs"),
+        checksum.alias("scrub_checksum"),
+    )
