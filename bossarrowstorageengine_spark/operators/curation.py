@@ -676,3 +676,94 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_digit_runs"),
         checksum.alias("scrub_checksum"),
     )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), p AS (
+        SELECT substr(tok, i, 2) AS pair
+        FROM w, unnest(range(1, len(tok))) AS u(i)
+        WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 30
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, iteration zero: the corpus-wide frequency of
+    adjacent character pairs inside tokens — exactly the statistic BPE
+    merges on (the top pair becomes the first merge rule).  Each token
+    *occurrence* contributes, so frequent words dominate, as in real BPE.
+
+    Scale: pair construction is a map-side ``sequence``+``substring`` HOF
+    (no Python, no per-char explode rows until the single pair-count
+    shuffle, which carries one row per distinct pair after partial
+    aggregation).  Iterating BPE = re-running this over a re-paired
+    corpus; each iteration is one shuffle of vocabulary size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    pairs = F.expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+    return (
+        d.select(tok)
+        .filter(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+@query(
+    "q_dataset_mixture",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source, n_chars,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) / 8.0 AS rate,
+               ({_H60_DUCK.format(c='doc_id')} % 100000) / 100000.0 AS u
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_total,
+           CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_kept,
+           CAST(sum(CASE WHEN u < rate THEN n_chars ELSE 0 END) AS BIGINT)
+                                                             AS kept_chars,
+           round(min(rate), 4)                               AS rate
+    FROM rated
+    GROUP BY source
+    """,
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: every source gets a target
+    sampling rate (here derived from the source index; in production the
+    mixture weights of the training recipe), and each doc keeps or drops
+    by comparing a content-stable md5 uniform against its source's rate —
+    the standard way to hit a corpus mixture WITHOUT a shuffle, a sort,
+    or any coordination: pure scan-local predicates, reproducible across
+    runs and cluster sizes.
+
+    The md5-uniform is quantized to 5 decimal digits (integer mod) so the
+    Spark/DuckDB comparison is integer-exact at the keep boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = ((F.substring("source", 4, 10).cast("int") % 4 + 1) / 8.0)
+    u = (F.expr(_H60.format(c="doc_id")) % 100000) / 100000.0
+    kept = (u < rate).cast("int")
+    return d.select("doc_id", "source", "n_chars",
+                    rate.alias("rate"), kept.alias("k")) \
+        .groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum(F.col("k") * F.col("n_chars")).cast("long")
+                .alias("kept_chars"),
+            F.round(F.min("rate"), 4).alias("rate"),
+        )

@@ -192,3 +192,61 @@ def test_pack_chunks_single_bucket_shuffle(spark):
     the bucket hash partitioning — exactly one Exchange end-to-end."""
     plan = _plan(QUERIES["q_pack_chunks"](spark, SF))
     assert plan.count("Exchange") == 1
+
+
+def test_new_tpch_plans_have_no_cartesian_or_bnlj(spark):
+    """The round-3 TPC-H additions include every decorrelation-heavy shape
+    (correlated min, double NOT EXISTS, nested IN): all must plan as hash
+    joins — a BroadcastNestedLoopJoin or CartesianProduct would be a
+    scale-killer at 100 TB."""
+    for key in ("q_tpch_q1", "q_tpch_q2", "q_tpch_q4", "q_tpch_q8",
+                "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+                "q_tpch_q19", "q_tpch_q20", "q_tpch_q21"):
+        plan = _plan(QUERIES[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_tpch_q19_disjunctive_predicate_reaches_lineitem_scan(spark):
+    """Q19's point: the OR-of-ANDs must still push the shared join input
+    filters into the scan (quantity bounds survive as pushable ranges)."""
+    plan = _plan(QUERIES["q_tpch_q19"](spark, SF))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:500]
+    assert "l_quantity" in pushed or "p_brand" in pushed
+
+
+def test_repetition_gram_build_is_map_side(spark):
+    """q_text_repetition's 2-gram construction must happen in the scan
+    stage, upstream of every shuffle.  Plan strings print top-down, so the
+    scan stage is the text AFTER the last Exchange: it must hold the
+    zip_with gram build, the explode, a partial pair-count, and the
+    FileScan — i.e. the shuffle only ever carries (doc, gram, count)."""
+    plan = _plan(QUERIES["q_text_repetition"](spark, SF))
+    scan_stage = plan.rsplit("Exchange", 1)[1]
+    assert "zip_with" in scan_stage
+    assert "explode" in scan_stage
+    assert "partial_count" in scan_stage
+    assert "FileScan" in scan_stage
+
+
+def test_mixture_sampling_is_scan_local(spark):
+    """q_dataset_mixture's keep/drop decision must not shuffle the corpus:
+    the only Exchange feeds the final per-source aggregate."""
+    plan = _plan(QUERIES["q_dataset_mixture"](spark, SF))
+    assert plan.count("Exchange") <= 2  # partial→final agg only (AQE may add one)
+    assert "Sort" not in plan.split("Exchange")[0]
+
+
+def test_bpe_pairs_is_topk_not_global_sort(spark):
+    plan = _plan(QUERIES["q_bpe_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_training_has_no_python_stage(spark):
+    """The fixed-point IVF pipeline must be pure JVM (no Python workers in
+    the training loop) and its centroid joins must broadcast."""
+    plan = _plan(QUERIES["q_ann_ivf"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
