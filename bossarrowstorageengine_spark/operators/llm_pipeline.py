@@ -344,6 +344,23 @@ def _minhash_table(d: DataFrame, n_perm: int = 16) -> DataFrame:
     ])
 
 
+def _band_signatures(mh: DataFrame, n_perm: int, n_bands: int) -> DataFrame:
+    """Long-form LSH band signatures: (doc_id, sig) with one md5 signature
+    per band, band index prefixed so signatures never collide across
+    bands."""
+    rows_per_band = n_perm // n_bands
+    return mh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.md5(F.concat_ws(",", F.lit(b), *[
+                F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ])).alias(f"band{b}")
+            for b in range(n_bands)
+        ])).alias("sig"),
+    )
+
+
 @query("q_dedup_near", oracle=_dedup_near_oracle())
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
@@ -372,16 +389,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index so signatures never collide across bands.  Explode to long form
     # (doc_id, sig) and self-join ONCE on sig — one shuffle over the band
     # keys instead of 2·n_bands re-evaluations of the minhash pipeline.
-    bands_long = mh.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.md5(F.concat_ws(",", F.lit(b), *[
-                F.col(f"h{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ])).alias(f"band{b}")
-            for b in range(n_bands)
-        ])).alias("sig"),
-    )
+    bands_long = _band_signatures(mh, n_perm, n_bands)
     # Bucket by signature and expand each bucket's (i < j) pairs with array
     # HOFs — ONE pass over the signature pipeline and ONE shuffle (the
     # groupBy), where a self-join would re-evaluate the scan+minhash stage
@@ -1350,5 +1358,93 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_j.alias("est_jaccard"),
             exact_j.alias("exact_jaccard"),
             F.round(F.abs(est_j - exact_j), 6).alias("abs_err"),
+        )
+    )
+
+
+def _dedup_incremental_oracle(n_perm: int = 16) -> str:
+    perms = ", ".join(
+        f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_minhash_coeffs(n_perm))
+    )
+    bands = ", ".join(
+        "md5(concat_ws(',', {b}, {hs})) AS sig{b}".format(
+            b=b, hs=", ".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(n_perm // 4)
+    )
+    sig_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig{b} AS sig FROM bands" for b in range(n_perm // 4))
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), h0s AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {_MINHASH_P} AS h0
+        FROM sh
+    ), mh AS (
+        SELECT doc_id, {perms} FROM h0s GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, {bands} FROM mh
+    ), sigs AS ({sig_union}),
+    hits AS (
+        SELECT a.doc_id AS new_doc,
+               count(DISTINCT b.doc_id) AS n_cand,
+               min(b.doc_id)            AS first_match
+        FROM sigs a JOIN sigs b ON a.sig = b.sig
+        WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 != 9
+        GROUP BY a.doc_id
+    )
+    SELECT CAST(n.doc_id AS BIGINT)                  AS new_doc_id,
+           CAST(COALESCE(h.n_cand, 0) AS BIGINT)     AS n_index_candidates,
+           CAST(COALESCE(h.first_match, -1) AS BIGINT) AS first_match
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) n
+    LEFT JOIN hits h ON n.doc_id = h.new_doc
+    """
+
+
+@query("q_dedup_incremental", oracle=_dedup_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup gate: a NEW batch (doc_id % 10 == 9) is
+    checked against the EXISTING corpus index (the rest) — the shape every
+    continuously-ingesting training pipeline runs per arrival batch,
+    where re-running full-corpus dedup (``q_dedup_near``) would be
+    quadratic over time.
+
+    The batch side joins the index side on LSH band signatures only — the
+    batch (small) probes the index (large); no index-index or batch-batch
+    pair ever forms.  At production scale the index's band signatures are
+    the PERSISTED artifact (a bucketed table updated per batch — the
+    bucketed-sink layout of ``q_sink_bucketed``), so each arrival batch
+    shuffles only itself plus signature-matched index rows.  Every new doc
+    reports its candidate count and best (lowest-id) index match, -1 when
+    clean — the keep/quarantine signal.
+    """
+    n_perm, n_bands = 16, 4
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    sigs = _band_signatures(_minhash_table(d, n_perm), n_perm, n_bands)
+    new_sigs = sigs.filter(F.col("doc_id") % 10 == 9)
+    idx_sigs = (sigs.filter(F.col("doc_id") % 10 != 9)
+                .withColumnRenamed("doc_id", "index_doc"))
+    hits = (
+        new_sigs.join(idx_sigs, "sig")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("index_doc").alias("n_cand"),
+            F.min("index_doc").alias("first_match"),
+        )
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 9).select("doc_id")
+    return (
+        batch.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("new_doc_id"),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long")
+                .alias("n_index_candidates"),
+            F.coalesce(F.col("first_match"), F.lit(-1)).cast("long")
+                .alias("first_match"),
         )
     )
