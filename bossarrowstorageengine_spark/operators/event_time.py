@@ -606,3 +606,73 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(max(ts_us) - min(ts_us)) div 1000").alias("duration_ms"),
         )
     )
+
+
+@query(
+    "q_event_pattern",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                                          WHEN 'click' THEN 'C'
+                                          WHEN 'purchase' THEN 'P'
+                                          WHEN 'signup' THEN 'S'
+                                          ELSE 'E' END, ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'V[^E]*?P')) AS BIGINT)
+               AS n_view_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'E+')) AS BIGINT)
+               AS n_error_bursts
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'V[^E]*?P')) > 0
+       OR len(regexp_extract_all(seq, 'E+')) > 0
+    """,
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE class, which
+    Spark has no native operator for): per user, serialize the totally-
+    ordered event history into a code string and count regex pattern
+    occurrences — here view→purchase journeys not interrupted by an error
+    (lazy ``V[^E]*?P``, non-overlapping), and error bursts (``E+``).
+
+    The lazy quantifier makes each journey end at its FIRST purchase, so
+    counting is insensitive to regex-engine longest-match differences —
+    Java (Spark) and RE2 (DuckDB) agree by construction.
+
+    Scale: one shuffle (user_id); each user's sequence builds inside its
+    group via sort-agg, and the regex work is per-user JVM codegen.  A
+    user's history must fit in memory — the same bound every
+    MATCH_RECOGNIZE implementation carries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id").alias("ord"),
+                  code.alias("code"))
+        .groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("ord", "code"))),
+                        lambda s: s.code), "").alias("seq"))
+    )
+    vp = F.regexp_count(F.col("seq"), F.lit("V[^E]*?P"))
+    eb = F.regexp_count(F.col("seq"), F.lit("E+"))
+    return (
+        seqs.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.length("seq").cast("long").alias("n_events"),
+            vp.cast("long").alias("n_view_to_purchase"),
+            eb.cast("long").alias("n_error_bursts"),
+        )
+        .filter((F.col("n_view_to_purchase") > 0) | (F.col("n_error_bursts") > 0))
+    )
