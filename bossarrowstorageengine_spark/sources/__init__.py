@@ -5,6 +5,7 @@
 from bossarrowstorageengine_spark.sources.arrowipc import (
     ArrowIPCDataSource,
     register_arrowipc,
+    register_arrowipc_table,
 )
 
-__all__ = ["ArrowIPCDataSource", "register_arrowipc"]
+__all__ = ["ArrowIPCDataSource", "register_arrowipc", "register_arrowipc_table"]

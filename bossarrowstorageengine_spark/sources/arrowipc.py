@@ -77,6 +77,21 @@ from pyspark.sql.types import StructType
 FORMAT_NAME = "arrowipc"
 
 
+def _local_path(path: str | None) -> str | None:
+    """Normalize a possibly URI-schemed path to a plain local path.  SQL DDL
+    (``CREATE TABLE ... USING arrowipc``) hands the data source
+    ``file:/...`` / ``file:///...`` URIs where the DataFrame API passes
+    bare paths; both must address the same directory."""
+    if path is None:
+        return None
+    if path.startswith("file://"):
+        rest = path[len("file://"):]
+        return rest or "/"
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def stats_path(data_path: str) -> str:
     """Sidecar stats file for a part file (underscore prefix keeps it out
     of data-file listings, mirroring Spark's ``_SUCCESS``-style markers)."""
@@ -480,7 +495,7 @@ class ArrowIPCPartition(InputPartition):
 class ArrowIPCReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._options = options
-        self._path = options.get("path")
+        self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc reader requires a path")
         self._columns = None
@@ -688,7 +703,7 @@ class _OpenPart:
 class ArrowIPCWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self._options = options
-        self._path = options.get("path")
+        self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc writer requires a path")
         self._compression = options.get("compression", "zstd")
@@ -850,7 +865,7 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
     file-sink at-least-once semantics)."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
-        self._path = options.get("path")
+        self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc stream writer requires a path")
         staged = dict(options)
@@ -895,7 +910,7 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, schema: StructType, options: dict):
-        self._path = options.get("path")
+        self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc stream reader requires a path")
         cols = options.get("columns")
@@ -966,7 +981,7 @@ class ArrowIPCDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        path = self.options.get("path")
+        path = _local_path(self.options.get("path"))
         if not path:
             raise ValueError("arrowipc requires a path")
         files = _list_ipc_files(path)
@@ -1022,3 +1037,24 @@ def register_arrowipc(spark) -> None:
         spark.dataSource.register(ArrowIPCDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+def register_arrowipc_table(spark, name: str, path: str, **options) -> None:
+    """Bind an arrowipc directory to a SQL-addressable name.
+
+    The practical ``CREATE TABLE ... USING arrowipc`` equivalent: Spark's
+    catalog does not forward OPTIONS/LOCATION to a Python data source's
+    reader at query time (they arrive empty), so persistent-table DDL
+    cannot carry the path.  A temp view over the reader gives SQL the same
+    scan — including filter pushdown, snapshot/version options, and
+    filenameColumn — under a stable name:
+
+        register_arrowipc_table(spark, "docs", "/data/docs",
+                                snapshots="true")
+        spark.sql("SELECT count(*) FROM docs WHERE lang = 'en'")
+    """
+    register_arrowipc(spark)
+    reader = spark.read.format(FORMAT_NAME)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    reader.load(path).createOrReplaceTempView(name)

@@ -891,3 +891,41 @@ def test_merge_pure_insert_without_matches(spark):
     back = spark.read.format("arrowipc").load(out)
     assert back.count() == nat.count() + 1
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_file_uri_scheme_paths_accepted(spark):
+    """SQL-DDL and some catalog paths hand the source file:-schemed URIs;
+    the reader/writer must treat them as the same local directory."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    nat.write.format("arrowipc").mode("append").save(out)
+    for uri in (f"file:{out}", f"file://{out}"):
+        back = spark.read.format("arrowipc").load(uri)
+        assert back.count() == nat.count(), uri
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_register_arrowipc_table_gives_sql_access(spark):
+    """register_arrowipc_table binds the scan (with options) to a SQL name —
+    the CREATE TABLE USING equivalent, since Spark's catalog drops Python
+    data source OPTIONS at read time."""
+    from bossarrowstorageengine_spark.sources import register_arrowipc_table
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    (nat.write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                              # v1
+    (nat.limit(3).write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                              # v2
+
+    register_arrowipc_table(spark, "nat_ipc_v1", out, version="1")
+    register_arrowipc_table(spark, "nat_ipc", out, snapshots="true")
+    n_v1 = spark.sql("SELECT count(*) AS n FROM nat_ipc_v1").collect()[0].n
+    n_latest = spark.sql("SELECT count(*) AS n FROM nat_ipc").collect()[0].n
+    assert n_v1 == nat.count()
+    assert n_latest == nat.count() + 3
+    got = spark.sql(
+        "SELECT count(*) AS n FROM nat_ipc_v1 WHERE n_regionkey = 0"
+    ).collect()[0].n
+    assert got == nat.filter(F.col("n_regionkey") == 0).count()
+    shutil.rmtree(out, ignore_errors=True)
