@@ -309,12 +309,16 @@ def _stats_overlap(stats: dict[str, list] | None, filters: Sequence[Filter]) -> 
     return True
 
 
-def _list_ipc_files(path: str) -> List[str]:
+def _list_ipc_files(path: str, missing_ok: bool = False) -> List[str]:
     """All part files under ``path``, recursing into (Hive-style
-    ``col=value``) partition subdirectories; hidden dirs/files skipped."""
+    ``col=value``) partition subdirectories; hidden dirs/files skipped.
+    ``missing_ok`` returns [] instead of raising for an absent/empty
+    table (used by maintenance to detect an emptied-out directory)."""
     if os.path.isfile(path):
         return [path]
     if not os.path.isdir(path):
+        if missing_ok:
+            return []
         raise FileNotFoundError(f"arrowipc path not found: {path}")
     files: list[str] = []
     for dirpath, dirnames, filenames in os.walk(path):
@@ -327,6 +331,8 @@ def _list_ipc_files(path: str) -> List[str]:
         )
     files.sort()
     if not files:
+        if missing_ok:
+            return []
         raise FileNotFoundError(f"no .arrows files under {path}")
     return files
 

@@ -22,8 +22,11 @@ import os
 import shutil
 import uuid
 
+import pyarrow as pa
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from bossarrowstorageengine_spark.sources.arrowipc import (
     _list_ipc_files,
@@ -209,8 +212,11 @@ def _cow_rewrite(
          .option("ipcFormat", ipc_format)
          .mode("append").save(staging))
 
+    rewritten_schema = None
     if affected_pinned:
-        _stage(rewrite(df.filter(F.col(_FCOL).isin(affected_pinned))))
+        rewritten = rewrite(df.filter(F.col(_FCOL).isin(affected_pinned)))
+        rewritten_schema = rewritten.schema
+        _stage(rewritten)
     n_extra = 0
     if extra is not None:
         extra = extra.cache()
@@ -240,6 +246,27 @@ def _cow_rewrite(
             promoted.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(pin, ignore_errors=True)
+    if (not snapshotted and affected_orig and not promoted
+            and not _list_ipc_files(path, missing_ok=True)):
+        # The operation emptied the table (e.g. DELETE matched every row of
+        # every file).  A plain directory with zero part files is unreadable
+        # (no file to infer schema from), so leave one empty schema-bearing
+        # part behind — the arrowipc equivalent of a table that exists but
+        # holds no rows.  Snapshotted tables don't need this: old parts
+        # remain on disk for schema inference and the manifest defines the
+        # (empty) visible set.
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = rewritten_schema if rewritten_schema is not None else (
+            StructType([f for f in df.schema.fields if f.name != _FCOL]))
+        arrow_schema = to_arrow_schema(out_schema)
+        marker = os.path.join(path, f"part-empty-{uuid.uuid4().hex}.arrows")
+        tmp = marker + ".tmp"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, arrow_schema):
+                pass
+        os.replace(tmp, marker)
+        promoted.append(marker)
     out = {"rows_matched": rows_matched, "files_rewritten": len(promoted),
            "rows_appended": n_extra}
     if snapshotted and (promoted or affected_orig):

@@ -76,3 +76,33 @@ def test_roundtrip_identity_stream_encoding(spark, rows):
     got = _canon([tuple(r) for r in back.collect()])
     want = _canon([tuple(r) for r in df.collect()])
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lo=st.integers(min_value=-5, max_value=30),
+       hi=st.integers(min_value=-5, max_value=30),
+       n_parts=st.integers(min_value=1, max_value=4))
+def test_cow_delete_equals_filter(spark, lo, hi, n_parts):
+    """For arbitrary range predicates and file layouts, copy-on-write
+    DELETE followed by a read equals filtering the original — including
+    empty-match and delete-everything extremes."""
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    register_arrowipc(spark)
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_regionkey")
+    nat.repartition(n_parts).write.format("arrowipc").mode("append").save(out)
+    pred = f"n_nationkey >= {min(lo, hi)} AND n_nationkey <= {max(lo, hi)}"
+    info = delete_arrowipc(spark, out, pred)
+    assert info["rows_deleted"] == nat.filter(pred).count()
+    back = spark.read.format("arrowipc").load(out)
+    assert sorted(r.n_nationkey for r in back.collect()) == \
+        sorted(r.n_nationkey for r in nat.filter(f"NOT ({pred})").collect())
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
