@@ -106,3 +106,44 @@ def test_cow_delete_equals_filter(spark, lo, hi, n_parts):
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lo=st.integers(min_value=-5, max_value=30),
+       delta=st.integers(min_value=-100, max_value=100),
+       n_parts=st.integers(min_value=1, max_value=3))
+def test_cow_update_equals_projection(spark, lo, delta, n_parts):
+    """For arbitrary predicates and assignment deltas, copy-on-write UPDATE
+    followed by a read equals the equivalent SELECT projection of the
+    original (simultaneous-assignment semantics included: the two
+    assignments read each other's PRE-update values)."""
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.sources.maintenance import update_arrowipc
+
+    register_arrowipc(spark)
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_regionkey")
+    nat.repartition(n_parts).write.format("arrowipc").mode("append").save(out)
+    pred = f"n_nationkey >= {lo}"
+    update_arrowipc(spark, out, pred, {
+        "n_nationkey": f"n_regionkey + {delta}",   # reads pre-update regionkey
+        "n_regionkey": "n_nationkey",              # reads pre-update nationkey
+    })
+    back = spark.read.format("arrowipc").load(out)
+    cond = F.expr(pred)
+    expect = nat.select(
+        F.when(cond, F.col("n_regionkey") + delta)
+         .otherwise(F.col("n_nationkey")).alias("a"),
+        F.when(cond, F.col("n_nationkey"))
+         .otherwise(F.col("n_regionkey")).alias("b"),
+    )
+    got = sorted((r.n_nationkey, r.n_regionkey) for r in back.collect())
+    want = sorted((r.a, r.b) for r in expect.collect())
+    assert got == want
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
