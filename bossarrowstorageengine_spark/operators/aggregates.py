@@ -463,3 +463,45 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_sum"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+           TRUE AS within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the mergeable
+    fixed-size quantile state that replaces exact percentile sorts at
+    100 TB, companion to ``q_agg_approx_distinct``'s HLL.
+
+    Sketch estimates are engine-specific, so the EXACT-checkable face
+    emits the exact p50/p95 plus a boolean asserting the approx sketch
+    (accuracy 10000) landed within 2% of each — the oracle expects TRUE,
+    so a broken sketch fails the hash while the estimate's exact value
+    never enters the comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
+                .alias("approx"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("p50", 2).alias("exact_p50"),
+            F.round("p95", 2).alias("exact_p95"),
+            (
+                (F.abs(F.col("approx")[0] - F.col("p50")) / F.col("p50") < 0.02)
+                & (F.abs(F.col("approx")[1] - F.col("p95")) / F.col("p95") < 0.02)
+            ).alias("within_2pct"),
+        )
+    )
