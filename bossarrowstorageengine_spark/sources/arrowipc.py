@@ -148,7 +148,7 @@ class ConditionalPut:
     Commit logic is written only against this interface, so porting the
     table format to an object store is a backend swap, not a redesign:
     S3 ``PutObject`` with ``If-None-Match: *`` (first-writer-wins since
-    2024-08), GCS ``x-goods-if-generation-match: 0``, ADLS ``If-None-Match``
+    2024-08), GCS ``x-goog-if-generation-match: 0``, ADLS ``If-None-Match``
     conditional create, or an external CAS (DynamoDB/etcd) for stores
     without conditional writes.  Returns True iff this caller won the name.
     """
