@@ -390,3 +390,50 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_contaminated"),
         F.countDistinct("seg_hash").cast("long").alias("n_shared_segments"))
     return totals.crossJoin(hits)
+
+
+@query(
+    "q_embedding_mrl",
+    oracle="""
+    WITH trunc AS (
+        SELECT vec_id,
+               list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+        FROM embeddings WHERE vec_id % 7 = 0
+    ), normed AS (
+        SELECT vec_id,
+               sqrt(list_reduce(list_transform(t, x -> x * x),
+                                (a, b) -> a + b)) AS nrm,
+               t
+        FROM trunc
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(nrm, 6)          AS trunc_norm,
+           round(list_reduce(list_transform(t, x -> x / nrm),
+                             (a, b) -> a + b), 6) AS unit_sum
+    FROM normed
+    """,
+)
+def q_embedding_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first 16 dims and
+    L2-renormalize — the serving-time prep for MRL-trained embeddings
+    (smaller vectors, same index machinery).  Emits the pre-normalization
+    norm and the unit-vector component sum as the checkable face.
+
+    Scale: pure per-row JVM array HOFs (slice → fold) — no shuffle, no
+    Python; the scan prunes to the two needed columns.  The sequential
+    ``aggregate`` fold matches DuckDB's ``list_reduce`` order, so the
+    doubles are bit-identical before rounding.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    t = F.transform(F.slice("embedding", 1, 16), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(
+        F.transform(t, lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+    d = e.select("vec_id", t.alias("t"), nrm.alias("nrm"))
+    unit_sum = F.aggregate(
+        F.transform(F.col("t"), lambda x: x / F.col("nrm")),
+        F.lit(0.0), lambda a, b: a + b)
+    return d.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("nrm", 6).alias("trunc_norm"),
+        F.round(unit_sum, 6).alias("unit_sum"),
+    )
