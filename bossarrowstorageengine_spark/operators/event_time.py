@@ -676,3 +676,46 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_view_to_purchase") > 0) | (F.col("n_error_bursts") > 0))
     )
+
+
+@query(
+    "q_cdc_scd2",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 5 = 0
+    )
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           round(value, 4)          AS value,
+           CAST(epoch_ms(ts) AS BIGINT) AS effective_from_ms,
+           CAST(COALESCE(epoch_ms(lead(ts) OVER w), -1) AS BIGINT)
+                                    AS effective_to_ms,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change log into validity
+    intervals — each change row becomes a version effective from its own
+    timestamp until the next change (open-ended for the current version).
+    The warehouse-history counterpart to ``q_cdc_upsert`` (which keeps
+    only the latest version).
+
+    Scale: one shuffle (user_id), then a per-key linear ``lead`` pass; the
+    history table this produces is exactly what ``q_join_asof`` probes.
+    Total tiebreak (ts, event_id) makes interval edges deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("value", 4).alias("value"),
+        F.unix_millis(F.col("ts")).cast("long").alias("effective_from_ms"),
+        F.coalesce(F.unix_millis(nxt), F.lit(-1)).cast("long")
+            .alias("effective_to_ms"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
