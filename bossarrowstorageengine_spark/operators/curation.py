@@ -767,3 +767,63 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("kept_chars"),
             F.round(F.min("rate"), 4).alias("rate"),
         )
+
+
+@query(
+    "q_text_typicality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), c AS (
+        SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+    )
+    SELECT CAST(g.doc_id AS BIGINT)     AS doc_id,
+           CAST(count(*) AS BIGINT)     AS n_grams,
+           CAST(sum(c.cnt) AS BIGINT)   AS sum_freq,
+           CAST(min(c.cnt) AS BIGINT)   AS rarest_freq,
+           round(CAST(sum(c.cnt) AS DOUBLE) / count(*), 4) AS avg_freq
+    FROM g JOIN c ON g.gram = c.gram
+    WHERE g.doc_id % 11 = 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model document scoring (the CCNet-style quality shape): build
+    a corpus bigram frequency model, then score each document by how
+    typical its bigrams are — mean and minimum corpus frequency.  Rare-gram
+    documents are outliers (gibberish, wrong language, boilerplate IDs);
+    LM-perplexity filters are this exact dataflow with log-probs in place
+    of counts (kept integer here so the oracle is EXACT — float logs are
+    not bit-portable across engines).
+
+    Scale: the model is a (gram, count) aggregate — the shuffle carries one
+    row per distinct gram; scoring joins doc-grams to the model on the gram
+    key (at 100 TB the model lands as a bucketed table and the join is
+    co-located).  The output-subset filter applies AFTER model building, so
+    the model always reflects the full corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.filter(
+        F.zip_with(toks, t2,
+                   lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))),
+        lambda x: x.isNotNull(),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        g.filter(F.col("doc_id") % 11 == 0)
+        .join(c, "gram")
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("cnt").cast("long").alias("sum_freq"),
+            F.min("cnt").cast("long").alias("rarest_freq"),
+            F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 4)
+                .alias("avg_freq"),
+        )
+    )
