@@ -33,69 +33,40 @@ for _m in _MODULES:
 
 #: The driver's correctness gate checks the FIRST 50 keys of ``queries()``
 #: in dict order, so this window is re-curated each round to aim the sample
-#: at keys without a (still-valid) driver-green row.  Round-3 window: the
-#: two queries repaired this round lead (q_sessionize was broken,
-#: q_stream_session's r1 green row predates the events.ts re-encode and is
-#: stale), followed by the 54 keys no driver round has ever sampled.  Seven
-#: never-sampled keys whose families already hold driver-green
-#: representatives (windows: q_win_rank/q_win_topk_group; UDFs:
-#: q_udf_pandas/q_udtf_apply) are deprioritized to positions 51-57 and roll
-#: into round 4's window.  Keys absent from this list follow in
-#: registration order.
+#: at keys without a (still-valid) driver-green row.  Round-4 window,
+#: positions 1-34: keys materially changed in round 3 or 4 whose prior
+#: driver rows are stale (q_ann_ivf's only row is a pre-oracle r2 err;
+#: q_dedup_embedding / q_scan_arrow_roundtrip were rewritten after their r2
+#: green rows; q_sim_search / q_event_pattern and the storage-mutation paths
+#: are modified this round), followed by the 27 keys no driver round has
+#: ever sampled (the 11 round-3 TPC-H shapes, the UDF/window backlog, the
+#: round-3 text/CDC/curation additions).  Positions 35-50: round-robin
+#: re-verification of the oldest green rows (r1 keys — the round-2
+#: TIMESTAMP_NTZ incident showed r1 greens can silently go stale).  Keys
+#: absent from this list follow in registration order.
+#: ``tests/test_driver_window.py`` asserts this window covers every key
+#: without a green row in the committed CORRECTNESS_r*.json files.
 _DRIVER_WINDOW = [
-    # Repaired this round — must re-earn a driver row.
-    "q_sessionize",
-    "q_stream_session",
-    # Never driver-sampled (r1 ∪ r2).
-    "q_udtf_apply",
-    "q_sketch_rollup",
-    "q_incremental_agg",
-    "q_vocab_topk",
-    "q_colloc_pmi",
-    "q_length_deciles",
-    "q_skew_profile",
-    "q_agg_salted",
-    "q_record_linkage",
-    "q_shard_assignment",
-    "q_quality_gate",
-    "q_outlier_zscore",
-    "q_graph_degree",
-    "q_pagerank",
-    "q_join_bloom",
-    "q_join_shuffle_hash",
-    "q_minhash_accuracy",
-    "q_str_funcs",
-    "q_str_regex",
-    "q_math_funcs",
-    "q_array_funcs",
-    "q_explode",
-    "q_json_funcs",
-    "q_explode_outer",
-    "q_map_funcs",
-    "q_zorder_layout",
-    "q_arrowipc_snapshot",
-    "q_set_union_distinct",
-    "q_set_except",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_exists",
-    "q_tpch_q10",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q14",
-    "q_tpch_q7",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q22",
-    "q_sample_weighted",
-    "q_pack_chunks",
-    "q_train_test_split",
-    "q_dedup_segment",
-    "q_embedding_quantize",
-    "q_split_contamination",
-    "q_map_in_arrow",
-    # ---- position 51+ (round-4 window candidates) ----
+    # Stale driver rows / modified in r3-r4 — must (re-)earn a driver row.
+    "q_ann_ivf",
+    "q_sim_search",
+    "q_dedup_embedding",
+    "q_scan_arrow_roundtrip",
+    "q_storage_delete",
+    "q_storage_merge",
+    "q_event_pattern",
+    # Never driver-sampled (r1 ∪ r2 ∪ r3).
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
     "q_udf_python",
     "q_udaf_pandas",
     "q_udtf_python",
@@ -103,6 +74,32 @@ _DRIVER_WINDOW = [
     "q_win_frame_rows",
     "q_win_distribution",
     "q_win_first_last",
+    "q_agg_approx_quantile",
+    "q_text_repetition",
+    "q_text_pii_scrub",
+    "q_bpe_pairs",
+    "q_dataset_mixture",
+    "q_text_typicality",
+    "q_cdc_scd2",
+    "q_dedup_incremental",
+    "q_embedding_mrl",
+    # Oldest-green re-verification (r1 rows).
+    "q_agg_basic",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_stats",
+    "q_filter_basic",
+    "q_filter_null",
+    "q_project_exprs",
+    "q_case_coalesce",
+    "q_join_inner_hash",
+    "q_join_broadcast",
+    "q_join_left_outer",
+    "q_dedup_exact",
+    "q_stream_tumbling",
+    "q_join_asof",
 ]
 
 
