@@ -291,7 +291,13 @@ def delete_arrowipc(
     res = _cow_rewrite(
         spark, path,
         affected_rows=lambda df: df.filter(predicate),
-        rewrite=lambda aff: aff.filter(~F.expr(predicate)).drop(_FCOL),
+        # SQL DELETE removes rows where the predicate is TRUE; rows where it
+        # evaluates NULL (e.g. ``col = 5`` with col NULL) must SURVIVE.  A
+        # bare ``~predicate`` is NULL for those rows and filter() drops them,
+        # silently losing data in any rewritten file — so keep rows where the
+        # predicate is not TRUE.
+        rewrite=lambda aff: aff.filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))).drop(_FCOL),
         compression=compression, ipc_format=ipc_format,
     )
     out = {"rows_deleted": res["rows_matched"],

@@ -782,6 +782,28 @@ def test_delete_on_snapshotted_table_commits_replace_manifest(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_delete_null_predicate_rows_survive(spark):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL are
+    NOT deleted — they must survive the copy-on-write rewrite of their part
+    file, not be silently lost alongside the TRUE rows."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    rows = [(1, 10), (2, None), (3, 10), (4, None), (5, 20)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    df.coalesce(1).write.format("arrowipc").mode("append").save(out)
+
+    # v = 10 is NULL for ids 2 and 4: they are in the one affected file and
+    # must be retained by the rewrite.
+    info = delete_arrowipc(spark, out, "v = 10")
+    assert info["rows_deleted"] == 2
+    assert info["files_rewritten"] == 1
+
+    back = spark.read.format("arrowipc").load(out)
+    assert sorted(r.id for r in back.collect()) == [2, 4, 5]
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_delete_with_no_matches_is_a_noop(spark):
     from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
 
