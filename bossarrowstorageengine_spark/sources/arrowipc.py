@@ -109,6 +109,41 @@ def stats_path(data_path: str) -> str:
 # data-file listings, so tables without the option behave exactly as before.
 # This is the transaction-log pattern (Delta/Iceberg) at directory scale;
 # on an object store the same JSON would live in the log prefix.
+#
+# Snapshot-ness is STICKY (the Delta rule: once a table has a log, every
+# operation goes through the log).  When a table has manifests, a reader
+# that does not set `snapshots` follows the LATEST MANIFEST, not the live
+# directory listing — after logical compaction or a copy-on-write
+# DELETE/UPDATE/MERGE, superseded part files legitimately remain on disk
+# until vacuum, so a raw listing would double-count rows and resurrect
+# deleted ones.  Writers likewise publish the next manifest version on
+# commit even without `snapshots=true`, so plain appends stay visible to
+# manifest readers.  Pass `snapshots=false` explicitly to force the raw
+# listing (debugging/recovery only — it sees uncommitted and superseded
+# files).
+
+
+def _snapshots_mode(options: dict) -> bool | None:
+    """Tri-state ``snapshots`` option: True/False when the caller set it,
+    None when absent (auto: follow the manifest iff the table has one)."""
+    for k, v in options.items():
+        if k.lower() == "snapshots":
+            return str(v).lower() == "true"
+    return None
+
+
+def _visible_file_set(path: str, version=None,
+                      snapshots: bool | None = None) -> List[str]:
+    """The file set a read may see: a pinned manifest ``version``, the
+    latest manifest (when requested, or by default on a table that has
+    manifests), else the live directory listing."""
+    if version is not None:
+        return _read_manifest(path, int(version))
+    if snapshots is not False:
+        versions = _manifest_versions(path)
+        if versions:
+            return _read_manifest(path, versions[-1])
+    return _list_ipc_files(path)
 
 def _manifest_file(path: str, version: int) -> str:
     return os.path.join(path, f"_manifest-{version:010d}.json")
@@ -511,21 +546,17 @@ class ArrowIPCReader(DataSourceReader):
         self._merge = options.get(
             "mergeschema", options.get("mergeSchema", "false")).lower() == "true"
         self._version = options.get("version")
-        self._snapshots = str(options.get("snapshots", "false")).lower() == "true"
+        self._snapshots = _snapshots_mode(options)
         self._fname_col = options.get(
             "filenamecolumn", options.get("filenameColumn"))
         self._filters: list[Filter] = []
 
     def _visible_files(self) -> List[str]:
         """The file set this read may see: a pinned manifest version, the
-        latest snapshot, or (default) the live directory listing."""
-        if self._version is not None:
-            return _read_manifest(self._path, int(self._version))
-        if self._snapshots:
-            versions = _manifest_versions(self._path)
-            if versions:
-                return _read_manifest(self._path, versions[-1])
-        return _list_ipc_files(self._path)
+        latest manifest (explicitly requested, or by default on a table
+        that has one — see the sticky-snapshot note above), else the live
+        directory listing."""
+        return _visible_file_set(self._path, self._version, self._snapshots)
 
     # -- optimizer hooks ----------------------------------------------------
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
@@ -732,7 +763,7 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         part_cols = options.get("partitionby", options.get("partitionBy"))
         self._partition_cols = (
             [c.strip() for c in part_cols.split(",")] if part_cols else [])
-        self._snapshots = str(options.get("snapshots", "false")).lower() == "true"
+        self._snapshots = _snapshots_mode(options)
         self._overwrite = overwrite
 
     def _encode_dictionaries(self, batch: pa.RecordBatch) -> pa.RecordBatch:
@@ -832,7 +863,13 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         # commit additionally publishes the next manifest version making
         # this write's files (plus, for appends, the previous snapshot's)
         # the visible set — the only global step, one small JSON.
-        if self._snapshots:
+        # Sticky rule: a table that already has manifests gets a manifest
+        # commit even when the writer didn't ask for snapshots — otherwise
+        # this write's rows would be invisible to (default) manifest readers.
+        snap = self._snapshots
+        if snap is None:
+            snap = bool(_manifest_versions(self._path))
+        if snap:
             new = sorted(
                 p for m in messages or []
                 for p in ((getattr(m, "final_paths", None) or []) if m else []))
@@ -876,6 +913,7 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError("arrowipc stream writer requires a path")
         staged = dict(options)
         staged["path"] = os.path.join(self._path, ".staging")
+        self._snapshots = _snapshots_mode(options)
         self._delegate = ArrowIPCWriter(schema, staged, overwrite)
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ArrowIPCCommitMessage:
@@ -888,6 +926,7 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
             for fp in (getattr(m, "final_paths", None) or [])
         )
         os.makedirs(self._path, exist_ok=True)
+        promoted: list[str] = []
         for seq, sp in enumerate(staged):
             final = os.path.join(
                 self._path, f"part-{batchId:010d}-{seq:05d}.arrows")
@@ -897,6 +936,14 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
             os.replace(sp, final)
             if os.path.exists(src_stats):
                 os.replace(src_stats, stats_path(final))
+            promoted.append(final)
+        # Same sticky-snapshot rule as the batch writer: keep micro-batch
+        # appends visible to (default) manifest readers.
+        snap = self._snapshots
+        if snap is None:
+            snap = bool(_manifest_versions(self._path))
+        if snap and promoted:
+            _write_manifest(self._path, promoted, replace=False)
 
     def abort(self, messages, batchId: int) -> None:
         self._delegate.abort(messages)
@@ -973,7 +1020,11 @@ class ArrowIPCDataSource(DataSource):
     evolution), ``batchesPerSplit`` (batch read parallelism),
     ``snapshots`` (true on write → each commit publishes a
     ``_manifest-N.json`` snapshot version; true on read → read the latest
-    snapshot instead of the live listing), ``version`` (read — time-travel
+    snapshot instead of the live listing; UNSET on a table that already
+    has manifests → sticky: reads follow the latest manifest and write
+    commits publish the next version, since a raw listing double-counts
+    parts superseded by compaction/DELETE until vacuum; false → force the
+    raw listing, debugging/recovery only), ``version`` (read — time-travel
     to snapshot N; snapshot reads also give snapshot isolation against
     concurrent appenders), ``filenameColumn`` (read — append a string
     column carrying each row's part-file path, the arrowipc equivalent of
@@ -990,7 +1041,8 @@ class ArrowIPCDataSource(DataSource):
         path = _local_path(self.options.get("path"))
         if not path:
             raise ValueError("arrowipc requires a path")
-        files = _list_ipc_files(path)
+        files = _visible_file_set(
+            path, self.options.get("version"), _snapshots_mode(self.options))
         merge = self.options.get(
             "mergeschema", self.options.get("mergeSchema", "false"))
         if str(merge).lower() == "true":

@@ -30,6 +30,24 @@ def _tmpdir() -> str:
     return yield_path
 
 
+def _inject_uncommitted_part(spark, table_dir: str, df) -> list[str]:
+    """Simulate a concurrent appender that renamed its part file(s) into the
+    table but has not (yet) committed a manifest: write ``df`` to a scratch
+    plain directory and move the parts in by hand.  (A plain write into a
+    manifest table would itself commit, per the sticky-snapshot rule.)"""
+    scratch = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df.write.format("arrowipc").mode("append").save(scratch)
+    moved = []
+    for p in sorted(glob.glob(os.path.join(scratch, "*.arrows"))):
+        dst = os.path.join(table_dir, f"inflight-{uuid.uuid4().hex}.arrows")
+        os.replace(p, dst)
+        if os.path.exists(stats_path(p)):
+            os.replace(stats_path(p), stats_path(dst))
+        moved.append(dst)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return moved
+
+
 def _roundtrip(spark, df, **options):
     out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
     try:
@@ -512,15 +530,68 @@ def test_snapshot_read_ignores_uncommitted_listing_noise(spark):
     nat = load_table(spark, SF, "nation")
     (nat.write.format("arrowipc").option("snapshots", "true")
         .mode("append").save(out))
-    # simulate a concurrent appender that has renamed its file but not
-    # yet committed a manifest: plain listing sees it, snapshots don't
-    nat.limit(3).write.format("arrowipc").mode("append").save(out)
+    # simulate a concurrent appender that has renamed its file but not yet
+    # committed a manifest: drop a part file straight into the directory
+    # (a plain write would itself commit, under the sticky-snapshot rule)
+    _inject_uncommitted_part(spark, out, nat.limit(3))
 
     snap = (spark.read.format("arrowipc")
             .option("snapshots", "true").load(out))
-    plain = spark.read.format("arrowipc").load(out)
+    # default read on a manifest table = latest manifest (sticky), so it
+    # must ignore the uncommitted file too
+    dflt = spark.read.format("arrowipc").load(out)
+    # explicit snapshots=false opts into the raw listing
+    raw = (spark.read.format("arrowipc")
+           .option("snapshots", "false").load(out))
     assert snap.count() == nat.count()
-    assert plain.count() == nat.count() + 3
+    assert dflt.count() == nat.count()
+    assert raw.count() == nat.count() + 3
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_default_read_follows_manifest_after_cow_delete(spark):
+    """The silent-corruption hazard sticky snapshots close: after a CoW
+    DELETE on a snapshotted table, superseded parts stay on disk until
+    vacuum — a DEFAULT read (no snapshot options) must follow the latest
+    manifest, not double-count via the raw listing."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    (nat.write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                               # v1
+    delete_arrowipc(spark, out, "n_regionkey = 0")               # v2 (CoW)
+
+    expect = nat.filter(F.col("n_regionkey") != 0)
+    dflt = spark.read.format("arrowipc").load(out)
+    assert sorted(r.n_nationkey for r in dflt.collect()) == \
+        sorted(r.n_nationkey for r in expect.collect())
+    # the old parts really are still on disk (what made raw listing wrong)
+    raw = (spark.read.format("arrowipc")
+           .option("snapshots", "false").load(out))
+    assert raw.count() > expect.count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_plain_append_to_manifest_table_commits_sticky_version(spark):
+    """Once a table has manifests, a write WITHOUT snapshot options must
+    still publish the next version — otherwise its rows would be invisible
+    to (default) manifest readers: a lost write."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation")
+    (nat.filter(F.col("n_regionkey") == 0)
+        .write.format("arrowipc").option("snapshots", "true")
+        .mode("append").save(out))                               # v1
+    (nat.filter(F.col("n_regionkey") == 1)
+        .write.format("arrowipc").mode("append").save(out))      # sticky v2
+
+    assert a._manifest_versions(out) == [1, 2]
+    dflt = spark.read.format("arrowipc").load(out)
+    expect = nat.filter(F.col("n_regionkey") <= 1)
+    assert sorted(r.n_nationkey for r in dflt.collect()) == \
+        sorted(r.n_nationkey for r in expect.collect())
     shutil.rmtree(out, ignore_errors=True)
 
 
@@ -604,8 +675,7 @@ def test_compaction_on_snapshotted_table_publishes_replace_manifest(spark):
             .write.format("arrowipc").option("snapshots", "true")
             .mode("append").save(out))                          # v1..v3
     # in-flight appender: renamed part, no manifest commit yet
-    nat.filter(F.col("n_regionkey") == 3).write.format("arrowipc") \
-        .mode("append").save(out)
+    _inject_uncommitted_part(spark, out, nat.filter(F.col("n_regionkey") == 3))
     committed = nat.filter(F.col("n_regionkey") <= 2)
 
     old_parts = a._read_manifest(out, 3)
@@ -683,8 +753,7 @@ def test_vacuum_reclaims_only_dropped_version_files(spark):
             .write.format("arrowipc").option("snapshots", "true")
             .mode("append").save(out))                          # v1, v2
     old_parts = a._read_manifest(out, 2)
-    nat.limit(2).write.format("arrowipc").mode("append").save(out)  # in-flight
-    inflight = set(glob.glob(os.path.join(out, "*.arrows"))) - set(old_parts)
+    inflight = set(_inject_uncommitted_part(spark, out, nat.limit(2)))
 
     compact_arrowipc(spark, out, target_files=1)                # v3 (replace)
     info = vacuum_arrowipc(out, keep_versions=1)
