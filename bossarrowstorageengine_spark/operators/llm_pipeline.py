@@ -623,6 +623,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+#: Stage-1 sub-key count for the two-stage top-k: the scored corpus is
+#: hash-split into this many groups PER PROBE, each reduced to a local
+#: top-5, so no reducer ever sorts more than ~N/64 rows for one probe.
+#: Scale knob: grow with cluster width (any value preserves the result —
+#: the global top-5 is a subset of every split's local top-5 union).
+_SIM_SEARCH_SALTS = 64
+
 
 @query(
     "q_sim_search",
@@ -657,8 +664,14 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 3 fixed probe vectors.
 
     The probe set broadcasts; cosine is a JVM-side higher-order expression
-    over the fact table; per-probe top-k is the window top-k idiom — the
-    exact baseline an ANN variant is measured against.
+    over the fact table — the exact baseline an ANN variant is measured
+    against.  The per-probe top-k is TWO-stage: a salted sub-key window
+    takes a local top-5 within each of ``_SIM_SEARCH_SALTS`` hash splits
+    (parallel across probes × salts reducers, each sorting ~N/salts rows),
+    then the final window ranks only the ≤ 5·salts survivors per probe.
+    A single-stage ``Window.partitionBy(probe_id)`` would funnel the whole
+    scored corpus through one reducer per probe — the plan that dies first
+    at 100× scale (tests/test_plans.py locks the staged shape in).
     """
     # embeddings is narrow (vec_id + 64-float vector): per-row compute is
     # light, so scan splits alone carry the parallelism — no fan_out.
@@ -670,16 +683,33 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         e.filter(~F.col("vec_id").isin(0, 1, 2))
         .crossJoin(F.broadcast(probes))
-        .withColumn("cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+        # round before ranking so both stages order by the same key, and
+        # only 3 narrow columns (no vectors) reach the shuffle
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(V.cosine(F.col("probe_emb"), F.col("embedding")), 6)
+            .alias("cos_sim"),
+        )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    order = [F.desc("cos_sim"), F.asc("vec_id")]
+    local = Window.partitionBy(
+        "probe_id",
+        F.pmod(F.hash("vec_id"), F.lit(_SIM_SEARCH_SALTS)),
+    ).orderBy(*order)
+    cand = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= 5)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("probe_id").orderBy(*order)
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        cand.withColumn("rn", F.row_number().over(final).cast("long"))
         .filter(F.col("rn") <= 5)
         .select(
             F.col("probe_id").cast("long"),
             F.col("vec_id").cast("long"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            "cos_sim",
             "rn",
         )
     )

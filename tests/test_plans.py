@@ -250,3 +250,22 @@ def test_ivf_training_has_no_python_stage(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sim_search_topk_is_two_stage(spark):
+    """q_sim_search must never sort the full scored corpus in one reducer
+    per probe: the first Window partitions by (probe_id, salt) — many
+    parallel local top-5s — and only the ≤5·salts survivors reach the
+    final per-probe Window."""
+    import re
+
+    plan = _plan(QUERIES["q_sim_search"](spark, SF))
+    assert "pmod" in plan, "salt sub-key missing from the plan"
+    # the stage-1 shuffle must hash on more than probe_id alone
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [e for e in exchanges
+              if "probe_id" in e and len(e.split(",")) > 2]
+    assert salted, f"no salted per-probe exchange found: {exchanges}"
+    # and each stage pre-limits map-side, so no reducer ever receives more
+    # than top-5 per upstream partition per group
+    assert plan.count("WindowGroupLimit") >= 2
