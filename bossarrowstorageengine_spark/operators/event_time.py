@@ -608,26 +608,84 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-key state bound for event-pattern matching: at most this many events
+#: (first-K in event-time order) serialize into one user's code string.
+#: Results are exact for users at or under the cap; whale keys are matched
+#: on their first-K prefix and marked ``truncated`` — an explicit answer
+#: instead of a single task holding an unbounded string.
+_EVENT_PATTERN_CAP = 4096
+
+
+def _event_pattern_frame(ev: DataFrame, cap: int) -> DataFrame:
+    """Core of q_event_pattern over an events frame (testable cap)."""
+    code = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", F.struct("ts", "event_id").alias("ord"), code.alias("code"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("_total"),
+    )
+    seqs = (
+        ranked.filter(F.col("_rn") <= cap)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "code"))),
+                    lambda s: s.code), "").alias("seq"),
+            F.max("_total").alias("n_events"),
+        )
+    )
+    vp = F.regexp_count(F.col("seq"), F.lit("V[^E]*?P"))
+    eb = F.regexp_count(F.col("seq"), F.lit("E+"))
+    return (
+        seqs.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            vp.cast("long").alias("n_view_to_purchase"),
+            eb.cast("long").alias("n_error_bursts"),
+            F.when(F.col("n_events") > cap, 1).otherwise(0)
+            .cast("long").alias("truncated"),
+        )
+        .filter((F.col("n_view_to_purchase") > 0) | (F.col("n_error_bursts") > 0))
+    )
+
+
 @query(
     "q_event_pattern",
-    oracle="""
-    WITH seqs AS (
-        SELECT user_id,
-               string_agg(CASE event_type WHEN 'view' THEN 'V'
-                                          WHEN 'click' THEN 'C'
-                                          WHEN 'purchase' THEN 'P'
-                                          WHEN 'signup' THEN 'S'
-                                          ELSE 'E' END, ''
-                          ORDER BY ts, event_id) AS seq
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'V'
+                               WHEN 'click' THEN 'C'
+                               WHEN 'purchase' THEN 'P'
+                               WHEN 'signup' THEN 'S'
+                               ELSE 'E' END AS code,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS total
         FROM events
+    ), seqs AS (
+        SELECT user_id,
+               string_agg(code, '' ORDER BY ts, event_id) AS seq,
+               max(total) AS n_events
+        FROM ranked WHERE rn <= {_EVENT_PATTERN_CAP}
         GROUP BY user_id
     )
     SELECT CAST(user_id AS BIGINT) AS user_id,
-           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST(n_events AS BIGINT) AS n_events,
            CAST(len(regexp_extract_all(seq, 'V[^E]*?P')) AS BIGINT)
                AS n_view_to_purchase,
            CAST(len(regexp_extract_all(seq, 'E+')) AS BIGINT)
-               AS n_error_bursts
+               AS n_error_bursts,
+           CAST(CASE WHEN n_events > {_EVENT_PATTERN_CAP} THEN 1 ELSE 0 END
+                AS BIGINT) AS truncated
     FROM seqs
     WHERE len(regexp_extract_all(seq, 'V[^E]*?P')) > 0
        OR len(regexp_extract_all(seq, 'E+')) > 0
@@ -644,38 +702,16 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting is insensitive to regex-engine longest-match differences —
     Java (Spark) and RE2 (DuckDB) agree by construction.
 
-    Scale: one shuffle (user_id); each user's sequence builds inside its
-    group via sort-agg, and the regex work is per-user JVM codegen.  A
-    user's history must fit in memory — the same bound every
-    MATCH_RECOGNIZE implementation carries.
+    Scale: one shuffle (user_id); the per-key sort is the window's
+    external (spillable) sort, and only the first ``_EVENT_PATTERN_CAP``
+    events per user survive into the collect/regex stage, so a whale key
+    with 10^8 events costs a linear scan, never an unbounded in-memory
+    string.  Whale keys report pattern counts over their first-K prefix
+    with ``truncated = 1`` (exact for everyone else) — mirrored exactly
+    in the oracle.
     """
     ev = load_table(spark, sf_dir, "events")
-    code = (
-        F.when(F.col("event_type") == "view", "V")
-        .when(F.col("event_type") == "click", "C")
-        .when(F.col("event_type") == "purchase", "P")
-        .when(F.col("event_type") == "signup", "S")
-        .otherwise("E")
-    )
-    seqs = (
-        ev.select("user_id", F.struct("ts", "event_id").alias("ord"),
-                  code.alias("code"))
-        .groupBy("user_id")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("ord", "code"))),
-                        lambda s: s.code), "").alias("seq"))
-    )
-    vp = F.regexp_count(F.col("seq"), F.lit("V[^E]*?P"))
-    eb = F.regexp_count(F.col("seq"), F.lit("E+"))
-    return (
-        seqs.select(
-            F.col("user_id").cast("long").alias("user_id"),
-            F.length("seq").cast("long").alias("n_events"),
-            vp.cast("long").alias("n_view_to_purchase"),
-            eb.cast("long").alias("n_error_bursts"),
-        )
-        .filter((F.col("n_view_to_purchase") > 0) | (F.col("n_error_bursts") > 0))
-    )
+    return _event_pattern_frame(ev, _EVENT_PATTERN_CAP)
 
 
 @query(

