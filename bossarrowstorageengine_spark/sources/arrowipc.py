@@ -210,6 +210,20 @@ class PosixConditionalPut(ConditionalPut):
             return True
         except FileExistsError:
             return False
+        except OSError:
+            # Filesystem without hard-link support (some FUSE/overlay/SMB
+            # mounts): fall back to an O_EXCL create.  Still atomic on the
+            # NAME; the trade-off is a brief claimed-but-incomplete window
+            # between create and write, which only this degraded mode has.
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as out:
+                out.write(payload)
+                out.flush()
+                os.fsync(out.fileno())
+            return True
         finally:
             os.remove(tmp)
 

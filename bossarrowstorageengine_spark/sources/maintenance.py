@@ -359,7 +359,11 @@ def merge_arrowipc(
     appears in ``source`` are replaced by the source row; source rows with
     unseen keys are appended.  ``source`` must have the target's schema
     and unique keys (raises otherwise — a nondeterministic multi-match
-    MERGE is an error per ANSI semantics).
+    MERGE is an error per ANSI semantics).  Duplicate keys in the TARGET
+    are allowed: every matching target row is replaced by the source
+    version (ANSI WHEN MATCHED updates each matching row), so row
+    multiplicity is preserved and ``rows_updated`` equals the rows
+    actually rewritten.
 
     Copy-on-write: only part files containing matched keys are rewritten;
     inserts land as new part files in the same commit — one atomic
@@ -369,10 +373,16 @@ def merge_arrowipc(
     "version": v?}``.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    n_src = source.count()
-    if source.select(*keys).distinct().count() != n_src:
-        raise ValueError("merge_arrowipc: source keys must be unique")
     src = source.cache()
+    # One validation pass instead of two counts: total rows vs distinct key
+    # tuples (struct → a NULL key field still forms a countable tuple).
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*keys)).alias("d"),
+    ).collect()[0]
+    if stats["d"] != stats["n"]:
+        src.unpersist()
+        raise ValueError("merge_arrowipc: source keys must be unique")
 
     def _aligned(df):
         """Source conformed to the target's columns and exact types —
@@ -383,17 +393,23 @@ def merge_arrowipc(
             for f in df.schema.fields if f.name != _FCOL
         ])
 
+    def _rewrite(aff):
+        # Keep unmatched rows; replace EACH matched target row with the
+        # source version (inner join against the matched keys preserves
+        # target-side multiplicity — N duplicate-key target rows stay N).
+        cols = [f.name for f in aff.schema.fields if f.name != _FCOL]
+        replaced = (
+            aff.select(*keys).join(_aligned(aff), keys, "inner").select(*cols))
+        return (
+            aff.join(src.select(*keys), keys, "anti").drop(_FCOL)
+            .unionByName(replaced)
+        )
+
     try:
         res = _cow_rewrite(
             spark, path,
             affected_rows=lambda df: df.join(src.select(*keys), keys, "semi"),
-            rewrite=lambda aff: (
-                # replace matched rows with the source version, keep the rest
-                aff.join(src.select(*keys), keys, "anti").drop(_FCOL)
-                .unionByName(
-                    _aligned(aff).join(
-                        aff.select(*keys).distinct(), keys, "semi"))
-            ),
+            rewrite=_rewrite,
             appends=lambda df: _aligned(df).join(
                 df.select(*keys), keys, "anti"),
             compression=compression, ipc_format=ipc_format,

@@ -965,6 +965,47 @@ def test_merge_rejects_duplicate_source_keys(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+def test_merge_preserves_duplicate_target_key_multiplicity(spark):
+    """ANSI WHEN MATCHED updates EVERY matching target row: N target rows
+    sharing a matched key become N copies of the source version — none
+    vanish, and rows_updated equals rows actually rewritten."""
+    from bossarrowstorageengine_spark.sources.maintenance import merge_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    target = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, v string")
+    target.coalesce(1).write.format("arrowipc").mode("append").save(out)
+
+    src = spark.createDataFrame([(1, "NEW")], "k long, v string")
+    info = merge_arrowipc(spark, out, src, "k")
+    assert info["rows_updated"] == 2   # both k=1 rows matched
+
+    back = sorted((r.k, r.v) for r in
+                  spark.read.format("arrowipc").load(out).collect())
+    assert back == [(1, "NEW"), (1, "NEW"), (2, "c"), (3, "d")]
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_conditional_put_falls_back_without_hard_links(tmp_path, monkeypatch):
+    """On filesystems without hard-link support every os.link raises; the
+    ConditionalPut must fall back to O_EXCL create and still provide
+    first-writer-wins on the name."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    def no_link(src, dst):
+        raise OSError(1, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    put = a.PosixConditionalPut()
+    target = str(tmp_path / "_manifest-0000000001.json")
+    assert put.put_if_absent(target, b'{"v": 1}') is True
+    assert open(target, "rb").read() == b'{"v": 1}'
+    # second writer loses the race on the same name
+    assert put.put_if_absent(target, b'{"v": "loser"}') is False
+    assert open(target, "rb").read() == b'{"v": 1}'
+    assert not glob.glob(str(tmp_path / "*.tmp-*"))
+
+
 def test_merge_pure_insert_without_matches(spark):
     """MERGE with only-new keys must not rewrite any existing file."""
     from bossarrowstorageengine_spark.sources.maintenance import merge_arrowipc
