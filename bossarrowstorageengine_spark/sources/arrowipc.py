@@ -162,16 +162,48 @@ def _manifest_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(path: str, version: int) -> list[str]:
-    """Absolute part-file paths recorded at ``version`` (sorted)."""
+#: Write a self-contained (full file list) manifest every Nth version; the
+#: versions in between are O(Δ) deltas.  Reconstruction cost is bounded by
+#: one checkpoint read + at most this many delta reads.
+_CHECKPOINT_EVERY = 16
+
+
+def _load_manifest_doc(path: str, version: int) -> dict:
     mf = _manifest_file(path, version)
     if not os.path.exists(mf):
         raise FileNotFoundError(
             f"arrowipc snapshot version {version} not found under {path} "
             f"(have: {_manifest_versions(path)})")
     with open(mf) as f:
-        doc = json.load(f)
-    return sorted(os.path.join(path, rel) for rel in doc["files"])
+        return json.load(f)
+
+
+def _read_manifest(path: str, version: int) -> list[str]:
+    """Absolute part-file paths visible at ``version`` (sorted).
+
+    A manifest is either a CHECKPOINT (``{"files": [...]}`` — the full
+    visible set, self-contained) or a DELTA (``{"add": [...], "remove":
+    [...]}`` — the change against the previous version).  Reconstruction
+    walks back to the nearest checkpoint (bounded by ``_CHECKPOINT_EVERY``)
+    and folds the deltas forward — the Delta-log checkpoint pattern, so
+    commit cost is O(changed files), not O(table files)."""
+    deltas: list[dict] = []
+    v = version
+    while True:
+        doc = _load_manifest_doc(path, v)
+        if "files" in doc:
+            files = set(doc["files"])
+            break
+        deltas.append(doc)
+        v -= 1
+        if v < 1:
+            raise ValueError(
+                f"arrowipc manifest chain for version {version} under "
+                f"{path} has no checkpoint ancestor")
+    for doc in reversed(deltas):
+        files -= set(doc.get("remove", ()))
+        files |= set(doc.get("add", ()))
+    return sorted(os.path.join(path, rel) for rel in files)
 
 
 class ConditionalPut:
@@ -254,21 +286,30 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
     ``remove`` (compaction's logical-delete of the parts it rewrote) is
     applied against the latest manifest INSIDE the retry loop, so a
     concurrent appender's files land in the final set even when its commit
-    wins a version mid-compaction."""
+    wins a version mid-compaction.
+
+    Commit cost is O(changed files): ordinary commits publish a DELTA
+    (``add``/``remove`` lists); every ``_CHECKPOINT_EVERY``-th version —
+    and every ``replace`` commit, which is self-contained by nature —
+    publishes a full-file-list CHECKPOINT that bounds reconstruction."""
     rels = sorted(os.path.relpath(p, path) for p in new_files)
-    rm = {os.path.relpath(p, path) for p in remove}
+    rm = sorted(os.path.relpath(p, path) for p in remove)
     while True:
         versions = _manifest_versions(path)
         prev = versions[-1] if versions else 0
-        files = set(rels)
-        if not replace and versions:
-            files |= {os.path.relpath(p, path)
-                      for p in _read_manifest(path, prev)} - rm
-        target = _manifest_file(path, prev + 1)
-        payload = json.dumps(
-            {"version": prev + 1, "files": sorted(files)}).encode()
-        if _COMMIT_BACKEND.put_if_absent(target, payload):
-            return prev + 1
+        next_v = prev + 1
+        if replace or not versions:
+            doc = {"version": next_v, "files": rels}
+        elif next_v % _CHECKPOINT_EVERY == 0:
+            files = ({os.path.relpath(p, path)
+                      for p in _read_manifest(path, prev)}
+                     - set(rm)) | set(rels)
+            doc = {"version": next_v, "files": sorted(files)}
+        else:
+            doc = {"version": next_v, "add": rels, "remove": rm}
+        target = _manifest_file(path, next_v)
+        if _COMMIT_BACKEND.put_if_absent(target, json.dumps(doc).encode()):
+            return next_v
         # lost the race — recompute against the new latest and retry
 
 #: Columns types we collect min/max stats for (orderable primitives).

@@ -30,6 +30,7 @@ from pyspark.sql.types import StructType
 
 from bossarrowstorageengine_spark.sources.arrowipc import (
     _list_ipc_files,
+    _load_manifest_doc,
     _manifest_file,
     _manifest_versions,
     _read_manifest,
@@ -434,6 +435,8 @@ def vacuum_arrowipc(path: str, keep_versions: int = 1) -> dict:
     and no retained manifest does.  Files the manifests never mention
     (e.g. an appender's just-renamed-but-uncommitted part) are untouched.
     """
+    import json
+
     versions = _manifest_versions(path)
     if not versions or keep_versions >= len(versions):
         return {"removed_files": 0, "removed_versions": 0,
@@ -441,11 +444,27 @@ def vacuum_arrowipc(path: str, keep_versions: int = 1) -> dict:
     keep_versions = max(1, keep_versions)
     kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
     retained: set[str] = set()
+    kept_sets: dict[int, list[str]] = {}
     for v in kept:
-        retained |= set(_read_manifest(path, v))
+        kept_sets[v] = _read_manifest(path, v)
+        retained |= set(kept_sets[v])
     dropped_refs: set[str] = set()
     for v in dropped:
         dropped_refs |= set(_read_manifest(path, v))
+    # Retained DELTA manifests may chain back through versions about to be
+    # deleted: rewrite each retained manifest as a self-contained
+    # checkpoint first (atomic replace; the content describes the same
+    # visible set, so a concurrent reader sees either form, both valid).
+    for v in kept:
+        doc = _load_manifest_doc(path, v)
+        if "files" not in doc:
+            full = {"version": v,
+                    "files": sorted(os.path.relpath(p, path)
+                                    for p in kept_sets[v])}
+            tmp = _manifest_file(path, v) + f".ckpt-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+            os.replace(tmp, _manifest_file(path, v))
     removed = 0
     for f in sorted(dropped_refs - retained):
         if os.path.exists(f):

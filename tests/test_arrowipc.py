@@ -1113,3 +1113,64 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark):
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_manifest_commits_are_delta_sized_with_checkpoints(spark):
+    """Commit cost must be O(changed files), not O(table files): after many
+    single-file commits, non-checkpoint manifests stay near-constant-sized
+    (they carry only the delta) while time travel to any version still
+    reconstructs exactly."""
+    import json as _json
+
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation").limit(1)
+    n_commits = 2 * a._CHECKPOINT_EVERY + 3
+    for _ in range(n_commits):
+        (nat.write.format("arrowipc").option("snapshots", "true")
+            .mode("append").save(out))
+
+    versions = a._manifest_versions(out)
+    assert versions == list(range(1, n_commits + 1))
+    delta_sizes, ckpt_count = [], 0
+    for v in versions:
+        doc = _json.load(open(a._manifest_file(out, v)))
+        if "files" in doc:
+            ckpt_count += 1
+            assert v == 1 or v % a._CHECKPOINT_EVERY == 0
+        else:
+            delta_sizes.append(os.path.getsize(a._manifest_file(out, v)))
+            assert len(doc["add"]) == 1 and doc["remove"] == []
+    assert ckpt_count == 3  # v1 + the two checkpoint multiples
+    # every delta stays small no matter how many files the table holds
+    assert max(delta_sizes) < 400
+    # reconstruction: version N sees exactly N part files
+    for v in (1, a._CHECKPOINT_EVERY - 1, a._CHECKPOINT_EVERY,
+              a._CHECKPOINT_EVERY + 1, n_commits):
+        assert len(a._read_manifest(out, v)) == v
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == n_commits
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_vacuum_self_contains_retained_delta_manifests(spark):
+    """Vacuum drops checkpoint ancestors a retained delta manifest chains
+    through — it must rewrite retained manifests as self-contained
+    checkpoints so time travel to every kept version still works."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+    from bossarrowstorageengine_spark.sources.maintenance import vacuum_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, SF, "nation").limit(1)
+    for _ in range(5):   # v1 checkpoint + v2..v5 deltas
+        (nat.write.format("arrowipc").option("snapshots", "true")
+            .mode("append").save(out))
+
+    info = vacuum_arrowipc(out, keep_versions=2)
+    assert info["retained_versions"] == [4, 5]
+    # both retained versions must still reconstruct without v1..v3
+    assert len(a._read_manifest(out, 4)) == 4
+    assert len(a._read_manifest(out, 5)) == 5
+    assert spark.read.format("arrowipc").load(out).count() == 5
+    shutil.rmtree(out, ignore_errors=True)
