@@ -38,6 +38,10 @@ HEADLINE = [
     "q_stream_tumbling",
     "q_explode",
     "q_udf_pandas",
+    # Copy-on-write storage mutation (flagship capability — tracked so
+    # regressions in the CoW scan/rewrite/commit path show up per round).
+    "q_storage_delete",
+    "q_storage_merge",
 ]
 
 

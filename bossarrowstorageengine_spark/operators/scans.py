@@ -543,9 +543,14 @@ def q_storage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "delete")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
+    # lz4 on the scratch/mutation path: measured 26% faster than zstd for
+    # write+read round-trips (see q_scan_arrow_roundtrip); durability-grade
+    # compaction can still re-encode zstd later.
     (d.repartition(4).write.format("arrowipc")
-     .option("snapshots", "true").mode("append").save(path))
-    delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500",
+                    compression="lz4")
 
     def _agg(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy("lang").agg(
@@ -600,14 +605,17 @@ def q_storage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "merge")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
+    # lz4 on the scratch/mutation path (see q_storage_delete note).
     (d.repartition(4).write.format("arrowipc")
-     .option("snapshots", "true").mode("append").save(path))
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
 
     updates = d.filter(F.col("doc_id") % 10 == 0).withColumn(
         "n_chars", F.col("n_chars") + 1000)
     inserts = d.filter(F.col("doc_id") % 97 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000)
-    merge_arrowipc(spark, path, updates.unionByName(inserts), "doc_id")
+    merge_arrowipc(spark, path, updates.unionByName(inserts), "doc_id",
+                   compression="lz4")
 
     latest = (spark.read.format("arrowipc")
               .option("snapshots", "true").load(path))
