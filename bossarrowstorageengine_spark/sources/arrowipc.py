@@ -736,6 +736,13 @@ def _partition_segment(value) -> str:
     return quote(str(value), safe="")
 
 
+#: Default write-side rotation bound for IPC *stream*-encoded part files.
+#: Stream files have no footer, so each scans as one sequential task;
+#: rotating at this size bounds per-task scan work the way batch-range
+#: splits do for the file encoding.  Override with ``maxBytesPerFile``.
+_STREAM_ROTATE_BYTES = 128 * 1024 * 1024
+
+
 class _OpenPart:
     """One in-flight part file: streams batches into a compressed tmp IPC
     file while accumulating per-batch stats; ``finish`` makes it visible
@@ -791,6 +798,46 @@ class _OpenPart:
             except OSError:
                 pass
 
+    def bytes_written(self) -> int:
+        return self._sink.tell() if not self._sink.closed else 0
+
+
+class _RotatingPart:
+    """Size-targeted file rotation over ``_OpenPart``: when the current
+    file passes ``max_bytes`` it is SEALED (handles closed, still a hidden
+    tmp) and a fresh part starts.  Nothing is renamed until ``finish_all``
+    at task-commit time, so task atomicity is preserved — a failed task
+    leaves only tmp files.
+
+    Why rotate: the IPC *stream* encoding has no footer, so a stream file
+    always scans as ONE sequential task — rotation bounds every stream
+    file (default ``_STREAM_ROTATE_BYTES``), which bounds the scan's
+    per-task work the way batch-range splits do for the file encoding."""
+
+    def __init__(self, dirpath: str, prefix: str, compression,
+                 stream_format: bool, max_bytes: int | None):
+        self._args = (dirpath, prefix, compression, stream_format)
+        self._max_bytes = max_bytes
+        self._sealed: list[_OpenPart] = []
+        self.current = _OpenPart(*self._args)
+
+    def append(self, batch: pa.RecordBatch,
+               raw_stats_batch: pa.RecordBatch | None = None) -> None:
+        if (self._max_bytes is not None
+                and self.current.batch_stats
+                and self.current.bytes_written() >= self._max_bytes):
+            self.current._close_handles()
+            self._sealed.append(self.current)
+            self.current = _OpenPart(*self._args)
+        self.current.append(batch, raw_stats_batch)
+
+    def finish_all(self) -> list[str]:
+        return [p.finish() for p in (*self._sealed, self.current)]
+
+    def abandon(self) -> None:
+        for p in (*self._sealed, self.current):
+            p.abandon()
+
 
 class ArrowIPCWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
@@ -820,6 +867,14 @@ class ArrowIPCWriter(DataSourceArrowWriter):
             [c.strip() for c in part_cols.split(",")] if part_cols else [])
         self._snapshots = _snapshots_mode(options)
         self._overwrite = overwrite
+        mb = options.get("maxbytesperfile", options.get("maxBytesPerFile"))
+        if mb is not None:
+            self._max_bytes = int(mb)
+        else:
+            # Stream encoding scans one-task-per-file (no footer/random
+            # access), so bound file size by default; the file encoding
+            # splits by batch range and needs no rotation.
+            self._max_bytes = _STREAM_ROTATE_BYTES if self._stream_format else None
 
     def _encode_dictionaries(self, batch: pa.RecordBatch) -> pa.RecordBatch:
         if not self._dict_cols:
@@ -853,24 +908,25 @@ class ArrowIPCWriter(DataSourceArrowWriter):
             return ArrowIPCCommitMessage(final_paths=None)  # empty task
         batches = _chain_first(first, iterator)
         prefix = getattr(self, "_name_prefix", "part")
-        parts: dict[tuple, _OpenPart] = {}
+        parts: dict[tuple, _RotatingPart] = {}
         try:
             if not self._partition_cols:
-                parts[()] = part = _OpenPart(
-                    self._path, prefix, self._compression, self._stream_format)
+                parts[()] = part = _RotatingPart(
+                    self._path, prefix, self._compression,
+                    self._stream_format, self._max_bytes)
                 for batch in batches:
                     part.append(self._encode_dictionaries(batch), batch)
             else:
                 self._write_partitioned(batches, parts, prefix)
-            return ArrowIPCCommitMessage(
-                final_paths=sorted(p.finish() for p in parts.values()))
+            return ArrowIPCCommitMessage(final_paths=sorted(
+                p for part in parts.values() for p in part.finish_all()))
         except BaseException:
             for p in parts.values():
                 p.abandon()
             raise
 
     def _write_partitioned(self, batches: Iterator[pa.RecordBatch],
-                           parts: dict[tuple, _OpenPart], prefix: str) -> None:
+                           parts: dict[tuple, _RotatingPart], prefix: str) -> None:
         import pyarrow.compute as pc
 
         for batch in batches:
@@ -897,8 +953,9 @@ class ArrowIPCWriter(DataSourceArrowWriter):
                         f"{c}={_partition_segment(v)}"
                         for c, v in zip(self._partition_cols, key)
                     ))
-                    parts[key] = _OpenPart(
-                        subdir, prefix, self._compression, self._stream_format)
+                    parts[key] = _RotatingPart(
+                        subdir, prefix, self._compression,
+                        self._stream_format, self._max_bytes)
                 for sb in sub.to_batches():
                     parts[key].append(self._encode_dictionaries(sb), sb)
 
@@ -1073,6 +1130,10 @@ class ArrowIPCDataSource(DataSource):
     list; read-side projection), ``mergeSchema`` (true → read the union
     of all files' columns, null-filling files that lack one — schema
     evolution), ``batchesPerSplit`` (batch read parallelism),
+    ``maxBytesPerFile`` (write — rotate to a new part file past this many
+    bytes; defaults to 128 MiB for stream-encoded files, whose lack of a
+    footer makes each file one sequential scan task, and to no rotation
+    for file-encoded parts, which split by batch range),
     ``snapshots`` (true on write → each commit publishes a
     ``_manifest-N.json`` snapshot version; true on read → read the latest
     snapshot instead of the live listing; UNSET on a table that already

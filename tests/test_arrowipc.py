@@ -1174,3 +1174,39 @@ def test_vacuum_self_contains_retained_delta_manifests(spark):
     assert len(a._read_manifest(out, 5)) == 5
     assert spark.read.format("arrowipc").load(out).count() == 5
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_format_rotates_files_at_size_bound(spark):
+    """Stream-encoded files scan one-task-per-file (no footer), so the
+    writer must rotate at maxBytesPerFile: a big single-task write lands
+    as several bounded files, the scan gets >1 partition, and contents
+    round-trip exactly."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = load_table(spark, SF, "lineitem").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # rotation happens at batch boundaries — make batches small enough
+        # that the 64 KiB bound is crossed many times
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+        (df.write.format("arrowipc")
+           .option("ipcFormat", "stream")
+           .option("compression", "none")
+           .option("maxBytesPerFile", str(64 * 1024))
+           .mode("append").save(out))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    parts = glob.glob(os.path.join(out, "*.arrows"))
+    assert len(parts) > 1, "one oversized stream file — rotation failed"
+    # every file respects the bound up to one batch of slack
+    sizes = sorted(os.path.getsize(p) for p in parts)
+    assert sizes[-2] <= 2 * 64 * 1024  # all but the biggest are bounded
+    for p in parts:
+        assert os.path.exists(stats_path(p)), "each rotated file needs stats"
+
+    back = spark.read.format("arrowipc").load(out)
+    assert back.rdd.getNumPartitions() > 1
+    agg = lambda d: d.agg(F.round(F.sum("l_extendedprice"), 2),
+                          F.count(F.lit(1)), F.max("l_orderkey")).collect()
+    assert agg(back) == agg(df)
+    shutil.rmtree(out, ignore_errors=True)
