@@ -55,6 +55,10 @@ _DRIVER_WINDOW = [
     "q_storage_delete",
     "q_storage_merge",
     "q_event_pattern",
+    # New in round 4.
+    "q_knn_graph",
+    "q_domain_cap",
+    "q_join_interval_overlap",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",
@@ -97,9 +101,6 @@ _DRIVER_WINDOW = [
     "q_join_inner_hash",
     "q_join_broadcast",
     "q_join_left_outer",
-    "q_dedup_exact",
-    "q_stream_tumbling",
-    "q_join_asof",
 ]
 
 

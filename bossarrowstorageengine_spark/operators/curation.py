@@ -827,3 +827,57 @@ def q_text_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("avg_freq"),
         )
     )
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    WITH n AS (
+        SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ), d AS (
+        SELECT doc_id, source, n_chars,
+               ({_H60_DUCK.format(c="doc_id")} % 100000) AS u5
+        FROM documents
+    )
+    SELECT d.source,
+           CAST(max(n.n_total) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN d.u5 * n.n_total < 150 * 100000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN d.u5 * n.n_total < 150 * 100000
+                         THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           round(LEAST(150.0 / max(n.n_total), 1.0), 6) AS rate
+    FROM d JOIN n ON d.source = n.source
+    GROUP BY d.source
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain over-representation cap: downsample each source toward a
+    target of ~150 docs by a content-stable rate, the balancing step that
+    stops one giant crawl domain from dominating a training mixture.
+
+    The cap is RATE-based (keep iff ``md5-uniform < K/n_source``), not
+    rank-based: an exact per-source top-K would need a per-source ordering
+    — one hot reducer per whale domain — while the rate needs only the
+    per-source COUNTS (a tiny broadcast table) and a scan-local integer
+    predicate, so the decision parallelizes like a filter and is stable
+    across runs and cluster layouts.  The keep test multiplies integers
+    (``u5 * n_total < K * 100000``) — no float boundary to drift between
+    engines, keeping the oracle EXACT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    u5 = F.expr(_H60.format(c="doc_id")) % 100000
+    kept = (u5 * F.col("n_total") < 150 * 100000).cast("int")
+    return (
+        d.join(F.broadcast(counts), "source")
+        .select("source", "n_total", "n_chars", kept.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum(F.col("k") * F.col("n_chars")).cast("long")
+                .alias("kept_chars"),
+            F.round(F.least(F.lit(150.0) / F.max("n_total"), F.lit(1.0)), 6)
+                .alias("rate"),
+        )
+    )

@@ -755,3 +755,91 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("effective_to_ms"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH mx AS (
+        SELECT max(ts) AS max_ts FROM events
+    ), iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                                 (SELECT max_ts FROM mx))) AS e_us
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 7 = 0
+    ), outage AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hbin,
+               count(*) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1 HAVING count(*) >= 5
+    ), banded AS (
+        SELECT iv.user_id, iv.s_us, o.hbin, o.n_errors
+        FROM iv, unnest(range(iv.s_us // 3600000000,
+                              (iv.e_us - 1) // 3600000000 + 1)) AS u(hb)
+        JOIN outage o ON o.hbin = u.hb
+        WHERE iv.e_us > iv.s_us
+    )
+    SELECT CAST(user_id AS BIGINT)              AS user_id,
+           CAST(count(*) AS BIGINT)             AS n_overlaps,
+           CAST(count(DISTINCT s_us) AS BIGINT) AS n_windows_hit,
+           CAST(count(DISTINCT hbin) AS BIGINT) AS n_outage_hours,
+           CAST(sum(n_errors) AS BIGINT)        AS err_exposure
+    FROM banded
+    GROUP BY user_id
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — which per-user purchase validity
+    windows intersect corpus-wide outage windows (hours with ≥5 error
+    events).  The general no-equi-key overlap join, solved by BANDING:
+    each validity interval explodes into the integer hour bins it covers,
+    outage windows are hour-aligned (exactly one bin each), and the
+    overlap reduces to an EQUI-join on the bin — no cross product, no
+    nested-loop theta join anywhere in the plan.
+
+    Scale: banding duplication is interval_length / bin_size per row (pick
+    the bin so typical intervals cover a handful of bins); the join is a
+    plain shuffled hash join on the bin key, and the outage side is tiny
+    (aggregated hours), so Spark broadcasts it.  Validity windows come
+    from a per-user ``lead`` (one user_id shuffle, linear per-key state).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0))
+        .withColumn("nxt", F.lead("ts").over(w))
+        .crossJoin(F.broadcast(max_ts))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("s_us"),
+            F.unix_micros(F.coalesce("nxt", "max_ts")).alias("e_us"),
+        )
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    hour_us = 3_600_000_000
+    outage = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy((F.unix_micros("ts") / hour_us).cast("long").alias("hbin"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 5)
+    )
+    banded = (
+        iv.select(
+            "user_id", "s_us",
+            F.explode(F.sequence(
+                (F.col("s_us") / hour_us).cast("long"),
+                ((F.col("e_us") - 1) / hour_us).cast("long"),
+            )).alias("hbin"),
+        )
+        .join(F.broadcast(outage), "hbin")
+    )
+    return banded.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.count_distinct("s_us").alias("n_windows_hit"),
+        F.count_distinct("hbin").alias("n_outage_hours"),
+        F.sum("n_errors").cast("long").alias("err_exposure"),
+    )

@@ -619,6 +619,81 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_graph_oracle() -> str:
+    return f"""
+    WITH params AS (
+        SELECT LEAST(GREATEST(CAST(CEIL(LOG2(count(*) / {_LSH_TARGET_BUCKET}.0)) AS INT),
+                              {_LSH_MIN_PLANES}), {_LSH_MAX_PLANES}) AS planes
+        FROM embeddings
+    ), sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql_dynamic()}) AS bucket
+        FROM embeddings, params
+    ), pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+               (SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT vec_id, nbr_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(cos_sim, 6) DESC, nbr_id) AS rn
+        FROM pairs
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(nbr_id AS BIGINT) AS nbr_id,
+           round(cos_sim, 6)      AS cos_sim,
+           CAST(rn AS BIGINT)     AS rn
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@query("q_knn_graph", oracle=_knn_graph_oracle())
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole embedding corpus
+    — every vector's top-3 bucket-mates by cosine, the edge list semantic
+    dedup (SemDeDup-style), cluster seeding, and graph-based curation
+    start from.
+
+    Scale shape: candidates come only from hyperplane-LSH buckets whose
+    expected size is held ≈32 by the corpus-size-driven
+    plane count (``_planes_for_corpus``), so the self-join is LINEAR in N
+    and the per-vector top-3 window ranks a bounded (~2×bucket) candidate
+    set — no all-pairs join, no unbounded per-key state anywhere.
+    EXACT-checked: DuckDB replays plane sizing, bucketing, cosine, and
+    ranking.
+    """
+    e_raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = _planes_for_corpus(e_raw.count())
+    e = e_raw.withColumn("bucket", _lsh_bucket_col(planes))
+    a = e.select("bucket", "vec_id", F.col("embedding").alias("emb_a"))
+    b = e.select("bucket", F.col("vec_id").alias("nbr_id"),
+                 F.col("embedding").alias("emb_b"))
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id", "nbr_id",
+            F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("nbr_id").cast("long"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
