@@ -1210,3 +1210,23 @@ def test_stream_format_rotates_files_at_size_bound(spark):
                           F.count(F.lit(1)), F.max("l_orderkey")).collect()
     assert agg(back) == agg(df)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_update_null_predicate_rows_keep_original_values(spark):
+    """SQL UPDATE semantics: rows where the predicate evaluates NULL keep
+    their original values (the when/otherwise rewrite must treat NULL as
+    not-matched, mirroring the DELETE fix)."""
+    from bossarrowstorageengine_spark.sources.maintenance import update_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    rows = [(1, 10), (2, None), (3, 10)]
+    spark.createDataFrame(rows, "id int, v int") \
+        .coalesce(1).write.format("arrowipc").mode("append").save(out)
+
+    info = update_arrowipc(spark, out, "v = 10", {"v": "v + 5"})
+    assert info["rows_updated"] == 2
+
+    back = {r.id: r.v for r in
+            spark.read.format("arrowipc").load(out).collect()}
+    assert back == {1: 15, 2: None, 3: 15}
+    shutil.rmtree(out, ignore_errors=True)

@@ -269,3 +269,32 @@ def test_sim_search_topk_is_two_stage(spark):
     # and each stage pre-limits map-side, so no reducer ever receives more
     # than top-5 per upstream partition per group
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_knn_graph_join_is_bucket_keyed(spark):
+    """The kNN-graph self-join must be keyed on the LSH bucket — never a
+    cartesian/BNLJ over the corpus."""
+    plan = _plan(QUERIES["q_knn_graph"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_interval_overlap_is_equi_join_on_bin(spark):
+    """Banding must reduce the overlap join to an equi-join on the hour
+    bin (broadcast of the tiny outage side) — never a theta join between
+    the two interval sets.  (The one BroadcastNestedLoopJoin in the plan
+    is the 1-row max_ts broadcast, the sanctioned scalar-join pattern.)"""
+    plan = _plan(QUERIES["q_join_interval_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [hbin" in plan
+    # the only nested-loop piece is the 1-row scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_domain_cap_is_scan_local_filter(spark):
+    """The keep decision must come from a broadcast counts join + map-side
+    predicate — no per-source window/rank (hot-reducer hazard)."""
+    plan = _plan(QUERIES["q_domain_cap"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
