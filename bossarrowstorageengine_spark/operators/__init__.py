@@ -59,6 +59,7 @@ _DRIVER_WINDOW = [
     "q_knn_graph",
     "q_domain_cap",
     "q_join_interval_overlap",
+    "q_semdedup",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",
@@ -100,7 +101,6 @@ _DRIVER_WINDOW = [
     "q_case_coalesce",
     "q_join_inner_hash",
     "q_join_broadcast",
-    "q_join_left_outer",
 ]
 
 

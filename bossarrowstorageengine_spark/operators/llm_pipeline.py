@@ -1553,3 +1553,81 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("first_match"),
         )
     )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH params AS (
+        SELECT LEAST(GREATEST(CAST(CEIL(LOG2(count(*) / {_LSH_TARGET_BUCKET}.0)) AS INT),
+                              {_LSH_MIN_PLANES}), {_LSH_MAX_PLANES}) AS planes
+        FROM embeddings
+    ), sig AS (
+        SELECT vec_id, label, embedding, ({_lsh_bucket_sql_dynamic()}) AS bucket
+        FROM embeddings, params
+    ), drops AS (
+        SELECT DISTINCT a.vec_id
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        WHERE round((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                     FROM generate_series(1, 64) AS g(i)) /
+                    (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))
+                           FROM generate_series(1, 64) AS g(i))) *
+                     sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+                           FROM generate_series(1, 64) AS g(i)))), 4) >= 0.3
+    )
+    SELECT s.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN s.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_checksum
+    FROM sig s LEFT JOIN drops d ON s.vec_id = d.vec_id
+    GROUP BY s.label
+    """
+
+
+@query("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication DECISION (SemDeDup shape): drop a vector when
+    a LOWER-id bucket-mate is cosine-similar above the threshold, keep the
+    id-minimal representative — the greedy per-pair rule (cheap, one
+    candidate join), not the transitive-closure clustering
+    (``q_dedup_cluster`` covers that).  Reports per-label corpus /
+    dropped / kept counts plus a kept-id checksum so the oracle verifies
+    the exact keep set, not just its size.
+
+    Scale shape: identical to ``q_knn_graph`` — LSH buckets sized ≈32 by
+    the corpus-driven plane count bound the candidate join; the drop set
+    is a distinct over candidate pairs (shuffle carries only ids); the
+    final anti-join is broadcast-size at any corpus (drops ≤ corpus) or a
+    keyed shuffle join at worst.  No all-pairs product anywhere.
+    """
+    e_raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    planes = _planes_for_corpus(e_raw.count())
+    e = e_raw.withColumn("bucket", _lsh_bucket_col(planes))
+    a = e.select("bucket", "vec_id", F.col("embedding").alias("emb_a"))
+    b = e.select("bucket", F.col("vec_id").alias("nbr_id"),
+                 F.col("embedding").alias("emb_b"))
+    drops = (
+        a.join(b, ["bucket"])
+        .filter(F.col("nbr_id") < F.col("vec_id"))
+        .filter(F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 4) >= 0.3)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        e.join(drops, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce("dropped", F.lit(0))).cast("long")
+                .alias("n_dropped"),
+            F.sum(F.when(F.col("dropped").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("dropped").isNull(), F.col("vec_id"))
+                  .otherwise(F.lit(0))).cast("long").alias("kept_id_checksum"),
+        )
+    )

@@ -147,3 +147,72 @@ def test_cow_update_equals_projection(spark, lo, delta, n_parts):
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=25, deadline=None)
+@given(ops=st.lists(
+    st.one_of(
+        # append 1-3 new files
+        st.tuples(st.just("append"), st.integers(min_value=1, max_value=3)),
+        # replace with 1-2 new files
+        st.tuples(st.just("replace"), st.integers(min_value=1, max_value=2)),
+        # CoW-style: remove a pseudo-random half of the visible set, add 1
+        st.tuples(st.just("rewrite"), st.integers(min_value=0, max_value=7)),
+    ),
+    min_size=1, max_size=40,
+))
+def test_manifest_delta_log_reconstructs_every_version(tmp_path_factory, ops):
+    """Model-based check of the delta-log commit protocol: an arbitrary
+    sequence of append / replace / CoW-rewrite commits must reconstruct the
+    exact visible set at EVERY version, across checkpoint boundaries, and
+    stay reconstructable for retained versions after vacuum."""
+    import os
+
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+    from bossarrowstorageengine_spark.sources.maintenance import vacuum_arrowipc
+
+    path = str(tmp_path_factory.mktemp("tbl"))
+    model: list[set[str]] = []   # model[v-1] = visible basenames at version v
+    serial = 0
+
+    def new_files(k):
+        nonlocal serial
+        out = []
+        for _ in range(k):
+            name = f"f{serial:04d}.arrows"
+            serial += 1
+            open(os.path.join(path, name), "w").close()
+            out.append(os.path.join(path, name))
+        return out
+
+    for op, arg in ops:
+        prev = model[-1] if model else set()
+        if op == "append":
+            add = new_files(arg)
+            a._write_manifest(path, add, replace=False)
+            model.append(prev | {os.path.basename(p) for p in add})
+        elif op == "replace":
+            add = new_files(arg)
+            a._write_manifest(path, add, replace=True)
+            model.append({os.path.basename(p) for p in add})
+        else:  # rewrite: remove a deterministic subset, add one file
+            victims = sorted(prev)[::2][:max(arg, 0)]
+            add = new_files(1)
+            a._write_manifest(
+                path, add, replace=False,
+                remove=[os.path.join(path, v) for v in victims])
+            model.append((prev - set(victims))
+                         | {os.path.basename(p) for p in add})
+
+    versions = a._manifest_versions(path)
+    assert versions == list(range(1, len(model) + 1))
+    for v in versions:
+        got = {os.path.basename(p) for p in a._read_manifest(path, v)}
+        assert got == model[v - 1], f"version {v} mismatch"
+
+    # vacuum to the last 2: retained versions must still reconstruct
+    if len(versions) > 2:
+        vacuum_arrowipc(path, keep_versions=2)
+        for v in versions[-2:]:
+            got = {os.path.basename(p) for p in a._read_manifest(path, v)}
+            assert got == model[v - 1], f"post-vacuum version {v} mismatch"
