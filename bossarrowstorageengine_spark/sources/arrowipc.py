@@ -132,18 +132,30 @@ def _snapshots_mode(options: dict) -> bool | None:
     return None
 
 
-def _visible_file_set(path: str, version=None,
-                      snapshots: bool | None = None) -> List[str]:
-    """The file set a read may see: a pinned manifest ``version``, the
-    latest manifest (when requested, or by default on a table that has
-    manifests), else the live directory listing."""
+def _visible_entries(path: str, version=None,
+                     snapshots: bool | None = None) -> dict[str, dict | None]:
+    """``{absolute part path: manifest planning stats | None}`` a read may
+    see: a pinned manifest ``version``, the latest manifest (when requested,
+    or by default on a table that has manifests), else the live directory
+    listing (whose entries carry no manifest stats — planning falls back to
+    per-file sidecars)."""
+    v = None
     if version is not None:
-        return _read_manifest(path, int(version))
-    if snapshots is not False:
+        v = int(version)
+    elif snapshots is not False:
         versions = _manifest_versions(path)
         if versions:
-            return _read_manifest(path, versions[-1])
-    return _list_ipc_files(path)
+            v = versions[-1]
+    if v is not None:
+        return {os.path.join(path, rel): s
+                for rel, s in _read_manifest_entries(path, v).items()}
+    return {p: None for p in _list_ipc_files(path)}
+
+
+def _visible_file_set(path: str, version=None,
+                      snapshots: bool | None = None) -> List[str]:
+    """The file set a read may see (sorted absolute paths)."""
+    return sorted(_visible_entries(path, version, snapshots))
 
 def _manifest_file(path: str, version: int) -> str:
     return os.path.join(path, f"_manifest-{version:010d}.json")
@@ -178,21 +190,29 @@ def _load_manifest_doc(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _read_manifest(path: str, version: int) -> list[str]:
-    """Absolute part-file paths visible at ``version`` (sorted).
+def _read_manifest_entries(path: str, version: int) -> dict[str, dict | None]:
+    """``{relative part path: manifest stats | None}`` visible at
+    ``version``.
 
     A manifest is either a CHECKPOINT (``{"files": [...]}`` — the full
     visible set, self-contained) or a DELTA (``{"add": [...], "remove":
     [...]}`` — the change against the previous version).  Reconstruction
     walks back to the nearest checkpoint (bounded by ``_CHECKPOINT_EVERY``)
     and folds the deltas forward — the Delta-log checkpoint pattern, so
-    commit cost is O(changed files), not O(table files)."""
+    commit cost is O(changed files), not O(table files).
+
+    ``stats`` (``{rel: {"cols": {col: [min,max]}, "n_batches": n}}``) ride
+    the log so SCAN PLANNING is manifest-driven: file-level pruning and
+    batch-range splitting read the log chain instead of opening one sidecar
+    JSON per part file — O(log) planning instead of O(table files), the
+    reason Delta keeps stats in the transaction log."""
     deltas: list[dict] = []
     v = version
     while True:
         doc = _load_manifest_doc(path, v)
         if "files" in doc:
-            files = set(doc["files"])
+            stats = doc.get("stats", {})
+            entries = {rel: stats.get(rel) for rel in doc["files"]}
             break
         deltas.append(doc)
         v -= 1
@@ -201,9 +221,18 @@ def _read_manifest(path: str, version: int) -> list[str]:
                 f"arrowipc manifest chain for version {version} under "
                 f"{path} has no checkpoint ancestor")
     for doc in reversed(deltas):
-        files -= set(doc.get("remove", ()))
-        files |= set(doc.get("add", ()))
-    return sorted(os.path.join(path, rel) for rel in files)
+        for rel in doc.get("remove", ()):
+            entries.pop(rel, None)
+        stats = doc.get("stats", {})
+        for rel in doc.get("add", ()):
+            entries[rel] = stats.get(rel)
+    return entries
+
+
+def _read_manifest(path: str, version: int) -> list[str]:
+    """Absolute part-file paths visible at ``version`` (sorted)."""
+    return sorted(os.path.join(path, rel)
+                  for rel in _read_manifest_entries(path, version))
 
 
 class ConditionalPut:
@@ -292,21 +321,38 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
     (``add``/``remove`` lists); every ``_CHECKPOINT_EVERY``-th version —
     and every ``replace`` commit, which is self-contained by nature —
     publishes a full-file-list CHECKPOINT that bounds reconstruction."""
-    rels = sorted(os.path.relpath(p, path) for p in new_files)
+    rel_abs = {os.path.relpath(p, path): p for p in new_files}
+    rels = sorted(rel_abs)
     rm = sorted(os.path.relpath(p, path) for p in remove)
+    # Embed each new file's planning stats (file-level min/max + batch
+    # count) in the log — O(Δ) sidecar reads at commit buys O(log) scan
+    # planning (no per-file sidecar opens at plan time).
+    new_stats: dict[str, dict] = {}
+    for rel, ab in rel_abs.items():
+        sp = stats_path(ab)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                sc = json.load(f)
+            new_stats[rel] = {"cols": sc.get("file", {}),
+                              "n_batches": len(sc.get("batches", []))}
     while True:
         versions = _manifest_versions(path)
         prev = versions[-1] if versions else 0
         next_v = prev + 1
         if replace or not versions:
-            doc = {"version": next_v, "files": rels}
+            doc = {"version": next_v, "files": rels, "stats": new_stats}
         elif next_v % _CHECKPOINT_EVERY == 0:
-            files = ({os.path.relpath(p, path)
-                      for p in _read_manifest(path, prev)}
-                     - set(rm)) | set(rels)
-            doc = {"version": next_v, "files": sorted(files)}
+            entries = _read_manifest_entries(path, prev)
+            for r in rm:
+                entries.pop(r, None)
+            for r in rels:
+                entries[r] = new_stats.get(r)
+            doc = {"version": next_v, "files": sorted(entries),
+                   "stats": {r: s for r, s in entries.items()
+                             if s is not None}}
         else:
-            doc = {"version": next_v, "add": rels, "remove": rm}
+            doc = {"version": next_v, "add": rels, "remove": rm,
+                   "stats": new_stats}
         target = _manifest_file(path, next_v)
         if _COMMIT_BACKEND.put_if_absent(target, json.dumps(doc).encode()):
             return next_v
@@ -639,7 +685,8 @@ class ArrowIPCReader(DataSourceReader):
         parts: list[ArrowIPCPartition] = []
         split = max(1, int(self._options.get(
             "batchesPerSplit", self.BATCHES_PER_SPLIT)))
-        files = self._visible_files()
+        entries = _visible_entries(self._path, self._version, self._snapshots)
+        files = sorted(entries)
         schema_ser = None
         if self._merge:
             target = _union_schema(files)
@@ -658,12 +705,25 @@ class ArrowIPCReader(DataSourceReader):
                 pv = _partition_values(self._path, path)
                 if pv and _dir_prunable(pv, self._filters):
                     continue
-            stats = None
-            sp = stats_path(path)
-            if os.path.exists(sp):
-                with open(sp) as f:
-                    stats = json.load(f)
+            # Manifest-driven planning: the log entry carries file-level
+            # min/max + the batch count, so file pruning and batch-range
+            # splitting touch NO per-file sidecar.  The sidecar is opened
+            # lazily, only for files that survive file-level pruning AND
+            # have filters that could skip individual batches — O(surviving
+            # files) instead of O(table files) at plan time.
+            mstats = entries.get(path)
             n_batches = None
+            if mstats is not None:
+                if self._filters and not _stats_overlap(
+                        mstats.get("cols", {}), self._filters):
+                    continue  # pruned from the log alone
+                n_batches = mstats.get("n_batches")
+            stats = None
+            if mstats is None or self._filters:
+                sp = stats_path(path)
+                if os.path.exists(sp):
+                    with open(sp) as f:
+                        stats = json.load(f)
             if stats is not None and "batches" in stats:
                 n_batches = len(stats["batches"])
             keep = None

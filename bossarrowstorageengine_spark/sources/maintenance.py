@@ -455,12 +455,18 @@ def vacuum_arrowipc(path: str, keep_versions: int = 1) -> dict:
     # deleted: rewrite each retained manifest as a self-contained
     # checkpoint first (atomic replace; the content describes the same
     # visible set, so a concurrent reader sees either form, both valid).
+    # Planning stats ride along so manifest-driven scans keep working.
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _read_manifest_entries,
+    )
+
     for v in kept:
         doc = _load_manifest_doc(path, v)
         if "files" not in doc:
-            full = {"version": v,
-                    "files": sorted(os.path.relpath(p, path)
-                                    for p in kept_sets[v])}
+            ent = _read_manifest_entries(path, v)
+            full = {"version": v, "files": sorted(ent),
+                    "stats": {r: s for r, s in ent.items()
+                              if s is not None}}
             tmp = _manifest_file(path, v) + f".ckpt-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump(full, f)

@@ -1144,7 +1144,11 @@ def test_manifest_commits_are_delta_sized_with_checkpoints(spark):
             assert len(doc["add"]) == 1 and doc["remove"] == []
     assert ckpt_count == 3  # v1 + the two checkpoint multiples
     # every delta stays small no matter how many files the table holds
-    assert max(delta_sizes) < 400
+    # bounded by the per-file payload (path + embedded planning stats),
+    # NOT by the table's file count — and flat across the whole run
+    assert max(delta_sizes) < 1500
+    assert max(delta_sizes) - min(delta_sizes) < 120, \
+        "delta size must not grow with table size"
     # reconstruction: version N sees exactly N part files
     for v in (1, a._CHECKPOINT_EVERY - 1, a._CHECKPOINT_EVERY,
               a._CHECKPOINT_EVERY + 1, n_commits):
@@ -1229,4 +1233,45 @@ def test_update_null_predicate_rows_keep_original_values(spark):
     back = {r.id: r.v for r in
             spark.read.format("arrowipc").load(out).collect()}
     assert back == {1: 15, 2: None, 3: 15}
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_manifest_stats_drive_planning_without_sidecars(spark):
+    """Planning stats ride the manifest log: file-level pruning and
+    batch-count splitting must work even when every sidecar JSON is gone —
+    the log chain, not O(table-files) sidecar opens, drives planning."""
+    from bossarrowstorageengine_spark.sources import arrowipc as a
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    orders = load_table(spark, SF, "orders")
+    # two files split by key range → a selective filter prunes one
+    (orders.filter(F.col("o_orderkey") <= 1000).write.format("arrowipc")
+        .option("snapshots", "true").mode("append").save(out))
+    (orders.filter(F.col("o_orderkey") > 1000).write.format("arrowipc")
+        .mode("append").save(out))                    # sticky commit v2
+
+    # manifest entries carry stats for every committed file
+    ent = a._read_manifest_entries(out, 2)
+    assert len(ent) == 2
+    for st in ent.values():
+        assert st is not None and "cols" in st and st["n_batches"] >= 1
+
+    # delete all sidecars: manifest stats must keep the scan working AND
+    # still prune the low-key file for a high-key filter
+    for sp in glob.glob(os.path.join(out, "_*.stats.json")):
+        os.remove(sp)
+    back = spark.read.format("arrowipc").load(out)
+    want = orders.filter(F.col("o_orderkey") > 2000)
+    got = back.filter(F.col("o_orderkey") > 2000)
+    assert got.count() == want.count()
+    # plan-level check: the selective filter prunes the low-key file from
+    # the log alone (no sidecars exist anymore)
+    from pyspark.sql.datasource import GreaterThan
+
+    reader = a.ArrowIPCReader(back.schema, {"path": out})
+    reader.pushFilters([])  # no filters → both files planned
+    assert len({p.path for p in reader.partitions()}) == 2
+    reader2 = a.ArrowIPCReader(back.schema, {"path": out})
+    reader2.pushFilters([GreaterThan(("o_orderkey",), 2000)])
+    assert len({p.path for p in reader2.partitions()}) == 1
     shutil.rmtree(out, ignore_errors=True)
