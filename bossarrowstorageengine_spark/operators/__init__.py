@@ -34,15 +34,16 @@ for _m in _MODULES:
 #: The driver's correctness gate checks the FIRST 50 keys of ``queries()``
 #: in dict order, so this window is re-curated each round to aim the sample
 #: at keys without a (still-valid) driver-green row.  Round-4 window,
-#: positions 1-34: keys materially changed in round 3 or 4 whose prior
+#: positions 1-43: keys materially changed in round 3 or 4 whose prior
 #: driver rows are stale (q_ann_ivf's only row is a pre-oracle r2 err;
 #: q_dedup_embedding / q_scan_arrow_roundtrip were rewritten after their r2
 #: green rows; q_sim_search / q_event_pattern and the storage-mutation paths
-#: are modified this round), followed by the 27 keys no driver round has
-#: ever sampled (the 11 round-3 TPC-H shapes, the UDF/window backlog, the
-#: round-3 text/CDC/curation additions).  Positions 35-50: round-robin
-#: re-verification of the oldest green rows (r1 keys — the round-2
-#: TIMESTAMP_NTZ incident showed r1 greens can silently go stale).  Keys
+#: are modified this round), the 9 queries NEW in round 4, then the 27 keys
+#: no driver round has ever sampled (the 11 round-3 TPC-H shapes, the
+#: UDF/window backlog, the round-3 text/CDC/curation additions).
+#: Positions 44-50: round-robin re-verification of the oldest green rows
+#: (r1 keys — the round-2 TIMESTAMP_NTZ incident showed r1 greens can
+#: silently go stale).  Keys
 #: absent from this list follow in registration order.
 #: ``tests/test_driver_window.py`` asserts this window covers every key
 #: without a green row in the committed CORRECTNESS_r*.json files.
@@ -60,6 +61,11 @@ _DRIVER_WINDOW = [
     "q_domain_cap",
     "q_join_interval_overlap",
     "q_semdedup",
+    "q_doc_chunk_overlap",
+    "q_text_entropy",
+    "q_outlier_mad",
+    "q_win_running_distinct",
+    "q_agg_mode",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",
@@ -96,11 +102,6 @@ _DRIVER_WINDOW = [
     "q_agg_having",
     "q_agg_stats",
     "q_filter_basic",
-    "q_filter_null",
-    "q_project_exprs",
-    "q_case_coalesce",
-    "q_join_inner_hash",
-    "q_join_broadcast",
 ]
 
 

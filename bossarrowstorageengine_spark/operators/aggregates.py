@@ -9,7 +9,7 @@ bounded; high-cardinality variants would rely on AQE skew handling
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bossarrowstorageengine_spark.catalog import load_table
@@ -503,5 +503,49 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("approx")[0] - F.col("p50")) / F.col("p50") < 0.02)
                 & (F.abs(F.col("approx")[1] - F.col("p95")) / F.col("p95") < 0.02)
             ).alias("within_2pct"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id,
+           event_type           AS mode_event_type,
+           CAST(n AS BIGINT)    AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: each user's most frequent event type, ties
+    broken by lexicographically smallest type (a deterministic MODE()
+    WITHIN GROUP equivalent).
+
+    Scale: the window runs over the (user, type) COUNT table — cardinality
+    ≤ users × distinct types, tiny next to the event stream — so the
+    expensive pass is a plain map-side-combine aggregation and the
+    ordering never touches raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").cast("long").alias("mode_count"),
         )
     )

@@ -881,3 +881,111 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rate"),
         )
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    c AS (
+        SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        FROM w GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+               AS token_entropy
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the information-density signal
+    quality filters use to drop boilerplate/spam (low entropy = repeated
+    tokens, high = diverse vocabulary).
+
+    Uses the algebraic identity ``H = log2(T) - (1/T)·Σ c·log2(c)`` so the
+    per-token probabilities never materialize — one pass over (doc, token)
+    counts, numerically cleaner than summing ``p·log2 p`` terms.
+
+    Scale: explode → two keyed aggregations with map-side combine; the
+    shuffle carries one row per (doc, distinct token), never per token
+    occurrence.  All JVM expressions.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    t = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        t.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.round(F.log2(t) - F.sum(F.col("c") * F.log2("c")) / t, 4)
+            .alias("token_entropy"),
+    )
+
+
+@query(
+    "q_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med
+        FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT o.o_orderpriority, o.o_totalprice, m.med,
+               abs(o.o_totalprice - m.med) AS adev
+        FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+        SELECT o_orderpriority, median(adev) AS mad
+        FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(d.med), 2) AS median_price,
+           round(max(m.mad), 2) AS mad_price
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag orders
+    whose price deviates from the group median by more than 3 scaled MADs
+    (1.4826·MAD ≈ σ under normality) — unlike ``q_outlier_zscore``, whale
+    values cannot drag the threshold because medians, not means, anchor it.
+
+    Scale: two exact-percentile aggregations per group (Spark's
+    ``percentile`` — per-group memory is bounded by the group's distinct
+    values; swap for ``approx_percentile`` at whale-group scale) with the
+    tiny per-group median/MAD tables broadcast back for the deviation and
+    flag passes.  No window over raw rows, no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int"))
+                .cast("long").alias("n_outliers"),
+            F.round(F.max("med"), 2).alias("median_price"),
+            F.round(F.max("mad"), 2).alias("mad_price"),
+        )
+    )

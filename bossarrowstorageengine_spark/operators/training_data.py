@@ -437,3 +437,68 @@ def q_embedding_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 6).alias("trunc_norm"),
         F.round(unit_sum, 6).alias("unit_sum"),
     )
+
+
+@query(
+    "q_doc_chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' '))    AS n
+        FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    k AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0,
+                   CAST(ceil(greatest(n - 64, 0) / 32.0) AS BIGINT) + 1))
+                   AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT)      AS chunk_idx,
+           CAST(chunk_idx * 32 AS BIGINT) AS start_token,
+           CAST(least(64, n - chunk_idx * 32) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 64),
+               ' '))                      AS chunk_md5
+    FROM k
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 64-token chunks on a 32-token
+    stride (50% overlap) — the context-window prep that precedes embedding
+    or retrieval indexing, distinct from ``q_pack_chunks``' concatenative
+    packing.  Emits one row per (doc, chunk) with the token span and an
+    md5 content fingerprint of the chunk.
+
+    Chunk count per doc is ``1 + ceil(max(n-64,0)/32)``: every token is
+    covered, consecutive chunks share 32 tokens, and only the final chunk
+    may be short.
+
+    Scale: pure map-side row expansion (split → sequence → explode →
+    slice) with zero shuffles — the scan prunes to (doc_id, text) and the
+    expansion factor is bounded by n/32 per doc, so a 100 TB corpus chunks
+    embarrassingly parallel.  No Python; all JVM array HOFs.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n"))
+    n_chunks = F.greatest(
+        F.ceil((F.col("n") - F.lit(64)) / F.lit(32.0)), F.lit(0)).cast("long")
+    expanded = base.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks))
+            .alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * 32
+    chunk = F.slice("toks", (start + 1).cast("int"), 64)
+    return expanded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        F.least(F.lit(64), F.col("n") - start).cast("long")
+            .alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -225,3 +225,51 @@ def q_win_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
     """)
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+    WITH f AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+        WHERE user_id % 4 = 0
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_types_so_far
+    FROM f
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — how many distinct event types each
+    user has touched as of each event.  Window engines reject DISTINCT in
+    frames, so this uses the standard two-window rewrite: flag each
+    (user, type)'s first occurrence, then running-sum the flags.
+
+    Scale: both windows partition by user_id (the second by the same key),
+    so there is ONE shuffle and per-key linear state — no per-row distinct
+    set materializes anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id", "user_id", "ts",
+        (F.row_number().over(w_first) == 1).cast("int").alias("is_first"),
+    )
+    return flagged.select(
+        "event_id", "user_id",
+        F.sum("is_first").over(w_run).cast("long")
+            .alias("distinct_types_so_far"),
+    )
