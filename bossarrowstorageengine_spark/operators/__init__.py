@@ -66,6 +66,8 @@ _DRIVER_WINDOW = [
     "q_outlier_mad",
     "q_win_running_distinct",
     "q_agg_mode",
+    "q_corpus_summary",
+    "q_text_readability",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",
@@ -100,8 +102,6 @@ _DRIVER_WINDOW = [
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_having",
-    "q_agg_stats",
-    "q_filter_basic",
 ]
 
 

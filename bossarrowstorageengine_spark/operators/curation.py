@@ -989,3 +989,98 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 2).alias("mad_price"),
         )
     )
+
+
+@query(
+    "q_corpus_summary",
+    oracle="""
+    SELECT lang, source,
+           grouping(lang)   AS g_lang,
+           grouping(source) AS g_source,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           round(avg(n_chars), 4)         AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card report: per-language, per-source, and corpus-total doc /
+    char / token tallies in ONE scan via GROUPING SETS — the summary block
+    every published dataset ships, produced without three separate passes.
+
+    Scale: Catalyst's Expand operator replicates each row once per grouping
+    set BEFORE the partial aggregate, so the shuffle still carries only
+    (few langs + few sources + 1) group states.  Token counting stays in
+    the scan projection (split+size), never a separate job.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT lang, source,
+               CAST(grouping(lang) AS BIGINT)   AS g_lang,
+               CAST(grouping(source) AS BIGINT) AS g_source,
+               count(*)                      AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)  AS sum_chars,
+               CAST(sum(size(split(text, ' '))) AS BIGINT) AS sum_tokens,
+               round(avg(n_chars), 4)        AS avg_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """)
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                    AS DOUBLE)                              AS sents,
+               CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                    AS DOUBLE)                              AS sylls
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sents AS BIGINT) AS n_sentences,
+           CAST(sylls AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (words / sents)
+                         - 84.6 * (sylls / words), 4) AS flesch
+    FROM m
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with a vowel-group syllable heuristic —
+    the classic readability gate in text-quality pipelines (very high or
+    very low scores correlate with boilerplate and OCR noise).
+
+    All three inputs are integer pattern counts (words, sentence
+    terminators, vowel groups) so the only floats are the final formula's
+    two divisions, computed in identical expression order in both engines.
+
+    Scale: map-only JVM regexp over the pruned (doc_id, text) projection —
+    embarrassingly parallel, no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    words = F.size(F.split("text", " ")).cast("double")
+    sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    ).cast("double")
+    sylls = F.size(
+        F.expr("regexp_extract_all(text, '[aeiouAEIOU]+', 0)")).cast("double")
+    m = d.select(
+        "doc_id", words.alias("words"), sents.alias("sents"),
+        sylls.alias("sylls"))
+    return m.select(
+        "doc_id",
+        F.col("words").cast("long").alias("n_words"),
+        F.col("sents").cast("long").alias("n_sentences"),
+        F.col("sylls").cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words") / F.col("sents"))
+            - F.lit(84.6) * (F.col("sylls") / F.col("words")), 4
+        ).alias("flesch"),
+    )
