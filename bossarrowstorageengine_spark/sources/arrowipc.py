@@ -65,6 +65,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     LessThan,
@@ -440,6 +441,14 @@ def _stats_overlap(stats: dict[str, list] | None, filters: Sequence[Filter]) -> 
                 return False
             if isinstance(f, LessThanOrEqual) and not (mn <= value):
                 return False
+            if isinstance(f, In):
+                vals = [_filter_value_canon(v) for v in f.value]
+                if not any(
+                    isinstance(v, float) and math.isnan(v)
+                    or mn <= v <= mx
+                    for v in vals
+                ):
+                    return False
         except TypeError:  # incomparable types — never skip on doubt
             continue
     return True
@@ -667,9 +676,22 @@ class ArrowIPCReader(DataSourceReader):
         we yield back everything (Spark re-applies, so pruning stays purely
         an optimization and can never drop rows on boundary bugs), but keep
         the usable ones for file/batch skipping.
+
+        KNOWN UPSTREAM HAZARD (Spark ≤4.1, all Python data sources with
+        ``spark.sql.python.filterPushdown.enabled``): the JVM caches the
+        planned read (partition list) on the shared ``PythonDataSourceV2``
+        relation of a loaded DataFrame, and filter pushdown OVERWRITES that
+        cache (``PythonScanBuilder.pushFilters`` → ``setReadInfo``).  Running
+        a filtered action and then an UNFILTERED action on the *same*
+        ``load()`` result reuses the pruned partition list and silently
+        under-counts.  Nothing the Python reader does can restore pruned
+        partitions — the later plan never re-enters Python.  Rule: create a
+        fresh ``spark.read...load(path)`` per query (this engine's query
+        surface always does); see FORMAT.md §7 and
+        tests/test_arrowipc.py::test_upstream_pushdown_plan_cache_staleness.
         """
         usable_types = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
-                        LessThanOrEqual, IsNotNull)
+                        LessThanOrEqual, IsNotNull, In)
         self._filters = [f for f in filters if isinstance(f, usable_types)]
         # Yield all filters back → Spark evaluates them post-scan too.
         return filters
@@ -696,7 +718,28 @@ class ArrowIPCReader(DataSourceReader):
                     metadata=target.metadata)
             schema_ser = target.serialize().to_pybytes()
         root_is_dir = os.path.isdir(self._path)
+        # File-name pruning: an EqualTo/In filter on the attribution column
+        # (filenameColumn) names the exact part files a scan may touch — the
+        # copy-on-write rewrite path filters on it, so a DELETE/MERGE that
+        # affects 1% of a table's files plans tasks for only that 1% instead
+        # of re-reading every file and discarding rows post-scan.
+        fname_allow: set | None = None
+        if self._fname_col:
+            for f in self._filters:
+                col = f.attribute[-1] if hasattr(f, "attribute") else None
+                if col != self._fname_col:
+                    continue
+                if isinstance(f, EqualTo):
+                    vals = {f.value}
+                elif isinstance(f, In):
+                    vals = set(f.value)
+                else:
+                    continue
+                fname_allow = (vals if fname_allow is None
+                               else fname_allow & vals)
         for path in files:
+            if fname_allow is not None and path not in fname_allow:
+                continue
             if root_is_dir and self._filters:
                 # Hive-style directory pruning: an EqualTo on a partition
                 # column skips the whole col=value subtree without even
@@ -821,9 +864,11 @@ class _OpenPart:
         self._sink = pa.OSFile(self.tmp, "wb")
         self._writer = None
         self.batch_stats: list[dict] = []
+        self.rows = 0
 
     def append(self, batch: pa.RecordBatch, raw_stats_batch: pa.RecordBatch | None = None) -> None:
         self.batch_stats.append(_batch_stats(raw_stats_batch or batch))
+        self.rows += batch.num_rows
         if self._writer is None:
             self._writer = self._new_writer(
                 self._sink, batch.schema, options=self._opts)
@@ -842,6 +887,7 @@ class _OpenPart:
         payload = json.dumps({
             "file": ArrowIPCWriter._merge_stats(self.batch_stats),
             "batches": self.batch_stats,
+            "rows": self.rows,
         })
         with open(stats_path(self.final), "w") as f:
             f.write(payload)

@@ -141,6 +141,23 @@ def compact_arrowipc(
 _FCOL = "_part_file"
 
 
+def _staged_rows(staging_dir: str) -> int:
+    """Total rows across a staging directory's part files, read from the
+    stats sidecars the writer emits — a metadata-only count, no Spark job."""
+    import json
+
+    total = 0
+    if os.path.isdir(staging_dir):
+        for name in os.listdir(staging_dir):
+            if name.startswith((".", "_")) or not name.endswith(".arrows"):
+                continue
+            sp = stats_path(os.path.join(staging_dir, name))
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    total += json.load(f).get("rows", 0)
+    return total
+
+
 def _cow_rewrite(
     spark: SparkSession,
     path: str,
@@ -206,27 +223,37 @@ def _cow_rewrite(
         return {"rows_matched": 0, "files_rewritten": 0, "rows_appended": 0}
 
     staging = os.path.join(path, f".cow-{uuid.uuid4().hex}")
+    extra_staging = os.path.join(path, f".cow-x-{uuid.uuid4().hex}")
 
-    def _stage(out_df):
+    def _stage(out_df, into=None):
         (out_df.write.format("arrowipc")
          .option("compression", compression)
          .option("ipcFormat", ipc_format)
-         .mode("append").save(staging))
+         .mode("append").save(into or staging))
 
     rewritten_schema = None
     if affected_pinned:
         rewritten = rewrite(df.filter(F.col(_FCOL).isin(affected_pinned)))
         rewritten_schema = rewritten.schema
-        _stage(rewritten)
+        # Preserve file granularity: rewriting K affected parts must yield
+        # ~K parts, not one per shuffle partition — MERGE/UPDATE rewrites
+        # end in joins whose output inherits spark.sql.shuffle.partitions,
+        # which at cluster settings turns a 4-file rewrite into hundreds of
+        # tiny files (slower write, slower every later scan, bloated
+        # manifests).  coalesce() merges without another shuffle.
+        _stage(rewritten.coalesce(max(1, len(affected_pinned))))
     n_extra = 0
     if extra is not None:
-        extra = extra.cache()
-        try:
-            n_extra = extra.count()
-            if n_extra:
-                _stage(extra)
-        finally:
-            extra.unpersist()
+        # ONE pass over the insert set: stage it directly (separate dir so
+        # its files are distinguishable) and read the appended row count
+        # back from the part files' stats sidecars — no pre-count action,
+        # no cache of a potentially huge insert set.  Coalesce bounds the
+        # tiny-file fan-out a join-produced insert set would otherwise
+        # inherit from spark.sql.shuffle.partitions; empty partitions
+        # produce no files.
+        _stage(extra.coalesce(max(1, len(affected_pinned) or 1)),
+               into=extra_staging)
+        n_extra = _staged_rows(extra_staging)
 
     if not snapshotted:
         for old in affected_orig:
@@ -235,17 +262,19 @@ def _cow_rewrite(
             if os.path.exists(sp):
                 os.remove(sp)
     promoted: list[str] = []
-    if os.path.isdir(staging):
-        for name in sorted(os.listdir(staging)):
+    for stg in (staging, extra_staging):
+        if not os.path.isdir(stg):
+            continue
+        for name in sorted(os.listdir(stg)):
             if name.startswith((".", "_")) or not name.endswith(".arrows"):
                 continue
             dst = os.path.join(path, name)
-            os.replace(os.path.join(staging, name), dst)
-            sp = stats_path(os.path.join(staging, name))
+            os.replace(os.path.join(stg, name), dst)
+            sp = stats_path(os.path.join(stg, name))
             if os.path.exists(sp):
                 os.replace(sp, stats_path(dst))
             promoted.append(dst)
-    shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(stg, ignore_errors=True)
     shutil.rmtree(pin, ignore_errors=True)
     if (not snapshotted and affected_orig and not promoted
             and not _list_ipc_files(path, missing_ok=True)):

@@ -1275,3 +1275,72 @@ def test_manifest_stats_drive_planning_without_sidecars(spark):
     reader2.pushFilters([GreaterThan(("o_orderkey",), 2000)])
     assert len({p.path for p in reader2.partitions()}) == 1
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_filename_filter_prunes_planning(spark):
+    """An EqualTo/In on the attribution column must restrict planning to
+    exactly the named part files (the CoW rewrite path's 1%-of-files
+    guarantee): with every other file replaced by garbage, a pruned read
+    still succeeds — a single planned partition touching another file
+    would throw."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader,
+        _list_ipc_files,
+    )
+
+    path = _tmpdir()
+    d = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    d.repartition(4).write.format("arrowipc").mode("append").save(path)
+    files = sorted(_list_ipc_files(path))
+    assert len(files) == 4
+
+    schema = spark.read.format("arrowipc").load(path).schema
+    r = ArrowIPCReader(schema, {"path": path, "filenamecolumn": "_f"})
+    r.pushFilters([In(("_f",), tuple(files[:2]))])
+    assert sorted(p.path for p in r.partitions()) == files[:2]
+    r2 = ArrowIPCReader(schema, {"path": path, "filenamecolumn": "_f"})
+    r2.pushFilters([EqualTo(("_f",), files[0])])
+    assert [p.path for p in r2.partitions()] == [files[0]]
+
+    # End-to-end: poison every file except one; the pruned read must never
+    # plan (or read) the poisoned files.
+    keep = files[0]
+    for poison in files[1:]:
+        with open(poison, "wb") as f:
+            f.write(b"NOT-AN-ARROW-FILE")
+        os.remove(stats_path(poison))
+    df = (spark.read.format("arrowipc")
+          .option("filenameColumn", "_f").load(path))
+    kept_rows = df.filter(F.col("_f") == keep).count()
+    assert 0 < kept_rows < 25
+
+
+def test_upstream_pushdown_plan_cache_staleness(spark):
+    """CANARY for the upstream Spark (≤4.1) Python-datasource caching flaw
+    (FORMAT.md §8): pushdown overwrites the relation's cached plan, so a
+    filtered action followed by an unfiltered action on the SAME load()
+    reuses the pruned partition list.  The engine contract — a fresh
+    load() per query — is always correct, and that is what this asserts
+    hard.  The same-DataFrame probe accepts either the stale (bug) or the
+    full (fixed-Spark) answer but nothing else; when a Spark upgrade
+    starts returning the full count, delete the stale arm and FORMAT.md §8.
+    """
+    path = _tmpdir()
+    d = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    d.repartition(4).write.format("arrowipc").mode("append").save(path)
+
+    df = (spark.read.format("arrowipc")
+          .option("filenameColumn", "_f").load(path))
+    total = df.count()
+    one = df.select("_f").distinct().limit(1).collect()[0][0]
+    pruned = df.filter(F.col("_f") == one).count()
+    assert 0 < pruned < total
+
+    stale_probe = df.count()  # same DataFrame, no filter
+    assert stale_probe in (pruned, total)
+
+    fresh = (spark.read.format("arrowipc")
+             .option("filenameColumn", "_f").load(path))
+    assert fresh.count() == total  # the engine contract: fresh load per query
