@@ -68,6 +68,11 @@ _DRIVER_WINDOW = [
     "q_agg_mode",
     "q_corpus_summary",
     "q_text_readability",
+    "q_entity_components",
+    "q_graph_triangles",
+    "q_schema_profile",
+    "q_user_streaks",
+    "q_rollup_interpolate",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",
@@ -96,12 +101,8 @@ _DRIVER_WINDOW = [
     "q_cdc_scd2",
     "q_dedup_incremental",
     "q_embedding_mrl",
-    # Oldest-green re-verification (r1 rows).
-    "q_agg_basic",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
+    # Oldest-green re-verification (r1 rows; trimmed as round-4 additions
+    # claimed window slots — unverified keys always outrank re-verification).
 ]
 
 

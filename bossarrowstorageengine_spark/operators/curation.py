@@ -1084,3 +1084,89 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(84.6) * (F.col("sylls") / F.col("words")), 4
         ).alias("flesch"),
     )
+
+
+@query(
+    "q_schema_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) AS BIGINT)                      AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT)  AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)    AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR)              AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR)              AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler: per-column row/null/distinct counts and min/max in
+    ONE scan — the data-quality report every ingestion pipeline emits
+    before accepting a table.  Values are normalized to strings (doubles
+    via DECIMAL(18,2)) so one schema carries every column type.
+
+    Scale: a single wide aggregate; the multiple COUNT(DISTINCT)s plan as
+    one Expand + partial/final aggregate pair (one pass over the fact
+    table, the distinct sets shuffle — swap in approx_count_distinct per
+    column when exact cardinalities stop mattering at whale scale).  The
+    unpivot to rows happens on the 1-row aggregate, not the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def _money(c):
+        return F.round(c, 2).cast("decimal(18,2)").cast("string")
+
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[e for col, mn, mx in [
+            ("o_orderkey", F.min("o_orderkey").cast("string"),
+             F.max("o_orderkey").cast("string")),
+            ("o_custkey", F.min("o_custkey").cast("string"),
+             F.max("o_custkey").cast("string")),
+            ("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+            ("o_totalprice", _money(F.min("o_totalprice")),
+             _money(F.max("o_totalprice"))),
+            ("o_orderpriority", F.min("o_orderpriority"),
+             F.max("o_orderpriority")),
+        ] for e in (
+            F.sum(F.col(col).isNull().cast("long")).alias(f"nulls_{col}"),
+            F.countDistinct(col).alias(f"dist_{col}"),
+            mn.alias(f"min_{col}"),
+            mx.alias(f"max_{col}"),
+        )]
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}, min_{c}, max_{c}" for c in cols)
+    return m.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value", "max_value",
+    )

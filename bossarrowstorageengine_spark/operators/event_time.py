@@ -843,3 +843,154 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("hbin").alias("n_outage_hours"),
         F.sum("n_errors").cast("long").alias("err_exposure"),
     )
+
+
+@query(
+    "q_user_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT)  AS n_active_days,
+           CAST(max(len) AS BIGINT)  AS max_streak,
+           CAST(count(*) AS BIGINT)  AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the retention/DAU-streak
+    metric): longest run of back-to-back active days, total active days,
+    and number of distinct streaks — via the gaps-and-islands trick on
+    integer epoch days (``day − row_number`` is constant within a run).
+
+    Scale: distinct (user, day) first — the shuffle carries active-day
+    rows, not raw events — then a user-partitioned window and two keyed
+    aggregations; all integer arithmetic, no date-string parsing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("max_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "q_rollup_interpolate",
+    oracle="""
+    WITH actual AS (
+        SELECT event_type,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+               avg(value) AS v
+        FROM events
+        WHERE event_id % 4 = 0
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(d) AS lo, max(d) AS hi
+        FROM actual GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, unnest(range(lo, hi + 1)) AS d
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.event_type, s.d, a.v
+        FROM spine s LEFT JOIN actual a USING (event_type, d)
+    ),
+    ctx AS (
+        SELECT event_type, d, v,
+               last_value(v IGNORE NULLS) OVER w_prev  AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER w_prev                         AS pd,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER w_next                         AS nd
+        FROM joined
+        WINDOW
+          w_prev AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           CAST(d AS BIGINT) AS epoch_day,
+           CASE WHEN v IS NOT NULL THEN 'actual' ELSE 'interp' END AS src,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (d - pd) / (nd - pd)
+                 END, 4) AS value
+    FROM ctx
+    """,
+)
+def q_rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup with LINEAR INTERPOLATION (the
+    ``interpolate()`` half of the timeseries gapfill idiom —
+    ``q_rollup_gapfill`` zero-fills, this draws the line between the
+    neighboring actual points): per event type, every day between its
+    first and last active day carries either the actual daily mean or the
+    linear interpolation between the surrounding actuals.
+
+    Interior gaps always have both neighbors (the spine is bounded by
+    per-type min/max active days), so no edge extrapolation arises.
+
+    Scale: the spine explodes from a per-type (lo, hi) bound table, and the
+    daily aggregate it left-joins (one shuffle on the day bucket upstream)
+    is type×days-sized — broadcastable at any fact scale; the prev/next
+    context comes from two frames over the SAME type-partitioned ordering
+    (one shuffle), carrying forward only (value, day) scalars — linear
+    state, the running-fill shape that survives any gap density.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    actual = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+                .alias("d"))
+        .agg(F.avg("value").alias("v"))
+    )
+    bounds = actual.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    joined = spine.join(F.broadcast(actual), ["event_type", "d"], "left")
+    w_prev = (Window.partitionBy("event_type").orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy("event_type").orderBy("d")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    day_if_actual = F.when(F.col("v").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "event_type", "d", "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(day_if_actual, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(day_if_actual, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) \
+        * (F.col("d") - F.col("pd")) / (F.col("nd") - F.col("pd"))
+    return ctx.select(
+        "event_type",
+        F.col("d").cast("long").alias("epoch_day"),
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+            .otherwise(F.lit("interp")).alias("src"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v"))
+                .otherwise(interp), 4).alias("value"),
+    )

@@ -169,3 +169,182 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
+#: Entity-resolution edge CTEs (DuckDB side): customer-name near-duplicate
+#: pairs within 16-char-prefix blocks (same blocking as q_record_linkage),
+#: plus the undirected expansion.
+_LINKAGE_EDGE_CTES = """
+    base AS (
+        SELECT c_custkey AS id, c_name,
+               substr(c_name, 1, 16) AS block
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.id AS u, b.id AS v
+        FROM base a JOIN base b
+          ON a.block = b.block AND a.id < b.id
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    und AS (
+        SELECT u, v FROM pairs
+        UNION ALL
+        SELECT v, u FROM pairs
+    )
+"""
+
+
+def _linkage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (u < v) entity-match edges: customer names within edit
+    distance 1, compared only inside 16-char-prefix blocks."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), "c_name",
+        F.substring("c_name", 1, 16).alias("block"))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+    )
+
+
+@query(
+    "q_entity_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_LINKAGE_EDGE_CTES.strip()},
+    walk AS (
+        SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT w.node, e.v FROM walk w JOIN und e ON w.reach = e.u
+    ),
+    comp AS (
+        SELECT node, min(reach) AS comp_id FROM walk GROUP BY node
+    ),
+    sizes AS (
+        SELECT comp_id, count(*) AS size FROM comp GROUP BY comp_id
+    )
+    SELECT CAST(size AS BIGINT)          AS component_size,
+           CAST(count(*) AS BIGINT)      AS n_components,
+           CAST(sum(comp_id) AS BIGINT)  AS comp_id_checksum
+    FROM sizes GROUP BY size
+    """,
+)
+def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clustering: connected components over the blocked
+    record-linkage match graph (``q_record_linkage``'s edges) — the step
+    that turns pairwise "these two records match" into entity groups.
+    Emits the component-size histogram with a min-id checksum, the
+    dedup-audit face of entity resolution.
+
+    Scale: iterative min-label propagation — per round one keyed join +
+    one keyed aggregation over the edge list, converging in
+    graph-diameter rounds; ``localCheckpoint`` truncates lineage.  The
+    oracle replays the fixpoint as a recursive reachability closure —
+    exact because linkage components are small (closure is quadratic per
+    component, which is why the ENGINE side never materializes it).
+    """
+    pairs = _linkage_edges(spark, sf_dir)
+    e2 = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node"))
+    for _ in range(20):
+        nbr_min = (
+            e2.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u").agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least(
+                "label", F.coalesce("nbr_label", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy(F.col("size").cast("long").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("label").cast("long").alias("comp_id_checksum"),
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH
+    {_LINKAGE_EDGE_CTES.strip()},
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    deg AS (
+        SELECT u AS node, count(*) AS d
+        FROM und GROUP BY u
+    ),
+    wedges AS (
+        SELECT sum(d * (d - 1) / 2) AS n_wedges,
+               count(*)             AS n_nodes
+        FROM deg
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(w.n_nodes AS BIGINT)                    AS n_nodes,
+           CAST(t.n_triangles AS BIGINT)                AS n_triangles,
+           CAST(w.n_wedges AS BIGINT)                   AS n_wedges,
+           round(3.0 * t.n_triangles / w.n_wedges, 6)   AS clustering_coeff
+    FROM tri t, wedges w
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the entity
+    -match graph — the graph-density audit (high clustering = blocky
+    near-clique entities, the expected shape for true duplicates).
+
+    Scale: the classic oriented-edge triangle join — edges stored once in
+    (u < v) orientation, so each triangle is counted exactly once by
+    joining e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c); at whale-node scale the standard
+    refinement (orient by degree instead of id) drops in without changing
+    the count.  Wedge counts come from the degree table, never from a
+    pairwise expansion.
+    """
+    pairs = _linkage_edges(spark, sf_dir).localCheckpoint()
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u"))
+              & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) / 2")).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(wedges))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+                .alias("clustering_coeff"),
+        )
+    )
