@@ -298,3 +298,64 @@ def test_domain_cap_is_scan_local_filter(spark):
     plan = _plan(QUERIES["q_domain_cap"](spark, SF))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunk_overlap_is_map_only(spark):
+    """Chunking must be pure row expansion: no Exchange anywhere."""
+    plan = _plan(QUERIES["q_doc_chunk_overlap"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_text_readability_is_map_only(spark):
+    plan = _plan(QUERIES["q_text_readability"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_outlier_mad_broadcasts_group_stats(spark):
+    """The per-group median/MAD tables join back by broadcast — no shuffle
+    of the fact table beyond the two percentile aggregations."""
+    plan = _plan(QUERIES["q_outlier_mad"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_mode_window_runs_over_count_table(spark):
+    """The rank window must sit above the (user, type) aggregate, never
+    directly over the raw event scan."""
+    plan = _plan(QUERIES["q_agg_mode"](spark, SF))
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1
+    # In executedPlan's top-down print, Window appears before (above) the
+    # aggregate that feeds it.
+    assert w < agg
+
+
+def test_running_distinct_single_user_shuffle(spark):
+    """Both windows partition by user_id — exactly one hashpartitioning
+    exchange on user_id-led keys, none on anything else."""
+    plan = _plan(QUERIES["q_win_running_distinct"](spark, SF))
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    assert all(p.strip().startswith("user_id") for p in parts)
+
+
+def test_triangles_has_no_cartesian(spark):
+    plan = _plan(QUERIES["q_graph_triangles"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # The only cross joins are the 1-row stat frames glued at the end.
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin") <= 2
+
+
+def test_interpolate_windows_share_one_partitioning(spark):
+    """prev/next context frames must reuse one event_type partitioning."""
+    plan = _plan(QUERIES["q_rollup_interpolate"](spark, SF))
+    import re
+    parts = [p for p in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+             if p.strip().startswith("event_type")]
+    # one exchange for the window ordering (AQE may add the agg exchange);
+    # the two frames must not each force their own event_type exchange.
+    assert 1 <= len(parts) <= 2, plan
