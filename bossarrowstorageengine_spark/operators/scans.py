@@ -550,7 +550,8 @@ def q_storage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(path))
     delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500",
-                    compression="lz4")
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"])
 
     def _agg(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy("lang").agg(

@@ -166,6 +166,7 @@ def _cow_rewrite(
     appends=None,
     compression: str = "zstd",
     ipc_format: str = "file",
+    scan_columns: list[str] | None = None,
 ) -> dict:
     """Copy-on-write core shared by DELETE / UPDATE / MERGE — the
     Delta/Iceberg CoW model at part-file granularity.
@@ -176,6 +177,15 @@ def _cow_rewrite(
     content for the affected files (attribution column still present on
     input; must be dropped in the output).  ``appends(df)``: optional
     extra rows to add alongside the rewrites (MERGE inserts).
+    ``scan_columns``: the columns ``affected_rows`` actually inspects
+    (MERGE keys, DELETE/UPDATE predicate columns) — when given, the
+    match scan (and the pruned frame handed to ``appends`` as its second
+    argument) reads ONLY those from the columnar IPC files (plus the
+    attribution column), so finding the affected 1% of a wide table
+    decompresses a fraction of its bytes; the rewrite still reads full
+    rows, but only from affected files.  ``appends`` receives
+    ``(df, scan_df)``: the full attributed read for schema alignment and
+    the column-pruned read for key probing.
 
     Scale shape: one distributed scan finds the affected file list (only
     file names + counts are collected, never rows); one distributed job
@@ -212,12 +222,18 @@ def _cow_rewrite(
 
     df = (spark.read.format("arrowipc")
           .option("filenameColumn", _FCOL).load(pin))
-    per_file = (affected_rows(df).groupBy(_FCOL)
+    if scan_columns:
+        scan_df = (spark.read.format("arrowipc")
+                   .option("filenameColumn", _FCOL)
+                   .option("columns", ",".join(scan_columns)).load(pin))
+    else:
+        scan_df = df
+    per_file = (affected_rows(scan_df).groupBy(_FCOL)
                 .agg(F.count(F.lit(1)).alias("n")).collect())
     affected_pinned = [r[_FCOL] for r in per_file]
     rows_matched = sum(r["n"] for r in per_file)
     affected_orig = [pinned_to_orig[p] for p in affected_pinned]
-    extra = appends(df) if appends is not None else None
+    extra = appends(df, scan_df) if appends is not None else None
     if not per_file and extra is None:
         shutil.rmtree(pin, ignore_errors=True)
         return {"rows_matched": 0, "files_rewritten": 0, "rows_appended": 0}
@@ -311,16 +327,19 @@ def delete_arrowipc(
     predicate: str,
     compression: str = "zstd",
     ipc_format: str = "file",
+    predicate_columns: list[str] | None = None,
 ) -> dict:
     """Row-level DELETE: remove rows matching a Spark SQL boolean
     ``predicate`` via the copy-on-write core (see ``_cow_rewrite`` for the
-    scale shape and commit semantics).
+    scale shape and commit semantics).  ``predicate_columns``, when given,
+    lets the match scan read only those columns from the columnar files.
 
     Returns ``{"rows_deleted": n, "files_rewritten": k, "version": v?}``.
     """
     res = _cow_rewrite(
         spark, path,
         affected_rows=lambda df: df.filter(predicate),
+        scan_columns=predicate_columns,
         # SQL DELETE removes rows where the predicate is TRUE; rows where it
         # evaluates NULL (e.g. ``col = 5`` with col NULL) must SURVIVE.  A
         # bare ``~predicate`` is NULL for those rows and filter() drops them,
@@ -344,6 +363,7 @@ def update_arrowipc(
     assignments: dict[str, str],
     compression: str = "zstd",
     ipc_format: str = "file",
+    predicate_columns: list[str] | None = None,
 ) -> dict:
     """Row-level UPDATE: for rows matching ``predicate``, set each column
     in ``assignments`` to its Spark SQL expression (evaluated against the
@@ -369,6 +389,7 @@ def update_arrowipc(
         affected_rows=lambda df: df.filter(predicate),
         rewrite=_rewrite,
         compression=compression, ipc_format=ipc_format,
+        scan_columns=predicate_columns,
     )
     out = {"rows_updated": res["rows_matched"],
            "files_rewritten": res["files_rewritten"]}
@@ -440,9 +461,11 @@ def merge_arrowipc(
             spark, path,
             affected_rows=lambda df: df.join(src.select(*keys), keys, "semi"),
             rewrite=_rewrite,
-            appends=lambda df: _aligned(df).join(
-                df.select(*keys), keys, "anti"),
+            # Key-probe the pruned scan; align types from the full schema.
+            appends=lambda df, scan_df: _aligned(df).join(
+                scan_df.select(*keys), keys, "anti"),
             compression=compression, ipc_format=ipc_format,
+            scan_columns=keys,
         )
     finally:
         src.unpersist()
