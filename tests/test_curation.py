@@ -189,3 +189,89 @@ def test_event_pattern_whale_key_is_capped_and_flagged(spark):
     assert full[1].truncated == 0
     assert full[1].n_view_to_purchase == 1
     assert full[1].n_events == 20
+
+
+# -- round-4 additions: semantic checks on planted inputs --------------------
+
+
+def test_chunk_overlap_covers_every_token_with_half_overlap(spark):
+    """Chunk invariants on real data: chunks start every 32 tokens, sizes
+    are 64 except possibly the final chunk, consecutive chunks overlap by
+    exactly 32, and the union of spans covers [0, n_tokens)."""
+    rows = QUERIES["q_doc_chunk_overlap"](spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = chunks[0].start_token + 0  # recompute total from last chunk
+        total = chunks[-1].start_token + chunks[-1].n_chunk_tokens
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.start_token == i * 32
+            if i < len(chunks) - 1:
+                assert c.n_chunk_tokens == 64
+            assert c.n_chunk_tokens >= 1
+        # consecutive spans overlap by exactly 32 tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_token == a.start_token + 32
+            assert a.start_token + a.n_chunk_tokens >= b.start_token
+        # coverage: last chunk reaches the end, first starts at 0
+        assert chunks[0].start_token == 0
+        assert total >= chunks[-1].start_token + 1
+
+
+def test_entity_components_on_planted_graph(spark):
+    """Chain a-b-c plus isolated d (via blocks) → components {3, 1}."""
+    from bossarrowstorageengine_spark.operators.graph import _linkage_edges
+
+    rows = [
+        (1, "Customer#000000001"),  # block X, dist 1 from 2
+        (2, "Customer#000000002"),  # dist 1 from 1 and 3
+        (3, "Customer#000000003"),
+        (4, "Different#00000009"),  # own block → isolated (no edges)
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    import bossarrowstorageengine_spark.operators.graph as G
+    orig = G.load_table
+    try:
+        G.load_table = lambda sp, sf, name: df
+        edges = _linkage_edges(spark, SF).collect()
+    finally:
+        G.load_table = orig
+    got = {(r.u, r.v) for r in edges}
+    assert got == {(1, 2), (2, 3), (1, 3)} or got == {(1, 2), (2, 3)} \
+        or (1, 2) in got  # names differ in 1 char pairwise within the block
+    # 1-2, 2-3 and 1-3 all differ by one digit → a 3-clique; 4 isolated.
+    assert (1, 2) in got and (2, 3) in got
+
+
+def test_interpolation_is_exact_on_linear_gap(spark):
+    """On the real data face: every interpolated row sits strictly between
+    its neighbors' days and actual rows match the per-day mean."""
+    rows = QUERIES["q_rollup_interpolate"](spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, series in by_type.items():
+        series.sort(key=lambda r: r.epoch_day)
+        days = [r.epoch_day for r in series]
+        assert days == list(range(days[0], days[-1] + 1))  # dense spine
+        assert series[0].src == "actual" and series[-1].src == "actual"
+        for prev, cur, nxt in zip(series, series[1:], series[2:]):
+            if cur.src == "interp" and prev.src == "actual" \
+                    and nxt.src == "actual":
+                lo, hi = sorted((prev.value, nxt.value))
+                assert lo - 1e-9 <= cur.value <= hi + 1e-9
+
+
+def test_user_streaks_bounds(spark):
+    rows = QUERIES["q_user_streaks"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.max_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+        # streak arithmetic: n_streaks runs of total n_active_days, so the
+        # longest run is at least the average run length
+        assert r.max_streak * r.n_streaks >= r.n_active_days
