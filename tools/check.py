@@ -105,7 +105,16 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     if not keys:
         keys = list(qs)
-    spark = build_session("check")
+    if os.environ.get("CHECK_VANILLA") == "1":
+        # Driver rehearsal: a plain SparkSession exactly like the driver's —
+        # every engine conf must be applied at query time (entry wrapper's
+        # apply_engine_conf), not inherited from build_session.
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("check-vanilla").getOrCreate())
+    else:
+        spark = build_session("check")
     con = duck_connect(SF_DIR)
     n_fail = 0
     for k in keys:
