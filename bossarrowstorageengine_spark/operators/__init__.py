@@ -33,17 +33,15 @@ for _m in _MODULES:
 
 #: The driver's correctness gate checks the FIRST 50 keys of ``queries()``
 #: in dict order, so this window is re-curated each round to aim the sample
-#: at keys without a (still-valid) driver-green row.  Round-4 window,
-#: positions 1-43: keys materially changed in round 3 or 4 whose prior
-#: driver rows are stale (q_ann_ivf's only row is a pre-oracle r2 err;
-#: q_dedup_embedding / q_scan_arrow_roundtrip were rewritten after their r2
-#: green rows; q_sim_search / q_event_pattern and the storage-mutation paths
-#: are modified this round), the 9 queries NEW in round 4, then the 27 keys
-#: no driver round has ever sampled (the 11 round-3 TPC-H shapes, the
-#: UDF/window backlog, the round-3 text/CDC/curation additions).
-#: Positions 44-50: round-robin re-verification of the oldest green rows
-#: (r1 keys — the round-2 TIMESTAMP_NTZ incident showed r1 greens can
-#: silently go stale).  Keys
+#: at keys without a (still-valid) driver-green row.  Round-4 window: first
+#: the keys materially changed in round 3 or 4 whose prior driver rows are
+#: stale (q_ann_ivf's only row is a pre-oracle r2 err; q_sim_search /
+#: q_scan_arrow_roundtrip / q_event_pattern and the storage-mutation paths
+#: were rewritten after their green rows), then every query NEW in round 4,
+#: then the keys no driver round has ever sampled (the 11 round-3 TPC-H
+#: shapes, the UDF/window backlog, the round-3 text/CDC/curation
+#: additions).  q_dedup_embedding's re-verification was displaced when the
+#: 48 row-less keys filled the window.  Keys
 #: absent from this list follow in registration order.
 #: ``tests/test_driver_window.py`` asserts this window covers every key
 #: without a green row in the committed CORRECTNESS_r*.json files.
@@ -51,7 +49,6 @@ _DRIVER_WINDOW = [
     # Stale driver rows / modified in r3-r4 — must (re-)earn a driver row.
     "q_ann_ivf",
     "q_sim_search",
-    "q_dedup_embedding",
     "q_scan_arrow_roundtrip",
     "q_storage_delete",
     "q_storage_merge",
@@ -73,6 +70,7 @@ _DRIVER_WINDOW = [
     "q_schema_profile",
     "q_user_streaks",
     "q_rollup_interpolate",
+    "q_integrity_audit",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",

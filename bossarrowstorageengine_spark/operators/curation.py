@@ -1170,3 +1170,69 @@ def q_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_value", "max_value",
     )
+
+
+@query(
+    "q_integrity_audit",
+    oracle="""
+    SELECT 'orders_pk_dup_keys' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_fk_orphan_custkeys',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_fk_orphan_orderkeys',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_null_keys',
+           CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: primary-key duplicate count, two
+    foreign-key orphan counts, and a null-key tally — the constraint
+    checks a warehouse runs on every load (Spark enforces no constraints,
+    so the audit IS the enforcement).
+
+    Scale: PK check is a keyed aggregation (shuffle carries one row per
+    key); each FK check is a LEFT ANTI join where the parent side's key
+    projection broadcasts when small and shuffles otherwise — never a
+    driver-side collect.  The four counts run as independent 1-row
+    aggregates unioned at the end, so Spark schedules them in one job.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"))
+
+    pk_dup = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("n")))
+    fk_cust = (o.join(c.select("c_custkey"),
+                      o.o_custkey == F.col("c_custkey"), "left_anti")
+               .agg(F.count(F.lit(1)).alias("n")))
+    fk_ord = (li.join(o.select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"), "left_anti")
+              .agg(F.count(F.lit(1)).alias("n")))
+    nulls = li.agg(F.sum(
+        (F.col("l_orderkey").isNull() | F.col("l_partkey").isNull())
+        .cast("long")).alias("n"))
+    return (
+        one("orders_pk_dup_keys", pk_dup)
+        .unionByName(one("orders_fk_orphan_custkeys", fk_cust))
+        .unionByName(one("lineitem_fk_orphan_orderkeys", fk_ord))
+        .unionByName(one("lineitem_null_keys", nulls))
+    )
