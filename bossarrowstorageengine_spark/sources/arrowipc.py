@@ -1312,11 +1312,19 @@ class ArrowIPCDataSource(DataSource):
 
 
 def register_arrowipc(spark) -> None:
-    """Idempotently register the data source with a SparkSession."""
+    """Idempotently register the data source with a SparkSession.
+
+    A session-object flag short-circuits repeats — re-registering works
+    but logs a JVM replaced-data-source warning per call, and the query
+    surface calls this on every storage query.
+    """
+    if getattr(spark, "_arrowipc_registered", False):
+        return
     try:
         spark.dataSource.register(ArrowIPCDataSource)
     except Exception:
         pass  # already registered on this session
+    spark._arrowipc_registered = True
 
 
 def register_arrowipc_table(spark, name: str, path: str, **options) -> None:
