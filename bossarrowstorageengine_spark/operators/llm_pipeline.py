@@ -1631,3 +1631,74 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(F.lit(0))).cast("long").alias("kept_id_checksum"),
         )
     )
+
+
+@query(
+    "q_tokenize_apply",
+    oracle="""
+    WITH vocab AS (
+        SELECT word,
+               row_number() OVER (ORDER BY count(*) DESC, word) - 1 AS token_id
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY count(*) DESC, word
+        LIMIT 512
+    ),
+    toks AS (
+        SELECT d.doc_id, t.i AS pos, t.tok
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
+                             generate_subscripts(string_split(d.text, ' '), 1) AS i) t
+        WHERE d.doc_id % 5 = 0
+    ),
+    mapped AS (
+        SELECT toks.doc_id, toks.pos,
+               coalesce(v.token_id, -1) AS tid
+        FROM toks LEFT JOIN vocab v ON toks.tok = v.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                        AS n_tokens,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(sum((pos) * (tid + 2)) AS BIGINT)          AS ids_checksum
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def q_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application (tokenization at scale): build a 512-term
+    frequency vocabulary over the corpus, then map every 5th document's
+    tokens to ids with OOV fallback — the encode step between
+    ``q_vocab_topk``/``q_bpe_pairs`` (vocab building) and
+    ``q_pack_chunks`` (shard writing).  The checkable face is per-doc
+    token/OOV counts plus a position-weighted id checksum, which pins both
+    the id assignment AND the token order.
+
+    Scale: the vocabulary is vocabulary-sized (broadcast side of the
+    token→id join), documents explode map-side with positions via
+    ``posexplode``, and the per-doc aggregation is a keyed sum — the
+    shuffle carries (doc, token) rows once.  The global vocab ordering is
+    a window over the 512-row TakeOrdered result, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    top = (words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), "word").limit(512))
+    vocab = top.select(
+        "word",
+        (F.row_number().over(
+            Window.orderBy(F.desc("n"), "word")) - 1).alias("token_id"))
+    toks = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.posexplode(F.split("text", " "))
+                .alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    mapped = toks.join(F.broadcast(vocab), toks.tok == vocab.word, "left") \
+        .select("doc_id", "pos",
+                F.coalesce("token_id", F.lit(-1)).alias("tid"))
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == -1).cast("long")).cast("long").alias("n_oov"),
+        F.sum(F.col("pos") * (F.col("tid") + 2)).cast("long")
+            .alias("ids_checksum"),
+    )
