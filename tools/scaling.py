@@ -1,0 +1,85 @@
+"""Scaling-curve measurement: run representative queries at every available
+scale factor and report steady-state wall time per SF.
+
+Rows grow 10× per SF step; a scale-healthy plan's time should grow far less
+than 10× at these sizes (fixed per-query overhead dominates small SFs) and
+approach linear only once data cost dominates.  A super-linear step is the
+signal to re-audit the plan (quadratic join, single-reducer sort).
+
+Methodology: each (query, SF) runs twice and reports the SECOND run — the
+steady-state number (JIT/codegen/Python-worker warmup excluded), which is
+the regime a long-running cluster job lives in.  Writes SCALING.md.
+
+Usage: python tools/scaling.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+#: Representative shapes: scan-agg, snowflake join, window top-k, LSH dedup,
+#: two-stage similarity top-k, TF-IDF, sessionization, packing, CC graph.
+KEYS = [
+    "q_agg_basic",
+    "q_join_multiway",
+    "q_win_topk_group",
+    "q_dedup_near",
+    "q_sim_search",
+    "q_text_tfidf",
+    "q_sessionize",
+    "q_pack_chunks",
+    "q_tokenize_apply",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from bossarrowstorageengine_spark.session import build_session
+
+    spark = build_session("scaling")
+    qs = entrymod.queries()
+    results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        for k in KEYS:
+            qs[k](spark, sf_dir).collect()  # warm (codegen, workers)
+            t0 = time.time()
+            qs[k](spark, sf_dir).collect()
+            results[k][sf] = time.time() - t0
+    spark.stop()
+
+    lines = [
+        "# SCALING — steady-state wall time per scale factor",
+        "",
+        "Second-of-two runs per (query, SF) on local[32] (see tools/"
+        "scaling.py for methodology).  Rows grow 10× per SF step; times "
+        "growing far slower than 10× show fixed overhead still dominating — "
+        "the headroom that absorbs a cluster's per-task costs at real scale.",
+        "",
+        "| query | " + " | ".join(SFS) + " | 0.01→0.1 growth |",
+        "|---|" + "---|" * (len(SFS) + 1),
+    ]
+    for k in KEYS:
+        r = results[k]
+        growth = (r.get("sf0.1", 0) / r["sf0.01"]) if r.get("sf0.01") else 0
+        lines.append(
+            f"| {k} | " + " | ".join(
+                f"{r.get(sf, float('nan')):.2f}s" for sf in SFS)
+            + f" | {growth:.1f}× |")
+    lines.append("")
+    (REPO / "SCALING.md").write_text("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
