@@ -1344,3 +1344,36 @@ def test_upstream_pushdown_plan_cache_staleness(spark):
     fresh = (spark.read.format("arrowipc")
              .option("filenameColumn", "_f").load(path))
     assert fresh.count() == total  # the engine contract: fresh load per query
+
+
+def test_in_filter_prunes_files_by_stats(spark):
+    """An In() filter participates in min-max stats pruning: files whose
+    [min,max] range contains none of the values plan no partitions."""
+    from pyspark.sql.datasource import In
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader,
+        _list_ipc_files,
+    )
+
+    path = _tmpdir()
+    d = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    # range-partitioned files → disjoint n_nationkey stats per file
+    (d.repartition(4, (F.col("n_nationkey") / 7).cast("int"))
+     .write.format("arrowipc").mode("append").save(path))
+    files = sorted(_list_ipc_files(path))
+    schema = spark.read.format("arrowipc").load(path).schema
+
+    r = ArrowIPCReader(schema, {"path": path})
+    r.pushFilters([In(("n_nationkey",), (0, 1))])
+    kept = [p.path for p in r.partitions() if p.path]
+    assert 0 < len(kept) < len(files)
+
+    # values outside every file's range → everything pruned (empty marker)
+    r2 = ArrowIPCReader(schema, {"path": path})
+    r2.pushFilters([In(("n_nationkey",), (10**9,))])
+    assert [p.path for p in r2.partitions() if p.path] == []
+
+    # end-to-end correctness with pruning active
+    df = spark.read.format("arrowipc").load(path)
+    assert df.filter(F.col("n_nationkey").isin([0, 1])).count() == 2
