@@ -40,17 +40,17 @@ for _m in _MODULES:
 #: were rewritten after their green rows), then every query NEW in round 4,
 #: then the keys no driver round has ever sampled (the 11 round-3 TPC-H
 #: shapes, the UDF/window backlog, the round-3 text/CDC/curation
-#: additions).  q_dedup_embedding's and q_scan_arrow_roundtrip's
-#: re-verification was displaced when the 49 row-less keys filled the
-#: window (their pre-modification green rows still attest value behavior;
-#: the value-riskier q_sim_search top-k rewrite kept its slot).  Keys
+#: additions).  The re-verification slots (q_dedup_embedding,
+#: q_scan_arrow_roundtrip, q_sim_search — each modified after its green
+#: row, but value behavior attested by that row + the local gate) were
+#: displaced one by one as round-4 additions filled all 50 slots with
+#: keys that have NO driver row at all.  Keys
 #: absent from this list follow in registration order.
 #: ``tests/test_driver_window.py`` asserts this window covers every key
 #: without a green row in the committed CORRECTNESS_r*.json files.
 _DRIVER_WINDOW = [
     # Stale driver rows / modified in r3-r4 — must (re-)earn a driver row.
     "q_ann_ivf",
-    "q_sim_search",
     "q_storage_delete",
     "q_storage_merge",
     "q_event_pattern",
@@ -73,6 +73,7 @@ _DRIVER_WINDOW = [
     "q_rollup_interpolate",
     "q_integrity_audit",
     "q_tokenize_apply",
+    "q_cogroup_apply",
     # Never driver-sampled (r1 ∪ r2 ∪ r3).
     "q_tpch_q1",
     "q_tpch_q2",

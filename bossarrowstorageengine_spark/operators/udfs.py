@@ -207,3 +207,61 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(doc_id AS BIGINT) AS doc_id, t.pos, t.token, t.token_len
         FROM udtf_docs_src, LATERAL tokenize_long(text) AS t
     """)
+
+
+@query(
+    "q_cogroup_apply",
+    oracle="""
+    WITH ocnt AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY o_custkey
+    ),
+    ccnt AS (
+        SELECT c_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_cust_rows
+        FROM customer GROUP BY c_custkey
+    )
+    SELECT coalesce(o.custkey, c.custkey)  AS custkey,
+           coalesce(o.n_orders, 0)         AS n_orders,
+           coalesce(o.sum_price, 0.0)      AS sum_price,
+           coalesce(c.n_cust_rows, 0)      AS n_cust_rows
+    FROM ocnt o FULL OUTER JOIN ccnt c USING (custkey)
+    """,
+)
+def q_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` — the two-sided grouped-map entry
+    point (``df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas``): each
+    key's order rows AND customer rows arrive together as two pandas
+    frames, the custom-merge shape (asof joins, per-entity reconciliation)
+    that a single-sided UDAF can't express.  Keys present on either side
+    appear (full-outer cogroup semantics).
+
+    Determinism: counts are integers; ``sum_price`` sums exact-2dp money
+    doubles inside one pandas call and rounds to 2dp.
+
+    Scale: both sides shuffle once on the key; each task processes its
+    co-partitioned groups through Arrow batches — the same per-key linear
+    state as a shuffled join, with Python touching only grouped frames.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def merge(key, opdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": [int(key[0])],
+            "n_orders": [len(opdf)],
+            "sum_price": [round(float(opdf["o_totalprice"].sum()), 2)
+                          if len(opdf) else 0.0],
+            "n_cust_rows": [len(cpdf)],
+        })
+
+    grouped = (
+        o.withColumn("custkey", F.col("o_custkey")).groupBy("custkey")
+        .cogroup(
+            c.withColumn("custkey", F.col("c_custkey")).groupBy("custkey"))
+    )
+    return grouped.applyInPandas(
+        merge,
+        "custkey long, n_orders long, sum_price double, n_cust_rows long")
