@@ -486,3 +486,71 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE WHEN e.ts IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(e.ts) <= 900 * 1000000
+                THEN strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') END
+               AS matched_err_ts,
+           CASE WHEN e.ts IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(e.ts) <= 900 * 1000000
+                THEN CAST((epoch_us(p.ts) - epoch_us(e.ts)) // 1000000
+                          AS BIGINT) END
+               AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: each purchase matches the most
+    recent same-user error at-or-before it ONLY if that error is at most
+    15 minutes old — the feature-store lookup rule ("use the latest
+    reading unless it has gone stale").  Too-old matches become NULL, not
+    the next-older error (ASOF-with-tolerance semantics).
+
+    Scale: identical linear shape to ``q_join_asof`` — union both
+    streams, one (user_id) shuffle, running ``last(ignorenulls)`` —
+    plus a map-side gap test.  No pairwise range join at any size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(0).alias("prio"),
+        F.col("ts").alias("err_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("prio"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = (F.unix_micros("ts")
+              - F.unix_micros(F.col("matched_err_ts")))
+    fresh = F.col("matched_err_ts").isNotNull() \
+        & (gap_us <= 900 * 1_000_000)
+    return (
+        err.unionByName(pur)
+        .withColumn("matched_err_ts",
+                    F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("prio") == 1)
+        .select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("purchase_ts"),
+            F.when(fresh, F.date_format("matched_err_ts",
+                                        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+                .alias("matched_err_ts"),
+            F.when(fresh, (gap_us / 1_000_000).cast("long"))
+                .alias("gap_seconds"),
+        )
+    )
