@@ -92,10 +92,20 @@ class Engine:
         Handled payload shapes:
         - callable ``f(spark) -> value``  → executed, value returned
         - SQL string                      → ``spark.sql`` DataFrame returned
+        - BOSS-style s-expression tuple (``("Select", ("Table", ...), ...)``
+          — the expression language the reference's host speaks; see
+          ``boss_expr``) → compiled to a DataFrame; a tuple whose head the
+          dialect lacks passes through unchanged, exactly the reference's
+          behavior for unhandled expressions (C2)
         - DataFrame                       → returned unchanged (identity —
           the reference's entire behavior, ``.cpp:32``)
         - anything else                   → returned unchanged (C2)
         """
+        from bossarrowstorageengine_spark.boss_expr import (
+            UnknownHead,
+            compile_expr,
+        )
+
         with self._lock:
             try:
                 self._ensure_init()
@@ -103,6 +113,12 @@ class Engine:
                     return EngineResult(value=payload(self._spark))
                 if isinstance(payload, str):
                     return EngineResult(value=self._spark.sql(payload))
+                if isinstance(payload, tuple):
+                    try:
+                        return EngineResult(value=compile_expr(
+                            self._spark, payload, self._sf_dir))
+                    except UnknownHead:
+                        return EngineResult(value=payload)  # C2
                 return EngineResult(value=payload)  # C2 pass-through
             except Exception as exc:  # noqa: BLE001 — totality is the contract
                 return EngineResult(error=EngineError(

@@ -10,6 +10,7 @@ from bossarrowstorageengine_spark.operators.registry import ORACLES, QUERIES
 #: Operator-family modules; each registers its queries on import.
 _MODULES = [
     "aggregates",
+    "boss",
     "curation",
     "event_time",
     "filters",

@@ -81,3 +81,60 @@ def test_observation_metrics_piggyback_on_query(spark):
     exp_qty = li.agg(F.sum("l_quantity")).first()[0]
     assert abs(got["total_qty"] - exp_qty) < 1e-6
     assert 0 < got["n_discounted"] < got["n_rows"]
+
+
+def test_boss_expression_compiles_to_dataframe(spark):
+    """The BOSS s-expression dialect (boss_expr) compiles through
+    Engine.evaluate to real DataFrames with values matching the native
+    DataFrame formulation."""
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    res = eng.evaluate((
+        "Group",
+        ("Select", ("Table", "orders"),
+         ("Where", ("Greater", "o_totalprice", 100000.0))),
+        ("By", "o_orderstatus"),
+        ("As", "n", ("Count",)),
+        ("As", "s", ("Sum", "o_totalprice")),
+    ))
+    assert res.ok
+    got = {r.o_orderstatus: (r.n, round(r.s, 2)) for r in res.value.collect()}
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    exp_df = (o.filter(F.col("o_totalprice") > 100000.0)
+              .groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("o_totalprice").alias("s")))
+    exp = {r.o_orderstatus: (r.n, round(r.s, 2)) for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_boss_unknown_head_passes_through(spark):
+    """C2: a tuple whose head the dialect lacks returns unchanged — the
+    reference's behavior for expressions it has no handler for."""
+    from bossarrowstorageengine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    payload = ("FrobnicateRelation", ("Table", "orders"), 42)
+    res = eng.evaluate(payload)
+    assert res.ok and res.value is payload
+
+    # ...including unknown SCALAR heads nested inside a known relational one
+    payload2 = ("Select", ("Table", "orders"),
+                ("Where", ("Quux", "o_totalprice")))
+    res2 = eng.evaluate(payload2)
+    assert res2.ok and res2.value is payload2
+
+
+def test_boss_top_and_order(spark):
+    from bossarrowstorageengine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    res = eng.evaluate((
+        "Top", ("Table", "nation"), ("DescBy", "n_name"), 3))
+    assert res.ok
+    names = [r.n_name for r in res.value.collect()]
+    assert names == sorted(names, reverse=True) and len(names) == 3
