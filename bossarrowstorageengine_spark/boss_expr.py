@@ -28,6 +28,8 @@ Relational heads::
     ("Join", left, right, ("Where", ("Equal", lcol, rcol)))
     ("Order", input, ("By", "col", ...) | ("DescBy", "col", ...))
     ("Top", input, ("By", ...), n)
+    ("Union", a, b)          # bag union (UNION ALL), by column name
+    ("Distinct", input)
 
 Scalar heads: ``Plus Minus Times Divide Greater GreaterEqual Lesser
 LesserEqual Equal NotEqual And Or Not``.
@@ -150,6 +152,13 @@ def compile_expr(spark: SparkSession, e: Any, sf_dir: str) -> DataFrame:
             raise UnknownHead(repr(cond_expr))
         _, lcol, rcol = cond_expr[1]
         return left.join(right, left[lcol] == right[rcol])
+
+    if head == "Union":
+        return compile_expr(spark, args[0], sf_dir).unionByName(
+            compile_expr(spark, args[1], sf_dir))
+
+    if head == "Distinct":
+        return compile_expr(spark, args[0], sf_dir).distinct()
 
     if head == "Order":
         df = compile_expr(spark, args[0], sf_dir)

@@ -138,3 +138,14 @@ def test_boss_top_and_order(spark):
     assert res.ok
     names = [r.n_name for r in res.value.collect()]
     assert names == sorted(names, reverse=True) and len(names) == 3
+
+
+def test_boss_union_distinct(spark):
+    from bossarrowstorageengine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    proj = ("Project", ("Table", "nation"), "n_regionkey")
+    res = eng.evaluate(("Distinct", ("Union", proj, proj)))
+    assert res.ok
+    vals = sorted(r.n_regionkey for r in res.value.collect())
+    assert vals == [0, 1, 2, 3, 4]
