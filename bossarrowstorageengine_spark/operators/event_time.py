@@ -19,6 +19,17 @@ from bossarrowstorageengine_spark.catalog import load_table
 from bossarrowstorageengine_spark.operators.registry import query
 
 
+def epoch_us(col) -> "F.Column":
+    """Epoch microseconds of a TIMESTAMP column.
+
+    Lives HERE (not at each call site) because ``unix_micros`` crashes or
+    shifts on TIMESTAMP_NTZ input — the round-2 incident
+    (tests/test_ts_robustness.py confines the fragile call to this module);
+    callers must feed timestamps normalized by ``catalog.load_table``.
+    """
+    return F.unix_micros(col)
+
+
 @query(
     "q_stream_tumbling",
     oracle="""

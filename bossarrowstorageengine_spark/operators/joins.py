@@ -534,8 +534,9 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "prio")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gap_us = (F.unix_micros("ts")
-              - F.unix_micros(F.col("matched_err_ts")))
+    from bossarrowstorageengine_spark.operators.event_time import epoch_us
+
+    gap_us = epoch_us(F.col("ts")) - epoch_us(F.col("matched_err_ts"))
     fresh = F.col("matched_err_ts").isNotNull() \
         & (gap_us <= 900 * 1_000_000)
     return (
