@@ -1702,3 +1702,72 @@ def q_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("pos") * (F.col("tid") + 2)).cast("long")
             .alias("ids_checksum"),
     )
+
+
+@query(
+    "q_dedup_boilerplate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    gram AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
+        FROM t, unnest(range(len(toks) - 4)) AS u(i)
+        WHERE len(toks) >= 5
+    ),
+    freq AS (
+        SELECT md5(g)                         AS h,
+               CAST(count(*) AS BIGINT)       AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST((count(*) - 1) * length(min(g)) AS BIGINT) AS dup_bytes
+        FROM gram GROUP BY md5(g)
+    )
+    SELECT h, n_occurrences, n_docs, dup_bytes
+    FROM freq
+    WHERE n_docs >= 2
+    ORDER BY n_occurrences DESC, h
+    LIMIT 40
+    """,
+)
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining: the 5-gram phrases that recur across
+    >=2 distinct documents, ranked by total occurrences, with the
+    removable duplicate byte volume — the "find the cookie banner"
+    frequency pass that precedes span removal.
+
+    Distinct from ``q_dedup_segment`` (pairwise span OVERLAP between two
+    docs) and ``q_colloc_pmi`` (bigram association): this is corpus-level
+    phrase FREQUENCY, the CCNet/RefinedWeb boilerplate-detection shape.
+
+    Scale: map-side gram explosion -> ONE keyed aggregation with map-side
+    combine (the shuffle carries one row per distinct gram hash, never per
+    occurrence) -> TakeOrdered top-k.  No joins, nothing pairwise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    gram = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(toks) - 5),"
+            " i -> array_join(slice(toks, i + 1, 5), ' '))")).alias("g"),
+    )
+    freq = (
+        gram.groupBy(F.md5("g").alias("h"))
+        .agg(
+            F.min("g").alias("sample_g"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .withColumn(
+            "dup_bytes",
+            ((F.col("n_occurrences") - 1) * F.length("sample_g"))
+                .cast("long"))
+    )
+    return (
+        freq.filter(F.col("n_docs") >= 2)
+        .select("h", "n_occurrences", "n_docs", "dup_bytes")
+        .orderBy(F.desc("n_occurrences"), "h")
+        .limit(40)
+    )
