@@ -216,12 +216,12 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey AS custkey,
                CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(o_totalprice), 2) AS sum_price
-        FROM orders GROUP BY o_custkey
+        FROM orders WHERE o_custkey % 4 = 0 GROUP BY o_custkey
     ),
     ccnt AS (
         SELECT c_custkey AS custkey,
                CAST(count(*) AS BIGINT) AS n_cust_rows
-        FROM customer GROUP BY c_custkey
+        FROM customer WHERE c_custkey % 4 = 0 GROUP BY c_custkey
     )
     SELECT coalesce(o.custkey, c.custkey)  AS custkey,
            coalesce(o.n_orders, 0)         AS n_orders,
@@ -245,8 +245,12 @@ def q_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned groups through Arrow batches — the same per-key linear
     state as a shuffled join, with Python touching only grouped frames.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") % 4 == 0)
+         .select("o_custkey", "o_totalprice"))
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 4 == 0)
+         .select("c_custkey"))
 
     def merge(key, opdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -359,3 +359,40 @@ def test_interpolate_windows_share_one_partitioning(spark):
     # one exchange for the window ordering (AQE may add the agg exchange);
     # the two frames must not each force their own event_type exchange.
     assert 1 <= len(parts) <= 2, plan
+
+
+def test_boilerplate_is_single_agg_topk(spark):
+    """Gram mining must be one keyed aggregation + TakeOrdered — no joins,
+    nothing pairwise."""
+    plan = _plan(QUERIES["q_dedup_boilerplate"](spark, SF))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tokenize_vocab_join_is_broadcast(spark):
+    plan = _plan(QUERIES["q_tokenize_apply"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_tolerance_single_user_shuffle(spark):
+    """Same linear shape as q_join_asof: the only hashpartitioning
+    exchanges are on user_id."""
+    import re
+    plan = _plan(QUERIES["q_join_asof_tolerance"](spark, SF))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all(p.strip().startswith("user_id") for p in parts)
+
+
+def test_boss_select_pushes_predicate_to_scan(spark):
+    """The compiled BOSS expression must behave like native DataFrame code:
+    the quantity/returnflag predicate reaches the parquet scan."""
+    plan = _plan(QUERIES["q_boss_select_project"](spark, SF))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_boss_group_join_broadcasts_dim(spark):
+    plan = _plan(QUERIES["q_boss_group_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
