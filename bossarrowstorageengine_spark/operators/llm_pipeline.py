@@ -1771,3 +1771,61 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "h")
         .limit(40)
     )
+
+
+@query(
+    "q_langid_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of')))    AS c_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('der', 'die', 'das'))) AS c_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('le', 'la', 'les')))   AS c_fr,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('el', 'los', 'una')))  AS c_es,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('de5', 'shi4', 'le5'))) AS c_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+                    WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+                    WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+                    WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+                    ELSE 'zh' END AS detected_lang
+        FROM scored
+    )
+    SELECT lang, detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = detected_lang THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_correct
+    FROM pred
+    GROUP BY lang, detected_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: labeled language × detected
+    language with per-cell counts — the quality report run whenever a
+    heuristic gate (here ``q_text_language_id``'s marker-word detector)
+    decides what data survives.  Diagonal cells carry ``n_correct`` =
+    ``n_docs``, so per-language accuracy falls out by aggregation.
+
+    Scale: one map-side scoring pass (JVM list HOFs) + one keyed
+    aggregation over (label, prediction) — cells are
+    ``|langs|²``-bounded, never corpus-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.language_id(F.col("text")).alias("detected_lang"))
+        .groupBy("lang", "detected_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("lang") == F.col("detected_lang")).cast("long"))
+                .cast("long").alias("n_correct"),
+        )
+    )
