@@ -1005,3 +1005,88 @@ def q_rollup_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("v").isNotNull(), F.col("v"))
                 .otherwise(interp), 4).alias("value"),
     )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                         OR lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked
+    ), paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM numbered
+        GROUP BY user_id, session_seq
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT)               AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the top-25 within-session event-type
+    sequences (`view>click>purchase`-style paths) by session count — the
+    navigation-pattern report built on the same gaps-and-islands
+    sessionization as ``q_sessionize``.
+
+    Determinism: the path string is ordered by (ts, event_id) — a total
+    order — on both engines (`array_sort` of (ts_us, event_id, type)
+    structs here, ordered `string_agg` in the oracle).
+
+    Scale: one user_id shuffle for the session windows, one
+    (user, session) aggregation whose state is the session's own events
+    (bounded by session length, not history), a path-keyed count, and
+    TakeOrdered top-k.  A whale session would bound via the same first-K
+    cap as `q_event_pattern`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "event_id", "event_type",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.when(
+            (epoch_us(F.col("ts"))
+             - F.lag(epoch_us(F.col("ts"))).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("is_new"),
+    )
+    w_run = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    numbered = marked.withColumn(
+        "session_seq", F.sum("is_new").over(w_run))
+    paths = (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("ts_us", "event_id", "event_type"))),
+                lambda s: s["event_type"]),
+            ">").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
