@@ -1829,3 +1829,71 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("n_correct"),
         )
     )
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH dims AS (
+        SELECT label, vec_id % 2 AS half,
+               d.i - 1 AS dim, CAST(d.x AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i) d
+    ),
+    cent AS (
+        SELECT label, half, dim,
+               sum(x) / count(*) AS m, count(*) AS n
+        FROM dims GROUP BY label, half, dim
+    ),
+    paired AS (
+        SELECT a.label, a.dim, a.m AS m0, b.m AS m1,
+               a.n AS n0, b.n AS n1
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(max(n0) AS BIGINT) AS n_half0,
+           CAST(max(n1) AS BIGINT) AS n_half1,
+           round(sqrt(sum((m0 - m1) * (m0 - m1))), 4) AS centroid_shift
+    FROM paired GROUP BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-drift monitor for embedding spaces: per label, the L2
+    distance between the centroids of two dataset halves (even vs odd
+    vec_id — standing in for yesterday's batch vs today's).  A shift far
+    above the sampling noise floor flags upstream distribution change
+    before it poisons training.
+
+    Scale: explode to (label, half, dim) cells → ONE keyed mean
+    aggregation (cells = labels × 2 × dims, tiny) → self-join of the two
+    half-centroid tables → per-label distance.  The fact-scale work is the
+    single map-side-combined aggregation; everything after is
+    centroid-table-sized.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy("label", "half", "dim").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("m0"), F.col("n").alias("n0"))
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("m1"), F.col("n").alias("n1"))
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n0").cast("long").alias("n_half0"),
+            F.max("n1").cast("long").alias("n_half1"),
+            F.round(F.sqrt(F.sum(
+                (F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))), 4)
+                .alias("centroid_shift"),
+        )
+    )
