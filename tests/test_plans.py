@@ -396,3 +396,34 @@ def test_boss_select_pushes_predicate_to_scan(spark):
 def test_boss_group_join_broadcasts_dim(spark):
     plan = _plan(QUERIES["q_boss_group_join"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_paths_user_shuffles_then_path_agg(spark):
+    """Session windows and the per-session path build shuffle only on
+    user-led keys; the final path count is its own keyed aggregation."""
+    import re
+    plan = _plan(QUERIES["q_session_paths"](spark, SF))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts
+    for p in parts:
+        assert p.strip().startswith(("user_id", "path")), p
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_langid_confusion_is_map_side_plus_one_agg(spark):
+    plan = _plan(QUERIES["q_langid_confusion"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial/final agg pair
+
+
+def test_embedding_drift_join_is_centroid_sized(spark):
+    """The half-vs-half join runs over the tiny centroid table (post-agg),
+    never over exploded fact rows — no SortMergeJoin of the dim explosion."""
+    plan = _plan(QUERIES["q_embedding_drift"](spark, SF))
+    agg = plan.find("HashAggregate")
+    assert agg != -1
+    # Generate (posexplode) feeds the aggregate, not the join side directly:
+    # the join appears ABOVE (before, in print order) the explode.
+    j = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    g = plan.find("Generate")
+    assert j != -1 and g != -1 and j < g
