@@ -37,6 +37,10 @@ KEYS = [
     "q_sessionize",
     "q_pack_chunks",
     "q_tokenize_apply",
+    "q_dedup_boilerplate",
+    # Copy-on-write storage mutation: the full create→mutate→read scenario.
+    "q_storage_delete",
+    "q_storage_merge",
 ]
 
 
@@ -46,6 +50,11 @@ def main() -> None:
 
     spark = build_session("scaling")
     qs = entrymod.queries()
+    # Global warmup: one pass of every query at the smallest SF so the
+    # session-level costs (codegen infra, Python workers, datasource
+    # registration, parquet footers) don't land in the first measured cell.
+    for k in KEYS:
+        qs[k](spark, "/root/testdata/sf0.001").collect()
     results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
     for sf in SFS:
         sf_dir = f"/root/testdata/{sf}"
