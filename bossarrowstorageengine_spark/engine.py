@@ -133,3 +133,20 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         self._ensure_init()
         return self._spark.sql(query)
+
+    def explain(self, payload: Any, mode: str = "formatted") -> str:
+        """Physical-plan text for any evaluatable payload (SQL string, BOSS
+        s-expression tuple, DataFrame, or callable) — the plan-audit hook
+        behind PLANS.md, exposed on the engine facade.  Raises (does not
+        reify) on un-plannable payloads: explain is a diagnostic, not part
+        of the total-evaluation contract."""
+        res = self.evaluate(payload)
+        if res.error is not None:
+            raise RuntimeError(res.error.message)
+        if not isinstance(res.value, DataFrame):
+            raise TypeError(
+                f"payload evaluated to {type(res.value).__name__}, "
+                "not a DataFrame")
+        return res.value._jdf.queryExecution().explainString(
+            self._spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString(mode))

@@ -149,3 +149,17 @@ def test_boss_union_distinct(spark):
     assert res.ok
     vals = sorted(r.n_regionkey for r in res.value.collect())
     assert vals == [0, 1, 2, 3, 4]
+
+
+def test_engine_explain_renders_plan_for_boss_and_sql(spark):
+    from bossarrowstorageengine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    plan = eng.explain(("Select", ("Table", "lineitem"),
+                        ("Where", ("Greater", "l_quantity", 30.0))))
+    assert "Physical Plan" in plan and "PushedFilters" in plan
+    plan2 = eng.explain("SELECT count(*) FROM nation")
+    assert "Physical Plan" in plan2
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        eng.explain(("NotARelation", 1))  # C2 pass-through → not a DataFrame
