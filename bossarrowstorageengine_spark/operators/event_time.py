@@ -1090,3 +1090,61 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+@query(
+    "q_churn_cohorts",
+    oracle="""
+    WITH corpus AS (SELECT max(ts) AS mx FROM events),
+    activity AS (
+        SELECT user_id,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS cohort_day,
+           CASE WHEN epoch_us(c.mx) - epoch_us(a.last_ts)
+                     > CAST(72 AS BIGINT) * 3600 * 1000000
+                THEN 'churned' ELSE 'active' END AS status,
+           CAST(count(*) AS BIGINT)        AS n_users,
+           CAST(sum(n_events) AS BIGINT)   AS n_events
+    FROM activity a, corpus c
+    GROUP BY 1, 2
+    """,
+)
+def q_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn segmentation by acquisition cohort: users whose last activity
+    is more than 72 h behind the corpus high-water mark are churned;
+    reported per first-seen day — the lifecycle report behind retention
+    dashboards (the cohort face of ``q_cohort_retention``'s grid).
+
+    Scale: one keyed min/max/count aggregation per user (map-side
+    combined), a 1-row broadcast high-water mark, and a cohort×status
+    rollup — no windows over raw events, no driver collects.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = ev.agg(F.max("ts").alias("mx"))
+    churned = (
+        epoch_us(F.col("mx")) - epoch_us(F.col("last_ts"))
+        > 72 * 3600 * 1_000_000)
+    return (
+        activity.crossJoin(F.broadcast(mx))
+        .select(
+            F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd")
+                .alias("cohort_day"),
+            F.when(churned, F.lit("churned")).otherwise(F.lit("active"))
+                .alias("status"),
+            "n_events",
+        )
+        .groupBy("cohort_day", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )

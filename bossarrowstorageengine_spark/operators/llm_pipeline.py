@@ -1897,3 +1897,63 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("centroid_shift"),
         )
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 6 = 0
+    ),
+    gram AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
+        FROM t, unnest(range(len(toks) - 4)) AS u(i)
+        WHERE len(toks) >= 5
+    ),
+    firsts AS (
+        SELECT g, min(doc_id) AS first_doc FROM gram GROUP BY g
+    )
+    SELECT gram.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = gram.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = gram.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM gram JOIN firsts f USING (g)
+    GROUP BY gram.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring: the fraction of a doc's 5-grams whose
+    FIRST corpus occurrence (by doc_id order) is in that doc — the
+    freshness signal dedup pipelines use to rank near-duplicates for
+    retention (keep the doc that introduced the content).
+
+    Scale: gram explosion is map-side; the first-occurrence table is one
+    keyed min-aggregation (shuffle = distinct grams); the join back is
+    gram-keyed.  Nothing pairwise, no windows over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    gram = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(toks) - 5),"
+            " i -> array_join(slice(toks, i + 1, 5), ' '))")).alias("g"),
+    )
+    firsts = gram.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        gram.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6)
+                .alias("novelty"),
+        )
+    )
