@@ -1957,3 +1957,93 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("novelty"),
         )
     )
+
+
+@query(
+    "q_sample_topk_stratum",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)     AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT)  AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rn <= 20
+    GROUP BY lang
+    """,
+)
+def q_sample_topk_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N stratified sampling: EXACTLY 20 documents per language
+    (fewer only if the stratum is smaller), chosen by content-stable
+    md5-priority order — the fixed-budget eval-set draw, complementing
+    rate-based ``q_sample_stratified`` (which hits N only in expectation).
+
+    Scale: one per-stratum window over md5 priority — each language's rows
+    sort within their own partition (strata are the parallelism unit; a
+    whale stratum would switch to the two-stage per-partition-heap top-k
+    of ``q_sample_weighted``).  The id checksum pins WHICH rows were
+    picked, not just how many.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "q_lang_temperature_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        GROUP BY lang
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT lang, n,
+           round(CAST(n AS DOUBLE) / t.total, 6)       AS p,
+           round(sqrt(CAST(n AS DOUBLE) / t.total), 6) AS w_alpha_half,
+           round(sqrt(CAST(n AS DOUBLE) / t.total)
+                 / (SELECT sum(sqrt(CAST(c.n AS DOUBLE) / t2.total))
+                    FROM counts c, tot t2), 6)         AS q_resampled
+    FROM counts, tot t
+    """,
+)
+def q_lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language balancing (α = 0.5): per-language sampling
+    weights ``w ∝ p^α`` and the resulting resampled distribution — the
+    multilingual-mixture table that up-weights low-resource languages
+    without flattening the head.  ``sqrt`` is IEEE-correctly-rounded, so
+    the weights are bit-identical across engines before the 6dp rounding.
+
+    Scale: a language-cardinality aggregation plus scalar normalizers —
+    everything after the one corpus pass is a broadcast-sized table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    withp = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "praw", F.col("n").cast("double") / F.col("total"))
+    z = withp.agg(F.sum(F.sqrt("praw")).alias("z"))
+    return (
+        withp.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.round("praw", 6).alias("p"),
+            F.round(F.sqrt("praw"), 6).alias("w_alpha_half"),
+            F.round(F.sqrt("praw") / F.col("z"), 6).alias("q_resampled"),
+        )
+    )
