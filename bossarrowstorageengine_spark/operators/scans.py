@@ -625,3 +625,89 @@ def q_storage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+@query(
+    "q_scan_merge_schema",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    new AS (
+        SELECT doc_id, CAST(NULL AS BIGINT) AS n_chars, source
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+    SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(count(n_chars) AS BIGINT)      AS n_with_chars,
+           CAST(count(source) AS BIGINT)       AS n_with_source,
+           CAST(sum(doc_id) AS BIGINT)         AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT)        AS sum_chars
+    FROM unioned
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the oracle gate: two arrowipc writes with
+    DIFFERENT columns (an "old" file with ``n_chars``, a "new" file with
+    ``source``) read back through ``mergeSchema=true`` — absent columns
+    surface as nulls, present values survive exactly.  The oracle replays
+    the union relationally, so the hash pins null placement AND values.
+
+    Scale: the union schema is computed from per-file Arrow schemas
+    (metadata-sized), and each task aligns its batches to it in Arrow —
+    no rewrite of old files when columns are added, the Delta/Iceberg
+    evolution rule at file granularity.
+    """
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "merge_schema")
+    d = load_table(spark, sf_dir, "documents")
+    (d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+     .write.format("arrowipc").mode("append").save(path))
+    (d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+     .write.format("arrowipc").mode("append").save(path))
+    back = (spark.read.format("arrowipc")
+            .option("mergeSchema", "true").load(path))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("n_chars").cast("long").alias("n_with_chars"),
+        F.count("source").cast("long").alias("n_with_source"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@query(
+    "q_scan_dictionary",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_scan_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoded columns under the oracle gate: low-cardinality
+    strings (``lang``, ``source``) write dictionary-encoded in the IPC
+    stream format and decode transparently on read — the hash match
+    against the original parquet proves the encode/decode round-trip is
+    value-lossless.
+
+    Scale: dictionary encoding shrinks low-cardinality string columns to
+    index arrays (the classic columnar win); decoding happens per batch in
+    Arrow, never row-at-a-time.
+    """
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "dict_cols")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    (d.write.format("arrowipc")
+     .option("ipcFormat", "stream")
+     .option("dictionary", "lang,source")
+     .mode("append").save(path))
+    back = spark.read.format("arrowipc").load(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
