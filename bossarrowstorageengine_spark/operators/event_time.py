@@ -1148,3 +1148,54 @@ def q_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_dedup_within_window",
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hbin
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type, hbin
+                   ORDER BY ts, event_id) AS rn
+        FROM bucketed
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)        AS n_kept,
+           CAST(sum(event_id) AS BIGINT)   AS kept_id_checksum,
+           round(sum(value), 2)            AS kept_value_sum
+    FROM ranked WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+)
+def q_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed deduplication: keep the FIRST event per
+    (user, type) within each 1-hour bucket — the batch face of streaming
+    ``dropDuplicatesWithinWatermark`` (dedup state that expires instead of
+    growing forever, the only dedup that is viable on an unbounded
+    stream).  ``q_stream_dedup`` keeps one row per key EVER; this keeps
+    one per key per window.
+
+    Scale: one (user, type, bucket) window with linear per-key state; in
+    streaming the same keys + a watermark bound the state store size to
+    active windows.  Checksums pin WHICH representative survived.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hbin = (epoch_us(F.col("ts")) / (3600 * 1_000_000)).cast("long")
+    w = Window.partitionBy("user_id", "event_type", "hbin").orderBy(
+        "ts", "event_id")
+    return (
+        ev.withColumn("hbin", hbin)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("kept_id_checksum"),
+            F.round(F.sum("value"), 2).alias("kept_value_sum"),
+        )
+    )
