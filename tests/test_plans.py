@@ -427,3 +427,26 @@ def test_embedding_drift_join_is_centroid_sized(spark):
     j = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
     g = plan.find("Generate")
     assert j != -1 and g != -1 and j < g
+
+
+def test_topk_stratum_partitions_by_stratum(spark):
+    """The exact-N draw windows per language — never a global order."""
+    import re
+    plan = _plan(QUERIES["q_sample_topk_stratum"](spark, SF))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all(p.strip().startswith("lang") for p in parts)
+
+
+def test_temperature_weights_post_agg_is_broadcast_sized(spark):
+    """Everything after the one corpus aggregation joins 1-row/visible
+    lang-cardinality frames — broadcast or tiny BNLJ, no shuffle joins."""
+    plan = _plan(QUERIES["q_lang_temperature_weights"](spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_windowed_dedup_single_composite_shuffle(spark):
+    import re
+    plan = _plan(QUERIES["q_dedup_within_window"](spark, SF))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all(
+        p.strip().startswith("user_id") for p in parts), parts
