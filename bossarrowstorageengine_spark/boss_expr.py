@@ -73,6 +73,16 @@ _AGGS = {
 }
 
 
+def _need(ok: bool, e: Any) -> None:
+    """Arity/shape guard: a KNOWN head with the wrong argument count is just
+    as un-compilable as an unknown head, so it takes the same C2
+    pass-through path (raising IndexError instead would reify an
+    EngineError — an inconsistent totality contract for equally
+    un-compilable inputs)."""
+    if not ok:
+        raise UnknownHead(repr(e))
+
+
 def _scalar(e: Any):
     """Compile a scalar expression to a Column."""
     if isinstance(e, str):
@@ -84,17 +94,21 @@ def _scalar(e: Any):
     if isinstance(e, tuple) and e:
         head, *args = e
         if head == "Symbol":
+            _need(len(args) == 1, e)
             return F.lit(args[0])
         if head in _BINOPS:
+            _need(len(args) == 2, e)
             left, right = (_scalar(a) for a in args)
             return _BINOPS[head](left, right)
         if head == "Not":
+            _need(len(args) == 1, e)
             return ~_scalar(args[0])
     raise UnknownHead(repr(e))
 
 
-def _is_head(e: Any, name: str) -> bool:
-    return isinstance(e, tuple) and e and e[0] == name
+def _is_head(e: Any, name) -> bool:
+    names = (name,) if isinstance(name, str) else name
+    return isinstance(e, tuple) and bool(e) and e[0] in names
 
 
 def compile_expr(spark: SparkSession, e: Any, sf_dir: str) -> DataFrame:
@@ -106,76 +120,94 @@ def compile_expr(spark: SparkSession, e: Any, sf_dir: str) -> DataFrame:
     head, *args = e
 
     if head == "Table":
+        _need(len(args) == 1 and isinstance(args[0], str), e)
         return catalog.load_table(spark, sf_dir, args[0])
 
     if head == "Select":
+        _need(len(args) == 2, e)
         df = compile_expr(spark, args[0], sf_dir)
-        if not _is_head(args[1], "Where"):
+        if not (_is_head(args[1], "Where") and len(args[1]) == 2):
             raise UnknownHead(repr(args[1]))
         return df.filter(_scalar(args[1][1]))
 
     if head == "Project":
+        _need(len(args) >= 2, e)
         df = compile_expr(spark, args[0], sf_dir)
         cols = []
         for a in args[1:]:
             if _is_head(a, "As"):
+                _need(len(a) == 3 and isinstance(a[1], str), a)
                 cols.append(_scalar(a[2]).alias(a[1]))
             else:
                 cols.append(_scalar(a))
         return df.select(*cols)
 
     if head == "Group":
+        _need(len(args) >= 2, e)
         df = compile_expr(spark, args[0], sf_dir)
         rest = list(args[1:])
         by: list[str] = []
         if rest and _is_head(rest[0], "By"):
             by = list(rest.pop(0)[1:])
+            _need(all(isinstance(c, str) for c in by), e)
         aggs = []
         for a in rest:
-            if _is_head(a, "As") and isinstance(a[2], tuple) \
-                    and a[2][0] in _AGGS:
+            if _is_head(a, "As") and len(a) == 3 \
+                    and isinstance(a[1], str) and isinstance(a[2], tuple) \
+                    and a[2] and a[2][0] in _AGGS and len(a[2]) <= 2:
                 fn = _AGGS[a[2][0]]
                 col = _scalar(a[2][1]) if len(a[2]) > 1 else None
                 agg = fn(col) if col is not None else fn()
                 aggs.append(agg.alias(a[1]))
             else:
                 raise UnknownHead(repr(a))
+        _need(bool(aggs), e)
         grouped = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
         return grouped.agg(*aggs)
 
     if head == "Join":
+        _need(len(args) == 3, e)
         left = compile_expr(spark, args[0], sf_dir)
         right = compile_expr(spark, args[1], sf_dir)
         cond_expr = args[2]
-        if not (_is_head(cond_expr, "Where")
-                and _is_head(cond_expr[1], "Equal")):
+        if not (_is_head(cond_expr, "Where") and len(cond_expr) == 2
+                and _is_head(cond_expr[1], "Equal")
+                and len(cond_expr[1]) == 3):
             raise UnknownHead(repr(cond_expr))
         _, lcol, rcol = cond_expr[1]
+        _need(isinstance(lcol, str) and isinstance(rcol, str), cond_expr)
         return left.join(right, left[lcol] == right[rcol])
 
     if head == "Union":
+        _need(len(args) == 2, e)
         return compile_expr(spark, args[0], sf_dir).unionByName(
             compile_expr(spark, args[1], sf_dir))
 
     if head == "Distinct":
+        _need(len(args) == 1, e)
         return compile_expr(spark, args[0], sf_dir).distinct()
 
     if head == "Order":
+        _need(len(args) == 2, e)
         df = compile_expr(spark, args[0], sf_dir)
         spec = args[1]
-        if _is_head(spec, "By"):
-            return df.orderBy(*[F.asc(c) for c in spec[1:]])
-        if _is_head(spec, "DescBy"):
-            return df.orderBy(*[F.desc(c) for c in spec[1:]])
+        if _is_head(spec, ("By", "DescBy")):
+            _need(len(spec) >= 2
+                  and all(isinstance(c, str) for c in spec[1:]), spec)
+            order = F.asc if spec[0] == "By" else F.desc
+            return df.orderBy(*[order(c) for c in spec[1:]])
         raise UnknownHead(repr(spec))
 
     if head == "Top":
+        _need(len(args) == 3, e)
         df = compile_expr(spark, args[0], sf_dir)
         spec, n = args[1], args[2]
-        if _is_head(spec, "By"):
-            return df.orderBy(*[F.asc(c) for c in spec[1:]]).limit(n)
-        if _is_head(spec, "DescBy"):
-            return df.orderBy(*[F.desc(c) for c in spec[1:]]).limit(n)
+        _need(isinstance(n, int) and not isinstance(n, bool) and n >= 0, e)
+        if _is_head(spec, ("By", "DescBy")):
+            _need(len(spec) >= 2
+                  and all(isinstance(c, str) for c in spec[1:]), spec)
+            order = F.asc if spec[0] == "By" else F.desc
+            return df.orderBy(*[order(c) for c in spec[1:]]).limit(n)
         raise UnknownHead(repr(spec))
 
     raise UnknownHead(head)

@@ -1016,18 +1016,21 @@ def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan projection (split+size), never a separate job.
     """
     d = load_table(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("documents")
-    return spark.sql("""
-        SELECT lang, source,
-               CAST(grouping(lang) AS BIGINT)   AS g_lang,
-               CAST(grouping(source) AS BIGINT) AS g_source,
-               count(*)                      AS n_docs,
-               CAST(sum(n_chars) AS BIGINT)  AS sum_chars,
-               CAST(sum(size(split(text, ' '))) AS BIGINT) AS sum_tokens,
-               round(avg(n_chars), 4)        AS avg_chars
-        FROM documents
-        GROUP BY GROUPING SETS ((lang), (source), ())
-    """)
+    # DataFrame-native GROUPING SETS (no temp view: registering a view named
+    # 'documents' on the shared session would clobber / leak into any
+    # same-named view other code on that session uses).
+    return (
+        d.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+                .cast("long").alias("sum_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
 
 
 @query(

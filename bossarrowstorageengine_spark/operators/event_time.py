@@ -1185,7 +1185,13 @@ def q_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     active windows.  Checksums pin WHICH representative survived.
     """
     ev = load_table(spark, sf_dir, "events")
-    hbin = (epoch_us(F.col("ts")) / (3600 * 1_000_000)).cast("long")
+    # Floor division, matching the oracle's `//`: plain `/` + cast('long')
+    # truncates toward zero, which mis-buckets pre-1970 timestamps.  The
+    # pmod form stays in integer arithmetic (no double rounding near bucket
+    # boundaries): e - pmod(e, B) is e rounded DOWN to a multiple of B.
+    e = epoch_us(F.col("ts"))
+    bucket = F.lit(3600 * 1_000_000)
+    hbin = ((e - F.pmod(e, bucket)) / bucket).cast("long")
     w = Window.partitionBy("user_id", "event_type", "hbin").orderBy(
         "ts", "event_id")
     return (

@@ -227,7 +227,8 @@ def _linkage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(size AS BIGINT)          AS component_size,
            CAST(count(*) AS BIGINT)      AS n_components,
-           CAST(sum(comp_id) AS BIGINT)  AS comp_id_checksum
+           CAST(sum(comp_id) AS BIGINT)  AS comp_id_checksum,
+           TRUE                          AS converged
     FROM sizes GROUP BY size
     """,
 )
@@ -241,11 +242,34 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: iterative min-label propagation — per round one keyed join +
     one keyed aggregation over the edge list, converging in
     graph-diameter rounds; ``localCheckpoint`` truncates lineage.  The
+    ``converged`` column flags whether the fixpoint was reached within
+    the iteration bound (a >bound-diameter graph is reported, not
+    silently mislabeled).  The
     oracle replays the fixpoint as a recursive reachability closure —
     exact because linkage components are small (closure is quadratic per
     component, which is why the ENGINE side never materializes it).
     """
-    pairs = _linkage_edges(spark, sf_dir)
+    labels, converged = _propagate_min_labels(_linkage_edges(spark, sf_dir))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy(F.col("size").cast("long").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("label").cast("long").alias("comp_id_checksum"),
+        # Convergence FLAG, not a silent cap: a graph whose diameter
+        # exceeds the iteration bound emits converged=false so the caller
+        # knows the labels are an upper-bound partition (some components
+        # may still be split), instead of mistaking them for final.
+        F.lit(converged).alias("converged"),
+    )
+
+
+def _propagate_min_labels(pairs: DataFrame, max_rounds: int = 20):
+    """Min-label propagation over directed (u < v) match edges.
+
+    Returns ``(labels, converged)``: a (node, label) frame and whether the
+    fixpoint was actually reached within ``max_rounds`` (label propagation
+    needs ~graph-diameter rounds; linkage graphs are near-cliques, so 20 is
+    generous — but a pathological chain longer than the bound must be
+    FLAGGED, never silently emitted as final labels)."""
     e2 = (
         pairs.unionByName(
             pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -253,7 +277,8 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node"))
-    for _ in range(20):
+    converged = False
+    for _ in range(max_rounds):
         nbr_min = (
             e2.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy("u").agg(F.min("label").alias("nbr_label"))
@@ -273,12 +298,9 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
-    return sizes.groupBy(F.col("size").cast("long").alias("component_size")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_components"),
-        F.sum("label").cast("long").alias("comp_id_checksum"),
-    )
+    return labels, converged
 
 
 @query(

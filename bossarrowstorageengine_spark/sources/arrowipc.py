@@ -16,10 +16,12 @@ Design:
   computed on the fly and embedded in the file footer's custom metadata.
   Tasks write to a hidden temp name and rename on success; ``abort``
   removes leftovers (commit protocol per SURVEY.md §7 Phase 3).
-- **Read path** (``DataSourceReader``): one input partition per file
-  (record-batch ranges would be the next split level at larger files —
-  each partition is independently consumable, which is what a
-  1000-executor cluster needs).  ``pushFilters`` accepts simple
+- **Read path** (``DataSourceReader``): input partitions at record-batch
+  -range granularity — a big file-format IPC file splits into several
+  tasks (``batchesPerSplit``, default 8 batches ≈ 0.5-1 M rows per task),
+  so a directory of few huge files still fans out across a
+  1000-executor cluster; small files stay one task.  ``pushFilters``
+  accepts simple
   comparisons and prunes (a) whole files via footer stats before tasks
   launch, and (b) record batches per task via batch stats.  Batches are
   yielded as Arrow RecordBatches (zero row-at-a-time Python).
@@ -659,6 +661,13 @@ class ArrowIPCReader(DataSourceReader):
         self._snapshots = _snapshots_mode(options)
         self._fname_col = options.get(
             "filenamecolumn", options.get("filenameColumn"))
+        # Optional planning allowlist: a JSON file naming the exact part
+        # files this scan may touch.  The path (one string) rides in the
+        # options instead of an N-literal In filter, so mutation plans stay
+        # O(1) in the number of affected files.  Loaded in partitions()
+        # (driver-side) — never shipped to executors.
+        self._file_list_path = options.get(
+            "filelistpath", options.get("fileListPath"))
         self._filters: list[Filter] = []
 
     def _visible_files(self) -> List[str]:
@@ -724,6 +733,9 @@ class ArrowIPCReader(DataSourceReader):
         # affects 1% of a table's files plans tasks for only that 1% instead
         # of re-reading every file and discarding rows post-scan.
         fname_allow: set | None = None
+        if self._file_list_path:
+            with open(self._file_list_path) as f:
+                fname_allow = set(json.load(f))
         if self._fname_col:
             for f in self._filters:
                 col = f.attribute[-1] if hasattr(f, "attribute") else None
@@ -1322,8 +1334,13 @@ def register_arrowipc(spark) -> None:
         return
     try:
         spark.dataSource.register(ArrowIPCDataSource)
-    except Exception:
-        pass  # already registered on this session
+    except Exception as exc:
+        # Only a duplicate registration is ignorable.  Anything else must
+        # surface AND must not latch the flag — a blanket except here would
+        # turn a transient failure into a permanently-skipped registration
+        # with every later arrowipc read failing mysteriously instead.
+        if "already" not in str(exc).lower():
+            raise
     spark._arrowipc_registered = True
 
 

@@ -67,7 +67,7 @@ def compact_arrowipc(
 
     # Pin the input to the snapshot: hard-link (fall back to copy) exactly
     # the `before` file set into a hidden source dir and scan THAT, so the
-    # count, the rewrite, and the deletion all cover the same files even if
+    # rewrite and the deletion cover the same files even if
     # a concurrent appender lands new parts mid-compaction (those survive
     # untouched — they are neither rewritten nor removed).
     snapshot = os.path.join(path, f".compact-src-{uuid.uuid4().hex}")
@@ -86,7 +86,6 @@ def compact_arrowipc(
                 shutil.copy2(src, dst)
 
     df = spark.read.format("arrowipc").load(snapshot)
-    rows = df.count()
 
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
     writer = (
@@ -99,6 +98,10 @@ def compact_arrowipc(
     if dictionary:
         writer = writer.option("dictionary", dictionary)
     writer.save(staging)
+    # Row count for the report comes from the staged files' stats sidecars
+    # (written by the writer as it streams) — metadata only, so compaction
+    # runs ONE scan of the input, not a count scan plus a rewrite scan.
+    rows = _staged_rows(staging)
 
     # Swap.  On a snapshotted table (manifests present) the swap is LOGICAL:
     # promote the new parts, then publish one manifest version whose visible
@@ -139,6 +142,11 @@ def compact_arrowipc(
 
 #: Column name the copy-on-write scans use for part-file attribution.
 _FCOL = "_part_file"
+
+#: Largest affected-file set expressed as an In-literal filter; above this
+#: the allowlist goes to the reader via a file (``fileListPath``) so the
+#: Catalyst plan stays O(1) in the number of rewritten files.
+_INLIST_MAX = 32
 
 
 def _staged_rows(staging_dir: str) -> int:
@@ -249,25 +257,46 @@ def _cow_rewrite(
 
     rewritten_schema = None
     if affected_pinned:
-        rewritten = rewrite(df.filter(F.col(_FCOL).isin(affected_pinned)))
+        if len(affected_pinned) <= _INLIST_MAX:
+            # Small file set: an In-literal on the attribution column, which
+            # the reader's pushFilters turns into file-level task pruning.
+            aff_df = df.filter(F.col(_FCOL).isin(affected_pinned))
+        else:
+            # Many affected files: a giant In literal bloats the Catalyst
+            # plan (one expression node per file) and slows optimization.
+            # Hand the reader the allowlist as a FILE (one path string in
+            # the plan, O(1) expression size); planning prunes to exactly
+            # those files, same as the In pushdown.
+            list_file = os.path.join(pin, ".affected-files.json")
+            import json
+
+            with open(list_file, "w") as lf:
+                json.dump(affected_pinned, lf)
+            aff_df = (spark.read.format("arrowipc")
+                      .option("filenameColumn", _FCOL)
+                      .option("fileListPath", list_file).load(pin))
+        rewritten = rewrite(aff_df)
         rewritten_schema = rewritten.schema
         # Preserve file granularity: rewriting K affected parts must yield
-        # ~K parts, not one per shuffle partition — MERGE/UPDATE rewrites
-        # end in joins whose output inherits spark.sql.shuffle.partitions,
-        # which at cluster settings turns a 4-file rewrite into hundreds of
-        # tiny files (slower write, slower every later scan, bloated
-        # manifests).  coalesce() merges without another shuffle.
-        _stage(rewritten.coalesce(max(1, len(affected_pinned))))
+        # ~K parts, not one per shuffle partition — at cluster settings a
+        # 4-file rewrite would otherwise emit hundreds of tiny files
+        # (slower write, slower every later scan, bloated manifests).
+        # repartition(K), not coalesce(K): coalesce propagates upstream
+        # without a shuffle barrier, capping the MERGE/UPDATE join itself
+        # at K tasks — a one-file rewrite of a huge table would run its
+        # join single-task.  The repartition shuffles only the rewritten
+        # rows; join parallelism stays independent of output file count.
+        _stage(rewritten.repartition(max(1, len(affected_pinned))))
     n_extra = 0
     if extra is not None:
         # ONE pass over the insert set: stage it directly (separate dir so
         # its files are distinguishable) and read the appended row count
         # back from the part files' stats sidecars — no pre-count action,
-        # no cache of a potentially huge insert set.  Coalesce bounds the
-        # tiny-file fan-out a join-produced insert set would otherwise
-        # inherit from spark.sql.shuffle.partitions; empty partitions
-        # produce no files.
-        _stage(extra.coalesce(max(1, len(affected_pinned) or 1)),
+        # no cache of a potentially huge insert set.  repartition (not
+        # coalesce — see above) bounds the tiny-file fan-out a
+        # join-produced insert set would otherwise inherit from
+        # spark.sql.shuffle.partitions; empty partitions produce no files.
+        _stage(extra.repartition(max(1, len(affected_pinned) or 1)),
                into=extra_staging)
         n_extra = _staged_rows(extra_staging)
 

@@ -1377,3 +1377,109 @@ def test_in_filter_prunes_files_by_stats(spark):
     # end-to-end correctness with pruning active
     df = spark.read.format("arrowipc").load(path)
     assert df.filter(F.col("n_nationkey").isin([0, 1])).count() == 2
+
+
+def test_file_list_path_prunes_planning(spark):
+    """fileListPath: a JSON allowlist FILE restricts planning to exactly
+    the named part files — the O(1)-plan-size alternative the CoW path
+    switches to when the affected set outgrows an In literal."""
+    import json as _json
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader,
+        _list_ipc_files,
+    )
+
+    path = _tmpdir()
+    d = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    d.repartition(4).write.format("arrowipc").mode("append").save(path)
+    files = sorted(_list_ipc_files(path))
+    assert len(files) == 4
+
+    lst = os.path.join(path, ".allow.json")
+    with open(lst, "w") as f:
+        _json.dump(files[:2], f)
+    schema = spark.read.format("arrowipc").load(path).schema
+    r = ArrowIPCReader(schema, {"path": path, "filelistpath": lst})
+    assert sorted(p.path for p in r.partitions()) == files[:2]
+
+    # End-to-end: the allowlisted read returns exactly those files' rows.
+    df = (spark.read.format("arrowipc")
+          .option("fileListPath", lst)
+          .option("filenameColumn", "_f").load(path))
+    rows = df.collect()
+    assert {r._f for r in rows} == set(files[:2])
+    per_file = (spark.read.format("arrowipc")
+                .option("filenameColumn", "_f").load(path)
+                .filter(F.col("_f").isin(files[:2])).count())
+    assert len(rows) == per_file
+
+
+def test_many_file_mutation_plan_has_no_giant_in_literal(spark, monkeypatch):
+    """A mutation whose affected-file set outgrows _INLIST_MAX must route
+    the rewrite scan through fileListPath: the Catalyst plan of the rewrite
+    input carries NO per-file In literal, and the mutation still produces
+    exact results."""
+    from bossarrowstorageengine_spark.sources import maintenance as m
+
+    monkeypatch.setattr(m, "_INLIST_MAX", 4)
+    path = _tmpdir()
+    d = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    d.repartition(12).write.format("arrowipc").mode("append").save(path)
+
+    captured = {}
+
+    def probe_rewrite(aff):
+        captured["plan"] = aff._jdf.queryExecution().analyzed().toString()
+        return aff.filter("o_orderkey % 2 <> 0").drop(m._FCOL)
+
+    res = m._cow_rewrite(
+        spark, path,
+        affected_rows=lambda df: df.filter("o_orderkey % 2 = 0"),
+        rewrite=probe_rewrite,
+    )
+    exp_del = d.filter("o_orderkey % 2 = 0").count()
+    assert res["rows_matched"] == exp_del
+    # 12 affected files > patched threshold → allowlist path, no In literal
+    # enumerating part files in the plan.
+    assert "plan" in captured
+    assert captured["plan"].count(".arrows") == 0, \
+        "rewrite plan must not enumerate part files as literals"
+
+    back = spark.read.format("arrowipc").load(path)
+    assert sorted(r.o_orderkey for r in back.collect()) == \
+        sorted(r.o_orderkey
+               for r in d.filter("o_orderkey % 2 <> 0").collect())
+
+
+def test_register_arrowipc_surfaces_transient_failures():
+    """A registration failure that is NOT a duplicate must raise and must
+    not latch the per-session flag (a blanket except would silently skip
+    registration forever after one transient failure)."""
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources.arrowipc import register_arrowipc
+
+    def boom(_):
+        raise RuntimeError("transient JVM failure")
+
+    fake = SimpleNamespace(dataSource=SimpleNamespace(register=boom))
+    with _pytest.raises(RuntimeError):
+        register_arrowipc(fake)
+    assert not getattr(fake, "_arrowipc_registered", False)
+
+    def dup(_):
+        raise RuntimeError("data source 'arrowipc' is ALREADY registered")
+
+    fake2 = SimpleNamespace(dataSource=SimpleNamespace(register=dup))
+    register_arrowipc(fake2)  # duplicate → ignorable, flag latches
+    assert fake2._arrowipc_registered
+
+    calls = []
+    fake3 = SimpleNamespace(
+        dataSource=SimpleNamespace(register=lambda c: calls.append(c)))
+    register_arrowipc(fake3)
+    register_arrowipc(fake3)  # short-circuited by the flag
+    assert len(calls) == 1 and fake3._arrowipc_registered

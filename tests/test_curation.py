@@ -275,3 +275,25 @@ def test_user_streaks_bounds(spark):
         # streak arithmetic: n_streaks runs of total n_active_days, so the
         # longest run is at least the average run length
         assert r.max_streak * r.n_streaks >= r.n_active_days
+
+
+def test_label_propagation_flags_unconverged_long_chain(spark):
+    """The CC iteration bound is a FLAG, not a silent cap (round-4 verdict):
+    a chain whose diameter exceeds max_rounds must report converged=False;
+    with enough rounds the same graph converges to one component."""
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.operators.graph import (
+        _propagate_min_labels,
+    )
+
+    # 9-node path graph: diameter 8 — label 0 spreads one hop per round.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "u long, v long")
+    _, conv = _propagate_min_labels(pairs, max_rounds=3)
+    assert conv is False
+
+    labels, conv2 = _propagate_min_labels(pairs, max_rounds=12)
+    assert conv2 is True
+    assert labels.select(F.countDistinct("label")).collect()[0][0] == 1
+    assert labels.agg(F.min("label")).collect()[0][0] == 0

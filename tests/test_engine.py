@@ -163,3 +163,40 @@ def test_engine_explain_renders_plan_for_boss_and_sql(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         eng.explain(("NotARelation", 1))  # C2 pass-through → not a DataFrame
+
+
+def test_boss_malformed_known_head_passes_through(spark):
+    """C2 uniformity (round-4 advice): a KNOWN head with the wrong arity or
+    argument shape is just as un-compilable as an unknown head, so it takes
+    the same pass-through path — it must NOT reify an IndexError as an
+    EngineError (an inconsistent totality contract for equally
+    un-compilable inputs)."""
+    from bossarrowstorageengine_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    malformed = [
+        ("Select", ("Table", "orders")),                       # missing Where
+        ("Select", ("Table", "orders"), ("Where",)),           # empty Where
+        ("Top", ("Table", "orders"), ("By", "o_orderkey")),    # missing n
+        ("Top", ("Table", "orders"), ("By", "o_orderkey"), "five"),  # n: str
+        ("Join", ("Table", "orders"), ("Table", "customer")),  # missing cond
+        ("Union", ("Table", "orders")),                        # one input
+        ("Table",),                                            # no name
+        ("Table", "orders", "extra"),                          # too many args
+        ("Project", ("Table", "orders"), ("As", "x")),         # As arity
+        ("Project", ("Table", "orders")),                      # no columns
+        ("Select", ("Table", "orders"),
+         ("Where", ("Greater", "o_totalprice"))),              # binop arity
+        ("Order", ("Table", "orders"), ("By", 7)),             # non-str col
+        ("Group", ("Table", "orders"), ("By", "o_orderstatus")),  # no aggs
+    ]
+    for payload in malformed:
+        res = eng.evaluate(payload)
+        assert res.ok, (payload, res.error)
+        assert res.value is payload, payload
+
+    # Well-formed expressions still compile after the arity guards.
+    ok = eng.evaluate(("Top", ("Table", "orders"), ("By", "o_orderkey"), 3))
+    from pyspark.sql import DataFrame
+    assert ok.ok and isinstance(ok.value, DataFrame)
+    assert ok.value.count() == 3
