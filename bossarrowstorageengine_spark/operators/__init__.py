@@ -33,78 +33,92 @@ for _m in _MODULES:
     importlib.import_module(f"bossarrowstorageengine_spark.operators.{_m}")
 
 #: The driver's correctness gate checks the FIRST 50 keys of ``queries()``
-#: in dict order, so this window is re-curated each round to aim the sample
-#: at keys without a (still-valid) driver-green row.  Round-4 window: first
-#: the keys materially changed in round 3 or 4 whose prior driver rows are
-#: stale (q_ann_ivf's only row is a pre-oracle r2 err; q_sim_search /
-#: q_scan_arrow_roundtrip / q_event_pattern and the storage-mutation paths
-#: were rewritten after their green rows), then every query NEW in round 4,
-#: then the keys no driver round has ever sampled (the 11 round-3 TPC-H
-#: shapes, the UDF/window backlog, the round-3 text/CDC/curation
-#: additions).  The re-verification slots (q_dedup_embedding,
-#: q_scan_arrow_roundtrip, q_sim_search — each modified after its green
-#: row, but value behavior attested by that row + the local gate) were
-#: displaced one by one as round-4 additions filled all 50 slots with
-#: keys that have NO driver row at all.  Keys
-#: absent from this list follow in registration order.
-#: ``tests/test_driver_window.py`` asserts this window covers every key
-#: without a green row in the committed CORRECTNESS_r*.json files.
+#: in dict order, so this window is re-curated each round (the rotation
+#: POLICY is documented in SURVEY.md §5 and ENFORCED by
+#: ``tests/test_driver_window.py``):
+#:
+#:   1. every key with no driver-green row in any committed
+#:      CORRECTNESS_r*.json (new operators + never-sampled backlog);
+#:   2. every key in ``_MODIFIED_UNATTESTED`` below (implementation changed
+#:      after its newest green row — the row attests stale behavior);
+#:   3. remaining slots rotate through already-green keys, OLDEST green
+#:      round first (alphabetical within a round) — so long-unverified
+#:      greens are re-attested opportunistically, ~20 per round once the
+#:      backlog clears (full re-attestation cycle ≈ surface/20 rounds).
+#:
+#: Keys absent from this list follow in registration order.
 _DRIVER_WINDOW = [
-    # Stale driver rows / modified in r3-r4 — must (re-)earn a driver row.
-    "q_ann_ivf",
+    # -- 1. never driver-sampled: 8 new round-5 operators + the 14-key
+    #       backlog round 4 left outside its window.
+    "q_boss_group_join",
+    "q_boss_select_project",
+    "q_churn_cohorts",
+    "q_dedup_boilerplate",
+    "q_dedup_url",
+    "q_dedup_within_window",
+    "q_embedding_dim_stats",
+    "q_embedding_drift",
+    "q_event_attribution",
+    "q_join_asof_tolerance",
+    "q_lang_temperature_weights",
+    "q_langid_confusion",
+    "q_markov_entropy",
+    "q_multimodal_decode",
+    "q_ngram_novelty",
+    "q_sample_reservoir",
+    "q_sample_topk_stratum",
+    "q_scan_dictionary",
+    "q_scan_merge_schema",
+    "q_session_paths",
+    "q_skyline_pareto",
+    "q_text_bm25",
+    # -- 2. green row exists but predates the current implementation.
+    "q_sim_search",
+    "q_scan_arrow_roundtrip",
+    "q_dedup_embedding",
+    "q_entity_components",
+    "q_corpus_summary",
     "q_storage_delete",
     "q_storage_merge",
-    "q_event_pattern",
-    # New in round 4.
-    "q_knn_graph",
-    "q_domain_cap",
-    "q_join_interval_overlap",
-    "q_semdedup",
-    "q_doc_chunk_overlap",
-    "q_text_entropy",
-    "q_outlier_mad",
-    "q_win_running_distinct",
-    "q_agg_mode",
-    "q_corpus_summary",
-    "q_text_readability",
+    # -- 3. oldest-green rotation (r1 rows, alphabetical).
+    "q_agg_argminmax",
+    "q_agg_basic",
+    "q_agg_bitwise",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_distinct_rows",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_heavy_hitters",
+    "q_agg_histogram",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_case_coalesce",
+    "q_cdc_upsert",
+    "q_cohort_retention",
+    "q_cooccurrence",
+    "q_dedup_exact",
+    "q_dedup_exact_groups",
+    "q_dedup_simhash",
+    "q_filter_basic",
+    "q_filter_complex",
+]
+
+#: Keys whose CURRENT implementation postdates their newest driver-green
+#: row (re-curated each round; drives window priority 2 above).  Round 5:
+#: q_sim_search / q_scan_arrow_roundtrip / q_dedup_embedding were rewritten
+#: in r3-r4 after their r2 rows; q_entity_components grew a ``converged``
+#: column, q_corpus_summary moved to the groupingSets API, and the
+#: q_storage_* pair sits on the reworked CoW rewrite path (repartition +
+#: fileListPath planning) this round.
+_MODIFIED_UNATTESTED = [
+    "q_sim_search",
+    "q_scan_arrow_roundtrip",
+    "q_dedup_embedding",
     "q_entity_components",
-    "q_graph_triangles",
-    "q_schema_profile",
-    "q_user_streaks",
-    "q_rollup_interpolate",
-    "q_integrity_audit",
-    "q_tokenize_apply",
-    "q_cogroup_apply",
-    # Never driver-sampled (r1 ∪ r2 ∪ r3).
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_udf_python",
-    "q_udaf_pandas",
-    "q_udtf_python",
-    "q_win_lag_lead",
-    "q_win_frame_rows",
-    "q_win_distribution",
-    "q_win_first_last",
-    "q_agg_approx_quantile",
-    "q_text_repetition",
-    "q_text_pii_scrub",
-    "q_bpe_pairs",
-    "q_dataset_mixture",
-    "q_text_typicality",
-    "q_cdc_scd2",
-    "q_dedup_incremental",
-    "q_embedding_mrl",
-    # Oldest-green re-verification (r1 rows; trimmed as round-4 additions
-    # claimed window slots — unverified keys always outrank re-verification).
+    "q_corpus_summary",
+    "q_storage_delete",
+    "q_storage_merge",
 ]
 
 

@@ -1239,3 +1239,66 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_fk_orphan_orderkeys", fk_ord))
         .unionByName(one("lineitem_null_keys", nulls))
     )
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://' || upper(source) || '.Example.COM/page/'
+                 || CAST(doc_id % 10 AS VARCHAR) || '/?utm=x&id='
+                 || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_replace(url, '[?#].*$', '')),
+                              '/$', '') AS curl
+        FROM raw
+    ),
+    groups AS (
+        SELECT curl, count(*) AS cnt, min(doc_id) AS keeper
+        FROM canon GROUP BY curl
+    )
+    SELECT CAST(cnt AS BIGINT)          AS group_size,
+           CAST(count(*) AS BIGINT)     AS n_groups,
+           CAST(sum(keeper) AS BIGINT)  AS keeper_checksum
+    FROM groups GROUP BY cnt
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: normalize scheme/host case, strip query
+    strings, fragments, and trailing slashes, then group — the first dedup
+    pass of any web-crawl corpus (the same page crawled under
+    ``?utm_source=`` variants must collapse to one document).  URLs are
+    manufactured in-flight from document metadata (the corpus has no URL
+    column) so the oracle can replay the exact canonicalization.
+
+    Scale: canonicalization is two JVM regexes in the scan projection (no
+    UDF); the shuffle groups by canonical URL — cardinality ≈ distinct
+    pages, and the keeper (min doc_id) makes the survivor deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM/page/"),
+            (F.col("doc_id") % 10).cast("string"), F.lit("/?utm=x&id="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.regexp_replace("url", r"[?#].*$", "")),
+            r"/$", "").alias("curl"),
+    )
+    groups = canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return groups.groupBy(F.col("cnt").cast("long").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("keeper").cast("long").alias("keeper_checksum"),
+    )

@@ -1205,3 +1205,64 @@ def q_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("kept_value_sum"),
         )
     )
+
+
+@query(
+    "q_event_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS attr_ts,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS attr_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN epoch_us(ts) - epoch_us(attr_ts)
+                              <= 604800000000
+                         THEN attr_type END, 'none') AS channel,
+           CAST(count(*) AS BIGINT)                  AS n_purchases,
+           round(sum(value), 2)                      AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent preceding click/view within a 7-day lookback, else 'none' — the
+    marketing-analytics workhorse that joins conversions to touchpoints
+    WITHOUT a self-join (one ordered pass per user).
+
+    Scale: a single per-user window (``last(..., ignorenulls=True)`` over
+    rows-preceding) carries the candidate touchpoint forward — state is
+    O(1) per user regardless of history length, the exact shape streaming
+    attribution uses; the aggregation shuffle carries only per-channel
+    partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        F.last(F.when(touch, F.col("ts")), ignorenulls=True)
+            .over(w).alias("attr_ts"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+            .over(w).alias("attr_type"),
+    )
+    within = (epoch_us(F.col("ts")) - epoch_us(F.col("attr_ts"))
+              <= 7 * 86400 * 1_000_000)
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.when(within, F.col("attr_type")),
+                            F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

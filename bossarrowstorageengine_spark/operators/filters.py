@@ -138,3 +138,58 @@ def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("size_class"),
         )
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+    ),
+    frontier AS (
+        SELECT a.* FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.p_brand = a.p_brand
+              AND b.p_size >= a.p_size
+              AND b.p_retailprice <= a.p_retailprice
+              AND (b.p_size > a.p_size
+                   OR b.p_retailprice < a.p_retailprice)
+        )
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)        AS n_frontier,
+           CAST(sum(p_partkey) AS BIGINT)  AS key_checksum,
+           round(min(p_retailprice), 2)    AS min_price
+    FROM frontier GROUP BY p_brand
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query per brand: parts not dominated on
+    (maximize size, minimize price) — the multi-criteria shortlist
+    operator ("show me the options where nothing else is at least as big
+    AND at least as cheap").  Ties on both axes survive together (neither
+    strictly dominates).
+
+    Scale: the dominance test is an anti-join against dominators BLOCKED
+    by brand, so the quadratic pair expansion is bounded per block (the
+    standard distributed block-nested-loop skyline; at whale-block scale
+    the refinement is a pre-filter by a grid of per-block min/max).  No
+    global structure, no driver loop.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    a, b = p.alias("a"), p.alias("b")
+    dominated = (
+        (F.col("b.p_brand") == F.col("a.p_brand"))
+        & (F.col("b.p_size") >= F.col("a.p_size"))
+        & (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & ((F.col("b.p_size") > F.col("a.p_size"))
+           | (F.col("b.p_retailprice") < F.col("a.p_retailprice")))
+    )
+    frontier = a.join(b, dominated, "left_anti")
+    return frontier.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frontier"),
+        F.sum("p_partkey").cast("long").alias("key_checksum"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+    )

@@ -370,3 +370,55 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "q_markov_entropy",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    tot AS (
+        SELECT src, CAST(sum(w) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT)    AS n_next
+        FROM edges GROUP BY src
+    )
+    SELECT e.src                              AS event_type,
+           CAST(max(t.n_next) AS BIGINT)      AS n_next,
+           CAST(max(t.t) AS BIGINT)           AS n_transitions,
+           CAST(sum(CAST(floor(
+               1000000 * (CAST(e.w AS DOUBLE) / t.t)
+                       * ln(CAST(t.t AS DOUBLE) / e.w)
+           ) AS BIGINT)) AS BIGINT)           AS entropy_micro_nats
+    FROM edges e JOIN tot t USING (src)
+    GROUP BY e.src
+    """,
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event predictability: Shannon entropy of each event type's
+    outgoing transition distribution in the clickstream Markov graph —
+    H(src) = Σ p·ln(1/p) — low entropy means the next step is predictable
+    (funnel-like), high entropy means the state fans out.
+
+    Determinism: each edge's entropy term is truncated to integer
+    micro-nats BEFORE the sum, so the aggregation is order-independent
+    integer addition (float Σ p·ln p would be partitioning-sensitive) —
+    same fixed-point discipline as ``q_pagerank``.
+
+    Scale: edges ⋈ per-src totals (both keyed on src, one co-partitioned
+    shuffle) then one keyed aggregation; nothing quadratic, no windows
+    over raw events beyond the shared edge-extraction pass.
+    """
+    e = _edges(spark, sf_dir)
+    tot = e.groupBy("src").agg(
+        F.sum("w").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_next"),
+    )
+    j = e.join(tot, "src")
+    term = F.floor(
+        1000000 * (F.col("w") / F.col("t"))
+        * F.log(F.col("t") / F.col("w"))
+    ).cast("long")
+    return j.groupBy(F.col("src").alias("event_type")).agg(
+        F.max("n_next").cast("long").alias("n_next"),
+        F.max("t").cast("long").alias("n_transitions"),
+        F.sum(term).cast("long").alias("entropy_micro_nats"),
+    )

@@ -2047,3 +2047,133 @@ def q_lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("praw") / F.col("z"), 6).alias("q_resampled"),
         )
     )
+
+
+@query(
+    "q_text_bm25",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wtf AS (
+        SELECT doc_id, len(t) AS dl,
+               len(list_filter(t, x -> x = 'spark'))  AS tf0,
+               len(list_filter(t, x -> x = 'merge'))  AS tf1,
+               len(list_filter(t, x -> x = 'window')) AS tf2
+        FROM toks
+    ),
+    stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM wtf
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(
+                 ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                   * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               , 4) AS bm25
+        FROM wtf, stats
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 retrieval for the query terms
+    {spark, merge, window} — the lexical-ranking face of corpus search
+    (and the retrieval scorer used to mine training data for a topic).
+
+    Scale: one scan computes per-document term frequencies with JVM array
+    HOFs (no tokenizer UDF); the corpus statistics (N, avgdl, per-term df)
+    reduce to ONE 1-row aggregate that is broadcast back — so scoring is a
+    map-side expression over the scan, and the top-20 resolves via
+    TakeOrderedAndProject (per-partition heads, no global sort).  Scoring a
+    100 TB corpus is two passes, both full-parallel, shuffling only the
+    1-row stats and the k winners.  Ordering is deterministic cross-engine:
+    rounded score, then doc_id.
+    """
+    terms = ["spark", "merge", "window"]
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+
+    def tf_col(i: int, term: str):
+        # NB: the HOF lambda must take exactly ONE arg — a second default
+        # arg would be bound to F.filter's (element, index) index column.
+        return F.size(
+            F.filter(F.col("t"), lambda x: x == F.lit(term))
+        ).alias(f"tf{i}")
+
+    wtf = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[tf_col(i, t) for i, t in enumerate(terms)],
+    )
+    stats = wtf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+          for i in range(len(terms))],
+    )
+    def term_score(i: int):
+        tf = F.col(f"tf{i}")
+        df = F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * 2.2) / (
+            tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+
+    scored = wtf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(sum((term_score(i) for i in range(1, len(terms))),
+                    term_score(0)), 4).alias("bm25"),
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+        ORDER BY h, doc_id LIMIT 50
+    )
+    SELECT CAST(count(*) AS BIGINT)      AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT)   AS id_checksum,
+           round(avg(n_chars), 4)        AS avg_chars,
+           max(h)                        AS hash_watermark
+    FROM ranked
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir sampling, determinized: a uniform-without-
+    replacement k-sample as the k smallest md5(row-identity) values — the
+    order statistics of a uniform hash ARE a reservoir sample, but unlike
+    the classic streaming algorithm the result is independent of arrival
+    order, partitioning, and engine (any system computing the same hash
+    draws the same sample).  hash_watermark is the k-th order statistic —
+    equal watermarks prove equal samples, and it is exactly the admission
+    threshold an INCREMENTAL resample would use on new data.
+
+    Scale: per-partition top-k heaps merged on one reducer
+    (TakeOrderedAndProject) — k rows cross the wire per partition, never
+    the corpus; no RNG state, no sequential scan dependency.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    sample = ranked.orderBy("h", "doc_id").limit(50)
+    return sample.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("h").alias("hash_watermark"),
+    )

@@ -7,12 +7,13 @@ The corpus has no binary table, so the pipeline manufactures one in-flight:
 metadata (media_type, n_bytes) — exactly the schema shape a 100 TB
 image/audio lake uses (payload + sidecar metadata columns in one row).
 
-The *decode* step is STUBBED (no image/audio libs in this container):
-``_decode_stub`` is a deterministic fake that derives "features" from the
-raw bytes.  The Spark-side plumbing — schema, Arrow batch exchange,
-``mapInPandas`` signature, per-batch iteration — is real and tested; a real
-deployment swaps ``_decode_stub`` for a PIL/torchaudio call with the same
-contract.
+Decode: ``decode_media`` carries REAL codecs for the formats the sandbox
+can parse natively — WAV via the stdlib ``wave`` RIFF parser and PNG via
+signature + CRC-verified IHDR parsing (``q_multimodal_decode`` runs both
+end-to-end against in-flight-encoded payloads).  Formats with no
+in-container codec (video, JPEG) fall back to ``_decode_stub``'s
+byte-level features; a PIL/torchaudio/av call slots into ``decode_media``
+with the same bytes-in/features-out, raise-on-corrupt contract.
 """
 
 from __future__ import annotations
@@ -35,12 +36,12 @@ FEATURES_SCHEMA = (
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decoder.
+    """Byte-level feature extractor for opaque payloads.
 
-    A real decoder (PIL.Image.open / librosa.load / av.open) goes here and
-    would raise on corrupt payloads; the stub derives features from raw
-    bytes so the pipeline is testable without media libraries.  Swapping in
-    a real codec changes ONLY this function.
+    Used for media types with no in-container codec (video, JPEG, ...);
+    ``audio/wav`` and ``image/png`` have REAL decoders below
+    (``decode_media``).  A richer decoder (PIL / torchaudio / av) slots in
+    with the same contract: bytes in, feature dict out, raise on corrupt.
     """
     if payload is None:
         raise NotImplementedError(
@@ -51,6 +52,54 @@ def _decode_stub(payload: bytes) -> dict:
         # cheap rolling checksum over the first 64 bytes
         "byte_checksum": sum((i + 1) * b for i, b in enumerate(payload[:64])),
     }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """REAL media decode for the formats the sandbox can parse natively.
+
+    - ``audio/wav``: stdlib ``wave`` (RIFF parser) — channels, sample rate,
+      frame count, floor-ms duration.  Corrupt payloads raise
+      ``wave.Error``/``EOFError`` exactly like any real codec.
+    - ``image/png``: PNG signature + IHDR parse with the chunk CRC verified
+      (``zlib.crc32``) — width, height, bit depth.  Bad signature or CRC
+      raises ``ValueError``.
+    - anything else: byte-level features via ``_decode_stub``.
+
+    Returns a uniform feature dict with ``None`` for inapplicable fields so
+    mixed-media batches produce one Arrow schema.
+    """
+    import io
+    import struct
+    import wave
+    import zlib
+
+    out = {"n_frames": None, "duration_ms": None, "sample_rate": None,
+           "width": None, "height": None}
+    if media_type == "audio/wav":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            frames = w.getnframes()
+        out.update(n_frames=frames, sample_rate=rate,
+                   duration_ms=frames * 1000 // rate)
+        return out
+    if media_type == "image/png":
+        if len(payload) < 33 or payload[:8] != _PNG_SIG:
+            raise ValueError("not a PNG: bad signature")
+        length, ctype = struct.unpack(">I4s", payload[8:16])
+        if ctype != b"IHDR" or length != 13:
+            raise ValueError("not a PNG: first chunk is not IHDR")
+        body = payload[16:29]
+        (crc,) = struct.unpack(">I", payload[29:33])
+        if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+            raise ValueError("corrupt PNG: IHDR CRC mismatch")
+        width, height, bit_depth = struct.unpack(">IIB", body[:9])
+        out.update(width=width, height=height, n_frames=1)
+        return out
+    out.update(_decode_stub(payload))
+    return out
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:
@@ -113,6 +162,130 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.min("first_byte").cast("long").alias("min_first_byte"),
         F.max("first_byte").cast("long").alias("max_first_byte"),
+    )
+
+
+def encode_wav(n_frames: int, sample_rate: int = 16000) -> bytes:
+    """A real (silent) RIFF/WAV payload: 1 channel, 16-bit PCM — produced
+    by the stdlib encoder, so ``decode_media`` exercises a genuine codec
+    round-trip, not a hand-rolled header."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """A real minimal PNG (signature, CRC'd IHDR, zlib IDAT, IEND): 8-bit
+    RGB, all-black scanlines."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * width for _ in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+#: Output schema of the real-codec decode stage.
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_frames long, duration_ms long, "
+    "sample_rate long, width long, height long"
+)
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH base AS (SELECT doc_id, n_chars FROM documents),
+    wav AS (
+        SELECT (n_chars % 256) + 16 AS n_frames
+        FROM base WHERE doc_id % 2 = 0
+    ),
+    png AS (
+        SELECT (n_chars % 64) + 1 AS width, (doc_id % 32) + 1 AS height
+        FROM base WHERE doc_id % 2 = 1
+    )
+    SELECT 'audio/wav' AS media_type,
+           CAST(count(*) AS BIGINT)                      AS n_items,
+           CAST(sum(n_frames) AS BIGINT)                 AS sum_frames,
+           CAST(sum(n_frames * 1000 // 16000) AS BIGINT) AS sum_duration_ms,
+           CAST(NULL AS BIGINT)                          AS sum_width,
+           CAST(NULL AS BIGINT)                          AS sum_height
+    FROM wav
+    UNION ALL
+    SELECT 'image/png',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(sum(width) AS BIGINT),
+           CAST(sum(height) AS BIGINT)
+    FROM png
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal decode: WAV (stdlib ``wave``) and PNG
+    (signature + CRC-verified IHDR parse) payloads manufactured in-flight
+    from document metadata, decoded back through ``decode_media``, and
+    aggregated per media type.  The oracle recomputes every decoded
+    property (frame counts, floor-ms durations, pixel dimensions) from the
+    same metadata formulas — so a header-parse or codec bug shows up as a
+    value mismatch, not just a row-count drift.
+
+    Scale: encode and decode are Arrow-batched ``mapInPandas`` stages (the
+    GPU-feature-extractor pathway); the shuffle carries only per-media-type
+    partial aggregates, never payload bytes.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mts, payloads = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if doc_id % 2 == 0:
+                    mts.append("audio/wav")
+                    payloads.append(encode_wav(int(n_chars) % 256 + 16))
+                else:
+                    mts.append("image/png")
+                    payloads.append(encode_png(
+                        int(n_chars) % 64 + 1, int(doc_id) % 32 + 1))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_type": mts,
+                "payload": payloads,
+            })
+
+    media = d.mapInPandas(
+        encode_batches, "doc_id long, media_type string, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(p, m)
+                     for p, m in zip(pdf["payload"], pdf["media_type"])]
+            out = {"doc_id": pdf["doc_id"].astype("int64"),
+                   "media_type": pdf["media_type"]}
+            for k in ("n_frames", "duration_ms", "sample_rate",
+                      "width", "height"):
+                out[k] = pd.Series([f[k] for f in feats], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    feats = media.mapInPandas(decode_batches, DECODE_SCHEMA)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
     )
 
 

@@ -502,3 +502,57 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@query(
+    "q_embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    fixed AS (
+        SELECT dim,
+               CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS micro
+        FROM ex
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT)   AS n,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           CAST(min(micro) AS BIGINT) AS min_micro,
+           CAST(max(micro) AS BIGINT) AS max_micro,
+           CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro
+    FROM fixed GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (count / sum / min / max / mean in
+    fixed-point micro-units) — the feature-health audit run before
+    quantization or whitening: a dead dimension (min==max) or a scale
+    outlier shows up immediately, and the micro-unit sums feed a
+    drift-monitor diff between corpus snapshots.
+
+    Determinism: each float32 value is widened to double and rounded to
+    integer micro-units BEFORE aggregation, so every sum is
+    order-independent integer addition — float Σ over a reshuffled corpus
+    would differ in the last bits and break cross-engine equality.
+
+    Scale: posexplode is map-side (rows × dims, streamed, never
+    materialized wide); the shuffle carries one partial-agg row per
+    (partition, dim) — dims-sized, not corpus-sized.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(F.posexplode("embedding").alias("dim", "v"))
+    fixed = ex.select(
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000).cast("long")
+            .alias("micro"),
+    )
+    return fixed.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.min("micro").cast("long").alias("min_micro"),
+        F.max("micro").cast("long").alias("max_micro"),
+        F.expr("sum(micro) div count(*)").cast("long").alias("mean_micro"),
+    )

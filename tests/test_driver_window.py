@@ -17,10 +17,12 @@ REPO = Path(__file__).resolve().parents[1]
 WINDOW_SIZE = 50
 
 
-def _green_union() -> set[str]:
-    """Keys with at least one fully-green row across committed driver runs."""
-    green: set[str] = set()
+def _green_latest() -> dict[str, int]:
+    """Per key: the newest round with a fully-green row across committed
+    driver runs (absent = never green)."""
+    latest: dict[str, int] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
         rows = json.loads(path.read_text())
         for key, row in rows.items():
             if not isinstance(row, dict):
@@ -31,8 +33,12 @@ def _green_union() -> set[str]:
                 and row.get("hash_match")
                 and not row.get("err")
             ):
-                green.add(key)
-    return green
+                latest[key] = max(latest.get(key, 0), rnd)
+    return latest
+
+
+def _green_union() -> set[str]:
+    return set(_green_latest())
 
 
 def test_window_covers_unverified_keys():
@@ -74,3 +80,38 @@ def test_window_keys_are_registered():
     # burns a slot on the weaker rows-only check.
     no_oracle = [k for k in _DRIVER_WINDOW if k not in ORACLES]
     assert not no_oracle, f"window keys without oracle SQL: {no_oracle}"
+
+
+def test_window_rotates_oldest_green_keys():
+    """Rotation policy (SURVEY.md §5): window = [never-green] +
+    [_MODIFIED_UNATTESTED] + oldest-green fill (by latest green round,
+    alphabetical within a round).  Enforcing the fill stops re-verification
+    from stalling: without it, a key could keep an r1-era green row forever
+    while the window re-samples recent favorites."""
+    from bossarrowstorageengine_spark.operators import (
+        _DRIVER_WINDOW,
+        _MODIFIED_UNATTESTED,
+        QUERIES,
+    )
+
+    latest = _green_latest()
+    ordered = list(QUERIES)
+    needed = [k for k in ordered if k not in latest]
+    modified = [k for k in _MODIFIED_UNATTESTED if k in latest]
+    mandatory = set(needed) | set(modified)
+    if len(mandatory) >= WINDOW_SIZE:
+        return  # backlog fills the window; covered by the coverage test
+    n_fill = WINDOW_SIZE - len(mandatory)
+    expected_fill = sorted(
+        (k for k in ordered if k in latest and k not in mandatory),
+        key=lambda k: (latest[k], k),
+    )[:n_fill]
+    assert set(_DRIVER_WINDOW) == mandatory | set(expected_fill), (
+        "window must be mandatory keys + oldest-green rotation; "
+        f"missing={sorted((mandatory | set(expected_fill)) - set(_DRIVER_WINDOW))} "
+        f"extra={sorted(set(_DRIVER_WINDOW) - mandatory - set(expected_fill))}"
+    )
+    # Modified keys must not linger once a NEWER green row attests them:
+    # a stale entry would burn rotation slots every round.
+    restated = [k for k in _MODIFIED_UNATTESTED if k not in QUERIES]
+    assert not restated, f"_MODIFIED_UNATTESTED has unknown keys: {restated}"

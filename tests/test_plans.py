@@ -450,3 +450,50 @@ def test_windowed_dedup_single_composite_shuffle(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert parts and all(
         p.strip().startswith("user_id") for p in parts), parts
+
+
+def test_bm25_broadcasts_stats_and_heaps_topk(spark):
+    """BM25: corpus stats attach via 1-row broadcast (BNLJ, not a shuffle
+    join) and the top-20 resolves via per-partition heaps — never a global
+    sort of the scored corpus."""
+    plan = _plan(QUERIES["q_text_bm25"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_reservoir_sample_is_single_topk(spark):
+    """The determinized reservoir is ONE TakeOrderedAndProject over the
+    scan — no exchange before the heads merge."""
+    plan = _plan(QUERIES["q_sample_reservoir"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_skyline_dominance_join_is_blocked_not_cartesian(spark):
+    """The dominance test must join ON the brand block key — a cartesian
+    pair expansion would be quadratic in the table, not the block."""
+    plan = _plan(QUERIES["q_skyline_pareto"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """Last-touch attribution: one user_id exchange feeds the window; the
+    final channel aggregation partial-aggregates before its exchange."""
+    import re
+    plan = _plan(QUERIES["q_event_attribution"](spark, SF))
+    assert "Window" in plan
+    user_parts = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(user_parts) == 1, plan.count("Exchange")
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_embedding_dim_stats_partial_aggregates(spark):
+    """posexplode streams map-side; the only exchange carries per-dim
+    partial aggregates (dims-sized), never exploded rows."""
+    plan = _plan(QUERIES["q_embedding_dim_stats"](spark, SF))
+    assert "Generate posexplode" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan

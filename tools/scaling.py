@@ -41,6 +41,17 @@ KEYS = [
     # Copy-on-write storage mutation: the full create→mutate→read scenario.
     "q_storage_delete",
     "q_storage_merge",
+    # Round-4 heavy additions (verdict item 8): bucketed kNN graph, greedy
+    # semantic dedup, iterative connected components, cogrouped Pandas.
+    "q_knn_graph",
+    "q_semdedup",
+    "q_entity_components",
+    "q_cogroup_apply",
+    # Round-5 additions with nontrivial shapes: blocked skyline anti-join,
+    # BM25 two-pass scoring, real-codec multimodal decode.
+    "q_skyline_pareto",
+    "q_text_bm25",
+    "q_multimodal_decode",
 ]
 
 
