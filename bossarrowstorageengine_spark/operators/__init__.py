@@ -48,8 +48,20 @@ for _m in _MODULES:
 #:
 #: Keys absent from this list follow in registration order.
 _DRIVER_WINDOW = [
-    # -- 1. never driver-sampled: 8 new round-5 operators + the 14-key
+    # -- 1. never driver-sampled: 20 new round-5 operators + the 14-key
     #       backlog round 4 left outside its window.
+    "q_dedup_containment",
+    "q_ann_pq",
+    "q_label_shift",
+    "q_data_freshness",
+    "q_rollup_multi_grain",
+    "q_event_anomaly",
+    "q_win_ratio_share",
+    "q_price_bands",
+    "q_lateral_topk",
+    "q_udf_arrow",
+    "q_embedding_power_iter",
+    "q_cogroup_arrow",
     "q_boss_group_join",
     "q_boss_select_project",
     "q_churn_cohorts",
@@ -90,18 +102,6 @@ _DRIVER_WINDOW = [
     "q_agg_grouping_sets",
     "q_agg_having",
     "q_agg_heavy_hitters",
-    "q_agg_histogram",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_case_coalesce",
-    "q_cdc_upsert",
-    "q_cohort_retention",
-    "q_cooccurrence",
-    "q_dedup_exact",
-    "q_dedup_exact_groups",
-    "q_dedup_simhash",
-    "q_filter_basic",
-    "q_filter_complex",
 ]
 
 #: Keys whose CURRENT implementation postdates their newest driver-green

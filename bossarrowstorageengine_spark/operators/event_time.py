@@ -1266,3 +1266,169 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "q_rollup_multi_grain",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, value,
+               strftime(date_trunc('day', ts),
+                        '%Y-%m-%d %H:%M:%S') AS day_b,
+               strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS hour_b
+        FROM events
+    )
+    SELECT event_type, day_b, hour_b,
+           CAST(grouping(day_b) AS BIGINT)  AS g_day,
+           CAST(grouping(hour_b) AS BIGINT) AS g_hour,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS sum_value
+    FROM d
+    GROUP BY GROUPING SETS (
+        (event_type, day_b, hour_b), (event_type, day_b), (event_type))
+    """,
+)
+def q_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly, daily, and
+    per-type-total aggregates of the event stream in ONE scan via GROUPING
+    SETS — the rollup tree a continuous-aggregate store maintains, produced
+    without three passes.
+
+    Scale: Catalyst's Expand replicates rows per grouping set BEFORE the
+    partial aggregate, so the shuffle carries only (hours + days + types)
+    group states — time-bucket cardinality, never event cardinality.  The
+    grouping flags disambiguate grain levels for downstream readers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", "value",
+        F.date_format(F.date_trunc("day", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("day_b"),
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("hour_b"),
+    )
+    return (
+        d.groupingSets(
+            [["event_type", "day_b", "hour_b"],
+             ["event_type", "day_b"],
+             ["event_type"]],
+            "event_type", "day_b", "hour_b")
+        .agg(
+            F.grouping("day_b").cast("long").alias("g_day"),
+            F.grouping("hour_b").cast("long").alias("g_hour"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_event_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)     AS n_hours,
+               CAST(sum(cnt) AS BIGINT)     AS s,
+               CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           max(st.n_hours)                                   AS n_hours,
+           CAST(sum(CASE WHEN abs(h.cnt - CAST(st.s AS DOUBLE) / st.n_hours)
+                         > 2 * sqrt((st.ss - CAST(st.s AS DOUBLE) * st.s
+                                     / st.n_hours) / st.n_hours)
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_anomalies,
+           CAST(max(h.cnt) AS BIGINT)                        AS max_hourly,
+           round(max(CAST(st.s AS DOUBLE) / st.n_hours), 4)  AS mean_hourly
+    FROM hourly h JOIN stats st USING (event_type)
+    GROUP BY h.event_type
+    """,
+)
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection on event rates: flag hours whose count
+    deviates from the type's hourly mean by more than 2 population standard
+    deviations — the ops-monitoring pass behind rate alerts.
+
+    Determinism: the hourly counts are integers, so Σcnt and Σcnt² are
+    exact; mean/σ derive from them in a FIXED expression (no float
+    accumulation across partitions), making the 2σ comparison
+    engine-identical without rounding tricks.
+
+    Scale: events reduce to (type, hour) counts (map-side combine); the
+    per-type stats table is type-cardinality-sized and broadcast back —
+    two aggregations, one broadcast join, nothing row-scale after the
+    first reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s")
+           / F.col("n_hours")) / F.col("n_hours")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_hours").cast("long").alias("n_hours"),
+            F.sum(
+                (F.abs(F.col("cnt") - mean) > 2 * F.sqrt(var)).cast("int")
+            ).cast("long").alias("n_anomalies"),
+            F.max("cnt").cast("long").alias("max_hourly"),
+            F.round(F.max(mean), 4).alias("mean_hourly"),
+        )
+    )
+
+
+@query(
+    "q_data_freshness",
+    oracle="""
+    WITH hw AS (SELECT max(ts) AS hwm FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                          AS n_events,
+           CAST(epoch_us(max(ts)) AS BIGINT)                 AS latest_us,
+           CAST((epoch_us(hw.hwm) - epoch_us(max(ts))) // 1000000
+                AS BIGINT)                                   AS staleness_sec,
+           CAST(sum(CASE WHEN ts >= hw.hwm - INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_last_hour
+    FROM events, hw
+    GROUP BY event_type, hw.hwm
+    """,
+)
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness SLA report: per event type, how far its newest
+    event lags the corpus high-water mark and how much volume arrived in
+    the final hour — the first dashboard a streaming pipeline's operator
+    reads (a type with growing staleness = a stuck upstream producer).
+
+    Scale: the high-water mark is a 1-row aggregate broadcast into a
+    single map-side-combined per-type aggregation — two passes, no
+    windows, no per-event state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hw = ev.agg(F.max("ts").alias("hwm"))
+    lag_sec = ((epoch_us(F.col("hwm")) - epoch_us(F.max("ts")))
+               / 1_000_000).cast("long")
+    return (
+        ev.join(F.broadcast(hw))
+        .groupBy("event_type", "hwm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            epoch_us(F.max("ts")).cast("long").alias("latest_us"),
+            lag_sec.alias("staleness_sec"),
+            F.sum((F.col("ts") >= F.col("hwm") - F.expr("INTERVAL 1 HOUR"))
+                  .cast("int")).cast("long").alias("n_last_hour"),
+        )
+        .drop("hwm")
+    )

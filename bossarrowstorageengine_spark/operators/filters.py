@@ -179,17 +179,28 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size", "p_retailprice")
-    a, b = p.alias("a"), p.alias("b")
-    dominated = (
-        (F.col("b.p_brand") == F.col("a.p_brand"))
-        & (F.col("b.p_size") >= F.col("a.p_size"))
-        & (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
-        & ((F.col("b.p_size") > F.col("a.p_size"))
-           | (F.col("b.p_retailprice") < F.col("a.p_retailprice")))
-    )
-    frontier = a.join(b, dominated, "left_anti")
+    frontier = pareto_frontier(
+        p, block="p_brand", maximize="p_size", minimize="p_retailprice")
     return frontier.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_frontier"),
         F.sum("p_partkey").cast("long").alias("key_checksum"),
         F.round(F.min("p_retailprice"), 2).alias("min_price"),
     )
+
+
+def pareto_frontier(df: DataFrame, block: str, maximize: str,
+                    minimize: str) -> DataFrame:
+    """Rows not dominated within their ``block`` on (maximize ↑,
+    minimize ↓): b dominates a iff b ≥ a on the maximized axis, ≤ on the
+    minimized axis, and strictly better on at least one.  Ties on both
+    axes survive together.  One blocked anti-join — quadratic per block,
+    never per table."""
+    a, b = df.alias("a"), df.alias("b")
+    dominated = (
+        (F.col(f"b.{block}") == F.col(f"a.{block}"))
+        & (F.col(f"b.{maximize}") >= F.col(f"a.{maximize}"))
+        & (F.col(f"b.{minimize}") <= F.col(f"a.{minimize}"))
+        & ((F.col(f"b.{maximize}") > F.col(f"a.{maximize}"))
+           | (F.col(f"b.{minimize}") < F.col(f"a.{minimize}")))
+    )
+    return a.join(b, dominated, "left_anti")

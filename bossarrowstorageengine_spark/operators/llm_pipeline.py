@@ -2177,3 +2177,159 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.max("h").alias("hash_watermark"),
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_JACCARD_EDGE_CTES.strip()},
+    joined AS (
+        SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    directed AS (
+        SELECT doc_a AS src_doc, doc_b AS dst_doc,
+               CAST(n_common AS DOUBLE) / na AS cont
+        FROM joined
+        UNION ALL
+        SELECT doc_b, doc_a, CAST(n_common AS DOUBLE) / nb
+        FROM joined
+    )
+    SELECT CAST(src_doc AS BIGINT) AS src_doc,
+           CAST(dst_doc AS BIGINT) AS dst_doc,
+           round(cont, 4)          AS containment
+    FROM directed WHERE cont >= 0.5
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A→B) = |A∩B| / |A| over 3-gram
+    shingle sets — catches a short document swallowed by a longer one
+    (quotes, boilerplate supersets, excerpt pages), which symmetric Jaccard
+    under-scores when sizes differ.  Emits both directions of each
+    candidate pair at containment ≥ 0.5.
+
+    Scale: identical inverted-shingle-index shape as
+    ``q_dedup_ngram_jaccard`` (candidates only from shared surviving
+    shingles, stop-shingles df-capped before the join — never all-pairs);
+    the direction expansion is a post-join union of two projections, no
+    extra shuffle.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh0 = _shingles(d, 3).cache()
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb")), "doc_b")
+    )
+    directed = joined.select(
+        F.col("doc_a").alias("src_doc"), F.col("doc_b").alias("dst_doc"),
+        (F.col("n_common") / F.col("na")).alias("cont"),
+    ).unionByName(joined.select(
+        F.col("doc_b").alias("src_doc"), F.col("doc_a").alias("dst_doc"),
+        (F.col("n_common") / F.col("nb")).alias("cont"),
+    ))
+    return directed.filter(F.col("cont") >= 0.5).select(
+        F.col("src_doc").cast("long"),
+        F.col("dst_doc").cast("long"),
+        F.round("cont", 4).alias("containment"),
+    )
+
+
+@query(
+    "q_ann_pq",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    sub AS (SELECT vec_id, dim // 16 AS s, dim, x FROM ex),
+    cb AS (SELECT vec_id AS code, s, dim, x FROM sub WHERE vec_id < 4),
+    dist AS (
+        SELECT a.vec_id, a.s, c.code,
+               CAST(sum((a.x - c.x) * (a.x - c.x)) AS BIGINT) AS d2
+        FROM sub a JOIN cb c ON c.s = a.s AND c.dim = a.dim
+        GROUP BY a.vec_id, a.s, c.code
+    ),
+    best AS (
+        SELECT vec_id, s, code, d2,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM dist
+    )
+    SELECT CAST(s AS INT)             AS subspace,
+           CAST(code AS BIGINT)       AS code,
+           CAST(count(*) AS BIGINT)   AS n_assigned,
+           CAST(sum(d2) AS BIGINT)    AS distortion_sum
+    FROM best WHERE rn = 1
+    GROUP BY s, code
+    """,
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) codebook assignment — the third classic
+    ANN index family beside LSH (``q_ann_lsh``) and IVF (``q_ann_ivf``):
+    vectors split into 4 subspaces of 16 dims; each sub-vector snaps to
+    its nearest code (codebook = the first 4 vectors' sub-vectors — the
+    seed stage of PQ training; Lloyd refinement drops in exactly as in
+    ``q_ann_ivf``).  Emits the per-(subspace, code) occupancy and total
+    squared distortion — the compression-quality report that decides
+    codebook size.
+
+    Determinism: milli-unit integer sub-vectors make every distance an
+    exact integer; assignment ties break toward the lower code.
+
+    Scale: the assignment join is rows × k-codes per subspace — the
+    standard PQ cost, linear in corpus size with a broadcastable codebook;
+    distortion reduces map-side per (subspace, code).
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("x"),
+    )
+    sub = ex.select(
+        "vec_id", F.expr("dim div 16").cast("int").alias("s"), "dim", "x")
+    cb = (sub.filter(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("code"),
+                  F.col("s").alias("cs"), F.col("dim").alias("cdim"),
+                  F.col("x").alias("cx")))
+    dist = (
+        sub.join(F.broadcast(cb),
+                 (F.col("cs") == F.col("s")) & (F.col("cdim") == F.col("dim")))
+        .groupBy("vec_id", "s", "code")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+             .cast("long").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1)
+    return best.groupBy(
+        F.col("s").alias("subspace"), F.col("code").cast("long").alias("code")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("d2").cast("long").alias("distortion_sum"),
+    )

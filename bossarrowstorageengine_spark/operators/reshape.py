@@ -158,3 +158,59 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("o_orderstatus") == "F",
                              F.col("o_totalprice"))), 2).alias("avg_f"),
     )
+
+
+@query(
+    "q_price_bands",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice < q1 THEN 'B1'
+                WHEN o_totalprice < q2 THEN 'B2'
+                WHEN o_totalprice < q3 THEN 'B3'
+                ELSE 'B4' END           AS band,
+           CAST(count(*) AS BIGINT)     AS n_orders,
+           round(sum(o_totalprice), 2)  AS sum_price,
+           round(min(o_totalprice), 2)  AS band_floor
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def q_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth banding: assign every order to its exact price quartile
+    via broadcast boundaries and aggregate per band — the
+    histogram-equalization pass behind balanced range partitioning and
+    price-tier reporting (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the equivalence ``q_agg_percentiles`` established).
+
+    Scale: ONE exact-percentile aggregation produces a 1-row boundary
+    table broadcast to the scan (at unbounded scale swap in
+    ``approx_percentile`` — same plan); banding is then a map-side CASE,
+    and the shuffle carries 4 partial rows.  This is also exactly how a
+    range-partitioner picks split points without a global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    band = (
+        F.when(F.col("o_totalprice") < F.col("q1"), "B1")
+        .when(F.col("o_totalprice") < F.col("q2"), "B2")
+        .when(F.col("o_totalprice") < F.col("q3"), "B3")
+        .otherwise("B4")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.min("o_totalprice"), 2).alias("band_floor"),
+        )
+    )

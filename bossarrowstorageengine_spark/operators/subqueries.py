@@ -488,3 +488,28 @@ q_tpch_q16 = _sql_query("q_tpch_q16", _Q16_SQL)
 q_tpch_q19 = _sql_query("q_tpch_q19", _Q19_SQL)
 q_tpch_q20 = _sql_query("q_tpch_q20", _Q20_SQL)
 q_tpch_q21 = _sql_query("q_tpch_q21", _Q21_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT)         AS n_picked,
+           CAST(sum(t.o_orderkey) AS BIGINT) AS key_checksum,
+           round(sum(t.o_totalprice), 2)     AS top2_value
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    ) t
+    GROUP BY c.c_mktsegment
+"""
+
+#: LATERAL correlated subquery (top-2 orders per customer) — SQL:2016
+#: lateral derived tables, identical text on both engines.  Catalyst
+#: rewrites the correlated ORDER BY/LIMIT into a ranked window join (no
+#: per-row subquery execution), so the physical plan is the same
+#: partition-topk shape as ``q_win_topk_group`` — scale-safe at any
+#: customer cardinality.
+q_lateral_topk = _sql_query("q_lateral_topk", _LATERAL_SQL)

@@ -556,3 +556,130 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("micro").cast("long").alias("max_micro"),
         F.expr("sum(micro) div count(*)").cast("long").alias("mean_micro"),
     )
+
+
+@query(
+    "q_embedding_power_iter",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS milli
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT vec_id,
+               CAST(sum(milli * ((dim * 37) % 7 - 3)) AS BIGINT) AS dot
+        FROM ex GROUP BY vec_id
+    )
+    SELECT e.dim,
+           CAST(sum(e.milli * d.dot) AS BIGINT) AS component_fixed,
+           CAST(count(*) AS BIGINT)             AS n_vectors
+    FROM ex e JOIN dots d USING (vec_id)
+    GROUP BY e.dim
+    """,
+)
+def q_embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step toward the corpus's top
+    principal direction: w = Σ_rows v·(v·s) for a fixed seed vector s —
+    computed WITHOUT materializing the dims² Gramian (the classic
+    covariance-free PCA step; iterating and re-normalizing w converges to
+    the top eigenvector).
+
+    Determinism: embeddings are fixed-pointed to integer milli-units and
+    the seed is small integers, so the per-row dot product and the per-dim
+    reduction are exact integer sums — order-independent, hence
+    engine-identical (a float Gramian would drift with partitioning).
+
+    Scale: two map-side passes over (vec_id, dim, value) triples — a
+    per-vector keyed dot product, then a per-dim keyed reduction.  Both
+    shuffles carry partial integer sums (vector- then dim-cardinality);
+    nothing is quadratic in dims and nothing collects to the driver.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("milli"),
+    )
+    seed = (F.col("dim") * 37) % 7 - 3
+    dots = ex.groupBy("vec_id").agg(
+        F.sum(F.col("milli") * seed).cast("long").alias("dot"))
+    return (
+        ex.join(dots, "vec_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("milli") * F.col("dot")).cast("long")
+                .alias("component_fixed"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+    )
+
+
+@query(
+    "q_label_shift",
+    oracle="""
+    WITH halves AS (
+        SELECT label, CAST(vec_id % 2 AS INT) AS half FROM embeddings
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM halves GROUP BY label
+    ),
+    tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+               CAST(sum(n_b) AS BIGINT) AS t_b,
+               CAST(count(*) AS BIGINT) AS n_labels
+        FROM counts
+    )
+    SELECT c.label,
+           c.n_a, c.n_b,
+           CAST(floor(
+               1000000.0 * ((c.n_a + 1) / CAST(t.t_a + t.n_labels AS DOUBLE))
+               * ln(((c.n_a + 1) / CAST(t.t_a + t.n_labels AS DOUBLE))
+                    / ((c.n_b + 1) / CAST(t.t_b + t.n_labels AS DOUBLE)))
+           ) AS BIGINT) AS kl_term_micro
+    FROM counts c, tot t
+    """,
+)
+def q_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-distribution shift monitor: per-label KL(A‖B) terms between
+    two dataset halves with add-one smoothing — the class-balance drift
+    check run between corpus snapshots (a grown positive term means the
+    label got relatively MORE frequent).  Σ of ``kl_term_micro`` is the
+    total divergence in micro-nats.
+
+    Determinism: counts are exact integers; each label's KL term is one
+    fixed double expression truncated to integer micro-nats — no float
+    accumulation anywhere (the total, if the caller sums it, is integer
+    addition).
+
+    Scale: one label-keyed count aggregation (map-side combined), a 1-row
+    totals broadcast, and a label-cardinality output.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    counts = em.groupBy("label").agg(
+        F.sum(((F.col("vec_id") % 2) == 0).cast("int")).cast("long")
+            .alias("n_a"),
+        F.sum(((F.col("vec_id") % 2) == 1).cast("int")).cast("long")
+            .alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    p_a = (F.col("n_a") + 1) / (F.col("t_a") + F.col("n_labels")).cast("double")
+    p_b = (F.col("n_b") + 1) / (F.col("t_b") + F.col("n_labels")).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "label", "n_a", "n_b",
+            F.floor(1000000.0 * p_a * F.log(p_a / p_b)).cast("long")
+                .alias("kl_term_micro"),
+        )
+    )

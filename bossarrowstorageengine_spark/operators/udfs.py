@@ -244,6 +244,12 @@ def q_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both sides shuffle once on the key; each task processes its
     co-partitioned groups through Arrow batches — the same per-key linear
     state as a shuffled join, with Python touching only grouped frames.
+    Cost model (SCALING.md): wall time is LINEAR in key count at ~3 ms/key
+    — the pandas-frame construction per group, not data volume.  When the
+    merge is columnar arithmetic, ``q_cogroup_arrow`` (applyInArrow) cuts
+    that per-key cost ~4×; when it's expressible relationally, the
+    built-in full-outer join (the oracle's own shape) is the production
+    path and this API is for merges joins can't express.
     """
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_custkey") % 4 == 0)
@@ -267,5 +273,96 @@ def q_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.withColumn("custkey", F.col("c_custkey")).groupBy("custkey"))
     )
     return grouped.applyInPandas(
+        merge,
+        "custkey long, n_orders long, sum_price double, n_cust_rows long")
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT)
+               AS sum_vowels
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``useArrow=True``): the Spark-4
+    middle path between row-pickled Python UDFs (~100× slow) and full
+    Pandas UDFs — same per-row author model as ``q_udf_python``, but the
+    exchange is Arrow-batched, so serialization stops dominating.  The
+    declared showcase for the pathway; hot paths still prefer built-ins
+    (the oracle recomputes the same vowel count as a JVM regex).
+    """
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def vowel_count(s: str) -> int:
+        return sum(1 for ch in s if ch in "aeiou")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(vowel_count("text")).cast("long").alias("sum_vowels"),
+    )
+
+
+@query(
+    "q_cogroup_arrow",
+    oracle="""
+    WITH ocnt AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+    ),
+    ccnt AS (
+        SELECT c_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_cust_rows
+        FROM customer WHERE c_custkey % 3 = 0 GROUP BY c_custkey
+    )
+    SELECT coalesce(o.custkey, c.custkey)  AS custkey,
+           coalesce(o.n_orders, 0)         AS n_orders,
+           coalesce(o.sum_price, 0.0)      AS sum_price,
+           coalesce(c.n_cust_rows, 0)      AS n_cust_rows
+    FROM ocnt o FULL OUTER JOIN ccnt c USING (custkey)
+    """,
+)
+def q_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInArrow`` — the LOW-OVERHEAD sibling of
+    ``q_cogroup_apply``: the merge function receives/returns
+    ``pyarrow.Table`` instead of pandas frames, skipping the
+    pandas-conversion + DataFrame-construction cost that dominates
+    per-key time when groups are small (SCALING.md shows the pandas face
+    at ~3 ms/key — linear in key count, but 10× this Arrow path).  Use
+    applyInPandas when the merge needs pandas semantics; applyInArrow
+    when it's columnar arithmetic.
+    """
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") % 3 == 0)
+         .select("o_custkey", "o_totalprice"))
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 3 == 0)
+         .select("c_custkey"))
+
+    def merge(key, otab: pa.Table, ctab: pa.Table) -> pa.Table:
+        price = otab.column("o_totalprice").to_pylist() if otab.num_rows else []
+        return pa.table({
+            "custkey": pa.array([key[0].as_py()], pa.int64()),
+            "n_orders": pa.array([otab.num_rows], pa.int64()),
+            "sum_price": pa.array(
+                [round(float(sum(price)), 2) if price else 0.0],
+                pa.float64()),
+            "n_cust_rows": pa.array([ctab.num_rows], pa.int64()),
+        })
+
+    grouped = (
+        o.withColumn("custkey", F.col("o_custkey")).groupBy("custkey")
+        .cogroup(
+            c.withColumn("custkey", F.col("c_custkey")).groupBy("custkey"))
+    )
+    return grouped.applyInArrow(
         merge,
         "custkey long, n_orders long, sum_price double, n_cust_rows long")

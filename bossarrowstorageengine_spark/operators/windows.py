@@ -273,3 +273,64 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_first").over(w_run).cast("long")
             .alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "q_win_ratio_share",
+    oracle="""
+    WITH cents AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    shared AS (
+        SELECT o_custkey, o_orderkey,
+               (c * 1000000) // sum(c) OVER (PARTITION BY o_custkey)
+                   AS share_ppm,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY c DESC, o_orderkey) AS rn
+        FROM cents
+    )
+    SELECT o_custkey,
+           CAST(o_orderkey AS BIGINT)  AS top_orderkey,
+           CAST(share_ppm AS BIGINT)   AS share_ppm
+    FROM shared WHERE rn = 1 AND share_ppm < 1000000
+    """,
+)
+def q_win_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window: each order's share of its customer's total
+    spend (ppm), keeping the dominant order per customer — the
+    concentration metric behind whale detection ("one order is 80% of the
+    account").  Single-order customers (share = 100%) are excluded as
+    trivially concentrated.
+
+    Determinism: shares are integer ppm over cent-exact totals — the
+    windowed sum is integer addition, so no float-summation-order drift;
+    the per-customer winner has a total (value, key) tiebreak.
+
+    Scale: one o_custkey shuffle serves BOTH window functions (same
+    partition spec); per-key state is O(1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("o_custkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.desc("c"), "o_orderkey")
+    return (
+        cents.select(
+            "o_custkey", "o_orderkey",
+            F.expr("c * 1000000").alias("scaled"),
+            F.sum("c").over(w).alias("tot"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .withColumn("share_ppm", F.expr("scaled div tot"))
+        .filter((F.col("rn") == 1) & (F.col("share_ppm") < 1000000))
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").cast("long").alias("top_orderkey"),
+            F.col("share_ppm").cast("long").alias("share_ppm"),
+        )
+    )

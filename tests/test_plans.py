@@ -109,8 +109,8 @@ def test_no_python_udf_outside_udf_family(spark):
     """Hot-path queries stay JVM-side: no Python eval nodes in their plans
     (the declared UDF family and data-source round-trips excepted)."""
     exempt = {"q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf_apply",
-              "q_udtf_python", "q_map_in_arrow", "q_multimodal_binary",
-              "q_scan_arrow_roundtrip"}
+              "q_udtf_python", "q_udf_arrow", "q_map_in_arrow",
+              "q_multimodal_binary", "q_scan_arrow_roundtrip"}
     for name, fn in QUERIES.items():
         if name in exempt:
             continue
@@ -497,3 +497,35 @@ def test_embedding_dim_stats_partial_aggregates(spark):
     assert "Generate posexplode" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
+
+
+def test_multi_grain_rollup_is_one_scan_expand(spark):
+    """GROUPING SETS must compile to ONE scan + Expand, never three
+    aggregation passes."""
+    plan = _plan(QUERIES["q_rollup_multi_grain"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+
+
+def test_price_bands_broadcast_boundaries(spark):
+    """The quartile boundary table attaches by 1-row broadcast; banding is
+    a map-side CASE — no shuffle join anywhere."""
+    plan = _plan(QUERIES["q_price_bands"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_join(spark):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate into a ranked
+    window + join — no per-row subquery execution, no cartesian product."""
+    plan = _plan(QUERIES["q_lateral_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_event_anomaly_broadcasts_type_stats(spark):
+    """The per-type stats table (type-cardinality rows) must come back by
+    broadcast, not a shuffled join against the hourly counts."""
+    plan = _plan(QUERIES["q_event_anomaly"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -52,6 +52,9 @@ KEYS = [
     "q_skyline_pareto",
     "q_text_bm25",
     "q_multimodal_decode",
+    # Paired on purpose: the pandas vs arrow cogroup faces quantify
+    # per-group Python overhead (SCALING.md shows arrow ~4× faster).
+    "q_cogroup_arrow",
 ]
 
 
