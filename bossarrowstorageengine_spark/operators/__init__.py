@@ -48,8 +48,11 @@ for _m in _MODULES:
 #:
 #: Keys absent from this list follow in registration order.
 _DRIVER_WINDOW = [
-    # -- 1. never driver-sampled: 20 new round-5 operators + the 14-key
+    # -- 1. never driver-sampled: 23 new round-5 operators + the 14-key
     #       backlog round 4 left outside its window.
+    "q_scan_xml",
+    "q_json_variant",
+    "q_pipe_syntax",
     "q_dedup_containment",
     "q_ann_pq",
     "q_label_shift",
@@ -99,9 +102,6 @@ _DRIVER_WINDOW = [
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_distinct_rows",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_heavy_hitters",
 ]
 
 #: Keys whose CURRENT implementation postdates their newest driver-green

@@ -366,3 +366,39 @@ def q_str_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", "p_type").cast("long").alias("dist_name_type"),
         F.levenshtein("p_brand", "p_type").cast("long").alias("dist_brand_type"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)          AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) > 50 THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): ``parse_json`` turns the
+    props string into a binary VARIANT once, and ``variant_get`` extracts
+    typed paths from the encoded form — the open-format answer to
+    schema-on-read JSON columns (parse once, extract many, no per-access
+    string re-parse; the binary encoding also pushes through shuffles
+    smaller than the source text).
+
+    The oracle extracts the same paths with DuckDB's JSON functions —
+    value equality proves the VARIANT encode/decode is faithful.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.sum((k > 50).cast("int")).cast("long").alias("n_high"),
+    )

@@ -711,3 +711,39 @@ def q_scan_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)          AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT)     AS text_len_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4's built-in ``xml`` format —
+    no external package): documents written as ``<doc>`` records, read
+    back with ``rowTag`` and aggregated.  The oracle aggregates the
+    ORIGINAL table, so the equality proves the round-trip is lossless
+    (including the full text body, length-checksummed).
+
+    Scale: the XML reader splits by record tag across files like any
+    text-based source; schema is projected (only referenced elements are
+    parsed per row).  XML is the interchange format of several archival
+    corpora (Wikipedia dumps, PubMed) — this is the ingestion face.
+    """
+    path = _scratch(sf_dir, "xml")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text")
+    (d.write.format("xml").option("rowTag", "doc")
+     .mode("overwrite").save(path))
+    back = spark.read.format("xml").option("rowTag", "doc").load(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("text_len_checksum"),
+    )

@@ -513,3 +513,34 @@ _LATERAL_SQL = """
 #: partition-topk shape as ``q_win_topk_group`` — scale-safe at any
 #: customer cardinality.
 q_lateral_topk = _sql_query("q_lateral_topk", _LATERAL_SQL)
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / SQL:2023-direction ``|>`` operator
+    chaining): the same logical plan as the ANSI form, written as a
+    linear dataflow — Catalyst parses both to identical plans, so this
+    attests the NEW SQL surface produces byte-identical results to the
+    classic one (the oracle is the ANSI twin).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS sum_price,
+                     round(max(o_totalprice), 2) AS max_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, sum_price, max_price
+    """)
