@@ -48,8 +48,11 @@ for _m in _MODULES:
 #:
 #: Keys absent from this list follow in registration order.
 _DRIVER_WINDOW = [
-    # -- 1. never driver-sampled: 23 new round-5 operators + the 14-key
+    # -- 1. never driver-sampled: 26 new round-5 operators + the 14-key
     #       backlog round 4 left outside its window.
+    "q_abc_analysis",
+    "q_customer_rfm",
+    "q_trend_linreg",
     "q_scan_xml",
     "q_json_variant",
     "q_pipe_syntax",
@@ -99,9 +102,6 @@ _DRIVER_WINDOW = [
     "q_agg_argminmax",
     "q_agg_basic",
     "q_agg_bitwise",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_distinct_rows",
 ]
 
 #: Keys whose CURRENT implementation postdates their newest driver-green

@@ -1432,3 +1432,78 @@ def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("hwm")
     )
+
+
+@query(
+    "q_trend_linreg",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    rebased AS (
+        SELECT event_type,
+               h - min(h) OVER (PARTITION BY event_type) AS x, y
+        FROM hourly
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)     AS n,
+               CAST(sum(x) AS BIGINT)       AS sx,
+               CAST(sum(y) AS BIGINT)       AS sy,
+               CAST(sum(x * y) AS BIGINT)   AS sxy,
+               CAST(sum(x * x) AS BIGINT)   AS sxx
+        FROM rebased GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) AS BIGINT)
+               AS slope_micro_per_hour,
+           sy AS total_events
+    FROM sums WHERE n * sxx - sx * sx != 0
+    """,
+)
+def q_trend_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event-rate trend: closed-form least-squares slope of
+    hourly counts over time — the capacity-planning signal ("error rate is
+    growing N events/hour²").  Types with a degenerate x-spread are
+    excluded (undefined slope).
+
+    Determinism: x (rebased hour index) and y (hourly count) are exact
+    integers, so all five regression sums are order-independent integer
+    adds; the slope is ONE double division truncated to micro-units.
+
+    Scale: events reduce to (type, hour) counts map-side; the per-type
+    min-hour rebase is a window over the tiny hourly table; regression
+    sums are one more keyed aggregation.  The closed form needs no
+    iteration and no driver math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type")
+    rebased = hourly.select(
+        "event_type",
+        (F.col("h") - F.min("h").over(w)).alias("x"), "y")
+    sums = rebased.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.filter(den != 0).select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.floor(1000000.0 * num / den).cast("long")
+            .alias("slope_micro_per_hour"),
+        F.col("sy").alias("total_events"),
+    )

@@ -214,3 +214,97 @@ def q_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("band_floor"),
         )
     )
+
+
+@query(
+    "q_customer_rfm",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                    CAST((SELECT max(o_orderdate) FROM orders) AS DATE))
+                    AS BIGINT)                                  AS recency_d,
+               CAST(count(*) AS BIGINT)                         AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)                                  AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+        SELECT quantile_cont(recency_d, 0.25) AS r1,
+               quantile_cont(recency_d, 0.50) AS r2,
+               quantile_cont(recency_d, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1,
+               quantile_cont(freq, 0.50) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(cents, 0.25) AS m1,
+               quantile_cont(cents, 0.50) AS m2,
+               quantile_cont(cents, 0.75) AS m3
+        FROM per_cust
+    )
+    SELECT CAST(5 - (1 + CAST(recency_d > r1 AS INT)
+                       + CAST(recency_d > r2 AS INT)
+                       + CAST(recency_d > r3 AS INT)) AS BIGINT) AS r_score,
+           CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                  + CAST(freq > f3 AS INT) AS BIGINT)            AS f_score,
+           CAST(1 + CAST(cents > m1 AS INT) + CAST(cents > m2 AS INT)
+                  + CAST(cents > m3 AS INT) AS BIGINT)           AS m_score,
+           CAST(count(*) AS BIGINT)                              AS n_customers,
+           CAST(sum(o_custkey) AS BIGINT)                        AS cust_checksum
+    FROM per_cust, bounds
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-4 on Recency (days since
+    last order — lower is better, so the score inverts), Frequency, and
+    Monetary (cent-exact lifetime spend) against corpus quartiles — the
+    classic CRM segmentation grid, reported as per-(r,f,m)-cell counts.
+
+    Determinism: metrics are exact integers; quartile boundaries come from
+    one ``percentile`` aggregate (≡ DuckDB quantile_cont) and scores are
+    pure integer comparisons against them.
+
+    Scale: one keyed aggregation builds per-customer metrics, one 1-row
+    boundary aggregate broadcasts back, scoring is map-side CASE
+    arithmetic — no global sort, no ntile window over raw customers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hwm = o.agg(F.max("o_orderdate").alias("hwm"))
+    per_cust = (
+        o.join(F.broadcast(hwm))
+        .groupBy("o_custkey")
+        .agg(
+            # date arithmetic, not epoch micros: o_orderdate arrives as
+            # TIMESTAMP_NTZ from parquet and day-granularity diffs are
+            # timezone-free on both engines.
+            F.datediff(F.max(F.col("hwm").cast("date")),
+                       F.max(F.col("o_orderdate").cast("date")))
+            .cast("long").alias("recency_d"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("cents"),
+        )
+    )
+    bounds = per_cust.agg(*[
+        F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i}")
+        for m in ("recency_d", "freq", "cents")
+        for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+    ])
+
+    def score(col, b):
+        return (1 + (F.col(col) > F.col(f"{b}1")).cast("int")
+                + (F.col(col) > F.col(f"{b}2")).cast("int")
+                + (F.col(col) > F.col(f"{b}3")).cast("int"))
+
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (5 - score("recency_d", "r")).cast("long").alias("r_score"),
+            score("freq", "f").cast("long").alias("f_score"),
+            score("cents", "c").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("o_custkey").cast("long").alias("cust_checksum"),
+        )
+    )

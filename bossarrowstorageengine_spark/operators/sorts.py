@@ -65,3 +65,69 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(10)
     )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    ranked AS (
+        SELECT p_brand, cents,
+               sum(cents) OVER (ORDER BY cents DESC, p_brand
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cents) OVER ()                         AS tot
+        FROM rev
+    )
+    SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                WHEN cum * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END              AS abc_class,
+           CAST(count(*) AS BIGINT)       AS n_brands,
+           CAST(sum(cents) AS BIGINT)     AS class_cents
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis: brands classified by cumulative revenue share
+    (A = the head that carries 80% of revenue, B → 95%, C = tail) — the
+    inventory-prioritization classic.
+
+    Scale framing: the cumulative ranking runs over the AGGREGATED brand
+    table (dimension-cardinality rows), never the fact table — so the one
+    unpartitioned cumulative window is over a tiny frame regardless of
+    corpus size; the heavy work is a map-side-combined revenue aggregation
+    behind a broadcast fact⋈dim join.  Integer-cents cumulative sums make
+    the 80/95% class boundaries exact integer comparisons.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w_cum = (Window.orderBy(F.desc("cents"), "p_brand")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy()
+    ranked = rev.select(
+        "p_brand", "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_tot).alias("tot"),
+    )
+    cls = (F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+           .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+           .otherwise("C"))
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum("cents").cast("long").alias("class_cents"),
+    )

@@ -31,6 +31,13 @@ REPRESENTATIVE = [
     "q_stream_session",   # session windows
     "q_pivot",            # pivoted aggregate
     "q_tpch_q10",         # composite join+agg+top-k
+    # round 5: the new fixed-point / rounding-discipline shapes
+    "q_markov_entropy",        # truncated-term entropy sums
+    "q_embedding_power_iter",  # integer Gramian-free PCA step
+    "q_dedup_containment",     # inverted-index directed pairs
+    "q_win_ratio_share",       # integer-ppm windowed shares
+    "q_text_bm25",             # float scoring + rounded top-k ordering
+    "q_customer_rfm",          # quartile-boundary integer scoring
 ]
 
 
