@@ -48,8 +48,9 @@ for _m in _MODULES:
 #:
 #: Keys absent from this list follow in registration order.
 _DRIVER_WINDOW = [
-    # -- 1. never driver-sampled: 26 new round-5 operators + the 14-key
-    #       backlog round 4 left outside its window.
+    # -- 1. never driver-sampled: 29 new round-5 operators + the 14-key
+    #       backlog round 4 left outside its window.  (43 + the 7 modified
+    #       keys below fill all 50 slots — no rotation fill this round.)
     "q_abc_analysis",
     "q_customer_rfm",
     "q_trend_linreg",
@@ -90,6 +91,9 @@ _DRIVER_WINDOW = [
     "q_session_paths",
     "q_skyline_pareto",
     "q_text_bm25",
+    "q_storage_update",
+    "q_storage_compact",
+    "q_storage_timetravel_diff",
     # -- 2. green row exists but predates the current implementation.
     "q_sim_search",
     "q_scan_arrow_roundtrip",
@@ -98,10 +102,6 @@ _DRIVER_WINDOW = [
     "q_corpus_summary",
     "q_storage_delete",
     "q_storage_merge",
-    # -- 3. oldest-green rotation (r1 rows, alphabetical).
-    "q_agg_argminmax",
-    "q_agg_basic",
-    "q_agg_bitwise",
 ]
 
 #: Keys whose CURRENT implementation postdates their newest driver-green

@@ -747,3 +747,221 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum(F.length("text")).cast("long").alias("text_len_checksum"),
     )
+
+
+@query(
+    "q_storage_update",
+    oracle="""
+    SELECT 'pre' AS face, lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT)  AS id_checksum,
+           CAST(0 AS BIGINT)            AS n_edited
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'post' AS face, lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(CASE WHEN source = 'src3' AND n_chars >= 500
+                         THEN n_chars - 250 ELSE n_chars END) AS BIGINT)
+                                        AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT)  AS id_checksum,
+           CAST(sum(CASE WHEN source = 'src3' AND n_chars >= 500
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_edited
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_storage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (copy-on-write) on the arrowipc table format.
+
+    Writes documents as a 4-part snapshotted arrowipc table, then runs a
+    multi-assignment ``update_arrowipc`` (sources/maintenance.py): rows
+    matching ``source = 'src3' AND n_chars >= 500`` take
+    ``n_chars = n_chars - 250`` AND ``source = concat(source, '_v2')``
+    simultaneously — both expressions evaluate against the PRE-update row,
+    standard SQL UPDATE semantics.  Only part files holding matching rows
+    are rewritten; one replace-manifest commit flips readers.  Both faces
+    are read back — version 1 (pre-update, time travel intact) and the
+    latest snapshot — and the oracle replays them with CASE expressions,
+    so the hash pins that exactly the predicate's rows changed, both
+    assignments landed, and row counts / keys are untouched.
+
+    Scale: identical CoW path as q_storage_delete — the attributed scan
+    reads only predicate columns, the rewrite touches only affected files
+    (repartition(K), not coalesce, so join parallelism stays independent
+    of the output file count), and the manifest CAS commit is O(files)."""
+    from bossarrowstorageengine_spark.sources.maintenance import update_arrowipc
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "update")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    # lz4 on the scratch/mutation path (see q_storage_delete note).
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    update_arrowipc(
+        spark, path, "source = 'src3' AND n_chars >= 500",
+        {"n_chars": "n_chars - 250", "source": "concat(source, '_v2')"},
+        compression="lz4", predicate_columns=["source", "n_chars"])
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum(F.endswith(F.col("source"), F.lit("_v2")).cast("int"))
+            .cast("long").alias("n_edited"),
+        ).select(F.lit(tag).alias("face"), "*")
+
+    pre = spark.read.format("arrowipc").option("version", "1").load(path)
+    post = (spark.read.format("arrowipc")
+            .option("snapshots", "true").load(path))
+    return _agg(pre, "pre").unionByName(_agg(post, "post"))
+
+
+@query(
+    "q_storage_compact",
+    oracle="""
+    SELECT CAST(16 AS BIGINT)                 AS files_before,
+           CAST(2 AS BIGINT)                  AS files_after,
+           CAST(count(*) AS BIGINT)           AS rows_reported,
+           CAST(count(*) AS BIGINT)           AS n_rows,
+           CAST(sum(event_id) AS BIGINT)      AS id_checksum,
+           CAST(sum(user_id) AS BIGINT)       AS user_checksum,
+           round(sum(value), 2)               AS sum_value
+    FROM events
+    """,
+)
+def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on the arrowipc table format, under the
+    oracle gate.
+
+    Writes events as a deliberately-fragmented 16-part snapshotted table,
+    compacts it to 2 part files (``compact_arrowipc``,
+    sources/maintenance.py — one distributed scan, one distributed
+    rewrite, one replace-manifest commit; the pre-compaction version stays
+    time-travelable until vacuum), then re-reads the latest snapshot.  The
+    output row carries BOTH the maintenance report (files_before /
+    files_after / rows, all from manifest + stats-sidecar metadata — the
+    row count never costs a second scan) and full-data checksums; the
+    oracle recomputes everything from the original events table, so the
+    hash proves the rewrite is lossless AND the report is truthful.
+
+    Scale: compaction is THE small-file defense at 100 TB (a streaming
+    sink or per-task writer emits file counts proportional to tasks, and
+    scan planning is O(files)); the rewrite reads each input file once,
+    repartitions to the target file count, and swaps logically via one
+    manifest commit so readers never see a half-compacted directory."""
+    from bossarrowstorageengine_spark.sources.maintenance import compact_arrowipc
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "compact")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    (ev.repartition(16).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    res = compact_arrowipc(spark, path, target_files=2, compression="lz4")
+
+    back = (spark.read.format("arrowipc")
+            .option("snapshots", "true").load(path))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.lit(res["files_before"]).cast("long").alias("files_before"),
+        F.lit(res["files_after"]).cast("long").alias("files_after"),
+        F.lit(res["rows"]).cast("long").alias("rows_reported"),
+        "*",
+    )
+
+
+@query(
+    "q_storage_timetravel_diff",
+    oracle="""
+    WITH classified AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' AND n_chars < 500 THEN 'delete'
+                    WHEN lang = 'de' AND n_chars < 800 THEN 'update'
+                    ELSE 'same' END AS change,
+               CASE WHEN lang = 'en' AND n_chars < 500 THEN 0 - n_chars
+                    WHEN lang = 'de' AND n_chars < 800 THEN n_chars + 1
+                    ELSE 0 END AS delta
+        FROM documents
+    )
+    SELECT change,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(delta) AS BIGINT)  AS chars_delta
+    FROM classified
+    GROUP BY change
+    """,
+)
+def q_storage_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC-read between two time-travel versions.
+
+    Builds a 3-version history on one arrowipc table: v1 = documents as
+    written, v2 = UPDATE (de docs under 800 chars get
+    ``n_chars*2 + 1`` — the +1 guarantees every updated row really
+    differs, even at n_chars = 0), v3 = DELETE (short English docs).
+    Then reads v1 and the latest snapshot via time travel and computes
+    the change set with a keyed full-outer join on the primary key:
+    post-side-null → delete, pre-side-null → insert, differing payload →
+    update, else same — the Delta/Iceberg CDF pattern reconstructed from
+    plain snapshots.  The oracle classifies the original table by the
+    mutation predicates, so the hash pins exactly WHICH rows each
+    mutation touched and the net character delta.
+
+    Scale: the diff shuffles both versions once on the narrow join key
+    (never exceptAll over full rows — wide-row hashing pushed to each
+    side's scan would be the next step for very wide tables); change
+    classification is map-side after the join."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "ttdiff")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    # lz4 on the scratch/mutation path (see q_storage_delete note).
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    update_arrowipc(
+        spark, path, "lang = 'de' AND n_chars < 800",
+        {"n_chars": "n_chars * 2 + 1"},
+        compression="lz4", predicate_columns=["lang", "n_chars"])
+    delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500",
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"])
+
+    pre = (spark.read.format("arrowipc").option("version", "1").load(path)
+           .select("doc_id", F.col("n_chars").alias("chars_pre")))
+    post = (spark.read.format("arrowipc").option("snapshots", "true")
+            .load(path)
+            .select("doc_id", F.col("n_chars").alias("chars_post")))
+    j = pre.join(post, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("chars_post").isNull(), F.lit("delete"))
+        .when(F.col("chars_pre").isNull(), F.lit("insert"))
+        .when(F.col("chars_pre") != F.col("chars_post"), F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    delta = (F.coalesce(F.col("chars_post"), F.lit(0))
+             - F.coalesce(F.col("chars_pre"), F.lit(0)))
+    return (
+        j.withColumn("change", change)
+        .withColumn("delta", delta)
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("delta").cast("long").alias("chars_delta"),
+        )
+    )

@@ -529,3 +529,14 @@ def test_event_anomaly_broadcasts_type_stats(spark):
     plan = _plan(QUERIES["q_event_anomaly"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_timetravel_diff_is_keyed_join_no_cartesian(spark):
+    """The snapshot diff must join the two versions on the narrow primary
+    key (one shuffle per side), never exceptAll over full rows and never a
+    cartesian/BNLJ — the shape that holds when both snapshots are 100 TB."""
+    plan = _plan(QUERIES["q_storage_timetravel_diff"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "doc_id" in plan

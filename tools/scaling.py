@@ -55,6 +55,11 @@ KEYS = [
     # Paired on purpose: the pandas vs arrow cogroup faces quantify
     # per-group Python overhead (SCALING.md shows arrow ~4× faster).
     "q_cogroup_arrow",
+    # Round-5 storage completion: CoW UPDATE scenario, 16→2 compaction,
+    # and the keyed snapshot-diff read.
+    "q_storage_update",
+    "q_storage_compact",
+    "q_storage_timetravel_diff",
 ]
 
 
