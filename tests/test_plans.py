@@ -540,3 +540,8 @@ def test_timetravel_diff_is_keyed_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "doc_id" in plan
+    # The Python DataSource API has no column-pruning hook, so the reader's
+    # explicit `columns` option must narrow both version scans to the two
+    # referenced columns — the table's other columns (lang, source) must
+    # not surface anywhere in the plan, the scans included.
+    assert "lang#" not in plan and "source#" not in plan
