@@ -38,6 +38,10 @@ REPRESENTATIVE = [
     "q_win_ratio_share",       # integer-ppm windowed shares
     "q_text_bm25",             # float scoring + rounded top-k ordering
     "q_customer_rfm",          # quartile-boundary integer scoring
+    # round 5 (storage): full CoW scenario — write→update→delete→diff; the
+    # rewrite's repartition(K) and the diff join must not leak partitioning
+    # into results.
+    "q_storage_timetravel_diff",
 ]
 
 
