@@ -1483,3 +1483,39 @@ def test_register_arrowipc_surfaces_transient_failures():
     register_arrowipc(fake3)
     register_arrowipc(fake3)  # short-circuited by the flag
     assert len(calls) == 1 and fake3._arrowipc_registered
+
+
+def test_cow_delete_on_partitioned_table_mixed_layout(spark):
+    """Copy-on-write DELETE on a Hive-partitioned snapshotted table: the
+    rewritten survivors land as root-level part files that carry the
+    partition column PHYSICALLY (the staging write does not re-partition
+    by directory), while untouched files keep deriving it from their
+    col=value directory.  The reader must serve both layouts in one scan,
+    and a partition-column filter must still return exactly the right
+    rows across them."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 2).alias("v"))
+    (df.repartition(1).write.format("arrowipc")
+     .option("partitionBy", "grp").option("snapshots", "true")
+     .mode("append").save(out))
+
+    info = delete_arrowipc(spark, out, "v >= 100", predicate_columns=["v"])
+    # One file per partition dir, every one mixed → all three rewritten.
+    assert info["rows_deleted"] == 50
+    assert info["files_rewritten"] == 3
+    # Rewrites are promoted at the table root (outside any col=value dir).
+    assert [f for f in os.listdir(out) if f.endswith(".arrows")]
+
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 50
+    got = sorted(r["id"] for r in back.filter(F.col("grp") == "1").collect())
+    assert got == [i for i in range(100) if i % 3 == 1 and 2 * i < 100]
+    # Time travel to the pre-delete version still sees the full table.
+    pre = spark.read.format("arrowipc").option("version", "1").load(out)
+    assert pre.count() == 100
+    shutil.rmtree(out, ignore_errors=True)
