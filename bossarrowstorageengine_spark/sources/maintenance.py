@@ -150,20 +150,62 @@ _INLIST_MAX = 32
 
 
 def _staged_rows(staging_dir: str) -> int:
-    """Total rows across a staging directory's part files, read from the
-    stats sidecars the writer emits — a metadata-only count, no Spark job."""
+    """Total rows across a staging directory's part files (including
+    Hive-style ``col=value`` subdirectories a partition-preserving stage
+    writes), read from the stats sidecars the writer emits — a
+    metadata-only count, no Spark job."""
     import json
 
     total = 0
-    if os.path.isdir(staging_dir):
-        for name in os.listdir(staging_dir):
+    for p, _rows in _walk_staged_parts(staging_dir):
+        sp = stats_path(p)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                total += json.load(f).get("rows", 0)
+    return total
+
+
+def _walk_staged_parts(staging_dir: str):
+    """Yield ``(part_file_path, None)`` for every ``*.arrows`` under a
+    staging dir, depth-first in sorted order (deterministic promotion)."""
+    if not os.path.isdir(staging_dir):
+        return
+    for dirpath, dirs, names in os.walk(staging_dir):
+        dirs.sort()
+        for name in sorted(names):
             if name.startswith((".", "_")) or not name.endswith(".arrows"):
                 continue
-            sp = stats_path(os.path.join(staging_dir, name))
-            if os.path.exists(sp):
-                with open(sp) as f:
-                    total += json.load(f).get("rows", 0)
-    return total
+            yield os.path.join(dirpath, name), None
+
+
+def _partition_columns(root: str, files: list[str]) -> list[str]:
+    """The Hive-layout partition-column chain of a table, inferred from
+    its visible part files' directory segments (``col=value``).
+
+    Files at the table root carry no segments and are ignored (they can
+    exist on tables that predate partition-preserving rewrites).  The
+    first partitioned file defines the chain; an inconsistent chain across
+    files disables preservation entirely (conservative fallback: the flat
+    rewrite, which is always correct because the writer also stores
+    partition columns physically in the data)."""
+    chain: list[str] | None = None
+    for f in files:
+        rel = os.path.relpath(os.path.dirname(f), root)
+        if rel in (".", ""):
+            continue
+        cols: list[str] | None = []
+        for seg in rel.split(os.sep):
+            if "=" not in seg or seg.startswith("."):
+                cols = None
+                break
+            cols.append(seg.split("=", 1)[0])
+        if not cols:
+            continue
+        if chain is None:
+            chain = cols
+        elif chain != cols:
+            return []
+    return chain or []
 
 
 def _cow_rewrite(
@@ -249,11 +291,33 @@ def _cow_rewrite(
     staging = os.path.join(path, f".cow-{uuid.uuid4().hex}")
     extra_staging = os.path.join(path, f".cow-x-{uuid.uuid4().hex}")
 
+    # Preserve the table's Hive partition layout through the rewrite: a
+    # flat rewrite would strand survivors at the table root, and every
+    # mutation would erode directory pruning a bit more — after enough
+    # CoW cycles a partition-filtered scan of a 100 TB table would read
+    # most of it.  Staging with the same partitionBy keeps every rewritten
+    # (and inserted) row under its col=value directory; an UPDATE that
+    # changes a partition value migrates the row to its new directory for
+    # free.  Correctness never depends on this (partition columns are also
+    # stored physically in the data), only pruning does.
+    part_cols = _partition_columns(path, visible)
+
     def _stage(out_df, into=None):
-        (out_df.write.format("arrowipc")
-         .option("compression", compression)
-         .option("ipcFormat", ipc_format)
-         .mode("append").save(into or staging))
+        writer = (out_df.write.format("arrowipc")
+                  .option("compression", compression)
+                  .option("ipcFormat", ipc_format))
+        if part_cols:
+            writer = writer.option("partitionBy", ",".join(part_cols))
+        writer.mode("append").save(into or staging)
+
+    def _repart(out_df, k: int):
+        # Flat tables: round-robin repartition(K) (see the rewrite note
+        # below).  Partitioned tables: key the shuffle by the partition
+        # columns so each output task holds whole value-combos — otherwise
+        # K round-robin tasks × P live combos would emit K·P small files.
+        if part_cols:
+            return out_df.repartition(k, *[F.col(c) for c in part_cols])
+        return out_df.repartition(k)
 
     rewritten_schema = None
     if affected_pinned:
@@ -286,7 +350,7 @@ def _cow_rewrite(
         # at K tasks — a one-file rewrite of a huge table would run its
         # join single-task.  The repartition shuffles only the rewritten
         # rows; join parallelism stays independent of output file count.
-        _stage(rewritten.repartition(max(1, len(affected_pinned))))
+        _stage(_repart(rewritten, max(1, len(affected_pinned))))
     n_extra = 0
     if extra is not None:
         # ONE pass over the insert set: stage it directly (separate dir so
@@ -296,7 +360,7 @@ def _cow_rewrite(
         # coalesce — see above) bounds the tiny-file fan-out a
         # join-produced insert set would otherwise inherit from
         # spark.sql.shuffle.partitions; empty partitions produce no files.
-        _stage(extra.repartition(max(1, len(affected_pinned) or 1)),
+        _stage(_repart(extra, max(1, len(affected_pinned) or 1)),
                into=extra_staging)
         n_extra = _staged_rows(extra_staging)
 
@@ -310,12 +374,14 @@ def _cow_rewrite(
     for stg in (staging, extra_staging):
         if not os.path.isdir(stg):
             continue
-        for name in sorted(os.listdir(stg)):
-            if name.startswith((".", "_")) or not name.endswith(".arrows"):
-                continue
-            dst = os.path.join(path, name)
-            os.replace(os.path.join(stg, name), dst)
-            sp = stats_path(os.path.join(stg, name))
+        # Recursive promotion: a partition-preserving stage writes into
+        # col=value subdirectories; each part file keeps its relative path
+        # under the table root.
+        for src, _ in _walk_staged_parts(stg):
+            dst = os.path.join(path, os.path.relpath(src, stg))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            sp = stats_path(src)
             if os.path.exists(sp):
                 os.replace(sp, stats_path(dst))
             promoted.append(dst)

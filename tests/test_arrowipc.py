@@ -1485,14 +1485,13 @@ def test_register_arrowipc_surfaces_transient_failures():
     assert len(calls) == 1 and fake3._arrowipc_registered
 
 
-def test_cow_delete_on_partitioned_table_mixed_layout(spark):
-    """Copy-on-write DELETE on a Hive-partitioned snapshotted table: the
-    rewritten survivors land as root-level part files that carry the
-    partition column PHYSICALLY (the staging write does not re-partition
-    by directory), while untouched files keep deriving it from their
-    col=value directory.  The reader must serve both layouts in one scan,
-    and a partition-column filter must still return exactly the right
-    rows across them."""
+def test_cow_delete_on_partitioned_table_preserves_layout(spark):
+    """Copy-on-write DELETE on a Hive-partitioned snapshotted table must
+    stage its rewrites with the SAME partitionBy, so survivors stay under
+    their col=value directories — directory pruning survives any number
+    of mutations instead of eroding toward a full scan."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader, EqualTo)
     from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
 
     out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
@@ -1508,14 +1507,57 @@ def test_cow_delete_on_partitioned_table_mixed_layout(spark):
     # One file per partition dir, every one mixed → all three rewritten.
     assert info["rows_deleted"] == 50
     assert info["files_rewritten"] == 3
-    # Rewrites are promoted at the table root (outside any col=value dir).
-    assert [f for f in os.listdir(out) if f.endswith(".arrows")]
+    # NO rewrites at the table root: every promoted file sits under its
+    # col=value directory.
+    assert not [f for f in os.listdir(out) if f.endswith(".arrows")]
 
     back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
     assert back.count() == 50
     got = sorted(r["id"] for r in back.filter(F.col("grp") == "1").collect())
     assert got == [i for i in range(100) if i % 3 == 1 and 2 * i < 100]
+    # Directory pruning still holds post-mutation: planning a grp=1 scan
+    # touches only grp=1 part files.
+    reader = ArrowIPCReader(None, {"path": out, "snapshots": "true"})
+    reader.pushFilters([EqualTo(("grp",), "1")])
+    kept = [p.path for p in reader.partitions() if p.path]
+    assert kept and all("grp=1" in p for p in kept)
     # Time travel to the pre-delete version still sees the full table.
     pre = spark.read.format("arrowipc").option("version", "1").load(out)
     assert pre.count() == 100
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cow_update_migrates_row_across_partitions(spark):
+    """An UPDATE that changes a partition-column value must land the row
+    in its NEW col=value directory (the partition-preserving stage writes
+    by value, not by origin), and a pruned read of the target partition
+    must see it."""
+    from bossarrowstorageengine_spark.sources.maintenance import update_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(30).select(
+        F.col("id"),
+        F.when(F.col("id") < 20, "cold").otherwise("hot").alias("tier"),
+        (F.col("id") * 10).alias("v"))
+    (df.repartition(1).write.format("arrowipc")
+     .option("partitionBy", "tier").option("snapshots", "true")
+     .mode("append").save(out))
+
+    # Promote hot-adjacent cold rows: ids 15-19 move tier cold → hot.
+    info = update_arrowipc(
+        spark, out, "tier = 'cold' AND id >= 15", {"tier": "'hot'"},
+        predicate_columns=["tier", "id"])
+    assert info["rows_updated"] == 5
+
+    # Fresh load() per action — the documented upstream plan-cache hazard
+    # (FORMAT.md §8) makes a filtered action poison a later unfiltered one
+    # on the SAME load() result.
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    hot = sorted(r["id"] for r in back.filter(F.col("tier") == "hot").collect())
+    assert hot == list(range(15, 30))
+    back2 = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back2.count() == 30
+    # The migrated rows physically live under tier=hot now.
+    hot_files = glob.glob(os.path.join(out, "tier=hot", "*.arrows"))
+    assert len(hot_files) >= 2  # original hot part + migrated rewrite part
     shutil.rmtree(out, ignore_errors=True)
