@@ -87,14 +87,27 @@ def compact_arrowipc(
 
     df = spark.read.format("arrowipc").load(snapshot)
 
+    # Keep the table's Hive partition layout through compaction (same
+    # rationale as the CoW rewrite): target_files bounds the shuffle
+    # width, the partitionBy write splits each task's rows back into
+    # their col=value directories, and keying the repartition by the
+    # partition columns keeps the output near one file per (task, combo)
+    # instead of target_files × combos.
+    part_cols = _partition_columns(path, before)
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
+    repartitioned = (
+        df.repartition(max(1, target_files),
+                       *[F.col(c) for c in part_cols])
+        if part_cols else df.repartition(max(1, target_files)))
     writer = (
-        df.repartition(max(1, target_files))
+        repartitioned
         .write.format("arrowipc")
         .option("compression", compression)
         .option("ipcFormat", ipc_format)
         .mode("append")
     )
+    if part_cols:
+        writer = writer.option("partitionBy", ",".join(part_cols))
     if dictionary:
         writer = writer.option("dictionary", dictionary)
     writer.save(staging)
@@ -121,12 +134,13 @@ def compact_arrowipc(
                 os.remove(sp)
     promoted = 0
     promoted_paths: list[str] = []
-    for name in sorted(os.listdir(staging)):
-        if name.startswith((".", "_")) or not name.endswith(".arrows"):
-            continue  # sidecars promoted with their data file below
-        dst = os.path.join(path, name)
-        os.replace(os.path.join(staging, name), dst)
-        sp = stats_path(os.path.join(staging, name))
+    # Recursive promotion (sidecars move with their data file): a
+    # partition-preserving stage writes into col=value subdirectories.
+    for src, _ in _walk_staged_parts(staging):
+        dst = os.path.join(path, os.path.relpath(src, staging))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+        sp = stats_path(src)
         if os.path.exists(sp):
             os.replace(sp, stats_path(dst))
         promoted += 1

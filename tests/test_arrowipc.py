@@ -1561,3 +1561,39 @@ def test_cow_update_migrates_row_across_partitions(spark):
     hot_files = glob.glob(os.path.join(out, "tier=hot", "*.arrows"))
     assert len(hot_files) >= 2  # original hot part + migrated rewrite part
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_preserves_partition_layout(spark):
+    """Compacting a partitioned table must keep the col=value layout (and
+    with it directory pruning) while still collapsing the small files."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader, EqualTo)
+    from bossarrowstorageengine_spark.sources.maintenance import compact_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(90).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp"))
+    # 6 tasks x 3 live combos -> many small files per partition dir.
+    (df.repartition(6).write.format("arrowipc")
+     .option("partitionBy", "grp").option("snapshots", "true")
+     .mode("append").save(out))
+    n_before = len(glob.glob(os.path.join(out, "grp=*", "*.arrows")))
+    assert n_before >= 9
+
+    info = compact_arrowipc(spark, out, target_files=3)
+    assert info["rows"] == 90
+    # No files at the table root; the latest manifest's visible set is one
+    # compacted file per partition dir (old parts stay only for time travel).
+    assert not [f for f in os.listdir(out) if f.endswith(".arrows")]
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions, _read_manifest)
+    visible = _read_manifest(out, _manifest_versions(out)[-1])
+    assert len(visible) == 3
+    assert all("grp=" in p for p in visible)
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 90
+    reader = ArrowIPCReader(None, {"path": out, "snapshots": "true"})
+    reader.pushFilters([EqualTo(("grp",), "2")])
+    kept = [p.path for p in reader.partitions() if p.path]
+    assert kept and all("grp=2" in p for p in kept)
+    shutil.rmtree(out, ignore_errors=True)
