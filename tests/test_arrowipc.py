@@ -1597,3 +1597,32 @@ def test_compaction_preserves_partition_layout(spark):
     kept = [p.path for p in reader.partitions() if p.path]
     assert kept and all("grp=2" in p for p in kept)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partitioned_table_full_lifecycle(spark):
+    """End-to-end partitioned-table lifecycle: fragmented append →
+    compaction → CoW delete → vacuum.  Layout, data, and reclamation all
+    hold together: after vacuum only the latest visible set remains (one
+    file per partition touched), still under col=value directories."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc, delete_arrowipc, vacuum_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(90).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp"))
+    (df.repartition(6).write.format("arrowipc")
+     .option("partitionBy", "grp").option("snapshots", "true")
+     .mode("append").save(out))
+
+    compact_arrowipc(spark, out, target_files=3)
+    delete_arrowipc(spark, out, "id % 10 = 0", predicate_columns=["id"])
+    info = vacuum_arrowipc(out, keep_versions=1)
+    assert info["retained_versions"] == [3]
+
+    on_disk = glob.glob(os.path.join(out, "grp=*", "*.arrows"))
+    assert len(on_disk) == 3  # latest visible set only, one per partition
+    assert not [f for f in os.listdir(out) if f.endswith(".arrows")]
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 81
+    assert back.filter(F.col("id") % 10 == 0).count() == 0
+    shutil.rmtree(out, ignore_errors=True)
