@@ -1141,6 +1141,19 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
         self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc stream writer requires a path")
+        if options.get("partitionby", options.get("partitionBy")):
+            # Fail fast instead of silently flattening: commit-scope
+            # promotion names files monotonically at the TABLE ROOT, and
+            # the stream reader's offset is a single lexicographic
+            # high-water mark over relative names — a later batch's file
+            # in an earlier-sorting col=value directory would fall below
+            # the mark and be silently skipped.  Partitioned streaming
+            # output belongs in foreachBatch with the batch writer.
+            raise ValueError(
+                "arrowipc streaming sink does not support partitionBy "
+                "(incompatible with the lexicographic file-name offset "
+                "model); use foreachBatch with the batch writer for "
+                "partitioned streaming output")
         staged = dict(options)
         staged["path"] = os.path.join(self._path, ".staging")
         self._snapshots = _snapshots_mode(options)

@@ -1626,3 +1626,20 @@ def test_partitioned_table_full_lifecycle(spark):
     assert back.count() == 81
     assert back.filter(F.col("id") % 10 == 0).count() == 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_sink_rejects_partitionby():
+    """The streaming sink must fail fast on partitionBy: commit-scope
+    promotion names files at the table root and the stream reader's
+    single lexicographic high-water mark cannot span col=value
+    subdirectories — silently flattening (or worse, skipping files)
+    would betray the option."""
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamWriter)
+
+    with _pytest.raises(ValueError, match="partitionBy"):
+        ArrowIPCStreamWriter(
+            None, {"path": "/tmp/spark_graft_test/never", "partitionBy": "x"},
+            False)
