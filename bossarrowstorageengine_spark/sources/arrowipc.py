@@ -586,30 +586,41 @@ def _read_ipc_batches(
             batch = batch.select(columns)
         return batch
 
-    if _is_file_format(path):
-        with pa.OSFile(path, "rb") as f:
-            reader = pa.ipc.open_file(f)
-            indices = (
-                batch_indices if batch_indices is not None
-                else range(reader.num_record_batches)
-            )
-            for i in indices:
-                yield finish(reader.get_batch(i))
-    else:
-        keep = set(batch_indices) if batch_indices is not None else None
-        with pa.OSFile(path, "rb") as f:
-            reader = pa.ipc.open_stream(f)
-            for i, batch in enumerate(reader):
-                if keep is not None and i not in keep:
-                    continue
-                yield finish(batch)
+    try:
+        if _is_file_format(path):
+            with pa.OSFile(path, "rb") as f:
+                reader = pa.ipc.open_file(f)
+                indices = (
+                    batch_indices if batch_indices is not None
+                    else range(reader.num_record_batches)
+                )
+                for i in indices:
+                    yield finish(reader.get_batch(i))
+        else:
+            keep = set(batch_indices) if batch_indices is not None else None
+            with pa.OSFile(path, "rb") as f:
+                reader = pa.ipc.open_stream(f)
+                for i, batch in enumerate(reader):
+                    if keep is not None and i not in keep:
+                        continue
+                    yield finish(batch)
+    except pa.ArrowInvalid as exc:
+        # Name the offending part file: in a directory of thousands, a bare
+        # "Not an Arrow file" / "Expected to read N bytes" is undebuggable.
+        raise pa.ArrowInvalid(
+            f"corrupt or non-Arrow part file {path}: {exc}") from exc
 
 
 def _file_arrow_schema(path: str) -> pa.Schema:
-    with pa.OSFile(path, "rb") as f:
-        if _is_file_format(path):
-            return pa.ipc.open_file(f).schema
-        return pa.ipc.open_stream(f).schema
+    try:
+        with pa.OSFile(path, "rb") as f:
+            if _is_file_format(path):
+                return pa.ipc.open_file(f).schema
+            return pa.ipc.open_stream(f).schema
+    except pa.ArrowInvalid as exc:
+        # Same path-context rule as _read_ipc_batches.
+        raise pa.ArrowInvalid(
+            f"corrupt or non-Arrow part file {path}: {exc}") from exc
 
 
 def _plain_field(fld: pa.Field, nullable: bool | None = None) -> pa.Field:

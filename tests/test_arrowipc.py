@@ -1643,3 +1643,21 @@ def test_stream_sink_rejects_partitionby():
         ArrowIPCStreamWriter(
             None, {"path": "/tmp/spark_graft_test/never", "partitionBy": "x"},
             False)
+
+
+def test_corrupt_part_file_error_names_the_file(spark):
+    """A truncated/corrupt part file must surface an error that NAMES the
+    offending file — in a directory of thousands of parts, a bare
+    'Not an Arrow file' is undebuggable."""
+    import pytest as _pytest
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(100).repartition(2).write.format("arrowipc") \
+        .mode("append").save(out)
+    victim = sorted(glob.glob(os.path.join(out, "*.arrows")))[0]
+    with open(victim, "r+b") as fh:
+        fh.truncate(os.path.getsize(victim) // 2)
+
+    with _pytest.raises(Exception, match=os.path.basename(victim)):
+        spark.read.format("arrowipc").load(out).count()
+    shutil.rmtree(out, ignore_errors=True)
