@@ -189,8 +189,32 @@ def _load_manifest_doc(path: str, version: int) -> dict:
         raise FileNotFoundError(
             f"arrowipc snapshot version {version} not found under {path} "
             f"(have: {_manifest_versions(path)})")
-    with open(mf) as f:
-        return json.load(f)
+    try:
+        with open(mf) as f:
+            return json.load(f)
+    except ValueError as exc:
+        # A manifest defines the visible file set — failing is correct,
+        # but the error must NAME the unreadable manifest.
+        raise ValueError(f"corrupt arrowipc manifest {mf}: {exc}") from exc
+
+
+def _load_sidecar(part_path: str) -> dict | None:
+    """Stats sidecar of a part file, or None if absent or unreadable.
+
+    Sidecars are pure planning OPTIMIZATIONS (min/max pruning, metadata
+    row counts) — a corrupt one must degrade to "no stats" (full scan of
+    that file, no pruning), never fail the query."""
+    sp = stats_path(part_path)
+    if not os.path.exists(sp):
+        return None
+    try:
+        with open(sp) as f:
+            return json.load(f)
+    except (ValueError, OSError):
+        import warnings
+
+        warnings.warn(f"ignoring corrupt arrowipc stats sidecar {sp}")
+        return None
 
 
 def _read_manifest_entries(path: str, version: int) -> dict[str, dict | None]:
@@ -332,10 +356,8 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
     # planning (no per-file sidecar opens at plan time).
     new_stats: dict[str, dict] = {}
     for rel, ab in rel_abs.items():
-        sp = stats_path(ab)
-        if os.path.exists(sp):
-            with open(sp) as f:
-                sc = json.load(f)
+        sc = _load_sidecar(ab)
+        if sc is not None:
             new_stats[rel] = {"cols": sc.get("file", {}),
                               "n_batches": len(sc.get("batches", []))}
     while True:
@@ -786,10 +808,7 @@ class ArrowIPCReader(DataSourceReader):
                 n_batches = mstats.get("n_batches")
             stats = None
             if mstats is None or self._filters:
-                sp = stats_path(path)
-                if os.path.exists(sp):
-                    with open(sp) as f:
-                        stats = json.load(f)
+                stats = _load_sidecar(path)
             if stats is not None and "batches" in stats:
                 n_batches = len(stats["batches"])
             keep = None

