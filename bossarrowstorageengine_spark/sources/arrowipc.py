@@ -1320,6 +1320,18 @@ class ArrowIPCDataSource(DataSource):
             raise ValueError("arrowipc requires a path")
         files = _visible_file_set(
             path, self.options.get("version"), _snapshots_mode(self.options))
+        if not files:
+            # The visible set can be legitimately empty (a DELETE matched
+            # every row of a snapshotted table).  Old parts stay on disk
+            # until vacuum — use them for SCHEMA inference only;
+            # partitions() still plans zero tasks, so the read yields an
+            # empty frame with the right schema.  A fully-vacuumed empty
+            # table has nothing to infer from and fails with a clear error.
+            files = _list_ipc_files(path, missing_ok=True)
+            if not files:
+                raise ValueError(
+                    f"arrowipc table at {path} has an empty visible set and "
+                    "no retained part files to infer a schema from")
         merge = self.options.get(
             "mergeschema", self.options.get("mergeSchema", "false"))
         if str(merge).lower() == "true":

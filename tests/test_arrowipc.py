@@ -1698,3 +1698,25 @@ def test_corrupt_manifest_error_names_the_manifest(spark):
     with _pytest.raises(Exception, match=os.path.basename(mf)):
         spark.read.format("arrowipc").load(out).count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_delete_everything_on_snapshotted_table_stays_readable(spark):
+    """A DELETE matching every row of a snapshotted table leaves an empty
+    visible set; the table must stay readable (0 rows, original schema —
+    old parts on disk provide schema inference until vacuum) and time
+    travel to the pre-delete version must still see the data."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(10).withColumn("v", F.col("id") * 3).write \
+        .format("arrowipc").option("snapshots", "true") \
+        .mode("append").save(out)
+    info = delete_arrowipc(spark, out, "id >= 0")
+    assert info["rows_deleted"] == 10
+
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.columns == ["id", "v"]
+    assert back.count() == 0
+    pre = spark.read.format("arrowipc").option("version", "1").load(out)
+    assert pre.count() == 10
+    shutil.rmtree(out, ignore_errors=True)
