@@ -80,6 +80,13 @@ from pyspark.sql.types import StructType
 FORMAT_NAME = "arrowipc"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A manifest commit tried to remove part files no longer visible —
+    a concurrent commit rewrote or removed them first.  Blindly retrying
+    would publish a second rewrite of the same rows (duplication), so the
+    mutation must be re-run against the new snapshot."""
+
+
 def _local_path(path: str | None) -> str | None:
     """Normalize a possibly URI-schemed path to a plain local path.  SQL DDL
     (``CREATE TABLE ... USING arrowipc``) hands the data source
@@ -364,6 +371,22 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
         versions = _manifest_versions(path)
         prev = versions[-1] if versions else 0
         next_v = prev + 1
+        if rm and versions:
+            # Write-write conflict detection (the Delta/Iceberg rule): a
+            # commit may only REMOVE files still visible at the version it
+            # lands on.  Without this, two CoW mutations racing on the
+            # same part file would both publish rewrites of it — the
+            # second's blind remove would no-op and the file's rows would
+            # surface TWICE (one copy per rewrite).  Appends (empty rm)
+            # never conflict and sail through.
+            current = set(_read_manifest_entries(path, prev))
+            gone = [r for r in rm if r not in current]
+            if gone:
+                raise ConcurrentWriteConflict(
+                    f"arrowipc commit conflict under {path}: part files "
+                    f"{gone} were rewritten or removed by a concurrent "
+                    f"commit (latest version {prev}); re-run the mutation "
+                    "against the new snapshot")
         if replace or not versions:
             doc = {"version": next_v, "files": rels, "stats": new_stats}
         elif next_v % _CHECKPOINT_EVERY == 0:

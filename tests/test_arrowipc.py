@@ -1720,3 +1720,39 @@ def test_delete_everything_on_snapshotted_table_stays_readable(spark):
     pre = spark.read.format("arrowipc").option("version", "1").load(out)
     assert pre.count() == 10
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_manifest_commit_rejects_conflicting_remove(spark):
+    """Write-write conflict detection: a commit whose remove set names a
+    file a concurrent commit already rewrote must raise instead of
+    publishing a second rewrite of the same rows (silent duplication).
+    Appends (empty remove set) never conflict."""
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConcurrentWriteConflict, _write_manifest)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(20).repartition(2).write.format("arrowipc") \
+        .option("snapshots", "true").mode("append").save(out)
+    a, b = sorted(glob.glob(os.path.join(out, "*.arrows")))
+
+    # Commit 1 (a successful CoW elsewhere): rewrites part A.
+    rewrite1 = os.path.join(out, "part-rewrite1.arrows")
+    shutil.copy2(a, rewrite1)
+    _write_manifest(out, [rewrite1], replace=False, remove=[a])
+
+    # Commit 2 raced the same mutation from the old snapshot: its remove
+    # set still names A, which is no longer visible → must conflict.
+    rewrite2 = os.path.join(out, "part-rewrite2.arrows")
+    shutil.copy2(a, rewrite2)
+    with _pytest.raises(ConcurrentWriteConflict, match="rewritten or removed"):
+        _write_manifest(out, [rewrite2], replace=False, remove=[a])
+
+    # A pure append commits fine on top.
+    extra = os.path.join(out, "part-zextra.arrows")
+    shutil.copy2(b, extra)
+    _write_manifest(out, [extra], replace=False, remove=[])
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 30  # A-rewrite(10) + B(10) + extra copy of B(10)
+    shutil.rmtree(out, ignore_errors=True)
