@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from bossarrowstorageengine_spark.sources.arrowipc import (
+    ConcurrentWriteConflict,
     _list_ipc_files,
     _load_manifest_doc,
     _manifest_file,
@@ -149,8 +150,19 @@ def compact_arrowipc(
     shutil.rmtree(snapshot, ignore_errors=True)
     out = {"files_before": len(before), "files_after": promoted, "rows": rows}
     if snapshotted:
-        out["version"] = _write_manifest(
-            path, promoted_paths, replace=False, remove=before)
+        try:
+            out["version"] = _write_manifest(
+                path, promoted_paths, replace=False, remove=before)
+        except ConcurrentWriteConflict:
+            # Same orphan-cleanup rule as the CoW rewrite: an unpublished
+            # compaction output is invisible and must not linger.
+            for p in promoted_paths:
+                for victim in (p, stats_path(p)):
+                    try:
+                        os.remove(victim)
+                    except FileNotFoundError:
+                        pass
+            raise
     return out
 
 
@@ -425,8 +437,22 @@ def _cow_rewrite(
     out = {"rows_matched": rows_matched, "files_rewritten": len(promoted),
            "rows_appended": n_extra}
     if snapshotted and (promoted or affected_orig):
-        out["version"] = _write_manifest(
-            path, promoted, replace=False, remove=affected_orig)
+        try:
+            out["version"] = _write_manifest(
+                path, promoted, replace=False, remove=affected_orig)
+        except ConcurrentWriteConflict:
+            # Our commit lost a write-write race: the promoted files were
+            # never published, so no reader can reference them — remove
+            # them rather than leave permanent orphans (vacuum never
+            # touches unmanifested files, by design).  The caller re-runs
+            # the mutation against the new snapshot.
+            for p in promoted:
+                for victim in (p, stats_path(p)):
+                    try:
+                        os.remove(victim)
+                    except FileNotFoundError:
+                        pass
+            raise
     return out
 
 

@@ -1756,3 +1756,34 @@ def test_manifest_commit_rejects_conflicting_remove(spark):
     back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
     assert back.count() == 30  # A-rewrite(10) + B(10) + extra copy of B(10)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_losing_cow_mutation_cleans_up_orphans(spark, monkeypatch):
+    """A CoW mutation that loses a write-write race must raise
+    ConcurrentWriteConflict AND remove its promoted-but-never-published
+    part files — vacuum never touches unmanifested files, so anything
+    left behind would be a permanent orphan."""
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources import maintenance
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConcurrentWriteConflict, _write_manifest)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(20).repartition(2).write.format("arrowipc") \
+        .option("snapshots", "true").mode("append").save(out)
+    a, b = sorted(glob.glob(os.path.join(out, "*.arrows")))
+
+    # A concurrent mutation rewrites part A, publishing version 2.
+    rewrite1 = os.path.join(out, "part-rewrite1.arrows")
+    shutil.copy2(a, rewrite1)
+    _write_manifest(out, [rewrite1], replace=False, remove=[a])
+
+    # Force OUR delete to pin the stale version 1 (as if it had read the
+    # table just before the concurrent commit landed).
+    monkeypatch.setattr(maintenance, "_manifest_versions", lambda p: [1])
+    before_files = set(glob.glob(os.path.join(out, "*.arrows")))
+    with _pytest.raises(ConcurrentWriteConflict):
+        maintenance.delete_arrowipc(spark, out, "id >= 0")
+    after_files = set(glob.glob(os.path.join(out, "*.arrows")))
+    assert after_files == before_files, "losing mutation left orphan parts"
