@@ -216,3 +216,50 @@ def test_manifest_delta_log_reconstructs_every_version(tmp_path_factory, ops):
         for v in versions[-2:]:
             got = {os.path.basename(p) for p in a._read_manifest(path, v)}
             assert got == model[v - 1], f"post-vacuum version {v} mismatch"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lo=st.integers(min_value=-5, max_value=30),
+       delta=st.integers(min_value=0, max_value=4),
+       n_parts=st.integers(min_value=1, max_value=3))
+def test_partitioned_cow_update_equals_projection_and_placement(
+        spark, lo, delta, n_parts):
+    """On a Hive-partitioned snapshotted table, a CoW UPDATE that changes
+    the partition column must (a) equal the SELECT projection of the
+    original and (b) physically place EVERY row under the directory of
+    its current partition value — migrated rows included."""
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.sources.maintenance import update_arrowipc
+
+    register_arrowipc(spark)
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    nat = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_regionkey")
+    (nat.repartition(n_parts).write.format("arrowipc")
+     .option("partitionBy", "n_regionkey").option("snapshots", "true")
+     .mode("append").save(out))
+    pred = f"n_nationkey >= {lo}"
+    update_arrowipc(spark, out, pred,
+                    {"n_regionkey": f"pmod(n_regionkey + {delta}, 5)"})
+
+    back = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("filenameColumn", "_file").load(out))
+    rows = back.collect()
+    cond = F.expr(pred)
+    expect = nat.select(
+        "n_nationkey",
+        F.when(cond, F.pmod(F.col("n_regionkey") + delta, F.lit(5)))
+         .otherwise(F.col("n_regionkey")).alias("n_regionkey"))
+    got = sorted((r.n_nationkey, r.n_regionkey) for r in rows)
+    want = sorted((r.n_nationkey, r.n_regionkey) for r in expect.collect())
+    assert got == want
+    for r in rows:
+        assert f"n_regionkey={r.n_regionkey}" in r._file, (
+            f"row {r.n_nationkey} (regionkey {r.n_regionkey}) placed at "
+            f"{r._file}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
