@@ -1787,3 +1787,33 @@ def test_losing_cow_mutation_cleans_up_orphans(spark, monkeypatch):
         maintenance.delete_arrowipc(spark, out, "id >= 0")
     after_files = set(glob.glob(os.path.join(out, "*.arrows")))
     assert after_files == before_files, "losing mutation left orphan parts"
+
+
+def test_cow_delete_on_two_level_partitioned_table(spark):
+    """Partition-chain inference and layout preservation must hold for
+    multi-level Hive layouts (a=.../b=.../part-*.arrows)."""
+    from bossarrowstorageengine_spark.sources.maintenance import delete_arrowipc
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(60).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"))
+    (df.repartition(1).write.format("arrowipc")
+     .option("partitionBy", "a,b").option("snapshots", "true")
+     .mode("append").save(out))
+    assert glob.glob(os.path.join(out, "a=*", "b=*", "*.arrows"))
+
+    info = delete_arrowipc(spark, out, "id % 5 = 0", predicate_columns=["id"])
+    assert info["rows_deleted"] == 12
+    # Survivors stay under their two-level directories; none at the root
+    # or at the single level.
+    assert not [f for f in os.listdir(out) if f.endswith(".arrows")]
+    assert not glob.glob(os.path.join(out, "a=*", "*.arrows"))
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 48
+    got = sorted(r["id"] for r in back.filter(
+        (F.col("a") == "1") & (F.col("b") == "2")).collect())
+    assert got == [i for i in range(60)
+                   if i % 2 == 1 and i % 3 == 2 and i % 5 != 0]
+    shutil.rmtree(out, ignore_errors=True)
