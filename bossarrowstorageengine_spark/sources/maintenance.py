@@ -456,6 +456,23 @@ def _cow_rewrite(
     return out
 
 
+def _retry_conflicts(op, max_retries: int):
+    """Re-run a full mutation closure when its commit loses a write-write
+    race.  Safe because the losing attempt cleaned up its unpublished
+    output and the re-run re-pins the NEW latest snapshot — the retried
+    semantics are "apply my mutation to current state", exactly what a
+    concurrency-tolerant caller wants.  ``max_retries=0`` (the default on
+    every mutation) keeps the strict fail-fast behavior."""
+    attempt = 0
+    while True:
+        try:
+            return op()
+        except ConcurrentWriteConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+
+
 def delete_arrowipc(
     spark: SparkSession,
     path: str,
@@ -463,15 +480,18 @@ def delete_arrowipc(
     compression: str = "zstd",
     ipc_format: str = "file",
     predicate_columns: list[str] | None = None,
+    max_retries: int = 0,
 ) -> dict:
     """Row-level DELETE: remove rows matching a Spark SQL boolean
     ``predicate`` via the copy-on-write core (see ``_cow_rewrite`` for the
     scale shape and commit semantics).  ``predicate_columns``, when given,
     lets the match scan read only those columns from the columnar files.
+    ``max_retries`` re-runs the whole mutation against the new snapshot
+    when a concurrent commit wins the race (``ConcurrentWriteConflict``).
 
     Returns ``{"rows_deleted": n, "files_rewritten": k, "version": v?}``.
     """
-    res = _cow_rewrite(
+    res = _retry_conflicts(lambda: _cow_rewrite(
         spark, path,
         affected_rows=lambda df: df.filter(predicate),
         scan_columns=predicate_columns,
@@ -483,7 +503,7 @@ def delete_arrowipc(
         rewrite=lambda aff: aff.filter(
             ~F.coalesce(F.expr(predicate), F.lit(False))).drop(_FCOL),
         compression=compression, ipc_format=ipc_format,
-    )
+    ), max_retries)
     out = {"rows_deleted": res["rows_matched"],
            "files_rewritten": res["files_rewritten"]}
     if "version" in res:
@@ -499,12 +519,14 @@ def update_arrowipc(
     compression: str = "zstd",
     ipc_format: str = "file",
     predicate_columns: list[str] | None = None,
+    max_retries: int = 0,
 ) -> dict:
     """Row-level UPDATE: for rows matching ``predicate``, set each column
     in ``assignments`` to its Spark SQL expression (evaluated against the
     pre-update row, all assignments simultaneously — standard SQL UPDATE
     semantics).  Copy-on-write: only part files containing matching rows
     are rewritten; non-matching rows in those files are carried unchanged.
+    ``max_retries`` as in ``delete_arrowipc``.
 
     Returns ``{"rows_updated": n, "files_rewritten": k, "version": v?}``.
     """
@@ -519,13 +541,13 @@ def update_arrowipc(
             for col, expr in assignments.items()
         }).drop(_FCOL)
 
-    res = _cow_rewrite(
+    res = _retry_conflicts(lambda: _cow_rewrite(
         spark, path,
         affected_rows=lambda df: df.filter(predicate),
         rewrite=_rewrite,
         compression=compression, ipc_format=ipc_format,
         scan_columns=predicate_columns,
-    )
+    ), max_retries)
     out = {"rows_updated": res["rows_matched"],
            "files_rewritten": res["files_rewritten"]}
     if "version" in res:
@@ -540,6 +562,7 @@ def merge_arrowipc(
     key: str | list[str],
     compression: str = "zstd",
     ipc_format: str = "file",
+    max_retries: int = 0,
 ) -> dict:
     """Keyed upsert (the core of SQL MERGE): target rows whose ``key``
     appears in ``source`` are replaced by the source row; source rows with
@@ -553,7 +576,8 @@ def merge_arrowipc(
 
     Copy-on-write: only part files containing matched keys are rewritten;
     inserts land as new part files in the same commit — one atomic
-    replace-manifest publish on snapshotted tables.
+    replace-manifest publish on snapshotted tables.  ``max_retries`` as in
+    ``delete_arrowipc`` (the cached source is reused across retries).
 
     Returns ``{"rows_updated": n, "rows_inserted": m, "files_rewritten": k,
     "version": v?}``.
@@ -592,7 +616,7 @@ def merge_arrowipc(
         )
 
     try:
-        res = _cow_rewrite(
+        res = _retry_conflicts(lambda: _cow_rewrite(
             spark, path,
             affected_rows=lambda df: df.join(src.select(*keys), keys, "semi"),
             rewrite=_rewrite,
@@ -601,7 +625,7 @@ def merge_arrowipc(
                 scan_df.select(*keys), keys, "anti"),
             compression=compression, ipc_format=ipc_format,
             scan_columns=keys,
-        )
+        ), max_retries)
     finally:
         src.unpersist()
     out = {"rows_updated": res["rows_matched"],

@@ -1817,3 +1817,38 @@ def test_cow_delete_on_two_level_partitioned_table(spark):
     assert got == [i for i in range(60)
                    if i % 2 == 1 and i % 3 == 2 and i % 5 != 0]
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mutation_conflict_retry_succeeds_against_new_snapshot(
+        spark, monkeypatch):
+    """max_retries re-runs a losing mutation from scratch: the retry
+    re-pins the NEW latest snapshot and commits cleanly — 'apply my
+    mutation to current state' semantics."""
+    from bossarrowstorageengine_spark.sources import maintenance
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConcurrentWriteConflict)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(20).withColumn("v", F.col("id") * 2).repartition(2) \
+        .write.format("arrowipc").option("snapshots", "true") \
+        .mode("append").save(out)
+
+    real = maintenance._write_manifest
+    calls = {"n": 0}
+
+    def flaky(path, new_files, replace=False, remove=()):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # Simulate losing the race once; clean up like the real path
+            # would have (the wrapper raises before the real commit).
+            raise ConcurrentWriteConflict("injected race loss")
+        return real(path, new_files, replace=replace, remove=remove)
+
+    monkeypatch.setattr(maintenance, "_write_manifest", flaky)
+    info = maintenance.delete_arrowipc(
+        spark, out, "id >= 10", predicate_columns=["id"], max_retries=1)
+    assert info["rows_deleted"] == 10
+    assert calls["n"] == 2  # first attempt lost, retry committed
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(10))
+    shutil.rmtree(out, ignore_errors=True)
