@@ -694,3 +694,30 @@ def vacuum_arrowipc(path: str, keep_versions: int = 1) -> dict:
         os.remove(_manifest_file(path, v))
     return {"removed_files": removed, "removed_versions": len(dropped),
             "retained_versions": kept}
+
+
+def restore_arrowipc(path: str, version: int) -> dict:
+    """Snapshot RESTORE (the Delta ``RESTORE TABLE ... TO VERSION`` /
+    Iceberg rollback): publish an old version's visible file set as a NEW
+    head version.  History is preserved — the rollback is itself a commit,
+    so the pre-restore head remains time-travelable until vacuum.
+
+    The restored version's part files must still exist on disk (i.e. not
+    yet vacuumed); missing files fail the restore naming them, BEFORE any
+    manifest is written.
+
+    Published as a self-contained REPLACE manifest: an explicit rollback
+    defines the complete table state, so (like snapshot overwrite) it is
+    last-writer-wins against concurrent appends rather than
+    conflict-checked.
+
+    Returns ``{"version": new_head, "restored_from": version, "files": n}``.
+    """
+    files = _read_manifest(path, version)  # raises if the version is gone
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to version {version}: part files "
+            f"{missing} were vacuumed")
+    new_v = _write_manifest(path, files, replace=True)
+    return {"version": new_v, "restored_from": version, "files": len(files)}

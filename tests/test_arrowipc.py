@@ -1852,3 +1852,33 @@ def test_mutation_conflict_retry_succeeds_against_new_snapshot(
     back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
     assert sorted(r["id"] for r in back.collect()) == list(range(10))
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_restore_rolls_back_to_old_version_as_new_commit(spark):
+    """restore_arrowipc publishes an old version's file set as a NEW head:
+    the bad mutation is undone, history (including the bad head) remains
+    time-travelable, and a vacuumed target fails naming the lost files."""
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc, restore_arrowipc, vacuum_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(20).withColumn("v", F.col("id") * 2).repartition(2) \
+        .write.format("arrowipc").option("snapshots", "true") \
+        .mode("append").save(out)                      # v1: 20 rows
+    delete_arrowipc(spark, out, "id >= 5")             # v2: the bad delete
+
+    info = restore_arrowipc(out, 1)                    # v3 = v1's file set
+    assert info == {"version": 3, "restored_from": 1, "files": 2}
+    head = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert head.count() == 20
+    bad = spark.read.format("arrowipc").option("version", "2").load(out)
+    assert bad.count() == 5  # the undone state stays time-travelable
+
+    # After vacuuming history away, restoring to a reclaimed version fails
+    # loudly (v2's rewrite file was deleted when only v3 was retained).
+    vacuum_arrowipc(out, keep_versions=1)
+    with _pytest.raises(Exception):
+        restore_arrowipc(out, 2)
+    shutil.rmtree(out, ignore_errors=True)
