@@ -721,3 +721,29 @@ def restore_arrowipc(path: str, version: int) -> dict:
             f"{missing} were vacuumed")
     new_v = _write_manifest(path, files, replace=True)
     return {"version": new_v, "restored_from": version, "files": len(files)}
+
+
+def history_arrowipc(path: str) -> list[dict]:
+    """``DESCRIBE HISTORY``-style metadata report, one entry per manifest
+    version (oldest first): the commit's kind (``full`` = self-contained
+    checkpoint/replace, ``delta`` = add/remove log entry), how many files
+    it added and removed, and the visible file count after it.  Pure
+    manifest reads — no data file is opened.
+    """
+    out: list[dict] = []
+    for v in _manifest_versions(path):
+        doc = _load_manifest_doc(path, v)
+        if "files" in doc:
+            kind, added, removed = "full", len(doc["files"]), 0
+        else:
+            kind = "delta"
+            added = len(doc.get("add", []))
+            removed = len(doc.get("remove", []))
+        out.append({
+            "version": v,
+            "kind": kind,
+            "files_added": added,
+            "files_removed": removed,
+            "visible_files": len(_read_manifest(path, v)),
+        })
+    return out

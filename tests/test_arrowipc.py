@@ -1882,3 +1882,24 @@ def test_restore_rolls_back_to_old_version_as_new_commit(spark):
     with _pytest.raises(Exception):
         restore_arrowipc(out, 2)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_history_reports_every_commit(spark):
+    """history_arrowipc walks the manifest log: append (full) → delete
+    (delta) → restore (full), with per-version add/remove/visible counts
+    and no data file ever opened."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc, history_arrowipc, restore_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(20).repartition(2).write.format("arrowipc") \
+        .option("snapshots", "true").mode("append").save(out)
+    delete_arrowipc(spark, out, "id >= 10")
+    restore_arrowipc(out, 1)
+
+    hist = history_arrowipc(out)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[0]["kind"] == "full" and hist[0]["visible_files"] == 2
+    assert hist[1]["kind"] == "delta" and hist[1]["files_removed"] >= 1
+    assert hist[2]["kind"] == "full" and hist[2]["visible_files"] == 2
+    shutil.rmtree(out, ignore_errors=True)
