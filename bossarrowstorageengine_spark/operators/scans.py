@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bossarrowstorageengine_spark.catalog import load_table
+from bossarrowstorageengine_spark.functions.zorder import morton16 as _morton16
 from bossarrowstorageengine_spark.operators.registry import query
 from bossarrowstorageengine_spark.sources import register_arrowipc
 
@@ -352,19 +353,6 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                    16, 10).cast("long") % 1000000007
         ).cast("long").alias("content_checksum"),
     )
-
-
-def _morton16(a, b):
-    """Interleave the low 16 bits of two non-negative int columns into a
-    32-bit Morton (Z-order) code — a static 64-term JVM expression, no UDF."""
-    z = F.lit(0).cast("long")
-    for i in range(16):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
-            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
-        )
-    return z
 
 
 def write_zorder_orders(spark: SparkSession, sf_dir: str, path: str) -> None:

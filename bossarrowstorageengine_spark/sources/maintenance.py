@@ -48,8 +48,16 @@ def compact_arrowipc(
     compression: str = "zstd",
     ipc_format: str = "file",
     dictionary: str | None = None,
+    zorder: str | None = None,
 ) -> dict:
     """Rewrite an arrowipc directory into ``target_files`` part files.
+
+    ``zorder="colA,colB"`` additionally clusters the rewrite on the
+    Morton interleave of the two (numeric) columns — the Delta
+    ``OPTIMIZE ZORDER BY`` idiom: each output file becomes a small
+    rectangle in BOTH dimensions, so min/max stats skip files for range
+    predicates on either column.  Not supported together with a
+    partitioned layout (per-partition curve bounds would be needed).
 
     Returns ``{"files_before": n, "files_after": m, "rows": r}``.
     The read is the normal distributed scan (batch-range splits), the
@@ -96,10 +104,37 @@ def compact_arrowipc(
     # instead of target_files × combos.
     part_cols = _partition_columns(path, before)
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
-    repartitioned = (
-        df.repartition(max(1, target_files),
-                       *[F.col(c) for c in part_cols])
-        if part_cols else df.repartition(max(1, target_files)))
+    if zorder:
+        if part_cols:
+            raise ValueError(
+                "zorder compaction of a partitioned table is not supported "
+                "(per-partition curve bounds would be needed)")
+        from bossarrowstorageengine_spark.functions.zorder import (
+            morton16, norm10)
+
+        zcols = [c.strip() for c in zorder.split(",")]
+        if len(zcols) != 2:
+            raise ValueError("zorder requires exactly two columns")
+        a, b = (F.col(c) for c in zcols)
+        # Bounds from a projection-narrowed scan (metadata-cheap columns
+        # only), broadcast back to the mappers like write_zorder_orders.
+        bounds = (spark.read.format("arrowipc")
+                  .option("columns", ",".join(zcols)).load(snapshot)
+                  .agg(F.min(a).alias("_z_alo"), F.max(a).alias("_z_ahi"),
+                       F.min(b).alias("_z_blo"), F.max(b).alias("_z_bhi")))
+        zcode = morton16(norm10(a, "_z_alo", "_z_ahi"),
+                         norm10(b, "_z_blo", "_z_bhi"))
+        repartitioned = (
+            df.join(F.broadcast(bounds))
+            .withColumn("_z", zcode)
+            .repartitionByRange(max(1, target_files), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z", "_z_alo", "_z_ahi", "_z_blo", "_z_bhi"))
+    elif part_cols:
+        repartitioned = df.repartition(
+            max(1, target_files), *[F.col(c) for c in part_cols])
+    else:
+        repartitioned = df.repartition(max(1, target_files))
     writer = (
         repartitioned
         .write.format("arrowipc")

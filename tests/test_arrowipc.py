@@ -1903,3 +1903,53 @@ def test_history_reports_every_commit(spark):
     assert hist[1]["kind"] == "delta" and hist[1]["files_removed"] >= 1
     assert hist[2]["kind"] == "full" and hist[2]["visible_files"] == 2
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_with_zorder_clusters_both_dimensions(spark):
+    """compact_arrowipc(zorder="x,y") must produce files that are small
+    rectangles in BOTH dimensions (each file's min/max span well under
+    the global span), with the data intact — the OPTIMIZE ZORDER idiom."""
+    import json as _json
+
+    from bossarrowstorageengine_spark.sources.arrowipc import stats_path
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc, history_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.hash("id") % 1024 + 1024).alias("x"),
+        (F.hash(F.col("id") * 7 + 3) % 1024 + 1024).alias("y"))
+    df.repartition(8).write.format("arrowipc") \
+        .option("snapshots", "true").mode("append").save(out)
+
+    info = compact_arrowipc(spark, out, target_files=4, zorder="x,y")
+    assert info["rows"] == 4096
+
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 4096
+    assert back.agg(F.sum("x")).collect()[0][0] == \
+        df.agg(F.sum("x")).collect()[0][0]
+
+    # Rectangle check from the stats sidecars of the compacted files
+    # (the manifest's visible set — the pre-compaction parts retained for
+    # time travel are deliberately unclustered).
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions, _read_manifest)
+
+    hist = history_arrowipc(out)
+    assert hist[-1]["visible_files"] == 4
+    lo, hi = df.agg(F.min("x"), F.max("x")).collect()[0]
+    global_span = hi - lo
+    spans_ok = 0
+    for p in _read_manifest(out, _manifest_versions(out)[-1]):
+        cols = _json.load(open(stats_path(p))).get("file", {})
+        x_span = cols["x"][1] - cols["x"][0]
+        y_span = cols["y"][1] - cols["y"][0]
+        # Four equal-count curve ranges ≈ quadrants: most files span about
+        # half the global range in each dimension (range-split boundaries
+        # can let one file straddle — hence ≥3, not all 4).
+        if x_span <= 0.8 * global_span and y_span <= 0.8 * global_span:
+            spans_ok += 1
+    assert spans_ok >= 3, f"only {spans_ok} of the files are 2-D clustered"
+    shutil.rmtree(out, ignore_errors=True)
