@@ -369,3 +369,22 @@ def merge_stream_into_snapshot(events: DataFrame, snapshot_dir: str,
         .trigger(processingTime="100 milliseconds")
         .start()
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the unbounded
+    side joins against a STATIC dimension with a broadcast hint —
+    stateless (no watermark, no join state to bound), the standard
+    firehose × dimension-lookup shape.  LEFT join so unmatched events
+    survive with null dimension columns (an enrichment must never drop
+    facts).  The same code runs in batch mode, which the harness
+    differential test asserts.
+
+    Scale: the dimension is broadcast once per micro-batch plan; state is
+    zero, so the pipeline runs indefinitely regardless of stream volume —
+    and a slowly-changing dimension can be swapped by restarting the query
+    (or via foreachBatch re-reading it) without any state migration."""
+    extra = [c for c in dim.columns if c != key]
+    return (events.join(F.broadcast(dim), key, "left")
+            .select("event_id", key, "event_type", "value", *extra))

@@ -205,3 +205,24 @@ def test_differential_dedup_within_window(spark, fixture_dir):
     )
     rolled["kept_value_sum"] = rolled["kept_value_sum"].round(2)
     _assert_same(batch, rolled)
+
+
+@pytest.mark.slow
+def test_differential_stream_static_enrichment(spark, fixture_dir):
+    """Stream-static broadcast enrichment: per-micro-batch joins against a
+    static dimension must equal the one-shot batch join — unmatched users
+    keep null dimension columns in both faces."""
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        enrich_with_dim)
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string")
+    events = spark.read.parquet(
+        os.path.join(fixture_dir, "events.parquet"))
+    batch = enrich_with_dim(events, dim).toPandas()
+
+    stream = _run_stream(
+        spark, lambda src: enrich_with_dim(src, dim), "append")
+    assert len(batch) == 72
+    assert batch["tier"].isna().sum() == 24  # user 3 unmatched, kept
+    _assert_same(batch, stream)
