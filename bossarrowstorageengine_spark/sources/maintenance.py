@@ -782,3 +782,29 @@ def history_arrowipc(path: str) -> list[dict]:
             "visible_files": len(_read_manifest(path, v)),
         })
     return out
+
+
+def schema_census_arrowipc(path: str) -> list[dict]:
+    """Schema-drift report for a (possibly ``mergeSchema``) table: group
+    the visible part files by their exact Arrow schema and report each
+    distinct schema once with its file count and an example file — the
+    "which files are still on the old schema?" question a column-add
+    migration asks.  Opens footers only (O(files) metadata reads).
+    """
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _file_arrow_schema,
+        _manifest_versions,
+        _read_manifest,
+    )
+
+    versions = _manifest_versions(path)
+    files = (_read_manifest(path, versions[-1]) if versions
+             else _list_ipc_files(path))
+    groups: dict[str, dict] = {}
+    for f in sorted(files):
+        schema = _file_arrow_schema(f)
+        key = ", ".join(f"{fld.name}:{fld.type}" for fld in schema)
+        g = groups.setdefault(
+            key, {"schema": key, "n_files": 0, "example": f})
+        g["n_files"] += 1
+    return sorted(groups.values(), key=lambda g: -g["n_files"])

@@ -1953,3 +1953,23 @@ def test_compaction_with_zorder_clusters_both_dimensions(spark):
             spans_ok += 1
     assert spans_ok >= 3, f"only {spans_ok} of the files are 2-D clustered"
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_schema_census_groups_files_by_schema(spark):
+    """schema_census_arrowipc answers the column-add migration question:
+    which files still carry the old schema?"""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        schema_census_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(10).select("id").repartition(2) \
+        .write.format("arrowipc").mode("append").save(out)
+    spark.range(10).select("id", (F.col("id") * 2).alias("v")) \
+        .coalesce(1).write.format("arrowipc").mode("append").save(out)
+
+    census = schema_census_arrowipc(out)
+    assert [g["n_files"] for g in census] == [2, 1]
+    assert census[0]["schema"] == "id:int64"
+    assert census[1]["schema"] == "id:int64, v:int64"
+    assert os.path.exists(census[1]["example"])
+    shutil.rmtree(out, ignore_errors=True)
