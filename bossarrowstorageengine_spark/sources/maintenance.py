@@ -56,8 +56,9 @@ def compact_arrowipc(
     Morton interleave of the two (numeric) columns — the Delta
     ``OPTIMIZE ZORDER BY`` idiom: each output file becomes a small
     rectangle in BOTH dimensions, so min/max stats skip files for range
-    predicates on either column.  Not supported together with a
-    partitioned layout (per-partition curve bounds would be needed).
+    predicates on either column.  On a partitioned table the clustering
+    is per-partition (the range key leads with the partition columns);
+    zorder columns may not themselves be partition columns.
 
     Returns ``{"files_before": n, "files_after": m, "rows": r}``.
     The read is the normal distributed scan (batch-range splits), the
@@ -105,16 +106,17 @@ def compact_arrowipc(
     part_cols = _partition_columns(path, before)
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
     if zorder:
-        if part_cols:
-            raise ValueError(
-                "zorder compaction of a partitioned table is not supported "
-                "(per-partition curve bounds would be needed)")
         from bossarrowstorageengine_spark.functions.zorder import (
             morton16, norm10)
 
         zcols = [c.strip() for c in zorder.split(",")]
         if len(zcols) != 2:
             raise ValueError("zorder requires exactly two columns")
+        if any(c in part_cols for c in zcols):
+            raise ValueError(
+                "zorder columns overlap the partition columns — a "
+                "partition column is constant per directory and cannot "
+                "be a curve dimension")
         a, b = (F.col(c) for c in zcols)
         # Bounds from a projection-narrowed scan (metadata-cheap columns
         # only), broadcast back to the mappers like write_zorder_orders.
@@ -124,11 +126,17 @@ def compact_arrowipc(
                        F.min(b).alias("_z_blo"), F.max(b).alias("_z_bhi")))
         zcode = morton16(norm10(a, "_z_alo", "_z_ahi"),
                          norm10(b, "_z_blo", "_z_bhi"))
+        # On a partitioned table, lead the range key with the partition
+        # columns: each task then holds contiguous (partition, z-range)
+        # slices, so the partitionBy write emits ~one file per slice
+        # (bounded by target_files + live combos) and every file is a
+        # per-partition curve rectangle — per-partition OPTIMIZE ZORDER.
+        range_keys = [*[F.col(c) for c in part_cols], F.col("_z")]
         repartitioned = (
             df.join(F.broadcast(bounds))
             .withColumn("_z", zcode)
-            .repartitionByRange(max(1, target_files), "_z")
-            .sortWithinPartitions("_z")
+            .repartitionByRange(max(1, target_files), *range_keys)
+            .sortWithinPartitions(*range_keys)
             .drop("_z", "_z_alo", "_z_ahi", "_z_blo", "_z_bhi"))
     elif part_cols:
         repartitioned = df.repartition(

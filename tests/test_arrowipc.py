@@ -1973,3 +1973,37 @@ def test_schema_census_groups_files_by_schema(spark):
     assert census[1]["schema"] == "id:int64, v:int64"
     assert os.path.exists(census[1]["example"])
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zorder_compaction_on_partitioned_table(spark):
+    """zorder + partitioned layout compose: per-partition clustering, the
+    col=value layout preserved, data intact, and zorder-on-a-partition-
+    column rejected."""
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc, history_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(2048).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.hash("id") % 512 + 512).alias("x"),
+        (F.hash(F.col("id") * 5 + 1) % 512 + 512).alias("y"))
+    df.repartition(6).write.format("arrowipc") \
+        .option("partitionBy", "grp").option("snapshots", "true") \
+        .mode("append").save(out)
+
+    with _pytest.raises(ValueError, match="partition column"):
+        compact_arrowipc(spark, out, target_files=4, zorder="grp,x")
+
+    info = compact_arrowipc(spark, out, target_files=4, zorder="x,y")
+    assert info["rows"] == 2048
+    # Layout preserved; nothing at the table root.
+    assert not [f for f in os.listdir(out) if f.endswith(".arrows")]
+    hist = history_arrowipc(out)
+    assert hist[-1]["kind"] == "full" or hist[-1]["visible_files"] > 0
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.count() == 2048
+    assert back.filter(F.col("grp") == "1").count() == 1024
+    shutil.rmtree(out, ignore_errors=True)
