@@ -388,3 +388,47 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
     extra = [c for c in dim.columns if c != key]
     return (events.join(F.broadcast(dim), key, "left")
             .select("event_id", key, "event_type", "value", *extra))
+
+
+def stream_to_partitioned_table(events: DataFrame, path: str,
+                                partition_by: str,
+                                checkpoint_dir: str):
+    """Streaming face of the PARTITIONED arrowipc sink — the composition
+    the native sink's partitionBy rejection points at: ``foreachBatch``
+    writes each micro-batch through the BATCH writer (Hive partitionBy +
+    snapshots append → one manifest commit per batch), so the directory
+    layout, stats sidecars, and time travel all match a batch-written
+    table.
+
+    Idempotence: a batch-id high-water-mark file (atomic tmp+rename,
+    written after the manifest commit) makes the common restart-replay a
+    no-op.  A crash BETWEEN the manifest commit and the mark leaves the
+    standard at-least-once window every file sink without transactional
+    batch ids has; downstream merge-latest/dedup closes it where exactly-
+    once matters.
+
+    Returns the StreamingQuery handle.
+    """
+    import json
+    import os
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    hwm_file = os.path.join(path, "_streaming-batch-hwm.json")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        register_arrowipc(batch_df.sparkSession)
+        if os.path.exists(hwm_file):
+            with open(hwm_file) as f:
+                if batch_id <= json.load(f)["batch_id"]:
+                    return  # replay of an already-committed batch
+        (batch_df.write.format("arrowipc")
+         .option("partitionBy", partition_by)
+         .option("snapshots", "true").mode("append").save(path))
+        tmp = hwm_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, hwm_file)
+
+    return (events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir).start())

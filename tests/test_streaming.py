@@ -270,3 +270,68 @@ def test_foreach_batch_merge_snapshot(spark):
     finally:
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_foreach_batch_partitioned_table_sink(spark):
+    """foreachBatch partitioned sink: micro-batches land under col=value
+    directories with one manifest commit per batch, and a replayed batch
+    id is a no-op (the high-water-mark idempotence)."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        history_arrowipc)
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        EVENTS_SCHEMA,
+        stream_to_partitioned_table,
+    )
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table, ckpt, src = f"{base}/table", f"{base}/ckpt", f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(table, exist_ok=True)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).json(src)
+    q = stream_to_partitioned_table(stream, table, "event_type", ckpt)
+
+    import pandas as pd
+
+    def push(name, rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.strftime(
+            "%Y-%m-%dT%H:%M:%S.%f")
+        tmp, final = os.path.join(src, f".{name}.tmp"), os.path.join(src, name)
+        pdf.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, final)
+
+    try:
+        push("b0.json", [
+            _ev(1, "2024-01-01 00:00:00", user=1, etype="click", value=1.0),
+            _ev(2, "2024-01-01 00:01:00", user=2, etype="view", value=2.0)])
+        push("b1.json", [
+            _ev(3, "2024-01-01 00:02:00", user=3, etype="click", value=3.0)])
+        q.processAllAvailable()
+
+        assert _glob.glob(os.path.join(table, "event_type=click", "*.arrows"))
+        assert _glob.glob(os.path.join(table, "event_type=view", "*.arrows"))
+        hist = history_arrowipc(table)
+        assert len(hist) == 2  # one manifest commit per micro-batch
+        back = (spark.read.format("arrowipc")
+                .option("snapshots", "true").load(table))
+        assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
+        assert back.filter(F.col("event_type") == "click").count() == 2
+    finally:
+        q.stop()
+
+    # The idempotence mark recorded the last committed batch: a restarted
+    # query replaying batch ids ≤ 1 will skip them.
+    import json
+    hwm = json.load(open(os.path.join(table, "_streaming-batch-hwm.json")))
+    assert hwm["batch_id"] == 1
+    shutil.rmtree(base, ignore_errors=True)
