@@ -1205,8 +1205,9 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 "arrowipc streaming sink does not support partitionBy "
                 "(incompatible with the lexicographic file-name offset "
-                "model); use foreachBatch with the batch writer for "
-                "partitioned streaming output")
+                "model); use streaming.pipelines.stream_to_partitioned_"
+                "table (foreachBatch + the batch writer) for partitioned "
+                "streaming output")
         staged = dict(options)
         staged["path"] = os.path.join(self._path, ".staging")
         self._snapshots = _snapshots_mode(options)
