@@ -2007,3 +2007,31 @@ def test_zorder_compaction_on_partitioned_table(spark):
     assert back.count() == 2048
     assert back.filter(F.col("grp") == "1").count() == 1024
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_losing_compaction_cleans_up_orphans(spark, monkeypatch):
+    """A compaction that loses its commit race (e.g. a concurrent DELETE
+    rewrote one of its inputs) must raise ConcurrentWriteConflict and
+    remove its promoted-but-unpublished output files."""
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources import maintenance
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConcurrentWriteConflict, _write_manifest)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    spark.range(20).repartition(2).write.format("arrowipc") \
+        .option("snapshots", "true").mode("append").save(out)
+    a, b = sorted(glob.glob(os.path.join(out, "*.arrows")))
+
+    # A concurrent mutation rewrites part A (version 2)...
+    rewrite1 = os.path.join(out, "part-rewrite1.arrows")
+    shutil.copy2(a, rewrite1)
+    _write_manifest(out, [rewrite1], replace=False, remove=[a])
+    # ...while OUR compaction pinned stale version 1.
+    monkeypatch.setattr(maintenance, "_manifest_versions", lambda p: [1])
+    before_files = set(glob.glob(os.path.join(out, "*.arrows")))
+    with _pytest.raises(ConcurrentWriteConflict):
+        maintenance.compact_arrowipc(spark, out, target_files=1)
+    after_files = set(glob.glob(os.path.join(out, "*.arrows")))
+    assert after_files == before_files, "losing compaction left orphans"
