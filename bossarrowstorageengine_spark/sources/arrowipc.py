@@ -1247,14 +1247,27 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
 
 
 class ArrowIPCStreamReader(DataSourceStreamReader):
-    """Micro-batch streaming reader over an arrowipc directory.
+    """Micro-batch streaming reader over an arrowipc directory — two
+    offset models, picked by the table's state at query start:
 
-    Offset model: lexicographic high-water mark over file names
-    (``{"last": "<name>"}``); a micro-batch covers every ``.arrows`` file
-    whose basename sorts strictly after the previous mark.  Appenders must
-    therefore use monotonically increasing names (the standard
-    ``batchNNNN``/ULID convention — at production scale this would read a
-    commit log instead of listing the directory, same offset shape).
+    **Manifest mode** (table has snapshot manifests — a snapshotted
+    streaming sink, the foreachBatch partitioned sink, any
+    ``snapshots=true`` table): offsets are manifest VERSIONS
+    (``{"v": N}``); a micro-batch covers exactly the part files ADDED by
+    versions (start, end] — the commit-log offset model: object-store
+    safe, partitioned-layout safe, immune to compaction's new file names.
+    A version that also REMOVES files (compaction, CoW mutation) fails
+    the stream by default — its additions are rewrites of rows already
+    emitted; pass ``ignoreChanges=true`` (Delta's option) to keep
+    streaming through such commits, accepting that their added files
+    re-deliver rewritten rows.
+
+    **Listing mode** (no manifests): lexicographic high-water mark over
+    file names (``{"last": "<name>"}``); a micro-batch covers every
+    ``.arrows`` file sorting strictly after the mark, so appenders must
+    use monotonically increasing names (the sink's ``part-{batch}-{seq}``
+    convention).
+
     One input partition per new file; the per-file read path is the batch
     reader's (record batches straight to the JVM, no Python rows).
     """
@@ -1265,6 +1278,10 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
             raise ValueError("arrowipc stream reader requires a path")
         cols = options.get("columns")
         self._columns = [c.strip() for c in cols.split(",")] if cols else None
+        self._ignore_changes = str(options.get(
+            "ignorechanges", options.get("ignoreChanges", "false"))
+        ).lower() == "true"
+        self._manifest_mode = bool(_manifest_versions(self._path))
 
     def _names(self) -> list[str]:
         try:
@@ -1276,13 +1293,47 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
             return []  # nothing arrived yet — empty stream, not an error
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"v": 0} if self._manifest_mode else {"last": ""}
 
     def latestOffset(self) -> dict:
+        if self._manifest_mode:
+            vs = _manifest_versions(self._path)
+            return {"v": vs[-1] if vs else 0}
         names = self._names()
         return {"last": names[-1] if names else ""}
 
+    def _added_files(self, lo: int, hi: int) -> list[str]:
+        """Part files added by manifest versions (lo, hi], in version
+        order (sorted within a version)."""
+        prev = set(_read_manifest(self._path, lo)) if lo else set()
+        out: list[str] = []
+        for v in (x for x in _manifest_versions(self._path) if lo < x <= hi):
+            cur = set(_read_manifest(self._path, v))
+            removed = prev - cur
+            if removed and not self._ignore_changes:
+                raise ValueError(
+                    f"arrowipc stream over {self._path}: version {v} "
+                    f"removes {len(removed)} part file(s) (compaction or a "
+                    "CoW mutation) — its additions rewrite rows already "
+                    "emitted. Set ignoreChanges=true to stream through "
+                    "such commits (rewritten rows will be re-delivered), "
+                    "or restart from a fresh checkpoint.")
+            out.extend(sorted(cur - prev))
+            prev = cur
+        return out
+
     def partitions(self, start: dict, end: dict) -> Sequence[ArrowIPCPartition]:
+        if ("v" in start) != ("v" in end):
+            raise ValueError(
+                "arrowipc stream offset model changed mid-checkpoint "
+                f"(start={start}, end={end}) — the table gained or lost "
+                "snapshot manifests under a running query; restart from a "
+                "fresh checkpoint")
+        if "v" in start:
+            files = self._added_files(
+                int(start.get("v", 0)), int(end.get("v", 0)))
+            parts = [ArrowIPCPartition(f, None) for f in files]
+            return parts or [ArrowIPCPartition("", [])]
         lo, hi = start.get("last", ""), end.get("last", "")
         parts = [
             ArrowIPCPartition(os.path.join(self._path, n), None)
@@ -1296,8 +1347,9 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
         yield from _read_ipc_batches(partition.path, None, self._columns)
 
     def commit(self, end: dict) -> None:
-        # Offsets are recoverable from the directory listing; checkpointed
-        # offsets carry the durable state, nothing engine-side to persist.
+        # Offsets are recoverable from the manifest log / directory
+        # listing; checkpointed offsets carry the durable state, nothing
+        # engine-side to persist.
         return None
 
 

@@ -335,3 +335,68 @@ def test_foreach_batch_partitioned_table_sink(spark):
     hwm = json.load(open(os.path.join(table, "_streaming-batch-hwm.json")))
     assert hwm["batch_id"] == 1
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_manifest_mode_stream_reader(spark):
+    """On a snapshotted table the stream reader uses manifest-version
+    offsets: micro-batches deliver exactly the files each commit ADDED
+    (partitioned layouts included), and a commit that removes files
+    (compaction) fails the stream unless ignoreChanges=true."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc)
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    df1 = spark.range(0, 5).select(
+        "id", (F.col("id") % 2).cast("string").alias("grp"))
+    (df1.coalesce(1).write.format("arrowipc")
+     .option("partitionBy", "grp").option("snapshots", "true")
+     .mode("append").save(table))                              # v1
+
+    name = f"mm_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc").load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 5
+
+        df2 = spark.range(5, 8).select(
+            "id", (F.col("id") % 2).cast("string").alias("grp"))
+        (df2.coalesce(1).write.format("arrowipc")
+         .option("partitionBy", "grp").option("snapshots", "true")
+         .mode("append").save(table))                          # v2
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table(name).collect())
+        assert got == list(range(8))  # only v2's ADDED files re-delivered
+
+        compact_arrowipc(spark, table, target_files=1)         # v3: removes
+        with pytest.raises(Exception, match="ignoreChanges"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # ignoreChanges=true streams through the compaction commit (rewritten
+    # rows re-delivered, by documented contract).
+    name2 = f"mm2_{_uuid.uuid4().hex[:8]}"
+    q2 = (spark.readStream.format("arrowipc")
+          .option("ignoreChanges", "true").load(table)
+          .writeStream.format("memory").queryName(name2)
+          .option("checkpointLocation", f"{base}/ckpt2").start())
+    try:
+        q2.processAllAvailable()
+        # From a fresh checkpoint the stream covers v1+v2 (8 rows) AND the
+        # compaction commit's added file (the same 8 rows rewritten) —
+        # exactly the re-delivery ignoreChanges contracts for.
+        assert sorted(r.id for r in spark.table(name2).collect()) == \
+            sorted(list(range(8)) * 2)
+    finally:
+        q2.stop()
+    shutil.rmtree(base, ignore_errors=True)
