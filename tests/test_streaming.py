@@ -400,3 +400,64 @@ def test_manifest_mode_stream_reader(spark):
     finally:
         q2.stop()
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_snapshotted_sink_chains_into_manifest_mode_reader(spark):
+    """End-to-end streaming chain on ONE snapshotted table: the native
+    streaming sink commits a manifest per micro-batch, and a downstream
+    streaming reader consumes those commits via manifest-version offsets —
+    every row written is delivered exactly once while both queries run."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.pipelines import EVENTS_SCHEMA
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table, src = f"{base}/table", f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+
+    up = (spark.readStream.schema(EVENTS_SCHEMA)
+          .option("maxFilesPerTrigger", 1).json(src)
+          .writeStream.format("arrowipc")
+          .option("snapshots", "true")
+          .option("path", table)
+          .option("checkpointLocation", f"{base}/ckpt-up").start())
+
+    import pandas as pd
+
+    def push(name, rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.strftime(
+            "%Y-%m-%dT%H:%M:%S.%f")
+        tmp, final = os.path.join(src, f".{name}.tmp"), os.path.join(src, name)
+        pdf.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, final)
+
+    down = None
+    try:
+        push("b0.json", [_ev(1, "2024-01-01 00:00:00", user=1),
+                         _ev(2, "2024-01-01 00:01:00", user=2)])
+        up.processAllAvailable()
+
+        # Downstream starts AFTER the first commit exists → manifest mode.
+        name = f"chain_{_uuid.uuid4().hex[:8]}"
+        down = (spark.readStream.format("arrowipc").load(table)
+                .writeStream.format("memory").queryName(name)
+                .option("checkpointLocation", f"{base}/ckpt-down").start())
+        down.processAllAvailable()
+        assert sorted(r.event_id for r in spark.table(name).collect()) == [1, 2]
+
+        push("b1.json", [_ev(3, "2024-01-01 00:02:00", user=3)])
+        up.processAllAvailable()
+        down.processAllAvailable()
+        assert sorted(r.event_id for r in spark.table(name).collect()) == \
+            [1, 2, 3]
+    finally:
+        up.stop()
+        if down is not None:
+            down.stop()
+    shutil.rmtree(base, ignore_errors=True)
