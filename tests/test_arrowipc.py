@@ -2035,3 +2035,24 @@ def test_losing_compaction_cleans_up_orphans(spark, monkeypatch):
         maintenance.compact_arrowipc(spark, out, target_files=1)
     after_files = set(glob.glob(os.path.join(out, "*.arrows")))
     assert after_files == before_files, "losing compaction left orphans"
+
+
+def test_partition_chain_inference_edges():
+    """_partition_columns: root files ignored, consistent chains detected,
+    inconsistent chains disable preservation (conservative flat fallback),
+    non-partition subdirectories disqualify their files."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        _partition_columns)
+
+    root = "/t"
+    assert _partition_columns(root, ["/t/p1.arrows", "/t/p2.arrows"]) == []
+    assert _partition_columns(
+        root, ["/t/a=1/p.arrows", "/t/a=2/q.arrows", "/t/r.arrows"]) == ["a"]
+    assert _partition_columns(
+        root, ["/t/a=1/b=x/p.arrows", "/t/a=2/b=y/q.arrows"]) == ["a", "b"]
+    # Chain mismatch across files → disabled entirely.
+    assert _partition_columns(
+        root, ["/t/a=1/p.arrows", "/t/b=2/q.arrows"]) == []
+    # A non-col=value directory segment disqualifies that file (no crash).
+    assert _partition_columns(
+        root, ["/t/sub/p.arrows", "/t/a=1/q.arrows"]) == ["a"]
