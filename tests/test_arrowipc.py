@@ -2056,3 +2056,31 @@ def test_partition_chain_inference_edges():
     # A non-col=value directory segment disqualifies that file (no crash).
     assert _partition_columns(
         root, ["/t/sub/p.arrows", "/t/a=1/q.arrows"]) == ["a"]
+
+
+def test_restore_on_partitioned_table(spark):
+    """RESTORE republishes nested (col=value) file paths correctly: after
+    rolling back a partition-migrating UPDATE, the head serves the
+    original data and directory pruning still plans only matching dirs."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader, EqualTo)
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        restore_arrowipc, update_arrowipc)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = spark.range(20).select(
+        "id", (F.col("id") % 2).cast("string").alias("grp"))
+    (df.repartition(1).write.format("arrowipc")
+     .option("partitionBy", "grp").option("snapshots", "true")
+     .mode("append").save(out))
+    update_arrowipc(spark, out, "grp = '0'", {"grp": "'1'"})  # v2: migrate
+
+    info = restore_arrowipc(out, 1)
+    assert info["restored_from"] == 1
+    back = spark.read.format("arrowipc").option("snapshots", "true").load(out)
+    assert back.filter(F.col("grp") == "0").count() == 10  # migration undone
+    reader = ArrowIPCReader(None, {"path": out, "snapshots": "true"})
+    reader.pushFilters([EqualTo(("grp",), "0")])
+    kept = [p.path for p in reader.partitions() if p.path]
+    assert kept and all("grp=0" in p for p in kept)
+    shutil.rmtree(out, ignore_errors=True)
