@@ -774,20 +774,26 @@ def history_arrowipc(path: str) -> list[dict]:
     manifest reads — no data file is opened.
     """
     out: list[dict] = []
+    visible: set[str] = set()
+    # Single pass over the log: apply each doc incrementally instead of
+    # re-walking the delta chain per version (O(V), not O(V²) reads).
     for v in _manifest_versions(path):
         doc = _load_manifest_doc(path, v)
         if "files" in doc:
             kind, added, removed = "full", len(doc["files"]), 0
+            visible = set(doc["files"])
         else:
             kind = "delta"
             added = len(doc.get("add", []))
             removed = len(doc.get("remove", []))
+            visible -= set(doc.get("remove", []))
+            visible |= set(doc.get("add", []))
         out.append({
             "version": v,
             "kind": kind,
             "files_added": added,
             "files_removed": removed,
-            "visible_files": len(_read_manifest(path, v)),
+            "visible_files": len(visible),
         })
     return out
 
