@@ -1304,11 +1304,21 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
 
     def _added_files(self, lo: int, hi: int) -> list[str]:
         """Part files added by manifest versions (lo, hi], in version
-        order (sorted within a version)."""
+        order (sorted within a version).  One chain read for the lo
+        baseline, then each version's doc applied incrementally — O(range)
+        manifest reads, not O(range × chain)."""
         prev = set(_read_manifest(self._path, lo)) if lo else set()
         out: list[str] = []
         for v in (x for x in _manifest_versions(self._path) if lo < x <= hi):
-            cur = set(_read_manifest(self._path, v))
+            doc = _load_manifest_doc(self._path, v)
+            if "files" in doc:
+                cur = {os.path.join(self._path, r) for r in doc["files"]}
+            else:
+                cur = (prev
+                       - {os.path.join(self._path, r)
+                          for r in doc.get("remove", [])}
+                       | {os.path.join(self._path, r)
+                          for r in doc.get("add", [])})
             removed = prev - cur
             if removed and not self._ignore_changes:
                 raise ValueError(
