@@ -819,8 +819,8 @@ def q_storage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_storage_compact",
     oracle="""
-    SELECT CAST(16 AS BIGINT)                 AS files_before,
-           CAST(2 AS BIGINT)                  AS files_after,
+    SELECT TRUE                               AS compacted_fewer_files,
+           TRUE                               AS met_target,
            CAST(count(*) AS BIGINT)           AS rows_reported,
            CAST(count(*) AS BIGINT)           AS n_rows,
            CAST(sum(event_id) AS BIGINT)      AS id_checksum,
@@ -838,11 +838,17 @@ def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/maintenance.py — one distributed scan, one distributed
     rewrite, one replace-manifest commit; the pre-compaction version stays
     time-travelable until vacuum), then re-reads the latest snapshot.  The
-    output row carries BOTH the maintenance report (files_before /
-    files_after / rows, all from manifest + stats-sidecar metadata — the
-    row count never costs a second scan) and full-data checksums; the
-    oracle recomputes everything from the original events table, so the
-    hash proves the rewrite is lossless AND the report is truthful.
+    output row carries the maintenance report as INVARIANT booleans
+    (compacted_fewer_files = report.files_before > report.files_after,
+    met_target = report.files_after <= target; both counts come from the
+    actual manifests, never a literal — ADVICE r5: hardcoding 16/2 coupled
+    the hash to "every round-robin partition non-empty" and "one file per
+    task", which a smaller SF or writer file-rotation change would break
+    for reasons unrelated to compaction) plus rows_reported (manifest +
+    stats-sidecar metadata — the row count never costs a second scan) and
+    full-data checksums; the oracle recomputes the data facts from the
+    original events table, so the hash proves the rewrite is lossless AND
+    the report is truthful.
 
     Scale: compaction is THE small-file defense at 100 TB (a streaming
     sink or per-task writer emits file counts proportional to tasks, and
@@ -868,8 +874,9 @@ def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").cast("long").alias("user_checksum"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     ).select(
-        F.lit(res["files_before"]).cast("long").alias("files_before"),
-        F.lit(res["files_after"]).cast("long").alias("files_after"),
+        F.lit(res["files_before"] > res["files_after"])
+        .alias("compacted_fewer_files"),
+        F.lit(res["files_after"] <= 2).alias("met_target"),
         F.lit(res["rows"]).cast("long").alias("rows_reported"),
         "*",
     )

@@ -386,8 +386,11 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
     and a slowly-changing dimension can be swapped by restarting the query
     (or via foreachBatch re-reading it) without any state migration."""
     extra = [c for c in dim.columns if c != key]
+    # Project the event side's OWN columns plus the dim extras — the helper
+    # is generic over the event schema (ADVICE r5: hardcoding
+    # event_id/event_type/value broke any other stream schema at analysis).
     return (events.join(F.broadcast(dim), key, "left")
-            .select("event_id", key, "event_type", "value", *extra))
+            .select(*events.columns, *extra))
 
 
 def stream_to_partitioned_table(events: DataFrame, path: str,
@@ -400,34 +403,48 @@ def stream_to_partitioned_table(events: DataFrame, path: str,
     layout, stats sidecars, and time travel all match a batch-written
     table.
 
-    Idempotence: a batch-id high-water-mark file (atomic tmp+rename,
-    written after the manifest commit) makes the common restart-replay a
-    no-op.  A crash BETWEEN the manifest commit and the mark leaves the
-    standard at-least-once window every file sink without transactional
-    batch ids has; downstream merge-latest/dedup closes it where exactly-
-    once matters.
+    Idempotence: a {stream_id, batch_id} high-water-mark file (atomic
+    tmp+rename, written after the manifest commit) makes the common
+    restart-replay a no-op.  The mark is SCOPED to a stream identity — the
+    hash of the checkpoint directory, the Delta txnAppId/txnVersion
+    pattern — because Spark batch ids restart at 0 under a fresh
+    checkpoint: an unscoped mark would silently skip every micro-batch of
+    a NEW query appending to an existing table (ADVICE r5).  A mark from a
+    different stream identity is overwritten, not honored.  A crash
+    BETWEEN the manifest commit and the mark leaves the standard
+    at-least-once window every file sink without transactional batch ids
+    has; downstream merge-latest/dedup closes it where exactly-once
+    matters.
 
     Returns the StreamingQuery handle.
     """
+    import hashlib
     import json
     import os
 
     from bossarrowstorageengine_spark.sources import register_arrowipc
 
     hwm_file = os.path.join(path, "_streaming-batch-hwm.json")
+    stream_id = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         register_arrowipc(batch_df.sparkSession)
         if os.path.exists(hwm_file):
             with open(hwm_file) as f:
-                if batch_id <= json.load(f)["batch_id"]:
-                    return  # replay of an already-committed batch
+                mark = json.load(f)
+            # Only a mark written by THIS stream identity gates replay;
+            # a mark from an earlier query (different checkpoint) is stale
+            # bookkeeping, not progress.
+            if mark.get("stream_id") == stream_id and \
+                    batch_id <= mark["batch_id"]:
+                return  # replay of an already-committed batch
         (batch_df.write.format("arrowipc")
          .option("partitionBy", partition_by)
          .option("snapshots", "true").mode("append").save(path))
         tmp = hwm_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+            json.dump({"stream_id": stream_id, "batch_id": batch_id}, f)
         os.replace(tmp, hwm_file)
 
     return (events.writeStream.foreachBatch(write_batch)

@@ -226,3 +226,73 @@ def test_differential_stream_static_enrichment(spark, fixture_dir):
     assert len(batch) == 72
     assert batch["tier"].isna().sum() == 24  # user 3 unmatched, kept
     _assert_same(batch, stream)
+
+
+@pytest.mark.slow
+def test_differential_watermark_drop_face(spark):
+    """q_stream_late's declared semantics, differentially (VERDICT r5 item
+    9): a late event behind the watermark must be DROPPED by the streaming
+    face, and the surviving closed windows must equal a batch recompute
+    over (all rows − the late row) restricted to windows closed by the
+    terminal watermark.  This is the one B.9 face the in-order
+    differential tests above cannot exercise."""
+    import pandas as pd
+
+    from bossarrowstorageengine_spark.streaming.harness import (
+        FileStreamHarness,
+    )
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        tumbling_counts,
+    )
+
+    def ev(eid, ts, etype):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": etype, "value": 1.0, "props": "{}"}
+
+    in_order = [
+        ev(1, "2024-01-01 00:10:00", "click"),
+        ev(2, "2024-01-01 00:20:00", "view"),
+        ev(3, "2024-01-01 00:40:00", "click"),
+        ev(4, "2024-01-01 01:15:00", "view"),
+        ev(5, "2024-01-01 02:30:00", "click"),   # watermark → 01:30
+    ]
+    late = [ev(6, "2024-01-01 00:05:00", "click")]   # behind 01:30 → dropped
+    advance = [ev(7, "2024-01-01 06:00:00", "view")]  # watermark → 05:00
+
+    h = FileStreamHarness(spark, tumbling_counts, mode="append")
+    try:
+        # step() between pushes so the watermark COMMITS before the late
+        # batch runs (a single step can race the wm update across
+        # back-to-back triggers and the late row would survive).
+        h.push(in_order)
+        h.step()
+        h.push(late)
+        prog = None
+        h.step()
+        prog = h.query.lastProgress
+        assert prog["stateOperators"][0]["numRowsDroppedByWatermark"] == 1
+        h.push(advance)
+        out = h.step().toPandas()[["win_start", "event_type", "n_events"]]
+    finally:
+        h.stop()
+    out["win_start"] = pd.to_datetime(out["win_start"])
+    out = out.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+
+    # Batch recompute: drop the late row, bucket into 1 h windows, keep
+    # windows whose END ≤ terminal watermark (max ts − 1 h = 05:00).
+    surv = pd.DataFrame(in_order + advance)
+    surv["ts"] = pd.to_datetime(surv["ts"])
+    surv["win_start"] = surv["ts"].dt.floor("h")
+    terminal_wm = surv["ts"].max() - pd.Timedelta(hours=1)
+    closed = surv[surv["win_start"] + pd.Timedelta(hours=1) <= terminal_wm]
+    expect = (closed.groupby(["win_start", "event_type"])
+              .size().rename("n_events").reset_index()
+              .sort_values(["win_start", "event_type"]).reset_index(drop=True))
+
+    assert len(out) == len(expect) == 4
+    for col in ("win_start", "event_type"):
+        assert list(out[col]) == list(expect[col])
+    assert list(out["n_events"].astype(int)) == list(expect["n_events"])
+    # The late event really was dropped: its window (00:00) shows 3, not 4.
+    h0 = out[out["win_start"] == pd.Timestamp("2024-01-01 00:00:00")]
+    assert int(h0[h0["event_type"] == "click"]["n_events"].iloc[0]) == 2

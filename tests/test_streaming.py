@@ -461,3 +461,92 @@ def test_snapshotted_sink_chains_into_manifest_mode_reader(spark):
         if down is not None:
             down.stop()
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
+    """ADVICE r5: Spark batch ids restart at 0 under a fresh checkpoint, so
+    the partitioned sink's idempotence mark is scoped to a stream identity
+    (hash of the checkpoint dir).  (a) a NEW query with a fresh checkpoint
+    appending to an EXISTING table must not be gated by the stale mark —
+    the unscoped version silently dropped every micro-batch (data loss);
+    (b) within ONE identity, a replayed batch id ≤ the mark is skipped."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        EVENTS_SCHEMA,
+        stream_to_partitioned_table,
+    )
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table, src_a, src_b = f"{base}/table", f"{base}/src_a", f"{base}/src_b"
+    os.makedirs(src_a, exist_ok=True)
+    os.makedirs(src_b, exist_ok=True)
+    os.makedirs(table, exist_ok=True)
+
+    import pandas as pd
+
+    def push(src, name, rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.strftime(
+            "%Y-%m-%dT%H:%M:%S.%f")
+        tmp, final = os.path.join(src, f".{name}.tmp"), os.path.join(src, name)
+        pdf.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, final)
+
+    hwm_file = os.path.join(table, "_streaming-batch-hwm.json")
+
+    # --- query A: two micro-batches → mark {id(A), batch_id=1} ---
+    stream_a = (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1).json(src_a))
+    qa = stream_to_partitioned_table(
+        stream_a, table, "event_type", f"{base}/ckpt_a")
+    try:
+        push(src_a, "a0.json", [_ev(1, "2024-01-01 00:00:00")])
+        push(src_a, "a1.json", [_ev(2, "2024-01-01 00:01:00")])
+        qa.processAllAvailable()
+    finally:
+        qa.stop()
+    mark_a = json.load(open(hwm_file))
+    assert mark_a["batch_id"] == 1
+    id_a = mark_a["stream_id"]
+
+    # --- query B: FRESH checkpoint, same table.  Its batch 0 (≤ 1) must
+    # still be written: the mark belongs to a different stream identity. ---
+    stream_b = (spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1).json(src_b))
+    qb = stream_to_partitioned_table(
+        stream_b, table, "event_type", f"{base}/ckpt_b")
+    try:
+        push(src_b, "b0.json", [_ev(3, "2024-01-01 00:02:00")])
+        qb.processAllAvailable()
+
+        back = (spark.read.format("arrowipc")
+                .option("snapshots", "true").load(table))
+        assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
+        mark_b = json.load(open(hwm_file))
+        assert mark_b["stream_id"] != id_a
+        assert mark_b["stream_id"] == hashlib.sha256(
+            os.path.abspath(f"{base}/ckpt_b").encode()).hexdigest()[:16]
+        assert mark_b["batch_id"] == 0
+
+        # --- (b) same-identity replay: raise B's own mark above the next
+        # batch id — the crash-recovery replay path — and push again.  The
+        # batch must be SKIPPED (no new rows, mark untouched). ---
+        with open(hwm_file, "w") as f:
+            json.dump({"stream_id": mark_b["stream_id"], "batch_id": 5}, f)
+        push(src_b, "b1.json", [_ev(4, "2024-01-01 00:03:00")])
+        qb.processAllAvailable()
+        back = (spark.read.format("arrowipc")
+                .option("snapshots", "true").load(table))
+        assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
+        assert json.load(open(hwm_file))["batch_id"] == 5
+    finally:
+        qb.stop()
+    shutil.rmtree(base, ignore_errors=True)
