@@ -115,3 +115,51 @@ def test_window_rotates_oldest_green_keys():
     # a stale entry would burn rotation slots every round.
     restated = [k for k in _MODIFIED_UNATTESTED if k not in QUERIES]
     assert not restated, f"_MODIFIED_UNATTESTED has unknown keys: {restated}"
+
+
+def test_shared_module_hashes_current():
+    """Shared-module staleness tripwire (VERDICT r5 item 2): a diff to the
+    arrowipc source, the CoW maintenance layer, the streaming pipeline
+    builders, or the zorder kernel must (a) promote every dependent key
+    into _MODIFIED_UNATTESTED and (b) re-record the module hash via
+    tools/curate_window.py — the tool refuses (b) until (a) holds, so this
+    single assertion enforces both."""
+    from bossarrowstorageengine_spark.operators._staleness import (
+        stale_modules,
+    )
+
+    stale = stale_modules()
+    assert not stale, (
+        f"shared modules changed without re-curation: {sorted(stale)}. "
+        "Add the dependent keys to _MODIFIED_UNATTESTED and run "
+        "tools/curate_window.py."
+    )
+
+
+def test_shared_module_deps_cover_direct_references():
+    """A NEW query that drives a shared module must be added to
+    SHARED_MODULE_DEPS or the hash tripwire silently excludes it.  This
+    auto-derives direct references from each registered callable's source
+    (precise markers, not docstring mentions) and requires them to be a
+    subset of the hand-curated map."""
+    import inspect
+
+    from bossarrowstorageengine_spark.operators import QUERIES
+    from bossarrowstorageengine_spark.operators._staleness import (
+        SHARED_MODULE_DEPS,
+    )
+
+    markers = {
+        "sources/arrowipc.py": ("register_arrowipc", 'format("arrowipc")'),
+        "sources/maintenance.py": ("sources.maintenance import",),
+        "streaming/pipelines.py": ("streaming.pipelines import",),
+    }
+    for rel, needles in markers.items():
+        declared = set(SHARED_MODULE_DEPS[rel])
+        for key, fn in QUERIES.items():
+            src = inspect.getsource(fn)
+            if any(n in src for n in needles):
+                assert key in declared, (
+                    f"{key} references {rel} but is missing from "
+                    f"SHARED_MODULE_DEPS[{rel!r}] in operators/_staleness.py"
+                )

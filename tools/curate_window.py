@@ -1,0 +1,141 @@
+"""Regenerate ``_DRIVER_WINDOW`` and the shared-module staleness hashes.
+
+The driver samples only the FIRST 50 ``queries()`` keys per round, so the
+window must be re-curated whenever the surface or the attestation record
+changes.  Policy (SURVEY.md §5, enforced by tests/test_driver_window.py):
+
+  1. every key with no driver-green row in any committed CORRECTNESS file
+     (new operators + never-sampled backlog) — mandatory;
+  2. every key in ``_MODIFIED_UNATTESTED`` — mandatory;
+  3. remaining slots: already-green keys, OLDEST green round first
+     (alphabetical within a round).
+
+This tool computes that window, rewrites the generated block in
+``operators/__init__.py``, and re-records the sha256 of every shared module
+in ``operators/_staleness.py`` (run it AFTER curating
+``_MODIFIED_UNATTESTED`` for any shared-module diff — the test suite stays
+red until both halves agree).
+
+Usage:
+    python tools/curate_window.py            # rewrite both files
+    python tools/curate_window.py --check    # print, exit 1 on drift
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+WINDOW_SIZE = 50
+INIT_PATH = REPO / "bossarrowstorageengine_spark" / "operators" / "__init__.py"
+STALE_PATH = REPO / "bossarrowstorageengine_spark" / "operators" / "_staleness.py"
+
+
+def green_latest() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.stem.split("_r")[1])
+        for key, row in json.loads(path.read_text()).items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("schema_match") and row.get("hash_match")
+                    and not row.get("err")):
+                latest[key] = max(latest.get(key, 0), rnd)
+    return latest
+
+
+def compute_window() -> list[str]:
+    from bossarrowstorageengine_spark.operators import (
+        _MODIFIED_UNATTESTED,
+        QUERIES,
+    )
+    from bossarrowstorageengine_spark.operators._staleness import (
+        stale_modules,
+    )
+
+    pending = sorted({k for deps in stale_modules().values() for k in deps})
+    missing = [k for k in pending if k not in _MODIFIED_UNATTESTED]
+    if missing:
+        sys.exit(
+            "shared modules changed but their dependents are not in "
+            f"_MODIFIED_UNATTESTED: {missing}\nAdd them (operators/"
+            "__init__.py) before regenerating — the recorded hashes only "
+            "advance once every dependent is scheduled for re-attestation."
+        )
+
+    latest = green_latest()
+    ordered = list(QUERIES)
+    never = [k for k in ordered if k not in latest]
+    modified = [k for k in _MODIFIED_UNATTESTED if k in latest and
+                k not in never]
+    mandatory = never + sorted(modified)
+    if len(mandatory) > WINDOW_SIZE:
+        print(f"WARNING: {len(mandatory)} mandatory keys exceed the "
+              f"{WINDOW_SIZE}-slot window; coverage test will enforce "
+              "never-green priority.", file=sys.stderr)
+        return mandatory[:WINDOW_SIZE]
+    n_fill = WINDOW_SIZE - len(mandatory)
+    fill = sorted(
+        (k for k in ordered if k in latest and k not in set(mandatory)),
+        key=lambda k: (latest[k], k),
+    )[:n_fill]
+    return mandatory + fill
+
+
+def render_window(window: list[str]) -> str:
+    body = "\n".join(f'    "{k}",' for k in window)
+    return (
+        "# BEGIN _DRIVER_WINDOW (generated)\n"
+        f"_DRIVER_WINDOW = [\n{body}\n]\n"
+        "# END _DRIVER_WINDOW (generated)"
+    )
+
+
+def render_hashes() -> str:
+    from bossarrowstorageengine_spark.operators._staleness import (
+        SHARED_MODULE_DEPS,
+        module_hash,
+    )
+
+    body = "\n".join(
+        f'    "{rel}":\n        "{module_hash(rel)}",'
+        for rel in sorted(SHARED_MODULE_DEPS)
+    )
+    return (
+        "SHARED_MODULE_HASHES: dict[str, str] = {\n" + body + "\n}"
+    )
+
+
+WINDOW_RE = re.compile(
+    r"# BEGIN _DRIVER_WINDOW \(generated\).*?# END _DRIVER_WINDOW \(generated\)",
+    re.S,
+)
+HASHES_RE = re.compile(
+    r"SHARED_MODULE_HASHES: dict\[str, str\] = \{[^}]*\}", re.S,
+)
+
+
+def main() -> None:
+    check = "--check" in sys.argv
+    window = compute_window()
+    new_init = WINDOW_RE.sub(render_window(window), INIT_PATH.read_text())
+    new_stale = HASHES_RE.sub(render_hashes(), STALE_PATH.read_text())
+    drift = (new_init != INIT_PATH.read_text()
+             or new_stale != STALE_PATH.read_text())
+    print(f"window ({len(window)}): " + " ".join(window))
+    if check:
+        sys.exit(1 if drift else 0)
+    if drift:
+        INIT_PATH.write_text(new_init)
+        STALE_PATH.write_text(new_stale)
+        print("rewrote", INIT_PATH.name, "and", STALE_PATH.name)
+    else:
+        print("already current")
+
+
+if __name__ == "__main__":
+    main()
