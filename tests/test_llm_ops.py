@@ -175,3 +175,44 @@ def test_lsh_planes_formula_matches_oracle_sql():
             f"SELECT LEAST(GREATEST(CAST(CEIL(LOG2({n} / {_LSH_TARGET_BUCKET}.0)) AS INT), "
             f"{_LSH_MIN_PLANES}), {_LSH_MAX_PLANES})").fetchone()[0]
         assert sql_planes == _planes_for_corpus(n), (n, sql_planes)
+
+
+def test_ann_ivfpq_shape_and_rerank_order(spark):
+    """IVF-PQ returns top-3 per probe with BOTH distances; the final rank
+    is by exact distance (ascending per probe), and back-to-back runs are
+    identical (seed centroids/codebooks, integer arithmetic)."""
+    out1 = QUERIES["q_ann_ivfpq"](spark, SF).toPandas()
+    out2 = QUERIES["q_ann_ivfpq"](spark, SF).toPandas()
+    key = ["probe_id", "rn"]
+    assert out1.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True))
+    assert set(out1["probe_id"]) == {0, 1, 2}
+    for pid, grp in out1.groupby("probe_id"):
+        g = grp.sort_values("rn")
+        assert list(g["rn"]) == [1, 2, 3]
+        assert list(g["exact_d2"]) == sorted(g["exact_d2"])
+        assert (g["exact_d2"] >= 0).all() and (g["approx_d2"] >= 0).all()
+
+
+def test_ann_ivfpq_recall_vs_bruteforce(spark):
+    """The probed lists + ADC shortlist should mostly recover the true
+    exact-L2 top-5 neighborhood (recall sanity, not a tight bound —
+    coarse quantization may drop boundary vectors)."""
+    import numpy as np
+    import pandas as pd
+
+    out = QUERIES["q_ann_ivfpq"](spark, SF).toPandas()
+    emb = pd.read_parquet(SF + "/embeddings.parquet")
+    mat = np.rint(np.stack(emb["embedding"].to_numpy()).astype("float64")
+                  * 1000).astype("int64")
+    ids = emb["vec_id"].to_numpy()
+    hits = tot = 0
+    for pid in (0, 1, 2):
+        p = mat[ids == pid][0]
+        d2 = ((mat - p) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        truth = set([int(i) for i in ids[order] if int(i) != pid][:5])
+        got = set(out[out["probe_id"] == pid]["vec_id"].astype(int))
+        hits += len(got & truth)
+        tot += len(got)
+    assert hits / tot >= 0.5, f"IVF-PQ recall too low: {hits}/{tot}"
