@@ -1302,3 +1302,109 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("keeper").cast("long").alias("keeper_checksum"),
     )
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), bg AS (
+        SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2
+    ), ug AS (
+        SELECT w1, sum(c2) AS c1 FROM bg GROUP BY w1
+    ), vocab AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest(t) AS tok FROM toks
+        )
+    ), model AS (
+        SELECT bg.w1, bg.w2,
+               CAST(round((ln(CAST(bg.c2 + 1 AS DOUBLE))
+                           - ln(CAST(ug.c1 + vocab.v AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS lp_micro
+        FROM bg JOIN ug ON bg.w1 = ug.w1 CROSS JOIN vocab
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT)           AS n_bigrams,
+               CAST(sum(m.lp_micro) AS BIGINT)    AS sum_logp_micro
+        FROM g JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2
+        WHERE g.doc_id % 7 = 0
+        GROUP BY g.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           n_bigrams,
+           sum_logp_micro,
+           CAST(round(CAST(-sum_logp_micro AS DOUBLE) / n_bigrams, 0)
+                AS BIGINT) AS avg_nll_micro
+    FROM scored
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality gate — the CCNet-style filter a
+    pre-training pipeline runs first (train a small LM on trusted text,
+    drop documents whose perplexity is extreme), completing the heuristic
+    quality-gate family (``q_text_quality`` / ``q_text_typicality`` /
+    ``q_text_entropy`` / ``q_text_readability``).
+
+    Model: add-one-smoothed bigram LM trained on the FULL corpus —
+    ``p(w2 | w1) = (cnt(w1 w2) + 1) / (cnt(w1 ·) + V)`` with V the corpus
+    vocabulary size.  Scoring sums per-bigram log-probs pre-rounded to
+    INTEGER micro-nats, so the cross-engine hazard of float-sum ordering
+    disappears: each engine computes ``ln`` of exact integers once per
+    DISTINCT bigram (deterministic within a plan), and document scores are
+    order-independent integer adds.  ``avg_nll_micro`` (average negative
+    log-likelihood, micro-nats/bigram) is the gate statistic — perplexity
+    is ``exp(avg_nll)``, monotone in it, so a threshold on either is the
+    same filter and the report stays float-free.
+
+    Scale: the model is a (bigram, count) aggregate — the shuffle carries
+    one row per DISTINCT bigram, never raw text; the prefix table derives
+    from the bigram table (no second corpus pass); V is a 1-row broadcast.
+    Scoring joins doc-bigrams to the model on the gram key — at 100 TB the
+    model lands as a bucketed table and the join co-locates.  The
+    output-subset filter applies AFTER model building, so the model always
+    reflects the full corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(toks, t2,
+                   lambda a, b: F.when(
+                       b.isNotNull(),
+                       F.struct(a.alias("w1"), b.alias("w2")))),
+        lambda x: x.isNotNull(),
+    )
+    g = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2")
+    bg = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ug = bg.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v"))
+    model = (
+        bg.join(ug, "w1").crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.round(
+                (F.log((F.col("c2") + 1).cast("double"))
+                 - F.log((F.col("c1") + F.col("v")).cast("double")))
+                * 1_000_000, 0).cast("long").alias("lp_micro"),
+        )
+    )
+    scored = (
+        g.filter(F.col("doc_id") % 7 == 0)
+        .join(model, ["w1", "w2"])
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("sum_logp_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "sum_logp_micro",
+        F.round((-F.col("sum_logp_micro")).cast("double")
+                / F.col("n_bigrams"), 0).cast("long").alias("avg_nll_micro"),
+    )
