@@ -297,3 +297,24 @@ def test_label_propagation_flags_unconverged_long_chain(spark):
     assert conv2 is True
     assert labels.select(F.countDistinct("label")).collect()[0][0] == 1
     assert labels.agg(F.min("label")).collect()[0][0] == 0
+
+
+def test_bpe_merge_consumes_the_rule_pair(spark):
+    """Iteration-1 invariants: the merge rule is iteration-0's top pair;
+    after the merge, the rule's two characters can never appear as
+    adjacent SINGLE symbols (replace is greedy leftmost non-overlapping,
+    so every adjacent occurrence merged), and the merged symbol itself
+    participates in new pairs."""
+    it0 = QUERIES["q_bpe_pairs"](spark, SF).toPandas()
+    it1 = QUERIES["q_bpe_merge"](spark, SF).toPandas()
+
+    top0 = it0.sort_values(
+        ["n_occurrences", "pair"], ascending=[False, True]).iloc[0]["pair"]
+    rule = it1["merge_rule"].iloc[0]
+    assert (it1["merge_rule"] == rule).all()
+    assert rule == top0
+
+    split_pair = f"{rule[0]}|{rule[1]}"
+    assert split_pair not in set(it1["pair"])
+    # the merged symbol shows up as a unit in at least one surviving pair
+    assert any(rule in p.split("|") for p in it1["pair"])
