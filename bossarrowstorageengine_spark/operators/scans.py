@@ -972,3 +972,107 @@ def q_storage_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").cast("long").alias("chars_delta"),
         )
     )
+
+
+@query(
+    "q_storage_changefeed",
+    oracle="""
+    WITH classified AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' AND n_chars < 500 THEN 'delete'
+                    WHEN lang = 'de' AND n_chars < 800 THEN 'update'
+                    ELSE 'same' END AS change,
+               CASE WHEN lang = 'en' AND n_chars < 500 THEN 0 - n_chars
+                    WHEN lang = 'de' AND n_chars < 800 THEN n_chars + 1
+                    ELSE 0 END AS delta
+        FROM documents
+    )
+    SELECT change, lang,
+           CAST(count(*) AS BIGINT)    AS n_changes,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(delta) AS BIGINT)  AS chars_delta
+    FROM classified
+    WHERE change <> 'same'
+    GROUP BY change, lang
+    """,
+)
+def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized CDC change feed (VERDICT r5 item 6) — the missing link
+    between ``q_storage_timetravel_diff``'s snapshot diff and downstream
+    incremental consumers (``q_incremental_agg``): the row-level change
+    set is WRITTEN as its own arrowipc table and the query answers from
+    the re-read feed, proving the feed round-trips through storage.
+
+    Same 3-version history as the diff query (v1 = documents, v2 = UPDATE
+    on short German docs, v3 = DELETE of short English docs); the keyed
+    full-outer diff classifies rows, keeps CHANGES ONLY (a feed that
+    re-ships unchanged rows isn't a change feed), and lands them in a
+    snapshotted table PARTITIONED BY change type — so a consumer that
+    only applies deletes prunes to the ``change=delete`` directory at
+    planning time.  The re-read projects 4 of the feed's 6 columns via
+    the reader's explicit ``columns`` option (the Python DataSource API
+    has no pruning hook) and aggregates per (change, lang) — the exact
+    shape an incremental aggregate maintainer consumes.  The oracle
+    re-derives the feed from the mutation predicates on the original
+    table, so the hash pins the feed's row-level content, not just its
+    counts.
+
+    Scale: the diff shuffles the two versions once on the narrow key; the
+    feed write is one pass over changed rows only (at 100 TB the feed is
+    mutation-sized, not corpus-sized); consumers read back only the
+    partitions and columns they apply."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "changefeed")
+    src = os.path.join(base, "src")
+    feed = os.path.join(base, "feed")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(src))
+    update_arrowipc(
+        spark, src, "lang = 'de' AND n_chars < 800",
+        {"n_chars": "n_chars * 2 + 1"},
+        compression="lz4", predicate_columns=["lang", "n_chars"])
+    delete_arrowipc(spark, src, "lang = 'en' AND n_chars < 500",
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"])
+
+    pre = (spark.read.format("arrowipc").option("version", "1")
+           .option("columns", "doc_id,lang,n_chars").load(src)
+           .select("doc_id", "lang", F.col("n_chars").alias("chars_pre")))
+    post = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("columns", "doc_id,n_chars").load(src)
+            .select("doc_id", F.col("n_chars").alias("chars_post")))
+    j = pre.join(post, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("chars_post").isNull(), F.lit("delete"))
+        .when(F.col("chars_pre").isNull(), F.lit("insert"))
+        .when(F.col("chars_pre") != F.col("chars_post"), F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    changes = (
+        j.withColumn("change", change)
+        .filter(F.col("change") != "same")
+        .withColumn("delta", F.coalesce(F.col("chars_post"), F.lit(0))
+                    - F.coalesce(F.col("chars_pre"), F.lit(0)))
+    )
+    # This history produces no inserts, so the pre side always carries
+    # lang; a general feed would coalesce both sides' payloads.
+    (changes.write.format("arrowipc")
+     .option("partitionBy", "change")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+
+    back = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("columns", "doc_id,lang,delta,change").load(feed))
+    return back.groupBy("change", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("delta").cast("long").alias("chars_delta"),
+    )
