@@ -613,6 +613,59 @@ def _align_to_schema(batch: pa.RecordBatch, target: pa.Schema) -> pa.RecordBatch
     return pa.RecordBatch.from_arrays(cols, schema=target)
 
 
+def _finalize_batch(
+    batch: pa.RecordBatch,
+    columns: Sequence[str] | None,
+    target_schema: pa.Schema | None,
+) -> pa.RecordBatch:
+    """Common post-read processing: dictionary decode, then schema
+    alignment (mergeSchema) or column projection."""
+    batch = _decode_dictionaries(batch)
+    if target_schema is not None:
+        batch = _align_to_schema(batch, target_schema)
+    elif columns:
+        batch = batch.select(columns)
+    return batch
+
+
+def _read_stream_range(
+    path: str,
+    offset: int,
+    lo: int,
+    hi: int,
+    keep: Sequence[int] | None,
+    columns: Sequence[str] | None,
+    target_schema: pa.Schema | None = None,
+) -> Iterator[pa.RecordBatch]:
+    """Batch-range read of a footer-less IPC *stream* file via write-time
+    recorded offsets: seek straight to message ``lo``'s byte offset and
+    read messages ``lo..hi-1`` — per-task work is O(range), not O(file
+    prefix).  Only planned for files without dictionary encoding, so
+    every message in the range is a record batch (no replacement
+    dictionaries to miss)."""
+    schema = _file_arrow_schema(path)
+    keep_set = set(keep) if keep is not None else None
+    try:
+        with pa.OSFile(path, "rb") as f:
+            f.seek(offset)
+            i = lo
+            while i < hi:
+                msg = pa.ipc.read_message(f)
+                if msg.type != "record batch":
+                    # The writer records batch 0's offset before the lazily
+                    # emitted schema message lands, so a range starting at
+                    # 0 begins at the schema message — skip it (it doesn't
+                    # count toward the batch range).
+                    continue
+                if keep_set is None or i in keep_set:
+                    batch = pa.ipc.read_record_batch(msg, schema)
+                    yield _finalize_batch(batch, columns, target_schema)
+                i += 1
+    except pa.ArrowInvalid as exc:
+        raise pa.ArrowInvalid(
+            f"corrupt or non-Arrow part file {path}: {exc}") from exc
+
+
 def _read_ipc_batches(
     path: str,
     batch_indices: Sequence[int] | None,
@@ -624,12 +677,7 @@ def _read_ipc_batches(
     requested batches; stream format scans forward and skips non-kept ones."""
 
     def finish(batch: pa.RecordBatch) -> pa.RecordBatch:
-        batch = _decode_dictionaries(batch)
-        if target_schema is not None:
-            batch = _align_to_schema(batch, target_schema)
-        elif columns:
-            batch = batch.select(columns)
-        return batch
+        return _finalize_batch(batch, columns, target_schema)
 
     try:
         if _is_file_format(path):
@@ -699,6 +747,12 @@ class ArrowIPCPartition(InputPartition):
     path: str
     batch_indices: list[int] | None
     schema_ser: bytes | None = None
+    #: Stream-encoding seek range ``(byte_offset, lo, hi)``: seek to
+    #: ``byte_offset`` (the recorded start of message ``lo``) and read
+    #: messages ``lo..hi-1`` — the footer-less analogue of the file
+    #: format's random-access batch splits.  Requires write-time recorded
+    #: offsets (``offsets`` in the stats sidecar); None = scan-from-head.
+    stream_seek: tuple | None = None
 
 
 class ArrowIPCReader(DataSourceReader):
@@ -843,11 +897,31 @@ class ArrowIPCReader(DataSourceReader):
                     if _stats_overlap(bs, self._filters)
                 ]
             if not _is_file_format(path):
-                # Stream encoding: no footer/random access, so the file is
-                # one sequential task (splitting would re-stream the prefix
-                # per split).  Batch-level stat pruning still applies — the
-                # task skips non-kept batches as it streams past them.
-                if keep is None or keep:
+                # Stream encoding: no footer/random access.  Files whose
+                # sidecar recorded per-batch byte OFFSETS at write time
+                # still split into batch-range tasks — each task seeks to
+                # its range's first message instead of re-streaming the
+                # prefix.  Without offsets (foreign/dictionary-encoded
+                # files) the file is one sequential task; batch-level stat
+                # pruning still applies either way.
+                if stats is None and (n_batches is None or n_batches > split):
+                    stats = _load_sidecar(path)
+                    if stats is not None and "batches" in stats:
+                        n_batches = len(stats["batches"])
+                offsets = (stats or {}).get("offsets")
+                idxs = keep if keep is not None else (
+                    list(range(n_batches)) if n_batches else None)
+                if keep is not None and not keep:
+                    continue  # every batch stat-pruned
+                if offsets and idxs and len(idxs) > split \
+                        and len(offsets) == (n_batches or 0):
+                    for lo in range(0, len(idxs), split):
+                        chunk = idxs[lo:lo + split]
+                        parts.append(ArrowIPCPartition(
+                            path, chunk, schema_ser,
+                            stream_seek=(offsets[chunk[0]], chunk[0],
+                                         chunk[-1] + 1)))
+                else:
                     parts.append(ArrowIPCPartition(path, keep, schema_ser))
                 continue
             if keep is None:
@@ -873,8 +947,14 @@ class ArrowIPCReader(DataSourceReader):
         target = None
         if partition.schema_ser is not None:
             target = pa.ipc.read_schema(pa.py_buffer(partition.schema_ser))
-        batches = _read_ipc_batches(
-            partition.path, partition.batch_indices, self._columns, target)
+        if partition.stream_seek is not None:
+            off, lo, hi = partition.stream_seek
+            batches = _read_stream_range(
+                partition.path, off, lo, hi, partition.batch_indices,
+                self._columns, target)
+        else:
+            batches = _read_ipc_batches(
+                partition.path, partition.batch_indices, self._columns, target)
         if self._fname_col is None:
             yield from batches
             return
@@ -930,6 +1010,14 @@ class _OpenPart:
         self._writer = None
         self.batch_stats: list[dict] = []
         self.rows = 0
+        # Per-batch byte offsets (stream format only): the recorded start
+        # of each record-batch message lets a reader seek mid-file and
+        # split a footer-less file into batch-range tasks.  Dictionary
+        # encoding interleaves replacement dictionary messages whose
+        # position a seek would skip, so offsets are disabled for
+        # dictionary-encoded files (they stay one sequential task).
+        self._offsets_ok = stream_format
+        self.batch_offsets: list[int] = []
 
     def append(self, batch: pa.RecordBatch, raw_stats_batch: pa.RecordBatch | None = None) -> None:
         self.batch_stats.append(_batch_stats(raw_stats_batch or batch))
@@ -937,6 +1025,12 @@ class _OpenPart:
         if self._writer is None:
             self._writer = self._new_writer(
                 self._sink, batch.schema, options=self._opts)
+        if self._offsets_ok:
+            if any(pa.types.is_dictionary(f.type) for f in batch.schema):
+                self._offsets_ok = False
+                self.batch_offsets = []
+            else:
+                self.batch_offsets.append(self._sink.tell())
         self._writer.write_batch(batch)
 
     def _close_handles(self) -> None:
@@ -949,11 +1043,15 @@ class _OpenPart:
     def finish(self) -> str:
         self._close_handles()
         os.replace(self.tmp, self.final)
-        payload = json.dumps({
+        doc = {
             "file": ArrowIPCWriter._merge_stats(self.batch_stats),
             "batches": self.batch_stats,
             "rows": self.rows,
-        })
+        }
+        if self._offsets_ok and \
+                len(self.batch_offsets) == len(self.batch_stats):
+            doc["offsets"] = self.batch_offsets
+        payload = json.dumps(doc)
         with open(stats_path(self.final), "w") as f:
             f.write(payload)
         return self.final
