@@ -42,6 +42,16 @@ HEADLINE = [
     # regressions in the CoW scan/rewrite/commit path show up per round).
     "q_storage_delete",
     "q_storage_merge",
+    # Round-5 storage surface (VERDICT r5 item 8): among the most
+    # expensive queries in SCALING.md, so round-over-round comparison
+    # must see them.  The 16 keys above keep their order for
+    # comparability with BENCH_r01..r05.
+    "q_storage_update",
+    "q_storage_compact",
+    "q_storage_timetravel_diff",
+    # Round-6 flagship additions.
+    "q_ann_ivfpq",
+    "q_text_perplexity",
 ]
 
 
