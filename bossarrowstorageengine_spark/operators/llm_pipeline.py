@@ -2543,11 +2543,17 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "centroid_id", subspaces("pres").alias("e")
     ).select("probe_id", "centroid_id", "e.s", F.col("e.rsub").alias("prsub"))
 
+    # Rename the codebook's key before the ADC join: enc's ``code`` column
+    # DERIVES from codebook, so an unaliased code==code predicate would
+    # depend on dataset-id disambiguation of identical expression ids.
+    cb = codebook.select(
+        "cs", F.col("code").alias("cb_code"), "cvec")
     adc = (
         enc.join(F.broadcast(probe_sub), ["centroid_id", "s"])
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .join(F.broadcast(codebook),
-              (F.col("cs") == F.col("s")) & (codebook["code"] == enc["code"]))
+        .join(F.broadcast(cb),
+              (F.col("cs") == F.col("s"))
+              & (F.col("cb_code") == F.col("code")))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum(_il2(F.col("prsub"), F.col("cvec")))
              .cast("long").alias("approx_d2"))

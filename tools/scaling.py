@@ -60,6 +60,12 @@ KEYS = [
     "q_storage_update",
     "q_storage_compact",
     "q_storage_timetravel_diff",
+    # Round-6 additions: composed IVF-PQ search, bigram-LM perplexity gate,
+    # BPE merge iteration, materialized CDC feed.
+    "q_ann_ivfpq",
+    "q_text_perplexity",
+    "q_bpe_merge",
+    "q_storage_changefeed",
 ]
 
 
