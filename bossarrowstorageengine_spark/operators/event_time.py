@@ -1507,3 +1507,98 @@ def q_trend_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_micro_per_hour"),
         F.col("sy").alias("total_events"),
     )
+
+
+@query(
+    "q_event_pattern_alt",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'V'
+                               WHEN 'click' THEN 'C'
+                               WHEN 'purchase' THEN 'P'
+                               WHEN 'signup' THEN 'S'
+                               ELSE 'E' END AS code,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               string_agg(code, '' ORDER BY ts, event_id) AS seq
+        FROM ranked WHERE rn <= {_EVENT_PATTERN_CAP}
+        GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(len(regexp_extract_all(seq, '(V|C)+P')) AS BIGINT)
+               AS n_browse_purchase,
+           CAST(len(regexp_extract_all(seq, 'SC{{2,}}')) AS BIGINT)
+               AS n_signup_engage,
+           CAST(len(regexp_extract_all(seq, 'P[VC]*?P')) AS BIGINT)
+               AS n_repeat_purchase
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '(V|C)+P')) > 0
+       OR len(regexp_extract_all(seq, 'SC{{2,}}')) > 0
+       OR len(regexp_extract_all(seq, 'P[VC]*?P')) > 0
+    """,
+)
+def q_event_pattern_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style patterns with ALTERNATION and bounded
+    QUANTIFIERS (SURVEY §7 runway — extends ``q_event_pattern``'s single
+    symbol classes): per user, three quantified journey patterns over the
+    serialized event-code history —
+
+    - ``(V|C)+P``: a browse burst (one or more views OR clicks, the
+      alternation) converting to a purchase; greedy is deterministic here
+      because the alternation's alphabet excludes the terminator.
+    - ``SC{{2,}}``: signup followed immediately by 2+ clicks (bounded
+      quantifier — the "engaged onboarding" signal).
+    - ``P[VC]*?P``: repeat purchase with only browsing between (LAZY so
+      each match ends at the FIRST next purchase — non-overlapping
+      counting then tiles maximal purchase chains as P..P pairs, the
+      same insensitivity trick q_event_pattern relies on).
+
+    Java regex (Spark) and RE2-style (DuckDB) agree on all three by
+    construction: no backreferences, terminators excluded from the
+    repeated classes, lazy quantifiers only where both engines scan
+    left-to-right to the first terminator.
+
+    Scale: identical shape to ``q_event_pattern`` — one user_id shuffle,
+    spillable per-key sort, first-``cap`` prefix bound on the
+    collect/regex stage (whale keys cost a linear scan, never an
+    unbounded string)."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", F.struct("ts", "event_id").alias("ord"),
+        code.alias("code"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    seqs = (
+        ranked.filter(F.col("_rn") <= _EVENT_PATTERN_CAP)
+        .groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "code"))),
+                lambda s: s.code), "").alias("seq"))
+    )
+    bp = F.regexp_count(F.col("seq"), F.lit("(V|C)+P"))
+    se = F.regexp_count(F.col("seq"), F.lit("SC{2,}"))
+    rp = F.regexp_count(F.col("seq"), F.lit("P[VC]*?P"))
+    return (
+        seqs.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            bp.cast("long").alias("n_browse_purchase"),
+            se.cast("long").alias("n_signup_engage"),
+            rp.cast("long").alias("n_repeat_purchase"),
+        )
+        .filter((F.col("n_browse_purchase") > 0)
+                | (F.col("n_signup_engage") > 0)
+                | (F.col("n_repeat_purchase") > 0))
+    )

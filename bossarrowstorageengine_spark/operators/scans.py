@@ -1163,3 +1163,148 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows", "id_checksum", "sum_chars",
                 "n_with_source", "n_with_lang")
     )
+
+
+@query(
+    "q_storage_history",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version, 'delta' AS kind,
+           TRUE AS any_added, FALSE AS any_removed,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delta', TRUE, FALSE,
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delta', TRUE, TRUE,
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+    FROM documents WHERE lang <> 'en'
+    """,
+)
+def q_storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` under the oracle gate (SURVEY §7 runway): the
+    manifest-log metadata report (``history_arrowipc`` — pure manifest
+    reads, one entry per commit with its kind and add/remove deltas)
+    CROSS-CHECKED against per-version time-travel row counts, so the hash
+    pins that the log's story and the data's story agree at every
+    version.
+
+    History: v1 appends even-id documents, v2 appends the odd half, v3
+    row-level-deletes English docs (a CoW delta commit that both adds
+    rewritten files and removes their predecessors).  Per version the
+    output carries the commit kind and add/remove flags from METADATA
+    (booleans, not file counts — counts depend on writer partitioning,
+    the coupling ADVICE r5 flagged) and the row count + id checksum from
+    a version-pinned DATA read; the oracle replays all three states
+    relationally.
+
+    Scale: the history report is O(versions) manifest reads with no data
+    file opened; each audit face reads one manifest's file set.  This is
+    the audit a production table runs after an incident: does every
+    commit's claimed delta match what the data actually shows?"""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        history_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "history")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    (d.filter(F.col("doc_id") % 2 == 0).repartition(2)
+     .write.format("arrowipc").option("snapshots", "true")
+     .option("compression", "lz4").mode("append").save(path))
+    (d.filter(F.col("doc_id") % 2 == 1).repartition(2)
+     .write.format("arrowipc").option("snapshots", "true")
+     .option("compression", "lz4").mode("append").save(path))
+    delete_arrowipc(spark, path, "lang = 'en'", compression="lz4",
+                    predicate_columns=["lang"])
+
+    faces = []
+    for h in history_arrowipc(path):
+        df = (spark.read.format("arrowipc")
+              .option("version", str(h["version"]))
+              .option("columns", "doc_id").load(path))
+        faces.append(df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        ).select(
+            F.lit(h["version"]).cast("long").alias("version"),
+            F.lit(h["kind"]).alias("kind"),
+            F.lit(h["files_added"] > 0).alias("any_added"),
+            F.lit(h["files_removed"] > 0).alias("any_removed"),
+            "n_rows", "id_checksum",
+        ))
+    out = faces[0]
+    for f in faces[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@query(
+    "q_storage_restore",
+    oracle="""
+    SELECT 'pre_restore' AS face, 'delta' AS kind,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           CAST(sum(doc_id) AS BIGINT)  AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang <> 'en'
+    UNION ALL
+    SELECT 'restored', 'full',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM documents
+    """,
+)
+def q_storage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RESTORE under the oracle gate: roll a mutated table back
+    to its pre-mutation state by publishing the old version's file set as
+    a NEW head commit (``restore_arrowipc`` — the Delta ``RESTORE TABLE
+    ... TO VERSION`` / Iceberg rollback; history is preserved, so the
+    mistaken state stays time-travelable for forensics until vacuum).
+
+    History: v1 appends documents, v2 deletes English docs (the
+    "mistake"), v3 = RESTORE to v1.  The query reads BOTH heads — the
+    pre-restore head pinned at v2 (proving the rollback is a new commit,
+    not history rewriting) and the restored latest (proving the head
+    matches v1's full data exactly, rewritten files and all) — plus each
+    face's commit kind from the history report (the restore publishes a
+    self-contained 'full' replace manifest).  The oracle replays both
+    states from the original table.
+
+    Scale: RESTORE is a metadata-only commit — O(restored files) manifest
+    write, no data movement; the validity check (restored files still on
+    disk, i.e. not vacuumed) is an O(files) existence scan that fails
+    BEFORE publishing."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        history_arrowipc,
+        restore_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "restore")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    (d.repartition(2).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    delete_arrowipc(spark, path, "lang = 'en'", compression="lz4",
+                    predicate_columns=["lang"])
+    res = restore_arrowipc(path, version=1)
+    kinds = {h["version"]: h["kind"] for h in history_arrowipc(path)}
+
+    def _face(df: DataFrame, tag: str, kind: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(F.lit(tag).alias("face"), F.lit(kind).alias("kind"), "*")
+
+    pre = (spark.read.format("arrowipc").option("version", "2").load(path))
+    restored = (spark.read.format("arrowipc")
+                .option("snapshots", "true").load(path))
+    return _face(pre, "pre_restore", kinds[2]).unionByName(
+        _face(restored, "restored", kinds[res["version"]]))

@@ -683,3 +683,83 @@ def q_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("kl_term_micro"),
         )
     )
+
+
+@query(
+    "q_dedup_span_sliding",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), seg AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, g.i * 8 + 1, g.i * 8 + 16), ' '))
+                   AS win_hash
+        FROM t, generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)
+                    AS g(i)
+    ), df AS (
+        SELECT win_hash FROM seg
+        GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+        SELECT s.doc_id,
+               count(DISTINCT s.win_hash) AS n_dup_windows
+        FROM seg s JOIN df ON s.win_hash = df.win_hash
+        GROUP BY s.doc_id
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_windows FROM seg GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT)        AS doc_id,
+           CAST(t.n_windows AS BIGINT)     AS n_windows,
+           CAST(p.n_dup_windows AS BIGINT) AS n_dup_windows
+    FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def q_dedup_span_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window span dedup (SURVEY §7 runway — the second
+    granularity beside ``q_dedup_segment``): 16-token windows at stride 8,
+    so consecutive windows OVERLAP by 8 tokens and a repeated span that
+    straddles a fixed 8-token segment boundary — invisible to the
+    non-overlapping pass — still lands fully inside some window.  This is
+    the standard tiling argument of suffix-window dedup: any repeated run
+    of ≥16 tokens contains a complete stride-aligned 16-token window.
+
+    Each window hashes to md5; a hash held by ≥2 distinct docs marks all
+    holders.  Output parallels ``q_dedup_segment``: per affected doc, the
+    total window count and how many DISTINCT windows of it are shared.
+
+    Scale: identical inverted-index shape — one shuffle builds the
+    (win_hash → doc) postings, the document-frequency table and per-doc
+    rollup are linear in postings (2× the segment pass's postings for the
+    2× overlap), and no pair expansion exists anywhere, so a stop-span in
+    millions of docs costs O(postings), never O(postings²)."""
+    d = load_table(spark, sf_dir, "documents")
+    seg = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn(
+            "win_hash",
+            F.explode(F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT)"
+                " - 1), i -> md5(array_join(slice(toks, i * 8 + 1, 16),"
+                " ' ')))")),
+        )
+        .select("doc_id", "win_hash")
+    )
+    df_tbl = (
+        seg.groupBy("win_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("win_hash")
+    )
+    per_doc = (
+        seg.join(df_tbl, "win_hash")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("win_hash").cast("long")
+             .alias("n_dup_windows"))
+    )
+    totals = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"))
+    return (
+        totals.join(per_doc, "doc_id")
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_windows", "n_dup_windows")
+    )
