@@ -1168,7 +1168,7 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_storage_history",
     oracle="""
-    SELECT CAST(1 AS BIGINT) AS version, 'delta' AS kind,
+    SELECT CAST(1 AS BIGINT) AS version, 'full' AS kind,
            TRUE AS any_added, FALSE AS any_removed,
            CAST(count(*) AS BIGINT)    AS n_rows,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -1191,7 +1191,9 @@ def q_storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins that the log's story and the data's story agree at every
     version.
 
-    History: v1 appends even-id documents, v2 appends the odd half, v3
+    History: v1 appends even-id documents (the initial commit publishes a
+    self-contained 'full' checkpoint — there is no ancestor to delta
+    against), v2 appends the odd half, v3
     row-level-deletes English docs (a CoW delta commit that both adds
     rewritten files and removes their predecessors).  Per version the
     output carries the commit kind and add/remove flags from METADATA

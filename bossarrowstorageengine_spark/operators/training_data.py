@@ -695,7 +695,7 @@ def q_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(array_to_string(
                    list_slice(toks, g.i * 8 + 1, g.i * 8 + 16), ' '))
                    AS win_hash
-        FROM t, generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)
+        FROM t, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
                     AS g(i)
     ), df AS (
         SELECT win_hash FROM seg
