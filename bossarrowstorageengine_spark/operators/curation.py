@@ -1495,3 +1495,125 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(30)
     )
+
+
+@query(
+    "q_bpe_train",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), p0 AS (
+        SELECT substr(tok, i, 2) AS pair
+        FROM w, unnest(range(1, len(tok))) AS u(i)
+        WHERE len(tok) >= 2
+    ), r1 AS (
+        SELECT pair AS rule1 FROM (
+            SELECT pair, count(*) AS c FROM p0 GROUP BY pair
+            ORDER BY c DESC, pair LIMIT 1
+        )
+    ), m1 AS (
+        SELECT replace(tok, r1.rule1, chr(1)) AS mt, r1.rule1 AS rule1
+        FROM w CROSS JOIN r1
+    ), p1 AS (
+        SELECT substr(mt, i, 2) AS praw
+        FROM m1, unnest(range(1, len(mt))) AS u(i)
+        WHERE len(mt) >= 2
+    ), r2 AS (
+        SELECT praw AS rule2_raw FROM (
+            SELECT praw, count(*) AS c FROM p1 GROUP BY praw
+            ORDER BY c DESC, praw LIMIT 1
+        )
+    ), m2 AS (
+        SELECT replace(m1.mt, r2.rule2_raw, chr(2)) AS mt2,
+               m1.rule1, r2.rule2_raw
+        FROM m1 CROSS JOIN r2
+    ), p2 AS (
+        SELECT rule1, rule2_raw,
+               replace(replace(substr(mt2, i, 1), chr(2), rule2_raw),
+                       chr(1), rule1) || '|' ||
+               replace(replace(substr(mt2, i + 1, 1), chr(2), rule2_raw),
+                       chr(1), rule1) AS pair
+        FROM m2, unnest(range(1, len(mt2))) AS u(i)
+        WHERE len(mt2) >= 2
+    )
+    SELECT rule1 AS merge_rule_1,
+           replace(substr(rule2_raw, 1, 1), chr(1), rule1) || '|' ||
+           replace(substr(rule2_raw, 2, 1), chr(1), rule1) AS merge_rule_2,
+           pair,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p2
+    GROUP BY rule1, rule2_raw, pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training through iteration TWO with a growing rule list
+    (SURVEY §7 runway): discover merge rule #1 (top adjacent char pair),
+    apply it, discover rule #2 over the MERGED symbol stream (its halves
+    may themselves be the first merged symbol — exactly how real BPE
+    vocabularies compound), apply that, and recount — the whole
+    three-generation trainer as ONE declarative DAG with two broadcast
+    1-row rule tables and zero driver-side loops.
+
+    Symbol mechanics: merged symbols live as sentinel chars (0x01, 0x02)
+    in the token strings, so every merge application stays one JVM
+    ``replace`` (greedy leftmost non-overlapping = BPE's rule); rendered
+    output expands sentinels back through the rule list in reverse order
+    of creation (rule 2 may contain rule 1's sentinel).
+
+    An N-iteration trainer is this pattern iterated: each round is one
+    vocabulary-sized pair-count shuffle plus a broadcast of the grown
+    rule list — the corpus is re-paired, never re-tokenized from
+    scratch.
+
+    Scale: identical per-iteration shape to ``q_bpe_pairs`` — map-side
+    HOF pair construction, one distinct-pair shuffle after partial
+    aggregation, scan-local merge application."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+    def pairs_of(frame: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            frame.filter(F.length(col) >= 2)
+            .select(F.explode(F.expr(
+                f"transform(sequence(1, length({col}) - 1), "
+                f"i -> substring({col}, i, 2))")).alias(out))
+        )
+
+    def top1(frame: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            frame.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc(col)).limit(1)
+            .select(F.col(col).alias(out))
+        )
+
+    r1 = top1(pairs_of(w, "tok", "pair"), "pair", "rule1")
+    m1 = w.crossJoin(F.broadcast(r1)).select(
+        F.expr("replace(tok, rule1, chr(1))").alias("mt"), "rule1")
+    r2 = top1(pairs_of(m1, "mt", "praw"), "praw", "rule2_raw")
+    m2 = m1.crossJoin(F.broadcast(r2)).select(
+        F.expr("replace(mt, rule2_raw, chr(2))").alias("mt2"),
+        "rule1", "rule2_raw")
+    rendered = (
+        m2.filter(F.length("mt2") >= 2)
+        .select("rule1", "rule2_raw", F.explode(F.expr(
+            "transform(sequence(1, length(mt2) - 1), i -> concat("
+            "replace(replace(substring(mt2, i, 1), chr(2), rule2_raw),"
+            " chr(1), rule1), '|', "
+            "replace(replace(substring(mt2, i + 1, 1), chr(2), rule2_raw),"
+            " chr(1), rule1)))")).alias("pair"))
+    )
+    return (
+        rendered.groupBy("rule1", "rule2_raw", "pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            F.col("rule1").alias("merge_rule_1"),
+            F.expr("concat(replace(substring(rule2_raw, 1, 1), chr(1), "
+                   "rule1), '|', replace(substring(rule2_raw, 2, 1), "
+                   "chr(1), rule1))").alias("merge_rule_2"),
+            "pair", "n_occurrences",
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )

@@ -763,3 +763,201 @@ def q_dedup_span_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("long").alias("doc_id"),
                 "n_windows", "n_dup_windows")
     )
+
+
+@query(
+    "q_embedding_deflation",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS milli
+        FROM embeddings
+    ), dots AS (
+        SELECT vec_id,
+               CAST(sum(milli * ((dim * 37) % 7 - 3)) AS BIGINT) AS dot
+        FROM ex GROUP BY vec_id
+    ), w AS (
+        SELECT e.dim, CAST(sum(e.milli * d.dot) AS BIGINT) AS c
+        FROM ex e JOIN dots d USING (vec_id) GROUP BY e.dim
+    ), mx AS (
+        SELECT max(abs(c)) AS max_abs FROM w
+    ), wq AS (
+        SELECT dim,
+               CAST(round(CAST(c AS DOUBLE) * 1000 / max_abs) AS BIGINT)
+                   AS q
+        FROM w CROSS JOIN mx
+    ), wn AS (
+        SELECT CAST(sum(q * q) AS BIGINT) AS w2 FROM wq
+    ), per_vec AS (
+        SELECT e.vec_id,
+               CAST(sum(e.milli * wq.q) AS BIGINT) AS dot_vw,
+               CAST(sum(e.milli * e.milli) AS BIGINT) AS v2
+        FROM ex e JOIN wq ON e.dim = wq.dim
+        WHERE e.vec_id % 9 = 0
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           dot_vw,
+           round(CAST(dot_vw AS DOUBLE)
+                 / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(w2 AS DOUBLE))),
+                 6) AS cos_top,
+           round(1 - (CAST(dot_vw AS DOUBLE)
+                      / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(w2 AS DOUBLE))))
+                     * (CAST(dot_vw AS DOUBLE)
+                        / (sqrt(CAST(v2 AS DOUBLE))
+                           * sqrt(CAST(w2 AS DOUBLE)))),
+                 6) AS resid_frac
+    FROM per_vec CROSS JOIN wn
+    """,
+)
+def q_embedding_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-component deflation profile (SURVEY §7 runway — applies
+    ``q_embedding_power_iter``'s eigenvector): one covariance-free power
+    step yields the corpus's dominant direction w; each vector then
+    reports how much of it the top component explains — ``cos_top``
+    (alignment with w) and ``resid_frac`` (1 − cos², the variance
+    fraction SURVIVING deflation).  This is the anisotropy audit run
+    before whitening embeddings for retrieval (a corpus whose vectors all
+    lean on one direction ranks by that direction, not by content).
+
+    Determinism: w's components are exact integer sums; quantizing to
+    integer per-mille of the max component (one double division + round
+    per dim, identical expression order both engines) gives an integer ŵ
+    whose dots/norms are again exact, so the only floats are final
+    divisions of exact integers — bit-identical across engines.
+
+    Scale: two map-side passes for w (vector- then dim-keyed partial
+    integer sums, nothing quadratic in dims), then ŵ (64 rows) broadcasts
+    into one per-vector keyed aggregate.  No driver loop, no Gramian."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("milli"),
+    )
+    seed = (F.col("dim") * 37) % 7 - 3
+    dots = ex.groupBy("vec_id").agg(
+        F.sum(F.col("milli") * seed).cast("long").alias("dot"))
+    w = (ex.join(dots, "vec_id").groupBy("dim")
+         .agg(F.sum(F.col("milli") * F.col("dot")).cast("long").alias("c")))
+    mx = w.agg(F.max(F.abs("c")).alias("max_abs"))
+    wq = (w.crossJoin(F.broadcast(mx))
+          .select("dim",
+                  F.round(F.col("c").cast("double") * 1000
+                          / F.col("max_abs")).cast("long").alias("q")))
+    wn = wq.agg(F.sum(F.col("q") * F.col("q")).cast("long").alias("w2"))
+    per_vec = (
+        ex.filter(F.col("vec_id") % 9 == 0)
+        .join(F.broadcast(wq), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("milli") * F.col("q")).cast("long").alias("dot_vw"),
+             F.sum(F.col("milli") * F.col("milli")).cast("long").alias("v2"))
+    )
+    cos = (F.col("dot_vw").cast("double")
+           / (F.sqrt(F.col("v2").cast("double"))
+              * F.sqrt(F.col("w2").cast("double"))))
+    return (
+        per_vec.crossJoin(F.broadcast(wn))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "dot_vw",
+            F.round(cos, 6).alias("cos_top"),
+            F.round(1 - cos * cos, 6).alias("resid_frac"),
+        )
+    )
+
+
+@query(
+    "q_split_decontaminated",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, text,
+               CASE WHEN {_H60_DUCK} % 100 < 80 THEN 'train'
+                    WHEN {_H60_DUCK} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), seg AS (
+        SELECT d.doc_id, d.split,
+               md5(array_to_string(
+                   string_split(text, ' ')[i * 8 + 1 : i * 8 + 8], ' '))
+                   AS seg_hash
+        FROM d, unnest(range((len(string_split(text, ' ')) + 7) // 8))
+                    AS u(i)
+    ), test_segs AS (
+        SELECT DISTINCT seg_hash FROM seg WHERE split = 'test'
+    ), dirty AS (
+        SELECT DISTINCT s.doc_id
+        FROM seg s JOIN test_segs t ON s.seg_hash = t.seg_hash
+        WHERE s.split = 'train'
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_train_before,
+           CAST(sum(CASE WHEN dirty.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_dropped,
+           CAST(sum(CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_train_after,
+           CAST(sum(CASE WHEN dirty.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+                AS BIGINT)          AS clean_chars
+    FROM d LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+    WHERE d.split = 'train'
+    GROUP BY d.lang
+    """,
+)
+def q_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware training split (SURVEY §7 runway — the ACTION
+    composing ``q_train_test_split``'s hash split with
+    ``q_split_contamination``'s segment index): any TRAIN document
+    sharing an exact 8-token segment with the TEST split is DROPPED, and
+    the per-language mixture report shows what decontamination cost —
+    the step a benchmark-honest corpus runs between splitting and
+    training, since auditing leakage (the contamination query) is only
+    half the job.
+
+    Scale: the test-segment index is distinct-hash-sized (test is ~10% of
+    the corpus and the index carries hashes, never text); the probe is
+    one equi-join on seg_hash against train postings, linear in postings;
+    the drop decision is a semi-join-shaped mark per train doc.  At
+    100 TB the test index persists once and every training-data refresh
+    re-probes it."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.expr(_H60) % 100 < 80, "train")
+        .when(F.expr(_H60) % 100 < 90, "val")
+        .otherwise("test")
+    )
+    seg = (
+        d.select("doc_id", split.alias("split"), "lang", "n_chars",
+                 F.split("text", " ").alias("toks"))
+        .withColumn(
+            "seg_hash",
+            F.explode(F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT)"
+                " - 1), i -> md5(array_join(slice(toks, i * 8 + 1, 8),"
+                " ' ')))")),
+        )
+    )
+    test_segs = (seg.filter(F.col("split") == "test")
+                 .select("seg_hash").distinct())
+    dirty = (seg.filter(F.col("split") == "train")
+             .join(test_segs, "seg_hash")
+             .select("doc_id").distinct()
+             .withColumn("_dirty", F.lit(1)))
+    train = d.select("doc_id", "lang", "n_chars",
+                     split.alias("split")).filter(F.col("split") == "train")
+    return (
+        train.join(dirty, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_before"),
+            F.sum(F.when(F.col("_dirty").isNotNull(), 1).otherwise(0))
+                .cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("_dirty").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_train_after"),
+            F.sum(F.when(F.col("_dirty").isNull(),
+                         F.col("n_chars")).otherwise(0))
+                .cast("long").alias("clean_chars"),
+        )
+    )
