@@ -545,3 +545,43 @@ def test_timetravel_diff_is_keyed_join_no_cartesian(spark):
     # referenced columns — the table's other columns (lang, source) must
     # not surface anywhere in the plan, the scans included.
     assert "lang#" not in plan and "source#" not in plan
+
+
+def test_ivfpq_is_jvm_only_with_broadcasts(spark):
+    """The composed IVF-PQ pipeline must stay pure JVM (integer HOF
+    arithmetic, no Python workers) with every small side — centroids,
+    codebooks, probe residuals — broadcast, and the final top-k as
+    windows over probe-partitioned candidates (never a global sort)."""
+    plan = _plan(QUERIES["q_ann_ivfpq"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_perplexity_model_join_no_python(spark):
+    """The bigram-LM scoring path is JVM HOFs + one gram-keyed join; the
+    vocab scalar must broadcast (1-row cross join), and no Python worker
+    appears anywhere."""
+    plan = _plan(QUERIES["q_text_perplexity"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bpe_train_rules_broadcast_and_topk(spark):
+    """Each BPE iteration's 1-row rule table must broadcast onto the token
+    stream, and the final count must be top-k (TakeOrderedAndProject),
+    not a global sort."""
+    plan = _plan(QUERIES["q_bpe_train"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # two rule attaches
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_span_sliding_no_pair_expansion(spark):
+    """The sliding-span dedup must stay inverted-index shaped: hash
+    partitioning on the window hash, no cartesian/nested-loop join
+    anywhere (a pair expansion would explode at 100 TB)."""
+    plan = _plan(QUERIES["q_dedup_span_sliding"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -66,6 +66,9 @@ KEYS = [
     "q_text_perplexity",
     "q_bpe_merge",
     "q_storage_changefeed",
+    "q_dedup_span_sliding",
+    "q_split_decontaminated",
+    "q_bpe_train",
 ]
 
 
