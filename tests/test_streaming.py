@@ -550,3 +550,71 @@ def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
     finally:
         qb.stop()
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_changefeed_streams_into_incremental_consumer(spark):
+    """End-to-end CDC chain (the q_storage_changefeed story continued):
+    change batches appended to a snapshotted feed table are consumed by
+    the manifest-mode stream reader exactly once per commit, and a
+    foreachBatch consumer maintains an incremental net-delta aggregate
+    that converges to the batch recompute — the downstream half of the
+    diff → materialize → consume pipeline."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    feed = f"{base}/feed"
+    state: dict[str, dict] = {}
+
+    def write_feed(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, change string, delta long")
+        (df.write.format("arrowipc").option("snapshots", "true")
+         .mode("append").save(feed))
+
+    # commit 1: two updates + a delete
+    write_feed([(1, "en", "update", 10), (2, "de", "update", -3),
+                (3, "en", "delete", -50)])
+
+    def apply_batch(batch_df, batch_id):
+        for r in batch_df.groupBy("lang").agg(
+                F.sum("delta").alias("d"),
+                F.count(F.lit(1)).alias("n")).collect():
+            s = state.setdefault(r["lang"], {"net": 0, "n": 0})
+            s["net"] += r["d"]
+            s["n"] += r["n"]
+
+    q = (spark.readStream.format("arrowipc").load(feed)
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert state == {"en": {"net": -40, "n": 2},
+                        "de": {"net": -3, "n": 1}}
+
+        # commit 2: more changes — delivered incrementally (only the new
+        # commit's rows), not as a re-read of the whole feed
+        write_feed([(4, "en", "update", 7), (5, "fr", "insert", 100)])
+        q.processAllAvailable()
+        assert state == {"en": {"net": -33, "n": 3},
+                        "de": {"net": -3, "n": 1},
+                        "fr": {"net": 100, "n": 1}}
+    finally:
+        q.stop()
+
+    # convergence: incremental state equals the batch recompute over the
+    # full feed (exactly-once across both commits)
+    batch = {r["lang"]: {"net": r["net"], "n": r["n"]}
+             for r in (spark.read.format("arrowipc")
+                       .option("snapshots", "true").load(feed)
+                       .groupBy("lang")
+                       .agg(F.sum("delta").cast("long").alias("net"),
+                            F.count(F.lit(1)).cast("long").alias("n"))
+                       .collect())}
+    assert batch == state
+    shutil.rmtree(base, ignore_errors=True)
