@@ -988,7 +988,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed DataFrames that broadcast to the assignment joins.
 
     Search: every vector lands in exactly one inverted list; each probe
-    scans its nprobe=3 nearest lists only, so the candidate set is
+    scans its nprobe=2 nearest lists only, so the candidate set is
     ~nprobe/k of the data (vs all of it for brute force).
     """
     iv = load_table(spark, sf_dir, "embeddings").select(
@@ -2345,7 +2345,13 @@ _IVFPQ_K = 8          # coarse centroids (seed-stage; Lloyd refinement is
 _IVFPQ_NPROBE = 3     # lists scanned per probe
 _IVFPQ_NSUB = 4       # PQ subspaces (64 dims -> 4 x 16)
 _IVFPQ_SUBDIM = 16
-_IVFPQ_NCODE = 4      # codes per subspace codebook
+_IVFPQ_NCODE = 16     # codes per subspace codebook
+#: PQ codebooks seed from vectors OUTSIDE the coarse-centroid set
+#: (vec_ids K..K+NCODE-1): a centroid's own residual is the zero vector,
+#: so seeding from vec_ids < NCODE (all of which are centroids when
+#: NCODE <= K) would yield an all-zero codebook and a no-op ADC stage.
+_IVFPQ_CODE_LO = _IVFPQ_K
+_IVFPQ_CODE_HI = _IVFPQ_K + _IVFPQ_NCODE
 _IVFPQ_SHORT = 16     # ADC shortlist handed to exact rerank
 _IVFPQ_TOPK = 3
 
@@ -2390,8 +2396,9 @@ def _ivfpq_oracle() -> str:
                list_slice(res, g.s * {sub} + 1, g.s * {sub} + {sub}) AS rsub
         FROM lists CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
     ), codebook AS (
-        SELECT vec_id AS code, s, rsub AS cvec FROM cand_sub
-        WHERE vec_id < {_IVFPQ_NCODE}
+        SELECT vec_id - {_IVFPQ_CODE_LO} AS code, s, rsub AS cvec
+        FROM cand_sub
+        WHERE vec_id >= {_IVFPQ_CODE_LO} AND vec_id < {_IVFPQ_CODE_HI}
     ), enc AS (
         SELECT vec_id, centroid_id, s, code FROM (
             SELECT a.vec_id, a.centroid_id, a.s, c.code,
@@ -2461,20 +2468,22 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly): (1) coarse-assign every vector to its nearest of K=8 seed
     centroids (integer squared-L2 argmin, tie -> lower id); (2) encode the
     RESIDUAL vector — x minus its centroid, the true IVF-PQ construction,
-    which is what lets 4 codes/subspace describe a corpus: residuals
-    cluster near zero — as 4 subspace codes against per-subspace seed
-    codebooks; (3) each probe scans only its nprobe=3 nearest lists and
+    which is what lets a handful of codes per subspace describe a
+    corpus: residuals cluster near zero — as 4 subspace codes against per-subspace
+    16-code seed codebooks; (3) each probe scans only its nprobe=3 nearest lists and
     ranks candidates by ADC (asymmetric distance: probe residual vs the
     candidate's reconstructed code vector, summed over subspaces); (4) the
-    top-10 ADC shortlist is reranked by EXACT integer distance and the
+    top-16 ADC shortlist is reranked by EXACT integer distance and the
     top-3 returned with both distances, so the output exposes the
     approximation error the index trades for speed.
 
-    Seed-stage centroids/codebooks (first K resp. first 4 vectors) keep
-    the oracle replayable; Lloyd refinement is proven separately in
-    ``q_ann_ivf`` and drops into either stage unchanged.
+    Seed-stage centroids (first K vectors) and codebooks (residuals of
+    vectors K..K+15 — deliberately OUTSIDE the centroid set, whose own
+    residuals are zero) keep the oracle replayable; Lloyd refinement is
+    proven separately in ``q_ann_ivf`` and drops into either stage
+    unchanged.
 
-    Scale: centroids (8 rows), codebooks (16 rows), and probe residuals
+    Scale: centroids (8 rows), codebooks (64 rows), and probe residuals
     (probes x nprobe x 4 rows) all broadcast; the per-vector work is one
     K-way argmin + 4 codebook argmins (linear scans with broadcast
     tables); search touches ~nprobe/K of the corpus and the ADC join is
@@ -2516,9 +2525,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "centroid_id", "e.s", "e.rsub")
 
     # (2) per-subspace codebooks + residual encoding.
-    codebook = cand_sub.filter(F.col("vec_id") < _IVFPQ_NCODE).select(
-        F.col("vec_id").alias("code"), F.col("s").alias("cs"),
-        F.col("rsub").alias("cvec"))
+    codebook = (
+        cand_sub.filter((F.col("vec_id") >= _IVFPQ_CODE_LO)
+                        & (F.col("vec_id") < _IVFPQ_CODE_HI))
+        .select((F.col("vec_id") - _IVFPQ_CODE_LO).alias("code"),
+                F.col("s").alias("cs"), F.col("rsub").alias("cvec")))
     we = Window.partitionBy("vec_id", "s").orderBy("cd2", "code")
     enc = (
         cand_sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))

@@ -816,6 +816,9 @@ def q_storage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(pre, "pre").unionByName(_agg(post, "post"))
 
 
+_COMPACT_TARGET = 2  # target_files for q_storage_compact AND its met_target
+
+
 @query(
     "q_storage_compact",
     oracle="""
@@ -864,7 +867,8 @@ def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev.repartition(16).write.format("arrowipc")
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(path))
-    res = compact_arrowipc(spark, path, target_files=2, compression="lz4")
+    res = compact_arrowipc(spark, path, target_files=_COMPACT_TARGET,
+                           compression="lz4")
 
     back = (spark.read.format("arrowipc")
             .option("snapshots", "true").load(path))
@@ -876,10 +880,58 @@ def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit(res["files_before"] > res["files_after"])
         .alias("compacted_fewer_files"),
-        F.lit(res["files_after"] <= 2).alias("met_target"),
+        F.lit(res["files_after"] <= _COMPACT_TARGET).alias("met_target"),
         F.lit(res["rows"]).cast("long").alias("rows_reported"),
         "*",
     )
+
+
+
+
+#: The shared 3-version mutation scenario used by q_storage_timetravel_diff
+#: and q_storage_changefeed (ONE definition so the two queries and their
+#: oracles cannot drift): v1 = documents as written, v2 = UPDATE on short
+#: German docs (n_chars*2 + 1 — the +1 guarantees every updated row really
+#: differs, even at n_chars = 0), v3 = DELETE of short English docs.
+_TTDIFF_UPDATE_PRED = "lang = 'de' AND n_chars < 800"
+_TTDIFF_UPDATE_SET = {"n_chars": "n_chars * 2 + 1"}
+_TTDIFF_DELETE_PRED = "lang = 'en' AND n_chars < 500"
+
+
+def _write_mutation_history(spark: SparkSession, sf_dir: str,
+                            path: str) -> None:
+    """Build the shared 3-version history at ``path`` (see constants)."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    # lz4 on the scratch/mutation path (see q_storage_delete note).
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    update_arrowipc(spark, path, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"])
+    delete_arrowipc(spark, path, _TTDIFF_DELETE_PRED, compression="lz4",
+                    predicate_columns=["lang", "n_chars"])
+
+
+def _classify_version_diff(pre: DataFrame, post: DataFrame) -> DataFrame:
+    """Keyed full-outer diff of two table versions → per-row change class
+    + n_chars delta (the CDF classification both consumers share)."""
+    j = pre.join(post, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("chars_post").isNull(), F.lit("delete"))
+        .when(F.col("chars_pre").isNull(), F.lit("insert"))
+        .when(F.col("chars_pre") != F.col("chars_post"), F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    delta = (F.coalesce(F.col("chars_post"), F.lit(0))
+             - F.coalesce(F.col("chars_pre"), F.lit(0)))
+    return j.withColumn("change", change).withColumn("delta", delta)
 
 
 @query(
@@ -922,26 +974,9 @@ def q_storage_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never exceptAll over full rows — wide-row hashing pushed to each
     side's scan would be the next step for very wide tables); change
     classification is map-side after the join."""
-    from bossarrowstorageengine_spark.sources.maintenance import (
-        delete_arrowipc,
-        update_arrowipc,
-    )
-
     register_arrowipc(spark)
     path = _scratch(sf_dir, "ttdiff")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars")
-    # lz4 on the scratch/mutation path (see q_storage_delete note).
-    (d.repartition(4).write.format("arrowipc")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(path))
-    update_arrowipc(
-        spark, path, "lang = 'de' AND n_chars < 800",
-        {"n_chars": "n_chars * 2 + 1"},
-        compression="lz4", predicate_columns=["lang", "n_chars"])
-    delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500",
-                    compression="lz4",
-                    predicate_columns=["lang", "n_chars"])
+    _write_mutation_history(spark, sf_dir, path)
 
     # The Python DataSource API (4.1) has no column-pruning hook, so
     # Catalyst cannot narrow the scan itself; the reader's ``columns``
@@ -953,18 +988,8 @@ def q_storage_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (spark.read.format("arrowipc").option("snapshots", "true")
             .option("columns", "doc_id,n_chars").load(path)
             .select("doc_id", F.col("n_chars").alias("chars_post")))
-    j = pre.join(post, "doc_id", "full_outer")
-    change = (
-        F.when(F.col("chars_post").isNull(), F.lit("delete"))
-        .when(F.col("chars_pre").isNull(), F.lit("insert"))
-        .when(F.col("chars_pre") != F.col("chars_post"), F.lit("update"))
-        .otherwise(F.lit("same"))
-    )
-    delta = (F.coalesce(F.col("chars_post"), F.lit(0))
-             - F.coalesce(F.col("chars_pre"), F.lit(0)))
     return (
-        j.withColumn("change", change)
-        .withColumn("delta", delta)
+        _classify_version_diff(pre, post)
         .groupBy("change")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1021,27 +1046,11 @@ def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed write is one pass over changed rows only (at 100 TB the feed is
     mutation-sized, not corpus-sized); consumers read back only the
     partitions and columns they apply."""
-    from bossarrowstorageengine_spark.sources.maintenance import (
-        delete_arrowipc,
-        update_arrowipc,
-    )
-
     register_arrowipc(spark)
     base = _scratch(sf_dir, "changefeed")
     src = os.path.join(base, "src")
     feed = os.path.join(base, "feed")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars")
-    (d.repartition(4).write.format("arrowipc")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(src))
-    update_arrowipc(
-        spark, src, "lang = 'de' AND n_chars < 800",
-        {"n_chars": "n_chars * 2 + 1"},
-        compression="lz4", predicate_columns=["lang", "n_chars"])
-    delete_arrowipc(spark, src, "lang = 'en' AND n_chars < 500",
-                    compression="lz4",
-                    predicate_columns=["lang", "n_chars"])
+    _write_mutation_history(spark, sf_dir, src)
 
     pre = (spark.read.format("arrowipc").option("version", "1")
            .option("columns", "doc_id,lang,n_chars").load(src)
@@ -1049,19 +1058,8 @@ def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (spark.read.format("arrowipc").option("snapshots", "true")
             .option("columns", "doc_id,n_chars").load(src)
             .select("doc_id", F.col("n_chars").alias("chars_post")))
-    j = pre.join(post, "doc_id", "full_outer")
-    change = (
-        F.when(F.col("chars_post").isNull(), F.lit("delete"))
-        .when(F.col("chars_pre").isNull(), F.lit("insert"))
-        .when(F.col("chars_pre") != F.col("chars_post"), F.lit("update"))
-        .otherwise(F.lit("same"))
-    )
-    changes = (
-        j.withColumn("change", change)
-        .filter(F.col("change") != "same")
-        .withColumn("delta", F.coalesce(F.col("chars_post"), F.lit(0))
-                    - F.coalesce(F.col("chars_pre"), F.lit(0)))
-    )
+    changes = _classify_version_diff(pre, post).filter(
+        F.col("change") != "same")
     # This history produces no inserts, so the pre side always carries
     # lang; a general feed would coalesce both sides' payloads.
     (changes.write.format("arrowipc")

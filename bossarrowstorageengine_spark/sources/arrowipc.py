@@ -1026,7 +1026,16 @@ class _OpenPart:
             self._writer = self._new_writer(
                 self._sink, batch.schema, options=self._opts)
         if self._offsets_ok:
-            if any(pa.types.is_dictionary(f.type) for f in batch.schema):
+            # Recursive walk: a dictionary type NESTED inside a list/
+            # struct/map also makes the writer interleave dictionary
+            # messages a seek would miss — top-level checks are not enough.
+            def _has_dict(t: pa.DataType) -> bool:
+                if pa.types.is_dictionary(t):
+                    return True
+                return any(_has_dict(t.field(i).type)
+                           for i in range(t.num_fields))
+
+            if any(_has_dict(f.type) for f in batch.schema):
                 self._offsets_ok = False
                 self.batch_offsets = []
             else:

@@ -403,18 +403,19 @@ def stream_to_partitioned_table(events: DataFrame, path: str,
     layout, stats sidecars, and time travel all match a batch-written
     table.
 
-    Idempotence: a {stream_id, batch_id} high-water-mark file (atomic
-    tmp+rename, written after the manifest commit) makes the common
-    restart-replay a no-op.  The mark is SCOPED to a stream identity — the
-    hash of the checkpoint directory, the Delta txnAppId/txnVersion
-    pattern — because Spark batch ids restart at 0 under a fresh
-    checkpoint: an unscoped mark would silently skip every micro-batch of
-    a NEW query appending to an existing table (ADVICE r5).  A mark from a
-    different stream identity is overwritten, not honored.  A crash
-    BETWEEN the manifest commit and the mark leaves the standard
-    at-least-once window every file sink without transactional batch ids
-    has; downstream merge-latest/dedup closes it where exactly-once
-    matters.
+    Idempotence: a per-stream-identity high-water-mark MAP file
+    ({stream_id: batch_id}, atomic tmp+rename, written after the manifest
+    commit) makes the common restart-replay a no-op.  Marks are KEYED by
+    stream identity — the hash of the checkpoint directory, the Delta
+    txnAppId/txnVersion pattern — because Spark batch ids restart at 0
+    under a fresh checkpoint: an unscoped mark would silently skip every
+    micro-batch of a NEW query appending to an existing table (ADVICE
+    r5).  A map (not a single slot) so two concurrent writers on one
+    table each keep their own replay protection instead of clobbering the
+    other's mark.  A crash BETWEEN the manifest commit and the mark
+    leaves the standard at-least-once window every file sink without
+    transactional batch ids has; downstream merge-latest/dedup closes it
+    where exactly-once matters.
 
     Returns the StreamingQuery handle.
     """
@@ -430,21 +431,28 @@ def stream_to_partitioned_table(events: DataFrame, path: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         register_arrowipc(batch_df.sparkSession)
+        marks: dict = {}
         if os.path.exists(hwm_file):
             with open(hwm_file) as f:
-                mark = json.load(f)
-            # Only a mark written by THIS stream identity gates replay;
-            # a mark from an earlier query (different checkpoint) is stale
-            # bookkeeping, not progress.
-            if mark.get("stream_id") == stream_id and \
-                    batch_id <= mark["batch_id"]:
-                return  # replay of an already-committed batch
+                doc = json.load(f)
+            # Current format: {"marks": {stream_id: batch_id}}.  A legacy
+            # single-slot mark (with or without stream_id) migrates into
+            # the map; an identity-less legacy mark gates nothing.
+            if "marks" in doc:
+                marks = doc["marks"]
+            elif "stream_id" in doc:
+                marks = {doc["stream_id"]: doc["batch_id"]}
+        # Only THIS stream identity's mark gates replay; other writers'
+        # marks are their progress, not ours.
+        if stream_id in marks and batch_id <= marks[stream_id]:
+            return  # replay of an already-committed batch
         (batch_df.write.format("arrowipc")
          .option("partitionBy", partition_by)
          .option("snapshots", "true").mode("append").save(path))
+        marks[stream_id] = batch_id
         tmp = hwm_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"stream_id": stream_id, "batch_id": batch_id}, f)
+            json.dump({"marks": marks}, f)
         os.replace(tmp, hwm_file)
 
     return (events.writeStream.foreachBatch(write_batch)

@@ -192,6 +192,11 @@ def test_ann_ivfpq_shape_and_rerank_order(spark):
         assert list(g["rn"]) == [1, 2, 3]
         assert list(g["exact_d2"]) == sorted(g["exact_d2"])
         assert (g["exact_d2"] >= 0).all() and (g["approx_d2"] >= 0).all()
+    # ADC must DISCRIMINATE between candidates: an all-zero codebook (the
+    # degenerate seeding where code vectors are centroids' own residuals)
+    # collapses approx_d2 to one value per probed list — then the
+    # "shortlist" is just the lowest vec_ids and the index is a no-op.
+    assert out1["approx_d2"].nunique() > out1["probe_id"].nunique() * 2
 
 
 def test_ann_ivfpq_recall_vs_bruteforce(spark):

@@ -329,11 +329,11 @@ def test_foreach_batch_partitioned_table_sink(spark):
     finally:
         q.stop()
 
-    # The idempotence mark recorded the last committed batch: a restarted
-    # query replaying batch ids ≤ 1 will skip them.
+    # The idempotence mark recorded the last committed batch for THIS
+    # stream identity: a restarted query replaying batch ids ≤ 1 skips.
     import json
     hwm = json.load(open(os.path.join(table, "_streaming-batch-hwm.json")))
-    assert hwm["batch_id"] == 1
+    assert list(hwm["marks"].values()) == [1]
     shutil.rmtree(base, ignore_errors=True)
 
 
@@ -513,9 +513,10 @@ def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
         qa.processAllAvailable()
     finally:
         qa.stop()
-    mark_a = json.load(open(hwm_file))
-    assert mark_a["batch_id"] == 1
-    id_a = mark_a["stream_id"]
+    id_a = hashlib.sha256(
+        os.path.abspath(f"{base}/ckpt_a").encode()).hexdigest()[:16]
+    mark_a = json.load(open(hwm_file))["marks"]
+    assert mark_a == {id_a: 1}
 
     # --- query B: FRESH checkpoint, same table.  Its batch 0 (≤ 1) must
     # still be written: the mark belongs to a different stream identity. ---
@@ -530,23 +531,24 @@ def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
         back = (spark.read.format("arrowipc")
                 .option("snapshots", "true").load(table))
         assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
-        mark_b = json.load(open(hwm_file))
-        assert mark_b["stream_id"] != id_a
-        assert mark_b["stream_id"] == hashlib.sha256(
+        id_b = hashlib.sha256(
             os.path.abspath(f"{base}/ckpt_b").encode()).hexdigest()[:16]
-        assert mark_b["batch_id"] == 0
+        marks = json.load(open(hwm_file))["marks"]
+        # BOTH identities keep their marks (a map, not a single slot —
+        # concurrent writers must not clobber each other's replay guard).
+        assert marks == {id_a: 1, id_b: 0}
 
         # --- (b) same-identity replay: raise B's own mark above the next
         # batch id — the crash-recovery replay path — and push again.  The
         # batch must be SKIPPED (no new rows, mark untouched). ---
         with open(hwm_file, "w") as f:
-            json.dump({"stream_id": mark_b["stream_id"], "batch_id": 5}, f)
+            json.dump({"marks": {id_a: 1, id_b: 5}}, f)
         push(src_b, "b1.json", [_ev(4, "2024-01-01 00:03:00")])
         qb.processAllAvailable()
         back = (spark.read.format("arrowipc")
                 .option("snapshots", "true").load(table))
         assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
-        assert json.load(open(hwm_file))["batch_id"] == 5
+        assert json.load(open(hwm_file))["marks"][id_b] == 5
     finally:
         qb.stop()
     shutil.rmtree(base, ignore_errors=True)
