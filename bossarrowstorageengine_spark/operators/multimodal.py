@@ -393,3 +393,98 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("frame_len").cast("long").alias("sampled_bytes"),
     )
+
+
+@query(
+    "q_multimodal_audio_stats",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, (n_chars % 256) + 16 AS n
+        FROM documents WHERE doc_id % 6 = 0
+    ), s AS (
+        SELECT doc_id, n, g.i AS i,
+               ((doc_id * 31 + g.i * 17) % 2003) - 1001 AS v
+        FROM base, unnest(range(n)) AS g(i)
+    )
+    SELECT CAST(doc_id AS BIGINT)            AS doc_id,
+           CAST(max(n) AS BIGINT)            AS n_frames,
+           CAST(max(abs(v)) AS BIGINT)       AS peak_abs,
+           CAST(sum(abs(v)) AS BIGINT)       AS sum_abs,
+           CAST(sum((i + 1) * v) AS BIGINT)  AS sample_checksum
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over the real WAV codec path (extends
+    ``q_multimodal_decode``, which stops at header metadata): synthesize a
+    deterministic non-silent 16-bit PCM waveform per document
+    (``s[i] = ((doc_id*31 + i*17) % 2003) − 1001``), encode it through the
+    stdlib ``wave`` RIFF writer, decode the payload back through the same
+    codec in a second Arrow-batched stage, and report per-clip
+    SAMPLE-LEVEL features — peak amplitude, L1 energy, and a
+    position-weighted checksum.  Every value is an exact integer the
+    oracle recomputes from the generative formula, so a codec bug
+    anywhere in the encode→bytes→decode chain (byte order, sample width,
+    frame count) breaks the hash — this is the audit shape for a 100 TB
+    audio lake where the "model feature" stage must provably see the
+    samples the encoder wrote.
+
+    Scale: both stages are ``mapInPandas`` over Arrow batches (payload
+    bytes never shuffle — features leave the worker as scalars); at
+    100 TB the decode stage is where a torchaudio/GPU extractor slots in
+    with the same bytes-in/features-out contract."""
+    import struct
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "n_chars").filter(F.col("doc_id") % 6 == 0))
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 256 + 16
+                samples = [((int(doc_id) * 31 + i * 17) % 2003) - 1001
+                           for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(16000)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    media = d.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "peak_abs": [],
+                    "sum_abs": [], "sample_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(n)
+                rows["peak_abs"].append(max(abs(s) for s in samples))
+                rows["sum_abs"].append(sum(abs(s) for s in samples))
+                rows["sample_checksum"].append(
+                    sum((i + 1) * s for i, s in enumerate(samples)))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+    return media.mapInPandas(
+        decode_batches,
+        "doc_id long, n_frames long, peak_abs long, sum_abs long, "
+        "sample_checksum long")
