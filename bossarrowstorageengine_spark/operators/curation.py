@@ -1617,3 +1617,119 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "q_text_perplexity_backoff",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tri AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ), tg AS (
+        SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3
+    ), bg AS (
+        SELECT w1, w2, sum(c3) AS c2 FROM tg GROUP BY w1, w2
+    ), vocab AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest(t) AS tok FROM toks
+        )
+    ), model AS (
+        SELECT tg.w1, tg.w2, tg.w3,
+               CASE WHEN tg.c3 >= 2 THEN
+                   CAST(round(ln(CAST(tg.c3 AS DOUBLE) / bg.c2)
+                              * 1000000, 0) AS BIGINT)
+               ELSE
+                   CAST(round((ln(CAST(tg.c3 + 1 AS DOUBLE)
+                                  / (bg.c2 + vocab.v)) - ln(2))
+                              * 1000000, 0) AS BIGINT)
+               END AS lp_micro,
+               CASE WHEN tg.c3 >= 2 THEN 0 ELSE 1 END AS backed_off
+        FROM tg JOIN bg ON tg.w1 = bg.w1 AND tg.w2 = bg.w2
+        CROSS JOIN vocab
+    )
+    SELECT CAST(t.doc_id AS BIGINT)           AS doc_id,
+           CAST(count(*) AS BIGINT)           AS n_trigrams,
+           CAST(sum(m.lp_micro) AS BIGINT)    AS sum_logp_micro,
+           CAST(sum(m.backed_off) AS BIGINT)  AS n_backed_off,
+           CAST(round(CAST(-sum(m.lp_micro) AS DOUBLE) / count(*), 0)
+                AS BIGINT)                    AS avg_nll_micro
+    FROM tri t
+    JOIN model m ON t.w1 = m.w1 AND t.w2 = m.w2 AND t.w3 = m.w3
+    WHERE t.doc_id % 13 = 0
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with BACK-OFF — the structure real CCNet/KenLM-style
+    quality gates use (``q_text_perplexity`` is the bigram base case):
+    confident trigrams (count ≥ 2) score by their MLE trigram probability
+    ``c3/c2``; sparse trigrams BACK OFF to an add-one-smoothed estimate
+    with a fixed ln(2) back-off penalty — the discount that keeps the
+    backed-off mass from outranking observed n-grams.  Per-doc output
+    adds ``n_backed_off``, the sparsity diagnostic that tells a corpus
+    curator whether the model order is too high for the corpus.
+
+    Determinism: identical integer micro-nat trick as the bigram gate —
+    each engine computes ``ln`` once per DISTINCT trigram and rounds to
+    an integer BEFORE the per-doc sum, so document scores are
+    order-independent integer adds; the branch condition is an integer
+    comparison.
+
+    Scale: the model shuffle carries one row per DISTINCT trigram (the
+    bigram context table derives from it — no extra corpus pass); scoring
+    is one equi-join on the trigram key.  At 100 TB the model is a
+    bucketed table and pruned by trigram-hash range; the back-off branch
+    is free (a CASE on columns already in the row)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    triples = F.filter(
+        F.zip_with(
+            F.zip_with(toks, t2,
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+            t3,
+            lambda p, c: F.when(
+                c.isNotNull() & p.w2.isNotNull(),
+                F.struct(p.w1.alias("w1"), p.w2.alias("w2"),
+                         c.alias("w3")))),
+        lambda x: x.isNotNull(),
+    )
+    g = d.select("doc_id", F.explode(triples).alias("p")).select(
+        "doc_id", "p.w1", "p.w2", "p.w3")
+    tg = g.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    bg = tg.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    vocab = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v"))
+    confident = F.col("c3") >= 2
+    lp = F.when(
+        confident,
+        F.round(F.log(F.col("c3").cast("double") / F.col("c2"))
+                * 1_000_000, 0).cast("long"),
+    ).otherwise(
+        F.round((F.log((F.col("c3") + 1).cast("double")
+                       / (F.col("c2") + F.col("v")))
+                 - F.log(F.lit(2.0))) * 1_000_000, 0).cast("long"))
+    model = (
+        tg.join(bg, ["w1", "w2"]).crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", "w3", lp.alias("lp_micro"),
+                F.when(confident, 0).otherwise(1).alias("backed_off"))
+    )
+    scored = (
+        g.filter(F.col("doc_id") % 13 == 0)
+        .join(model, ["w1", "w2", "w3"])
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("lp_micro").cast("long").alias("sum_logp_micro"),
+            F.sum("backed_off").cast("long").alias("n_backed_off"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_trigrams", "sum_logp_micro", "n_backed_off",
+        F.round((-F.col("sum_logp_micro")).cast("double")
+                / F.col("n_trigrams"), 0).cast("long").alias("avg_nll_micro"),
+    )

@@ -555,3 +555,88 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("gap_seconds"),
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH pur AS (
+        SELECT user_id, event_id AS pid, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ), err AS (
+        SELECT user_id, event_id AS eid, ts AS ets FROM events
+        WHERE event_type = 'error'
+    ), cand AS (
+        SELECT p.user_id, p.pid, p.pts, e.eid, e.ets,
+               epoch_us(e.ets) - epoch_us(p.pts) AS gap_us
+        FROM pur p JOIN err e ON p.user_id = e.user_id
+        WHERE abs(epoch_us(e.ets) - epoch_us(p.pts)) <= 600000000
+    ), best AS (
+        SELECT * FROM (
+            SELECT user_id, pid, pts, eid, gap_us,
+                   row_number() OVER (PARTITION BY pid
+                       ORDER BY abs(gap_us), gap_us, eid) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT CAST(p.user_id AS BIGINT)  AS user_id,
+           CAST(p.pid AS BIGINT)      AS event_id,
+           strftime(p.pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CAST(b.eid AS BIGINT)      AS matched_err_id,
+           CAST(b.gap_us AS BIGINT)   AS gap_us
+    FROM pur p LEFT JOIN best b ON p.pid = b.pid
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction = NEAREST with tolerance (the pandas
+    ``merge_asof(direction='nearest')`` face; ``q_join_asof`` is backward,
+    ``q_join_asof_tolerance`` backward-with-staleness-bound): each
+    purchase matches the same-user error CLOSEST in time within ±10
+    minutes, either side.  Tie between an earlier and later error at
+    equal distance → the EARLIER one (gap ascending after abs(gap) — the
+    pandas backward-preference convention), then lower event_id.
+
+    Scale: nearest-direction cannot ride the union+running-last trick
+    (matches may lie in the future), so candidates come from a BANDED
+    equi-join: timestamps bucket by the tolerance width and each purchase
+    probes its own + two adjacent buckets (3 candidate buckets, constant
+    fan-out) — never a per-user cross join.  The per-purchase pick is a
+    rank over the few in-band candidates; unmatched purchases survive via
+    the final left join (an enrichment must never drop facts).
+    """
+    from bossarrowstorageengine_spark.operators.event_time import epoch_us
+
+    TOL_US = 600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"), epoch_us(F.col("ts")).alias("pus"))
+    # integer div, not float /: epoch-µs values are ~2^50 and a double
+    # quotient truncation could misplace an exact-boundary timestamp.
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("eid"),
+        epoch_us(F.col("ts")).alias("eus"),
+    ).withColumn("bucket", F.expr(f"eus div {TOL_US}"))
+    pbucket = F.expr(f"pus div {TOL_US}")
+    purx = pur.withColumn(
+        "bucket", F.explode(F.array(pbucket - 1, pbucket, pbucket + 1)))
+    gap = F.col("eus") - F.col("pus")
+    cand = (purx.join(err, ["user_id", "bucket"])
+            .withColumn("gap_us", gap)
+            .filter(F.abs("gap_us") <= TOL_US))
+    w = Window.partitionBy("pid").orderBy(
+        F.abs("gap_us"), F.col("gap_us"), F.col("eid"))
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("pid", "eid", "gap_us"))
+    return (
+        pur.join(best, "pid", "left")
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("pid").cast("long").alias("event_id"),
+            F.date_format("pts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("purchase_ts"),
+            F.col("eid").cast("long").alias("matched_err_id"),
+            F.col("gap_us").cast("long").alias("gap_us"),
+        )
+    )
