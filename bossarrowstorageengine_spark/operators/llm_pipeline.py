@@ -2379,9 +2379,24 @@ def _ivfpq_oracle() -> str:
         SELECT vec_id, list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS iemb
         FROM embeddings
-    ), cents AS (
+    ), cents0 AS (
         SELECT vec_id AS centroid_id, iemb AS cent FROM iv
         WHERE vec_id < {_IVFPQ_K}
+    ), assign0 AS (
+        SELECT vec_id, iemb, centroid_id FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {l2('v.iemb', 'c.cent', 64)}, c.centroid_id) AS rn
+            FROM iv v CROSS JOIN cents0 c
+        ) WHERE rn = 1
+    ), cents AS (
+        SELECT centroid_id, list(m ORDER BY d) AS cent FROM (
+            SELECT centroid_id, g.d AS d,
+                   CAST(round(CAST(sum(iemb[g.d + 1]) AS DOUBLE) / count(*), 0)
+                        AS BIGINT) AS m
+            FROM assign0 CROSS JOIN generate_series(0, 63) AS g(d)
+            GROUP BY centroid_id, g.d
+        ) GROUP BY centroid_id
     ), lists AS (
         SELECT vec_id, iemb, centroid_id,
                list_transform(range(1, 65), i -> iemb[i] - cent[i]) AS res
@@ -2465,8 +2480,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     product codes, searched with asymmetric distance and an exact rerank.
 
     Pipeline (all in milli-unit integers so the DuckDB oracle replays it
-    exactly): (1) coarse-assign every vector to its nearest of K=8 seed
-    centroids (integer squared-L2 argmin, tie -> lower id); (2) encode the
+    exactly): (0) refine the K=8 seed
+    centroids with one exact-integer Lloyd pass (assign -> per-dim rounded
+    mean — ``q_ann_ivf``'s training step composed in); (1) coarse-assign
+    every vector to its nearest TRAINED centroid (integer squared-L2
+    argmin, tie -> lower id); (2) encode the
     RESIDUAL vector — x minus its centroid, the true IVF-PQ construction,
     which is what lets a handful of codes per subspace describe a
     corpus: residuals cluster near zero — as 4 subspace codes against per-subspace
@@ -2477,11 +2495,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 returned with both distances, so the output exposes the
     approximation error the index trades for speed.
 
-    Seed-stage centroids (first K vectors) and codebooks (residuals of
-    vectors K..K+15 — deliberately OUTSIDE the centroid set, whose own
-    residuals are zero) keep the oracle replayable; Lloyd refinement is
-    proven separately in ``q_ann_ivf`` and drops into either stage
-    unchanged.
+    Codebooks seed from the residuals of vectors K..K+15 — deliberately
+    not the SEED vectors themselves, whose residuals before refinement
+    are zero (after one Lloyd pass no vector's residual is exactly zero,
+    but the out-of-seed choice keeps the codebook honest at any
+    refinement depth).  Additional Lloyd passes for either stage drop in
+    exactly as in ``q_ann_ivf``.
 
     Scale: centroids (8 rows), codebooks (64 rows), and probe residuals
     (probes x nprobe x 4 rows) all broadcast; the per-vector work is one
@@ -2499,11 +2518,34 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
         ).alias("iemb"),
     )
-    cents = iv.filter(F.col("vec_id") < _IVFPQ_K).select(
+    cents0 = iv.filter(F.col("vec_id") < _IVFPQ_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("iemb").alias("cent"))
 
-    # (1) coarse assignment + residuals.
+    # (0) ONE Lloyd refinement pass on the coarse quantizer (q_ann_ivf's
+    # trained-centroid step composed in): assign every vector to its seed
+    # centroid, recompute each centroid as the per-dim rounded integer
+    # mean of its list — exact integer sums + one deterministic division,
+    # so the oracle replays it bit-identically.  More passes drop in the
+    # same way (q_ann_ivf runs 2).
     wv = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    assign0 = (
+        iv.crossJoin(F.broadcast(cents0))
+        .withColumn("d2", _il2(F.col("iemb"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+        .select("vec_id", "iemb", "centroid_id")
+    )
+    cents = (
+        assign0.select("centroid_id", F.posexplode("iemb").alias("dim", "x"))
+        .groupBy("centroid_id", "dim")
+        .agg(F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 0)
+             .cast("long").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda st: st.m).alias("cent"))
+    )
+
+    # (1) coarse assignment + residuals.
     lists = (
         iv.crossJoin(F.broadcast(cents))
         .withColumn("d2", _il2(F.col("iemb"), F.col("cent")))
