@@ -69,6 +69,9 @@ KEYS = [
     "q_dedup_span_sliding",
     "q_split_decontaminated",
     "q_bpe_train",
+    "q_multimodal_audio_stats",
+    "q_text_perplexity_backoff",
+    "q_join_asof_nearest",
 ]
 
 
