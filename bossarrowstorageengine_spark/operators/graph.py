@@ -422,3 +422,101 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t").cast("long").alias("n_transitions"),
         F.sum(term).cast("long").alias("entropy_micro_nats"),
     )
+
+
+def _lpa_round_sql(j: int) -> str:
+    """One unrolled synchronous LPA round (DuckDB): node's next label =
+    weighted mode of neighbor labels, tie -> smallest label; isolated
+    nodes keep their label via the COALESCE in the next round's join."""
+    return f"""
+    lab{j} AS (
+        SELECT u AS node, lbl AS label FROM (
+            SELECT e2.u, l.label AS lbl,
+                   row_number() OVER (PARTITION BY e2.u
+                       ORDER BY sum(e2.w) DESC, l.label) AS rn
+            FROM e2 JOIN lab{j - 1} l ON e2.v = l.node
+            GROUP BY e2.u, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_graph_communities",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_orderkey,
+               a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS w
+        FROM pairs GROUP BY u, v HAVING count(*) >= 2
+    ), e2 AS (
+        SELECT u, v, w FROM e
+        UNION ALL
+        SELECT v AS u, u AS v, w FROM e
+    ), lab0 AS (
+        SELECT DISTINCT u AS node FROM e2
+    ), lab0x AS (
+        SELECT node, node AS label FROM lab0
+    ),{_lpa_round_sql(1).replace('lab0', 'lab0x')},{_lpa_round_sql(2)},{_lpa_round_sql(3)}
+    SELECT CAST(csize AS BIGINT)          AS community_size,
+           CAST(count(*) AS BIGINT)       AS n_communities,
+           CAST(sum(label) AS BIGINT)     AS label_checksum
+    FROM (
+        SELECT label, count(*) AS csize FROM lab3 GROUP BY label
+    )
+    GROUP BY csize
+    """,
+)
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (SURVEY §7 runway) over the
+    part CO-PURCHASE graph: parts are connected when they appear in the
+    same order at least twice (edge weight = co-order count), and THREE
+    synchronous LPA rounds assign each part the weighted MODE of its
+    neighbors' labels (tie -> smallest label — deterministic, so the
+    DuckDB oracle replays the rounds exactly).  Output is the
+    community-size histogram with a label checksum — the
+    assortment-planning face ("which products cluster?") of the same
+    iteration ``q_entity_components`` runs with min instead of mode.
+
+    Pair expansion is BOUNDED BY CONSTRUCTION: lineitems per order ≤ 7,
+    so the self-join emits ≤ 21 pairs per order — linear in orders, never
+    users²/parts² (the trap co-occurrence graphs usually hide).  The
+    weight-≥2 filter keeps the graph to repeated signal.
+
+    Scale: each LPA round is one keyed join (edge.dst -> label) + one
+    keyed aggregation + a per-node rank — 2 shuffles/round over edge
+    cardinality, the standard distributed LPA shape; rounds are a fixed
+    unrolled constant here (real deployments iterate to quiescence with
+    the convergence-flag pattern of ``q_entity_components``)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("v"))
+    e = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+         .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+         .filter(F.col("w") >= 2))
+    e2 = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    e2 = e2.localCheckpoint()  # 3 rounds reuse the edges; truncate lineage
+    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node"))
+    for _ in range(3):
+        cand = (e2.join(labels, e2["v"] == labels["node"])
+                .groupBy("u", "label")
+                .agg(F.sum("w").alias("lw")))
+        wr = Window.partitionBy("u").orderBy(F.desc("lw"), F.asc("label"))
+        labels = (cand.withColumn("rn", F.row_number().over(wr))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("u").alias("node"), "label"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy(F.col("csize").cast("long")
+                         .alias("community_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("label").cast("long").alias("label_checksum"),
+    )

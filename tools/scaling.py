@@ -72,6 +72,7 @@ KEYS = [
     "q_multimodal_audio_stats",
     "q_text_perplexity_backoff",
     "q_join_asof_nearest",
+    "q_graph_communities",
 ]
 
 
