@@ -426,8 +426,11 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lpa_round_sql(j: int) -> str:
     """One unrolled synchronous LPA round (DuckDB): node's next label =
-    weighted mode of neighbor labels, tie -> smallest label; isolated
-    nodes keep their label via the COALESCE in the next round's join."""
+    weighted mode of neighbor labels, tie -> smallest label.  INNER-join
+    semantics: a node with no labeled neighbor would drop out — safe here
+    only because e2 is symmetric (every node has >= 1 neighbor) and each
+    round labels every node, so the node set is invariant; reusing this
+    for a graph where label sets can shrink needs a COALESCE fallback."""
     return f"""
     lab{j} AS (
         SELECT u AS node, lbl AS label FROM (

@@ -165,11 +165,15 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def encode_wav(n_frames: int, sample_rate: int = 16000) -> bytes:
-    """A real (silent) RIFF/WAV payload: 1 channel, 16-bit PCM — produced
-    by the stdlib encoder, so ``decode_media`` exercises a genuine codec
-    round-trip, not a hand-rolled header."""
+def encode_wav(n_frames: int, sample_rate: int = 16000,
+               samples: "list[int] | None" = None) -> bytes:
+    """A real RIFF/WAV payload: 1 channel, 16-bit PCM — produced by the
+    stdlib encoder, so ``decode_media`` exercises a genuine codec
+    round-trip, not a hand-rolled header.  ``samples`` (int16 values)
+    fills the frames; default is silence.  ONE definition of the codec
+    parameters — every WAV the module writes goes through here."""
     import io
+    import struct
     import wave
 
     buf = io.BytesIO()
@@ -177,7 +181,10 @@ def encode_wav(n_frames: int, sample_rate: int = 16000) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(b"\x00\x00" * n_frames)
+        if samples is None:
+            w.writeframes(b"\x00\x00" * n_frames)
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
 
 
@@ -440,22 +447,13 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "n_chars").filter(F.col("doc_id") % 6 == 0))
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
             payloads = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = int(n_chars) % 256 + 16
                 samples = [((int(doc_id) * 31 + i * 17) % 2003) - 1001
                            for i in range(n)]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(16000)
-                    w.writeframes(struct.pack(f"<{n}h", *samples))
-                payloads.append(buf.getvalue())
+                payloads.append(encode_wav(n, samples=samples))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "payload": payloads,

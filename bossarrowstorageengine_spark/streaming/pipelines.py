@@ -403,19 +403,20 @@ def stream_to_partitioned_table(events: DataFrame, path: str,
     layout, stats sidecars, and time travel all match a batch-written
     table.
 
-    Idempotence: a per-stream-identity high-water-mark MAP file
-    ({stream_id: batch_id}, atomic tmp+rename, written after the manifest
-    commit) makes the common restart-replay a no-op.  Marks are KEYED by
-    stream identity — the hash of the checkpoint directory, the Delta
-    txnAppId/txnVersion pattern — because Spark batch ids restart at 0
-    under a fresh checkpoint: an unscoped mark would silently skip every
-    micro-batch of a NEW query appending to an existing table (ADVICE
-    r5).  A map (not a single slot) so two concurrent writers on one
-    table each keep their own replay protection instead of clobbering the
-    other's mark.  A crash BETWEEN the manifest commit and the mark
-    leaves the standard at-least-once window every file sink without
-    transactional batch ids has; downstream merge-latest/dedup closes it
-    where exactly-once matters.
+    Idempotence: a PER-STREAM-IDENTITY high-water-mark file
+    (``_streaming-batch-hwm.<stream_id>.json``, atomic tmp+rename,
+    written after the manifest commit) makes the common restart-replay a
+    no-op.  The identity is the hash of the checkpoint directory — the
+    Delta txnAppId/txnVersion pattern — because Spark batch ids restart
+    at 0 under a fresh checkpoint: an unscoped mark would silently skip
+    every micro-batch of a NEW query appending to an existing table
+    (ADVICE r5).  One FILE per identity (not one shared map file) so two
+    concurrent writers on one table never read-modify-write each other's
+    mark — there is no shared state to race on.  A crash BETWEEN the
+    manifest commit and the mark leaves the standard at-least-once
+    window every file sink without transactional batch ids has;
+    downstream merge-latest/dedup closes it where exactly-once
+    matters.
 
     Returns the StreamingQuery handle.
     """
@@ -425,34 +426,26 @@ def stream_to_partitioned_table(events: DataFrame, path: str,
 
     from bossarrowstorageengine_spark.sources import register_arrowipc
 
-    hwm_file = os.path.join(path, "_streaming-batch-hwm.json")
     stream_id = hashlib.sha256(
         os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+    hwm_file = os.path.join(
+        path, f"_streaming-batch-hwm.{stream_id}.json")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         register_arrowipc(batch_df.sparkSession)
-        marks: dict = {}
+        # Only THIS identity's own mark file gates replay — other
+        # writers' files are their progress, never read here, so there is
+        # no cross-writer read-modify-write race by construction.
         if os.path.exists(hwm_file):
             with open(hwm_file) as f:
-                doc = json.load(f)
-            # Current format: {"marks": {stream_id: batch_id}}.  A legacy
-            # single-slot mark (with or without stream_id) migrates into
-            # the map; an identity-less legacy mark gates nothing.
-            if "marks" in doc:
-                marks = doc["marks"]
-            elif "stream_id" in doc:
-                marks = {doc["stream_id"]: doc["batch_id"]}
-        # Only THIS stream identity's mark gates replay; other writers'
-        # marks are their progress, not ours.
-        if stream_id in marks and batch_id <= marks[stream_id]:
-            return  # replay of an already-committed batch
+                if batch_id <= json.load(f)["batch_id"]:
+                    return  # replay of an already-committed batch
         (batch_df.write.format("arrowipc")
          .option("partitionBy", partition_by)
          .option("snapshots", "true").mode("append").save(path))
-        marks[stream_id] = batch_id
         tmp = hwm_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"marks": marks}, f)
+            json.dump({"stream_id": stream_id, "batch_id": batch_id}, f)
         os.replace(tmp, hwm_file)
 
     return (events.writeStream.foreachBatch(write_batch)

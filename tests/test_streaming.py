@@ -330,10 +330,15 @@ def test_foreach_batch_partitioned_table_sink(spark):
         q.stop()
 
     # The idempotence mark recorded the last committed batch for THIS
-    # stream identity: a restarted query replaying batch ids ≤ 1 skips.
+    # stream identity (one file per identity): a restarted query
+    # replaying batch ids ≤ 1 skips.
+    import hashlib
     import json
-    hwm = json.load(open(os.path.join(table, "_streaming-batch-hwm.json")))
-    assert list(hwm["marks"].values()) == [1]
+    sid = hashlib.sha256(
+        os.path.abspath(ckpt).encode()).hexdigest()[:16]
+    hwm = json.load(
+        open(os.path.join(table, f"_streaming-batch-hwm.{sid}.json")))
+    assert hwm["batch_id"] == 1
     shutil.rmtree(base, ignore_errors=True)
 
 
@@ -500,9 +505,12 @@ def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
         pdf.to_json(tmp, orient="records", lines=True)
         os.replace(tmp, final)
 
-    hwm_file = os.path.join(table, "_streaming-batch-hwm.json")
+    def hwm_of(ckpt):
+        sid = hashlib.sha256(
+            os.path.abspath(ckpt).encode()).hexdigest()[:16]
+        return os.path.join(table, f"_streaming-batch-hwm.{sid}.json")
 
-    # --- query A: two micro-batches → mark {id(A), batch_id=1} ---
+    # --- query A: two micro-batches → mark file for A with batch_id=1 ---
     stream_a = (spark.readStream.schema(EVENTS_SCHEMA)
                 .option("maxFilesPerTrigger", 1).json(src_a))
     qa = stream_to_partitioned_table(
@@ -513,10 +521,7 @@ def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
         qa.processAllAvailable()
     finally:
         qa.stop()
-    id_a = hashlib.sha256(
-        os.path.abspath(f"{base}/ckpt_a").encode()).hexdigest()[:16]
-    mark_a = json.load(open(hwm_file))["marks"]
-    assert mark_a == {id_a: 1}
+    assert json.load(open(hwm_of(f"{base}/ckpt_a")))["batch_id"] == 1
 
     # --- query B: FRESH checkpoint, same table.  Its batch 0 (≤ 1) must
     # still be written: the mark belongs to a different stream identity. ---
@@ -531,24 +536,26 @@ def test_partitioned_sink_idempotence_is_checkpoint_scoped(spark):
         back = (spark.read.format("arrowipc")
                 .option("snapshots", "true").load(table))
         assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
-        id_b = hashlib.sha256(
-            os.path.abspath(f"{base}/ckpt_b").encode()).hexdigest()[:16]
-        marks = json.load(open(hwm_file))["marks"]
-        # BOTH identities keep their marks (a map, not a single slot —
-        # concurrent writers must not clobber each other's replay guard).
-        assert marks == {id_a: 1, id_b: 0}
+        # BOTH identities keep their own mark FILES (no shared state —
+        # concurrent writers cannot clobber each other's replay guard).
+        assert json.load(open(hwm_of(f"{base}/ckpt_a")))["batch_id"] == 1
+        assert json.load(open(hwm_of(f"{base}/ckpt_b")))["batch_id"] == 0
 
         # --- (b) same-identity replay: raise B's own mark above the next
         # batch id — the crash-recovery replay path — and push again.  The
-        # batch must be SKIPPED (no new rows, mark untouched). ---
-        with open(hwm_file, "w") as f:
-            json.dump({"marks": {id_a: 1, id_b: 5}}, f)
+        # batch must be SKIPPED (no new rows, mark untouched, A's file
+        # untouched). ---
+        sid_b = hashlib.sha256(
+            os.path.abspath(f"{base}/ckpt_b").encode()).hexdigest()[:16]
+        with open(hwm_of(f"{base}/ckpt_b"), "w") as f:
+            json.dump({"stream_id": sid_b, "batch_id": 5}, f)
         push(src_b, "b1.json", [_ev(4, "2024-01-01 00:03:00")])
         qb.processAllAvailable()
         back = (spark.read.format("arrowipc")
                 .option("snapshots", "true").load(table))
         assert sorted(r.event_id for r in back.collect()) == [1, 2, 3]
-        assert json.load(open(hwm_file))["marks"][id_b] == 5
+        assert json.load(open(hwm_of(f"{base}/ckpt_b")))["batch_id"] == 5
+        assert json.load(open(hwm_of(f"{base}/ckpt_a")))["batch_id"] == 1
     finally:
         qb.stop()
     shutil.rmtree(base, ignore_errors=True)
