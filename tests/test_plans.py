@@ -585,3 +585,21 @@ def test_span_sliding_no_pair_expansion(spark):
     plan = _plan(QUERIES["q_dedup_span_sliding"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_is_banded_equi_join(spark):
+    """Nearest-direction as-of must find candidates through the 3-bucket
+    banded equi-join — no cartesian/nested-loop pair expansion (the trap
+    a naive |gap|<=tol range join falls into at 100 TB)."""
+    plan = _plan(QUERIES["q_join_asof_nearest"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_communities_rounds_are_keyed_joins(spark):
+    """Each LPA round must be a keyed join + keyed aggregation over the
+    edge list — no cartesian anywhere, and the per-node pick is a
+    partitioned window (no global sort)."""
+    plan = _plan(QUERIES["q_graph_communities"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
