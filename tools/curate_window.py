@@ -122,8 +122,20 @@ HASHES_RE = re.compile(
 def main() -> None:
     check = "--check" in sys.argv
     window = compute_window()
-    new_init = WINDOW_RE.sub(render_window(window), INIT_PATH.read_text())
-    new_stale = HASHES_RE.sub(render_hashes(), STALE_PATH.read_text())
+    new_init, n_win = WINDOW_RE.subn(render_window(window),
+                                     INIT_PATH.read_text())
+    new_stale, n_hash = HASHES_RE.subn(render_hashes(),
+                                       STALE_PATH.read_text())
+    if n_win != 1 or n_hash != 1:
+        # A broken/removed generated-block marker would otherwise make
+        # sub() a silent no-op and print a false "already current".
+        sys.exit(
+            f"generated-block markers not found exactly once "
+            f"(window={n_win}, hashes={n_hash}) — restore the "
+            f"'# BEGIN _DRIVER_WINDOW (generated)' block in "
+            f"{INIT_PATH.name} / the SHARED_MODULE_HASHES literal in "
+            f"{STALE_PATH.name} before regenerating."
+        )
     drift = (new_init != INIT_PATH.read_text()
              or new_stale != STALE_PATH.read_text())
     print(f"window ({len(window)}): " + " ".join(window))
