@@ -645,6 +645,7 @@ def _read_stream_range(
     dictionaries to miss)."""
     schema = _file_arrow_schema(path)
     keep_set = set(keep) if keep is not None else None
+    yielded: set[int] = set()
     try:
         with pa.OSFile(path, "rb") as f:
             f.seek(offset)
@@ -659,11 +660,26 @@ def _read_stream_range(
                     continue
                 if keep_set is None or i in keep_set:
                     batch = pa.ipc.read_record_batch(msg, schema)
+                    yielded.add(i)
                     yield _finalize_batch(batch, columns, target_schema)
                 i += 1
-    except pa.ArrowInvalid as exc:
-        raise pa.ArrowInvalid(
-            f"corrupt or non-Arrow part file {path}: {exc}") from exc
+    except (pa.ArrowInvalid, EOFError):
+        # The recorded offsets no longer describe the file (e.g. a part
+        # file replaced by a foreign tool without regenerating its
+        # sidecar): pa.ipc.read_message raises EOFError past the real end
+        # of stream, and a mid-message seek raises ArrowInvalid.  Sidecars
+        # are planning-only optimizations that must degrade, never fail
+        # the query (_load_sidecar contract), so fall back to the
+        # sequential scan for the range members not already yielded —
+        # genuine file corruption still fails loudly there, with the part
+        # path in the message.
+        remaining = [
+            i for i in range(lo, hi)
+            if i not in yielded and (keep_set is None or i in keep_set)
+        ]
+        if remaining:
+            yield from _read_ipc_batches(
+                path, remaining, columns, target_schema)
 
 
 def _read_ipc_batches(

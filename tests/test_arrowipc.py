@@ -2168,3 +2168,43 @@ def test_dictionary_stream_file_stays_sequential(spark):
     back = spark.read.format("arrowipc").load(out)
     assert back.count() == df.count()
     shutil.rmtree(out, ignore_errors=True)
+
+def test_stream_range_degrades_on_stale_offsets():
+    """ADVICE r6: a stale offsets sidecar (part file replaced by a foreign
+    tool without regenerating the sidecar, so the planned lo/hi exceed the
+    real batch count, or a recorded offset lands mid-message) must DEGRADE
+    to the sequential read path — sidecars are planning-only optimizations
+    that never fail the query.  pa.ipc.read_message raises EOFError (not
+    ArrowInvalid) past end-of-stream; both are caught."""
+    import pyarrow as pa
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _read_stream_range,
+    )
+
+    path = f"/tmp/spark_graft_test/{uuid.uuid4().hex}.arrows"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table({"v": list(range(30))})
+    batches = tbl.to_batches(max_chunksize=10)  # 3 batches of 10
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_stream(f, tbl.schema) as w:
+            for b in batches:
+                w.write_batch(b)
+
+    # Planned range overruns the real batch count (sidecar said 5 batches,
+    # file has 3): seek path yields 0..2, hits EOF, fallback finds nothing
+    # more — the 3 real batches come back, no exception.
+    got = list(_read_stream_range(path, 0, 0, 5, None, None))
+    assert sum(b.num_rows for b in got) == 30
+    assert [b.column(0)[0].as_py() for b in got] == [0, 10, 20]
+
+    # Recorded offset lands mid-message: the seek read fails immediately,
+    # and the WHOLE range arrives via the sequential fallback.
+    got = list(_read_stream_range(path, 13, 1, 3, None, None))
+    assert sum(b.num_rows for b in got) == 20
+    assert [b.column(0)[0].as_py() for b in got] == [10, 20]
+
+    # keep-subset survives the fallback too.
+    got = list(_read_stream_range(path, 13, 0, 3, [0, 2], None))
+    assert [b.column(0)[0].as_py() for b in got] == [0, 20]
+    os.remove(path)
