@@ -660,8 +660,14 @@ def _read_stream_range(
                     continue
                 if keep_set is None or i in keep_set:
                     batch = pa.ipc.read_record_batch(msg, schema)
+                    # Finalize BEFORE marking the batch yielded: a finalize
+                    # failure (e.g. an invalid cast during mergeSchema
+                    # alignment) must leave ``i`` in ``remaining`` so the
+                    # sequential fallback re-reads it and fails loudly
+                    # there — marking first would silently drop the batch.
+                    final = _finalize_batch(batch, columns, target_schema)
                     yielded.add(i)
-                    yield _finalize_batch(batch, columns, target_schema)
+                    yield final
                 i += 1
     except (pa.ArrowInvalid, EOFError):
         # The recorded offsets no longer describe the file (e.g. a part
@@ -925,6 +931,18 @@ class ArrowIPCReader(DataSourceReader):
                     if stats is not None and "batches" in stats:
                         n_batches = len(stats["batches"])
                 offsets = (stats or {}).get("offsets")
+                if offsets:
+                    # Distrust offsets whose sidecar fingerprints a
+                    # different byte length than the file on disk: a
+                    # rewrite that happens to preserve valid message
+                    # boundaries would otherwise yield wrong/duplicated
+                    # batches with no exception for the degrade handler
+                    # to catch.  Absent fingerprint (pre-upgrade sidecar)
+                    # keeps the old trust-then-degrade behavior.
+                    recorded = (stats or {}).get("file_bytes")
+                    if recorded is not None and \
+                            recorded != os.path.getsize(path):
+                        offsets = None
                 idxs = keep if keep is not None else (
                     list(range(n_batches)) if n_batches else None)
                 if keep is not None and not keep:
@@ -1076,6 +1094,12 @@ class _OpenPart:
         if self._offsets_ok and \
                 len(self.batch_offsets) == len(self.batch_stats):
             doc["offsets"] = self.batch_offsets
+            # Fingerprint the finished part file so a later reader can
+            # tell when the offsets describe a DIFFERENT file (a foreign
+            # tool rewriting the part in place keeps the path but almost
+            # never the exact byte length): planners ignore offsets on
+            # mismatch rather than seeking into look-alike boundaries.
+            doc["file_bytes"] = os.path.getsize(self.final)
         payload = json.dumps(doc)
         with open(stats_path(self.final), "w") as f:
             f.write(payload)

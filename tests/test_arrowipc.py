@@ -2208,3 +2208,81 @@ def test_stream_range_degrades_on_stale_offsets():
     got = list(_read_stream_range(path, 13, 0, 3, [0, 2], None))
     assert [b.column(0)[0].as_py() for b in got] == [0, 20]
     os.remove(path)
+
+
+def test_stream_range_finalize_failure_fails_loudly():
+    """ADVICE r7: a finalize failure on the SEEK path (e.g. an invalid
+    cast during mergeSchema alignment) must not mark the batch as already
+    yielded — the degrade handler would otherwise exclude it from the
+    sequential fallback and silently drop its rows.  With the fix, the
+    fallback re-reads the batch and fails loudly with the part path in
+    the message; batches that finalized cleanly before the failure still
+    arrive."""
+    import pyarrow as pa
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _read_stream_range,
+    )
+
+    path = f"/tmp/spark_graft_test/{uuid.uuid4().hex}.arrows"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table({"v": ["1", "2", "x", "y"]})
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_stream(f, tbl.schema) as w:
+            for b in tbl.to_batches(max_chunksize=2):  # ["1","2"], ["x","y"]
+                w.write_batch(b)
+
+    target = pa.schema([pa.field("v", pa.int64())])
+    rows: list[int] = []
+    with pytest.raises(pa.ArrowInvalid, match="part file"):
+        for b in _read_stream_range(path, 0, 0, 2, None, None, target):
+            rows.extend(b.column(0).to_pylist())
+    # The castable first batch arrived; the uncastable second one raised
+    # instead of vanishing (pre-fix: 2 of 4 rows, no error).
+    assert rows == [1, 2]
+    os.remove(path)
+
+
+def test_stream_offsets_ignored_on_file_bytes_mismatch(spark):
+    """ADVICE r7: a stale sidecar whose offsets happen to land on valid
+    message boundaries of a replaced file would silently yield wrong or
+    duplicated batches.  The sidecar now fingerprints the part file's
+    byte size; a mismatch makes the planner ignore the offsets and fall
+    back to ONE sequential task, which reads the file as it actually is."""
+    import json as _json
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCReader, stats_path)
+
+    out = f"/tmp/spark_graft_test/{uuid.uuid4().hex}"
+    df = load_table(spark, SF, "orders")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+        (df.coalesce(1).write.format("arrowipc")
+         .option("ipcFormat", "stream")
+         .mode("append").save(out))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    files = glob.glob(os.path.join(out, "*.arrows"))
+    assert len(files) == 1
+    side = _json.load(open(stats_path(files[0])))
+    assert side["file_bytes"] == os.path.getsize(files[0])
+
+    # Fingerprint matches: batch-range seek tasks as before.
+    reader = ArrowIPCReader(None, {"path": out, "batchesPerSplit": "4"})
+    parts = reader.partitions()
+    assert len(parts) > 1 and all(p.stream_seek is not None for p in parts)
+
+    # Tamper the fingerprint (simulating a same-layout foreign rewrite):
+    # offsets are no longer trusted — one sequential task, correct rows.
+    side["file_bytes"] += 1
+    with open(stats_path(files[0]), "w") as f:
+        f.write(_json.dumps(side))
+    reader = ArrowIPCReader(None, {"path": out, "batchesPerSplit": "4"})
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].stream_seek is None
+
+    back = spark.read.format("arrowipc").option("batchesPerSplit", "4").load(out)
+    assert back.count() == df.count()
+    shutil.rmtree(out, ignore_errors=True)
