@@ -1,0 +1,126 @@
+"""Property tests for round-8 components: the N-iteration BPE trainer's
+merge table vs a textbook pure-Python greedy trainer (N COMPOUNDING
+rules — the r6 'done' criterion the 2-iteration test did not cover),
+including corpus-exhaustion behavior on both the Spark side and the
+generated DuckDB oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bossarrowstorageengine_spark.operators.curation import (
+    _bpe_train_n_frame,
+    _bpe_train_n_oracle,
+)
+
+
+def _reference_train_simple(
+        texts: list[str], n: int) -> list[tuple[int, str, int]]:
+    """Textbook greedy BPE trainer over a word-frequency dict: per
+    iteration, count ALL adjacent symbol pairs (overlapping windows, like
+    ``substring(mt, i, 2)``), pick the (count DESC, pair ASC) winner, and
+    apply it with Python ``str.replace`` — leftmost non-overlapping, the
+    exact semantic ``replace()`` has in Spark and DuckDB.  Sentinels
+    chr(1)..chr(k) stand for merged units; rendering expands them in
+    reverse index order.  Returns (merge_idx, 'left|right', count) rows;
+    stops early when no pair remains (exhaustion)."""
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            words[w] = words.get(w, 0) + 1
+    rules: list[str] = []
+    out: list[tuple[int, str, int]] = []
+    for k in range(1, n + 1):
+        counts: dict[str, int] = {}
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                p = w[i:i + 2]
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        praw, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append(praw)
+
+        def render(half: str) -> str:
+            for j in range(len(rules) - 1, -1, -1):
+                half = half.replace(chr(j + 1), rules[j])
+            return half
+
+        out.append((k, f"{render(praw[0])}|{render(praw[1])}", c))
+        nxt: dict[str, int] = {}
+        for w, cnt in words.items():
+            w2 = w.replace(praw, chr(k))
+            nxt[w2] = nxt.get(w2, 0) + cnt
+        words = nxt
+    return out
+
+
+def _spark_train(spark, texts: list[str], n: int) -> list[tuple]:
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r.merge_idx, r.merge_rule, r.n_occurrences)
+        for r in _bpe_train_n_frame(docs, n).collect()
+    ]
+
+
+def _duck_train(texts: list[str], n: int) -> list[tuple]:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)",
+                    [(t,) for t in texts])
+    return [tuple(r) for r in con.execute(_bpe_train_n_oracle(n)).fetchall()]
+
+
+# Corpus alphabet mirrors the real documents table: letters only, no
+# control characters (the sentinel space chr(1)..chr(8) must stay free).
+_word = st.text(alphabet="abcde", min_size=1, max_size=6)
+_corpus = st.lists(
+    st.lists(_word, min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus=_corpus, n=st.integers(min_value=1, max_value=8))
+def test_bpe_train_n_matches_reference_trainer(spark, corpus, n):
+    """N compounding merges: the Spark trainer's merge table (indices,
+    RENDERED rules, counts) equals the pure-Python textbook trainer on
+    arbitrary small corpora — including ones that exhaust before N."""
+    assert _spark_train(spark, corpus, n) == \
+        _reference_train_simple(corpus, n)
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpus=_corpus, n=st.integers(min_value=1, max_value=6))
+def test_bpe_train_n_oracle_matches_reference_trainer(corpus, n):
+    """The generated DuckDB oracle replays the same trainer — in
+    particular it must keep rules discovered BEFORE pair exhaustion
+    (ADVICE r7: the old N-way cross join emptied the whole table)."""
+    assert _duck_train(corpus, n) == _reference_train_simple(corpus, n)
+
+
+def test_bpe_train_n_exhaustion_keeps_prefix(spark):
+    """Deterministic exhaustion case from ADVICE r7: corpus 'ab ab'
+    sustains exactly one merge ('ab' -> chr(1), count 2); both engines
+    must return that single rule, not an empty table."""
+    expect = [(1, "a|b", 2)]
+    assert _spark_train(spark, ["ab ab"], 8) == expect
+    assert _duck_train(["ab ab"], 8) == expect
+
+
+def test_bpe_train_n_final_plan_is_corpus_free(spark):
+    """Plan-shape pin for the r7 45.7s regression: every top-1 rule is
+    eagerly localCheckpoint-ed, so the FINAL merge-table plan must not
+    re-reference the corpus scan (pre-fix, the union re-derived the
+    whole replace chain per rule — exponential in N)."""
+    docs = spark.createDataFrame(
+        [("aa bb aa cc",), ("aa bb",)], "text string")
+    out = _bpe_train_n_frame(docs, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # A createDataFrame corpus shows up as LocalTableScan; with every
+    # rule checkpointed, the final plan reads ONLY materialized RDDs —
+    # the corpus source and the per-iteration pair recounts are gone.
+    assert "LocalTableScan" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan

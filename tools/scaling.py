@@ -73,6 +73,8 @@ KEYS = [
     "q_text_perplexity_backoff",
     "q_join_asof_nearest",
     "q_graph_communities",
+    # Round-8 additions.
+    "q_bpe_train_n",
 ]
 
 
