@@ -52,6 +52,9 @@ HEADLINE = [
     # Round-6 flagship additions.
     "q_ann_ivfpq",
     "q_text_perplexity",
+    # Round-8 (VERDICT r6 item 7): the most expensive declared query in
+    # SCALING.md (~4.8s) was invisible round-over-round until now.
+    "q_storage_changefeed",
 ]
 
 

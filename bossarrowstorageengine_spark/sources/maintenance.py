@@ -218,6 +218,26 @@ _FCOL = "_part_file"
 _INLIST_MAX = 32
 
 
+def _part_row_count(p: str) -> int:
+    """Row count of one part file: the stats sidecar when present (our
+    writer always emits one), else a direct pyarrow read — the fallback
+    only runs for foreign files and is bounded by affected-file count."""
+    import json
+
+    sp = stats_path(p)
+    if os.path.exists(sp):
+        with open(sp) as f:
+            return json.load(f).get("rows", 0)
+    from bossarrowstorageengine_spark.sources.arrowipc import _is_file_format
+
+    with pa.OSFile(p, "rb") as f:
+        if _is_file_format(p):
+            r = pa.ipc.open_file(f)
+            return sum(r.get_batch(i).num_rows
+                       for i in range(r.num_record_batches))
+        return sum(b.num_rows for b in pa.ipc.open_stream(f))
+
+
 def _staged_rows(staging_dir: str) -> int:
     """Total rows across a staging directory's part files (including
     Hive-style ``col=value`` subdirectories a partition-preserving stage
@@ -295,7 +315,12 @@ def _cow_rewrite(
     attribution column).  ``rewrite(affected)``: the full replacement
     content for the affected files (attribution column still present on
     input; must be dropped in the output).  ``appends(df)``: optional
-    extra rows to add alongside the rewrites (MERGE inserts).
+    extra rows to add alongside the rewrites (MERGE inserts).  When
+    ``appends`` is given, ``rewrite`` must preserve row MULTIPLICITY
+    (MERGE semantics — each affected-file row kept or replaced, never
+    dropped/duplicated): the appended-row count is derived as staged
+    total minus affected-file totals, since both writes share one
+    staged job.
     ``scan_columns``: the columns ``affected_rows`` actually inspects
     (MERGE keys, DELETE/UPDATE predicate columns) — when given, the
     match scan (and the pruned frame handed to ``appends`` as its second
@@ -342,9 +367,17 @@ def _cow_rewrite(
     df = (spark.read.format("arrowipc")
           .option("filenameColumn", _FCOL).load(pin))
     if scan_columns:
+        # Derive the pruned read's schema from the full read instead of a
+        # second inference pass — each Python-datasource schema inference
+        # costs a plan-worker round trip (~0.2s of the mutation's fixed
+        # floor), and the composition rule is the reader's own
+        # (selected columns in option order, attribution column last).
+        pruned_schema = StructType(
+            [df.schema[c] for c in scan_columns] + [df.schema[_FCOL]])
         scan_df = (spark.read.format("arrowipc")
                    .option("filenameColumn", _FCOL)
-                   .option("columns", ",".join(scan_columns)).load(pin))
+                   .option("columns", ",".join(scan_columns))
+                   .schema(pruned_schema).load(pin))
     else:
         scan_df = df
     per_file = (affected_rows(scan_df).groupBy(_FCOL)
@@ -358,7 +391,6 @@ def _cow_rewrite(
         return {"rows_matched": 0, "files_rewritten": 0, "rows_appended": 0}
 
     staging = os.path.join(path, f".cow-{uuid.uuid4().hex}")
-    extra_staging = os.path.join(path, f".cow-x-{uuid.uuid4().hex}")
 
     # Preserve the table's Hive partition layout through the rewrite: a
     # flat rewrite would strand survivors at the table root, and every
@@ -407,7 +439,8 @@ def _cow_rewrite(
                 json.dump(affected_pinned, lf)
             aff_df = (spark.read.format("arrowipc")
                       .option("filenameColumn", _FCOL)
-                      .option("fileListPath", list_file).load(pin))
+                      .option("fileListPath", list_file)
+                      .schema(df.schema).load(pin))
         rewritten = rewrite(aff_df)
         rewritten_schema = rewritten.schema
         # Preserve file granularity: rewriting K affected parts must yield
@@ -419,19 +452,32 @@ def _cow_rewrite(
         # at K tasks — a one-file rewrite of a huge table would run its
         # join single-task.  The repartition shuffles only the rewritten
         # rows; join parallelism stays independent of output file count.
-        _stage(_repart(rewritten, max(1, len(affected_pinned))))
+        out_df = _repart(rewritten, max(1, len(affected_pinned)))
+    else:
+        out_df = None
+    if extra is not None:
+        # Inserts ride the SAME staged write as the rewrites (union of
+        # two explicit repartitions — partition sets concatenate, so file
+        # granularity is unchanged): one Spark job instead of two, which
+        # at the Python-datasource fixed floor (~1s per action) is the
+        # single biggest term in a MERGE.  repartition (not coalesce —
+        # see above) bounds the tiny-file fan-out a join-produced insert
+        # set would otherwise inherit from spark.sql.shuffle.partitions;
+        # empty partitions produce no files.
+        ins = _repart(extra, max(1, len(affected_pinned) or 1))
+        out_df = ins if out_df is None else out_df.unionByName(ins)
+    if out_df is not None:
+        _stage(out_df)
     n_extra = 0
     if extra is not None:
-        # ONE pass over the insert set: stage it directly (separate dir so
-        # its files are distinguishable) and read the appended row count
-        # back from the part files' stats sidecars — no pre-count action,
-        # no cache of a potentially huge insert set.  repartition (not
-        # coalesce — see above) bounds the tiny-file fan-out a
-        # join-produced insert set would otherwise inherit from
-        # spark.sql.shuffle.partitions; empty partitions produce no files.
-        _stage(_repart(extra, max(1, len(affected_pinned) or 1)),
-               into=extra_staging)
-        n_extra = _staged_rows(extra_staging)
+        # The staged rows = rewritten rows + inserted rows, and a rewrite
+        # passed alongside ``appends`` preserves row multiplicity (MERGE
+        # semantics: every affected-file row is kept or replaced, never
+        # dropped or duplicated) — so the insert count is the staged
+        # total minus the affected files' row totals, both metadata-only
+        # reads (stats sidecars; bounded by file count, not rows).
+        n_extra = _staged_rows(staging) - sum(
+            _part_row_count(p) for p in affected_pinned)
 
     if not snapshotted:
         for old in affected_orig:
@@ -440,7 +486,7 @@ def _cow_rewrite(
             if os.path.exists(sp):
                 os.remove(sp)
     promoted: list[str] = []
-    for stg in (staging, extra_staging):
+    for stg in (staging,):
         if not os.path.isdir(stg):
             continue
         # Recursive promotion: a partition-preserving stage writes into
