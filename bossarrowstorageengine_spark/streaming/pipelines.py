@@ -282,9 +282,10 @@ def user_event_profile(events: DataFrame) -> DataFrame:
 
 
 def view_click_followups(events: DataFrame,
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         follow: str = "5 minutes") -> DataFrame:
     """Stream-stream interval join: each ``view`` paired with the same
-    user's ``click``s in the following 5 minutes — the streaming face of
+    user's ``click``s in the following ``follow`` window — the streaming face of
     the batch range join (``q_join_range_events``'s candidate-pair stage).
 
     Both sides carry watermarks and the join condition bounds
@@ -310,7 +311,8 @@ def view_click_followups(events: DataFrame,
     cond = (
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") > F.col("view_ts"))
-        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") <= F.col("view_ts")
+           + F.expr(f"INTERVAL {follow}"))
     )
     return views.join(clicks, cond, "inner").select(
         "user_id", "view_id", "view_ts", "click_id", "click_ts")
