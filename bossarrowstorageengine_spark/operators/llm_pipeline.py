@@ -444,9 +444,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit b of a token = bit (3 - b%4) of hex digit (b//4) of md5(token) —
     the same arithmetic in Spark (conv) and DuckDB (hex cast), so the
-    sketch is EXACT-checkable.
+    sketch is EXACT-checkable; the near-vs-random DISCRIMINATION property
+    (what an exact replay cannot attest) is pinned by
+    tests/test_round8_props.py over ``_simhash_frame``.
     """
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return _simhash_frame(
+        spark, fan_out(load_table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def _simhash_frame(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Core of :func:`q_dedup_simhash` over any ``(doc_id, text)`` frame
+    (factored so property tests can drive it with synthetic corpora)."""
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")

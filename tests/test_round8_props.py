@@ -124,3 +124,71 @@ def test_bpe_train_n_final_plan_is_corpus_free(spark):
     # the corpus source and the per-iteration pair recounts are gone.
     assert "LocalTableScan" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Discrimination tests (VERDICT r6 item 8): an EXACT replay oracle proves
+# Spark == DuckDB, not that the sketch discriminates — the r6 all-zero
+# PQ-codebook incident is the documented reason these exist.
+# ---------------------------------------------------------------------------
+
+def _hamming32(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_near_duplicates_score_closer_than_random(spark):
+    """SimHash must put word-level near-duplicates at much smaller
+    Hamming distance than unrelated documents: for each base document,
+    a 2-token-edited copy must land within a few bits while a random
+    other document's distance concentrates around 16 (of 32)."""
+    import random
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _simhash_frame,
+    )
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    n_base = 8
+    for i in range(n_base):
+        toks = [rng.choice(vocab) for _ in range(60)]
+        near = list(toks)
+        near[5] = "changed"
+        near[40] = "tokens"
+        rows.append((i, " ".join(toks)))            # base: doc_id i
+        rows.append((100 + i, " ".join(near)))      # near-dup: 100+i
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.simhash32
+          for r in _simhash_frame(spark, docs).collect()}
+
+    near_d = [_hamming32(sh[i], sh[100 + i]) for i in range(n_base)]
+    far_d = [_hamming32(sh[i], sh[j])
+             for i in range(n_base) for j in range(n_base) if i != j]
+    assert max(near_d) <= 10, near_d
+    assert sum(near_d) / len(near_d) < sum(far_d) / len(far_d) / 2, (
+        near_d, far_d)
+
+
+def test_fingerprint_bag_catches_permutations_and_discriminates(spark):
+    """fp_bag must be IDENTICAL for token permutations of one document
+    (the near-dup class it exists to catch) while fp_raw differs; both
+    must differ across genuinely different documents."""
+    from bossarrowstorageengine_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha"),      # permutation of 1
+        (3, "alpha beta gamma epsilon"),    # one token differs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.fp_raw, r.fp_bag) for r in docs.select(
+        "doc_id",
+        TX.fingerprint_raw(F.col("text")).alias("fp_raw"),
+        TX.fingerprint_bag(F.col("text")).alias("fp_bag"),
+    ).collect()}
+    assert out[1][1] == out[2][1]          # bag: permutation-invariant
+    assert out[1][0] != out[2][0]          # raw: order-sensitive
+    assert out[1][1] != out[3][1]          # bag: content-sensitive
+    assert out[1][0] != out[3][0]
