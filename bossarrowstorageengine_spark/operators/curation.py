@@ -1923,3 +1923,145 @@ def q_text_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((-F.col("sum_logp_micro")).cast("double")
                 / F.col("n_trigrams"), 0).cast("long").alias("avg_nll_micro"),
     )
+
+
+@query(
+    "q_text_perplexity_interp",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+        SELECT tok AS w, count(*) AS c1 FROM (
+            SELECT unnest(t) AS tok FROM toks
+        ) GROUP BY tok
+    ), total AS (
+        SELECT sum(c1) AS n FROM uni
+    ), bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+        GROUP BY w1, w2
+    ), tri AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ), tg AS (
+        SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3
+    ), model AS (
+        SELECT tg.w1, tg.w2, tg.w3,
+               CAST(round(ln(
+                   0.6 * (CAST(tg.c3 AS DOUBLE) / b12.c2)
+                 + 0.3 * (CAST(b23.c2 AS DOUBLE) / u2.c1)
+                 + 0.1 * (CAST(u3.c1 AS DOUBLE) / total.n)
+               ) * 1000000, 0) AS BIGINT) AS lp_micro
+        FROM tg
+        JOIN bi b12 ON b12.w1 = tg.w1 AND b12.w2 = tg.w2
+        JOIN bi b23 ON b23.w1 = tg.w2 AND b23.w2 = tg.w3
+        JOIN uni u2 ON u2.w = tg.w2
+        JOIN uni u3 ON u3.w = tg.w3
+        CROSS JOIN total
+    )
+    SELECT CAST(t.doc_id AS BIGINT)        AS doc_id,
+           CAST(count(*) AS BIGINT)        AS n_trigrams,
+           CAST(sum(m.lp_micro) AS BIGINT) AS sum_logp_micro,
+           CAST(round(CAST(-sum(m.lp_micro) AS DOUBLE) / count(*), 0)
+                AS BIGINT)                 AS avg_nll_micro
+    FROM tri t
+    JOIN model m ON t.w1 = m.w1 AND t.w2 = m.w2 AND t.w3 = m.w3
+    WHERE t.doc_id % 13 = 0
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED trigram -> bigram -> unigram LM (VERDICT r6 item 5;
+    ``q_text_perplexity_backoff`` is the hard-back-off sibling): every
+    trigram scores by the Jelinek-Mercer mixture
+    ``0.6*P3(w3|w1,w2) + 0.3*P2(w3|w2) + 0.1*P1(w3)`` with FIXED
+    weights, so sparse trigrams are softened by the lower orders on
+    every token instead of only when the trigram count falls below a
+    threshold — the smoothing shape interpolation-trained LMs (and the
+    CCNet-style quality gates built on them) actually use.
+
+    Determinism: identical micro-nat trick as the siblings — the mixture
+    and its ``ln`` are computed once per DISTINCT trigram from exact
+    integer counts (same expression order in both engines) and rounded
+    to integer micro-nats BEFORE the per-doc sum, so document scores are
+    order-independent integer adds.  P3's denominator is the (w1,w2)
+    BIGRAM count, P2 = c(w2,w3)/c(w2), P1 = c(w3)/N — every denominator
+    is positive for any observed trigram, so the mixture needs no
+    smoothing floor.
+
+    Scale: three aggregates over one exploded token stream (unigram,
+    bigram, trigram tables — each shuffles DISTINCT grams, never
+    tokens); the model assembly is equi-joins on gram keys against the
+    trigram table; scoring is one equi-join per scored doc's trigrams.
+    At 100 TB the gram tables are bucketed by gram hash and the mixture
+    stays a per-row scalar expression."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(toks, t2,
+                   lambda a, b: F.when(
+                       b.isNotNull(),
+                       F.struct(a.alias("w1"), b.alias("w2")))),
+        lambda x: x.isNotNull(),
+    )
+    triples = F.filter(
+        F.zip_with(
+            F.zip_with(toks, t2,
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+            t3,
+            lambda p, c: F.when(
+                c.isNotNull() & p.w2.isNotNull(),
+                F.struct(p.w1.alias("w1"), p.w2.alias("w2"),
+                         c.alias("w3")))),
+        lambda x: x.isNotNull(),
+    )
+    uni = (d.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    total = uni.agg(F.sum("c1").alias("n"))
+    bi = (d.select(F.explode(pairs).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    g = d.select("doc_id", F.explode(triples).alias("p")).select(
+        "doc_id", "p.w1", "p.w2", "p.w3")
+    tg = g.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    b12 = bi.select(F.col("w1").alias("b1"), F.col("w2").alias("b2"),
+                    F.col("c2").alias("c12"))
+    b23 = bi.select(F.col("w1").alias("d1"), F.col("w2").alias("d2"),
+                    F.col("c2").alias("c23"))
+    u2 = uni.select(F.col("w").alias("uw2"), F.col("c1").alias("cu2"))
+    u3 = uni.select(F.col("w").alias("uw3"), F.col("c1").alias("cu3"))
+    mix = (
+        F.lit(0.6) * (F.col("c3").cast("double") / F.col("c12"))
+        + F.lit(0.3) * (F.col("c23").cast("double") / F.col("cu2"))
+        + F.lit(0.1) * (F.col("cu3").cast("double") / F.col("n"))
+    )
+    model = (
+        tg.join(b12, (F.col("b1") == F.col("w1"))
+                & (F.col("b2") == F.col("w2")))
+        .join(b23, (F.col("d1") == F.col("w2"))
+              & (F.col("d2") == F.col("w3")))
+        .join(F.broadcast(u2), F.col("uw2") == F.col("w2"))
+        .join(F.broadcast(u3), F.col("uw3") == F.col("w3"))
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "w3",
+                F.round(F.log(mix) * 1_000_000, 0).cast("long")
+                .alias("lp_micro"))
+    )
+    scored = (
+        g.filter(F.col("doc_id") % 13 == 0)
+        .join(model, ["w1", "w2", "w3"])
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("lp_micro").cast("long").alias("sum_logp_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_trigrams", "sum_logp_micro",
+        F.round((-F.col("sum_logp_micro")).cast("double")
+                / F.col("n_trigrams"), 0).cast("long").alias("avg_nll_micro"),
+    )

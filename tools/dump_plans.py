@@ -85,8 +85,11 @@ def main() -> None:
              "q_text_perplexity_backoff", "q_join_asof_nearest",
              "q_graph_communities",
              # round 8: N-iteration BPE trainer (weighted distinct-word
-             # stream + checkpointed rules — final plan is corpus-free)
-             "q_bpe_train_n"]
+             # stream + checkpointed rules — final plan is corpus-free),
+             # stream-stream interval join's batch face, interpolated
+             # trigram LM
+             "q_bpe_train_n", "q_stream_interval_join",
+             "q_text_perplexity_interp"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

@@ -75,6 +75,8 @@ KEYS = [
     "q_graph_communities",
     # Round-8 additions.
     "q_bpe_train_n",
+    "q_stream_interval_join",
+    "q_text_perplexity_interp",
 ]
 
 
