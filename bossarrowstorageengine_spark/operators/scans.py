@@ -1308,3 +1308,75 @@ def q_storage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("snapshots", "true").load(path))
     return _face(pre, "pre_restore", kinds[2]).unionByName(
         _face(restored, "restored", kinds[res["version"]]))
+
+
+@query(
+    "q_storage_vacuum",
+    oracle="""
+    SELECT 'post_vacuum'                 AS face,
+           TRUE                          AS any_reclaimed,
+           TRUE                          AS disk_matches_manifest,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(sum(doc_id) AS BIGINT)   AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT)  AS sum_chars
+    FROM documents WHERE lang <> 'en'
+    """,
+)
+def q_storage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM under the oracle gate — the missing face of the
+    maintenance surface (compact/delete/update/merge/restore/history/
+    changefeed are all keyed; vacuum was pytest-only): write a
+    snapshotted table, DELETE (copy-on-write keeps the pre-image parts
+    for time travel), then vacuum to ``keep_versions=1`` and prove three
+    things at once — (a) storage was actually reclaimed
+    (``any_reclaimed``: vacuum removed at least one part file),
+    (b) the physical directory now matches the retained manifest exactly
+    (``disk_matches_manifest``: no orphans left behind, no survivor
+    deleted), and (c) the visible data is untouched (row count +
+    checksums replay relationally in DuckDB as documents minus the
+    deleted language).
+
+    Flag columns are booleans, not file counts — counts depend on writer
+    partitioning (the coupling ADVICE r5 flagged on the history key).
+
+    Scale: vacuum is manifest arithmetic (set difference of retained vs
+    dropped file lists) plus unlink syscalls — O(files), no data read,
+    no Spark job; exactly the Delta VACUUM contract.  The verification
+    read is one pruned column scan of the surviving snapshot."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _list_ipc_files,
+        _manifest_versions,
+        _read_manifest,
+    )
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        vacuum_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "vacuum")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    (d.repartition(2).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(path))
+    delete_arrowipc(spark, path, "lang = 'en'", compression="lz4",
+                    predicate_columns=["lang"])
+    info = vacuum_arrowipc(path, keep_versions=1)
+    versions = _manifest_versions(path)
+    visible = set(_read_manifest(path, versions[-1]))
+    on_disk = set(_list_ipc_files(path))
+
+    latest = (spark.read.format("arrowipc")
+              .option("snapshots", "true")
+              .option("columns", "doc_id,n_chars").load(path))
+    return latest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(
+        F.lit("post_vacuum").alias("face"),
+        F.lit(info["removed_files"] > 0).alias("any_reclaimed"),
+        F.lit(on_disk == visible).alias("disk_matches_manifest"),
+        "n_rows", "id_checksum", "sum_chars",
+    )

@@ -77,6 +77,7 @@ KEYS = [
     "q_bpe_train_n",
     "q_stream_interval_join",
     "q_text_perplexity_interp",
+    "q_storage_vacuum",
 ]
 
 
