@@ -2624,6 +2624,31 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be the partition key, and the rerank reads only
     shortlist-many full vectors per probe.  No all-pairs anywhere.
     """
+    iv, cents, cand_sub, codebook, enc = _ivfpq_encode(
+        spark, sf_dir, _PQ_LLOYD_PASSES)
+    return _ivfpq_search(spark, iv, cents, codebook, enc.drop("cd2"))
+
+
+def subspaces(col: str) -> "F.Column":
+    """Split a 64-dim integer vector column into the ``_IVFPQ_NSUB``
+    16-dim subspace structs (shared by the encode and search stages)."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(s).cast("int").alias("s"),
+            F.slice(F.col(col), s * _IVFPQ_SUBDIM + 1,
+                    _IVFPQ_SUBDIM).alias("rsub"))
+        for s in range(_IVFPQ_NSUB)]))
+
+
+def _ivfpq_encode(spark: SparkSession, sf_dir: str,
+                  pq_lloyd_passes: int):
+    """Stages (0)-(2) of :func:`q_ann_ivfpq` — coarse-quantizer training
+    + assignment, residual subspace split, PQ codebook seeding +
+    ``pq_lloyd_passes`` Lloyd refinements, residual encoding — factored
+    with a configurable pass count so the distortion-improvement
+    property test can compare trained vs seed codebooks.  Returns
+    ``(iv, cents, cand_sub, codebook, enc)``; ``enc`` keeps the
+    per-(vector, subspace) quantization error ``cd2``."""
     emb = load_table(spark, sf_dir, "embeddings")
     iv = emb.select(
         "vec_id",
@@ -2668,14 +2693,6 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.zip_with("iemb", "cent", lambda x, y: x - y).alias("res"))
     )
 
-    def subspaces(col: str) -> "F.Column":
-        return F.explode(F.array(*[
-            F.struct(
-                F.lit(s).cast("int").alias("s"),
-                F.slice(F.col(col), s * _IVFPQ_SUBDIM + 1,
-                        _IVFPQ_SUBDIM).alias("rsub"))
-            for s in range(_IVFPQ_NSUB)]))
-
     cand_sub = lists.select(
         "vec_id", "centroid_id", subspaces("res").alias("e")
     ).select("vec_id", "centroid_id", "e.s", "e.rsub")
@@ -2692,7 +2709,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applied per subspace over residual sub-vectors.  Codes that
     # attract no residuals drop out (standard empty-cluster removal);
     # rounding BEFORE re-assignment keeps the DuckDB replay exact.
-    for _ in range(_PQ_LLOYD_PASSES):
+    for _ in range(pq_lloyd_passes):
         assigned = (
             cand_sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))
             .withColumn("cd2", _il2(F.col("rsub"), F.col("cvec")))
@@ -2714,9 +2731,15 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))
         .withColumn("cd2", _il2(F.col("rsub"), F.col("cvec")))
         .withColumn("ern", F.row_number().over(we)).filter(F.col("ern") == 1)
-        .select("vec_id", "centroid_id", "s", "code")
+        .select("vec_id", "centroid_id", "s", "code", "cd2")
     )
+    return iv, cents, cand_sub, codebook, enc
 
+
+def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
+                  codebook: DataFrame, enc: DataFrame) -> DataFrame:
+    """Stages (3)-(4) of :func:`q_ann_ivfpq`: nprobe list probing, ADC
+    ranking against the code vectors, exact top-k rerank."""
     # (3) probe the nprobe nearest lists; ADC against code vectors.
     probes = iv.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("probe_id"), F.col("iemb").alias("piemb"))

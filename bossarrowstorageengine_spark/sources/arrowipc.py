@@ -216,12 +216,32 @@ def _load_sidecar(part_path: str) -> dict | None:
         return None
     try:
         with open(sp) as f:
-            return json.load(f)
+            doc = json.load(f)
     except (ValueError, OSError):
         import warnings
 
         warnings.warn(f"ignoring corrupt arrowipc stats sidecar {sp}")
         return None
+    # Staleness fingerprint (ADVICE r7): the writer records the finished
+    # part's byte length; if the file on disk no longer matches (a
+    # foreign tool rewrote it in place), NOTHING in the sidecar can be
+    # trusted — not just the seek offsets but the min/max pruning stats
+    # and the batch count, any of which would silently drop rows of the
+    # rewritten content.  Degrade to "no stats", same as corruption.
+    recorded = doc.get("file_bytes")
+    if recorded is not None:
+        try:
+            actual = os.path.getsize(part_path)
+        except OSError:
+            return None
+        if actual != recorded:
+            import warnings
+
+            warnings.warn(
+                f"ignoring stale arrowipc stats sidecar {sp}: part file "
+                f"is {actual} bytes, sidecar recorded {recorded}")
+            return None
+    return doc
 
 
 def _read_manifest_entries(path: str, version: int) -> dict[str, dict | None]:
@@ -930,19 +950,12 @@ class ArrowIPCReader(DataSourceReader):
                     stats = _load_sidecar(path)
                     if stats is not None and "batches" in stats:
                         n_batches = len(stats["batches"])
+                # Stale-sidecar safety lives in _load_sidecar: a
+                # file_bytes fingerprint mismatch discards the WHOLE
+                # sidecar (offsets, pruning stats, batch count), so any
+                # offsets that reach this point describe the file as it
+                # is on disk.
                 offsets = (stats or {}).get("offsets")
-                if offsets:
-                    # Distrust offsets whose sidecar fingerprints a
-                    # different byte length than the file on disk: a
-                    # rewrite that happens to preserve valid message
-                    # boundaries would otherwise yield wrong/duplicated
-                    # batches with no exception for the degrade handler
-                    # to catch.  Absent fingerprint (pre-upgrade sidecar)
-                    # keeps the old trust-then-degrade behavior.
-                    recorded = (stats or {}).get("file_bytes")
-                    if recorded is not None and \
-                            recorded != os.path.getsize(path):
-                        offsets = None
                 idxs = keep if keep is not None else (
                     list(range(n_batches)) if n_batches else None)
                 if keep is not None and not keep:
@@ -1094,12 +1107,14 @@ class _OpenPart:
         if self._offsets_ok and \
                 len(self.batch_offsets) == len(self.batch_stats):
             doc["offsets"] = self.batch_offsets
-            # Fingerprint the finished part file so a later reader can
-            # tell when the offsets describe a DIFFERENT file (a foreign
-            # tool rewriting the part in place keeps the path but almost
-            # never the exact byte length): planners ignore offsets on
-            # mismatch rather than seeking into look-alike boundaries.
-            doc["file_bytes"] = os.path.getsize(self.final)
+        # Fingerprint the finished part file (BOTH encodings) so a later
+        # reader can tell when the sidecar describes a DIFFERENT file (a
+        # foreign tool rewriting the part in place keeps the path but
+        # almost never the exact byte length): _load_sidecar discards the
+        # whole sidecar on mismatch — offsets, pruning stats, and batch
+        # count alike — rather than silently planning against stale
+        # metadata.
+        doc["file_bytes"] = os.path.getsize(self.final)
         payload = json.dumps(doc)
         with open(stats_path(self.final), "w") as f:
             f.write(payload)

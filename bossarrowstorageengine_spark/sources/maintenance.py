@@ -221,13 +221,21 @@ _INLIST_MAX = 32
 def _part_row_count(p: str) -> int:
     """Row count of one part file: the stats sidecar when present (our
     writer always emits one), else a direct pyarrow read — the fallback
-    only runs for foreign files and is bounded by affected-file count."""
+    only runs for foreign/sidecar-less files and is bounded by the file
+    count of the set being measured.  A sidecar missing its ``rows``
+    field falls through to the pyarrow read too: defaulting it to 0
+    would silently corrupt row accounting."""
     import json
 
     sp = stats_path(p)
     if os.path.exists(sp):
-        with open(sp) as f:
-            return json.load(f).get("rows", 0)
+        try:
+            with open(sp) as f:
+                rows = json.load(f).get("rows")
+        except (ValueError, OSError):
+            rows = None
+        if rows is not None:
+            return rows
     from bossarrowstorageengine_spark.sources.arrowipc import _is_file_format
 
     with pa.OSFile(p, "rb") as f:
@@ -241,17 +249,11 @@ def _part_row_count(p: str) -> int:
 def _staged_rows(staging_dir: str) -> int:
     """Total rows across a staging directory's part files (including
     Hive-style ``col=value`` subdirectories a partition-preserving stage
-    writes), read from the stats sidecars the writer emits — a
-    metadata-only count, no Spark job."""
-    import json
-
-    total = 0
-    for p, _rows in _walk_staged_parts(staging_dir):
-        sp = stats_path(p)
-        if os.path.exists(sp):
-            with open(sp) as f:
-                total += json.load(f).get("rows", 0)
-    return total
+    writes) — stats sidecars where present (the normal case: our writer
+    always emits them; no Spark job), pyarrow reads otherwise so a
+    missing sidecar can never silently undercount."""
+    return sum(_part_row_count(p)
+               for p, _rows in _walk_staged_parts(staging_dir))
 
 
 def _walk_staged_parts(staging_dir: str):
@@ -478,6 +480,12 @@ def _cow_rewrite(
         # reads (stats sidecars; bounded by file count, not rows).
         n_extra = _staged_rows(staging) - sum(
             _part_row_count(p) for p in affected_pinned)
+        if n_extra < 0:
+            raise RuntimeError(
+                "cow_rewrite: staged rows fewer than the affected files' "
+                f"totals ({n_extra}) — the rewrite passed alongside "
+                "appends dropped rows, violating the multiplicity "
+                "contract this accounting depends on")
 
     if not snapshotted:
         for old in affected_orig:

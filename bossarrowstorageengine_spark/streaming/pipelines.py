@@ -290,10 +290,10 @@ def view_click_followups(events: DataFrame,
 
     Both sides carry watermarks and the join condition bounds
     ``click_ts`` relative to ``view_ts``, so Spark can size the join state
-    and evict rows once the watermark passes ``view_ts + 5 min`` — the
+    and evict rows once the watermark passes ``view_ts + follow`` — the
     requirement for an unbounded stream-stream join to run forever.
     Scale: state is partitioned by the equi-key (``user_id``); the
-    interval bound keeps per-key state to a 5-minute buffer.
+    interval bound keeps per-key state to a ``follow``-sized buffer.
     """
     views = events.filter(F.col("event_type") == "view").select(
         "user_id",

@@ -2246,9 +2246,12 @@ def test_stream_range_finalize_failure_fails_loudly():
 def test_stream_offsets_ignored_on_file_bytes_mismatch(spark):
     """ADVICE r7: a stale sidecar whose offsets happen to land on valid
     message boundaries of a replaced file would silently yield wrong or
-    duplicated batches.  The sidecar now fingerprints the part file's
-    byte size; a mismatch makes the planner ignore the offsets and fall
-    back to ONE sequential task, which reads the file as it actually is."""
+    duplicated batches — and its min/max pruning stats would silently
+    DROP rows of the rewritten content on filtered scans.  The sidecar
+    now fingerprints the part file's byte size; on mismatch
+    _load_sidecar discards the WHOLE sidecar (offsets, stats, batch
+    count), so the planner falls back to ONE sequential unpruned task,
+    which reads the file as it actually is."""
     import json as _json
 
     from bossarrowstorageengine_spark.sources.arrowipc import (
@@ -2275,14 +2278,22 @@ def test_stream_offsets_ignored_on_file_bytes_mismatch(spark):
     assert len(parts) > 1 and all(p.stream_seek is not None for p in parts)
 
     # Tamper the fingerprint (simulating a same-layout foreign rewrite):
-    # offsets are no longer trusted — one sequential task, correct rows.
+    # the whole sidecar is distrusted — one sequential task, correct rows.
     side["file_bytes"] += 1
     with open(stats_path(files[0]), "w") as f:
         f.write(_json.dumps(side))
-    reader = ArrowIPCReader(None, {"path": out, "batchesPerSplit": "4"})
-    parts = reader.partitions()
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # the designed staleness warning
+        reader = ArrowIPCReader(None, {"path": out, "batchesPerSplit": "4"})
+        parts = reader.partitions()
     assert len(parts) == 1 and parts[0].stream_seek is None
 
     back = spark.read.format("arrowipc").option("batchesPerSplit", "4").load(out)
     assert back.count() == df.count()
+    # Filtered scan must not prune against the distrusted stats: every
+    # row of the file as-it-is must be visible to the filter.
+    lo = df.agg(F.min("o_orderkey")).collect()[0][0]
+    n_match = df.filter(F.col("o_orderkey") == lo).count()
+    assert back.filter(F.col("o_orderkey") == lo).count() == n_match
     shutil.rmtree(out, ignore_errors=True)

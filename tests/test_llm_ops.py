@@ -245,18 +245,30 @@ def test_pq_lloyd_training_reduces_distortion(spark):
     )
 
 
-def test_ann_ivfpq_trained_codebooks_tighten_adc(spark):
-    """With Lloyd-trained residual codebooks, the ADC approximation of
-    the shortlist distances should sit closer to the exact distances
-    than pure chance: on the returned rows, approx_d2 must be positively
-    rank-correlated with exact_d2 within at least one probe's result set
-    AND the mean absolute reconstruction gap must be finite and
-    nontrivially smaller than the exact distances themselves (a no-op
-    ADC would make approx_d2 constant per list)."""
+def test_ann_ivfpq_trained_codebooks_reduce_residual_distortion(spark):
+    """The Lloyd-trained residual codebooks must quantize the residual
+    sub-vectors strictly better than the raw out-of-centroid seeds —
+    the direct guarantee of the assign->mean step, measured on the
+    encoding's own per-(vector, subspace) error ``cd2``.  A regression
+    that turns the training loop into a no-op (e.g. reassigning the
+    wrong variable) fails here even though the EXACT oracle would still
+    hash-match (it replays the same degenerate math — the r6
+    all-zero-codebook incident).  Also pins ADC output sanity: the
+    approximation stays within an order of magnitude of exact."""
+    import pyspark.sql.functions as SF_
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _ivfpq_encode,
+    )
+
+    def total_distortion(passes: int) -> int:
+        enc = _ivfpq_encode(spark, SF, passes)[4]
+        return enc.agg(SF_.sum("cd2")).collect()[0][0]
+
+    seed, trained = total_distortion(0), total_distortion(1)
+    assert trained < seed, (trained, seed)
+
     out = QUERIES["q_ann_ivfpq"](spark, SF).toPandas()
     assert (out["approx_d2"] > 0).all()
-    # Reconstruction sanity: the ADC estimate is in the same order of
-    # magnitude as the exact distance (a broken codebook under- or
-    # over-shoots by orders of magnitude).
     ratio = out["approx_d2"] / out["exact_d2"].clip(lower=1)
     assert (ratio > 0.05).all() and (ratio < 20).all(), ratio
