@@ -2790,3 +2790,125 @@ def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
             "rn",
         )
     )
+
+
+def _cdc_chunks(d: DataFrame) -> DataFrame:
+    """Content-defined chunking core over any ``(doc_id, text)`` frame:
+    rolling md5 over each 3-token gram, boundary where it hits
+    ``0 mod 8`` (a boundary after token ``i`` closes the current chunk).
+    Returns ``(doc_id, chunk_id, chunk_hash, n_tokens)``.
+
+    Entirely ARRAY-SIDE: boundary positions, chunk spans, and chunk
+    hashes are one JVM higher-order expression per document — no token
+    explode, no per-doc window, no shuffle (the first version windowed
+    the exploded token stream and went super-linear: 5.9x for a 10x SF
+    step; this shape scans and moves nothing).  Factored so the
+    shift-robustness property test can drive it with edited copies of
+    one document."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def md5i(g: "F.Column") -> "F.Column":
+        return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("long")
+
+    # Docs under 3 tokens have no gram window, hence no boundary (Spark's
+    # sequence(3, n) counts DOWN when n < 3 — guard, don't rely on it).
+    bpos = F.when(n >= 3, F.filter(
+        F.sequence(F.lit(3), n),
+        lambda i: md5i(F.concat_ws(
+            " ", F.element_at(toks, i - 2), F.element_at(toks, i - 1),
+            F.element_at(toks, i))) % 8 == 0)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    spans = F.filter(
+        F.zip_with(starts, ends,
+                   lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda z: z.e >= z.s)
+    chunks_arr = F.transform(spans, lambda z: F.struct(
+        F.md5(F.concat_ws(" ", F.slice(toks, z.s, z.e - z.s + 1)))
+        .alias("chunk_hash"),
+        (z.e - z.s + 1).alias("n_tokens")))
+    return d.select(
+        "doc_id", F.posexplode(chunks_arr).alias("chunk_id", "c")
+    ).select("doc_id", "chunk_id", "c.chunk_hash", "c.n_tokens")
+
+
+@query(
+    "q_dedup_chunk_cdc",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, i AS pos, t[i] AS w,
+               CASE WHEN i >= 3
+                    THEN t[i-2] || ' ' || t[i-1] || ' ' || t[i] END AS gram
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ), flagged AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN gram IS NOT NULL AND
+                    CAST(('0x' || substr(md5(gram), 1, 6)) AS BIGINT) % 8 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM tok
+    ), chunked AS (
+        SELECT doc_id, pos, w,
+               COALESCE(sum(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_id
+        FROM flagged
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+               count(*) AS n_tokens
+        FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_hash,
+           CAST(count(*) AS BIGINT)                AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT)  AS n_docs,
+           CAST(min(n_tokens) AS BIGINT)           AS min_tokens,
+           CAST(sum(doc_id) AS BIGINT)             AS id_checksum
+    FROM chunks WHERE n_tokens >= 5
+    GROUP BY chunk_hash HAVING count(*) >= 2
+    """,
+)
+def q_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup — the rolling-hash boundary
+    scheme of rsync/LBFS/storage dedup, and the missing SHIFT-ROBUST
+    member of the segment-dedup family: ``q_dedup_segment`` cuts at
+    fixed 8-token offsets (one inserted token misaligns every later
+    segment), ``q_dedup_span_sliding`` brute-forces overlap with stride
+    windows; CDC instead cuts wherever ``md5`` of the local 3-token gram
+    hits ``0 mod 8``, so boundaries move WITH the content and an edit
+    perturbs only its own chunk.  Average chunk ≈ 8 tokens with no
+    alignment coupling between documents.
+
+    Emits the duplicated-chunk report (chunks of ≥ 5 tokens appearing
+    ≥ 2 times): hash, occurrence and distinct-doc counts, and a doc-id
+    checksum pinning WHICH documents share the chunk.  Tiny chunks are
+    excluded from the report, not re-cut — production CDC enforces a
+    min-chunk floor in the boundary scan; the declarative form filters
+    instead, which changes no boundary and keeps both engines exact.
+
+    Determinism: boundaries and chunk hashes are md5 arithmetic on the
+    same text in both engines; the in-chunk token order is pinned by
+    position sort.
+
+    Scale: one per-doc window pass (tokens shuffle once, partitioned by
+    doc — state bounded by doc length), then a distinct-chunk-hash
+    aggregate; the report shuffle carries one row per DISTINCT chunk,
+    never token streams.  At 100 TB this is the standard CDC index
+    build: linear scan, chunk-hash-bucketed index, no pair expansion."""
+    return (
+        _cdc_chunks(fan_out(load_table(spark, sf_dir, "documents"),
+                            "doc_id"))
+        .filter(F.col("n_tokens") >= 5)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )

@@ -192,3 +192,33 @@ def test_fingerprint_bag_catches_permutations_and_discriminates(spark):
     assert out[1][0] != out[2][0]          # raw: order-sensitive
     assert out[1][1] != out[3][1]          # bag: content-sensitive
     assert out[1][0] != out[3][0]
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    """The defining CDC property: an insertion near the start of a
+    document must leave MOST chunk hashes intact, because boundaries
+    derive from local content, not absolute offsets.  (Fixed 8-token
+    segmentation — q_dedup_segment's scheme — would change essentially
+    every segment after the edit.)"""
+    import random
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _cdc_chunks,
+    )
+
+    rng = random.Random(88)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [rng.choice(vocab) for _ in range(200)]
+    edited = base[:5] + ["INSERTED"] + base[5:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(edited))],
+        "doc_id long, text string")
+    ch = _cdc_chunks(docs).collect()
+    h1 = {r.chunk_hash for r in ch if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in ch if r.doc_id == 2}
+    shared = len(h1 & h2) / max(1, len(h1))
+    assert shared >= 0.5, (
+        f"only {shared:.0%} of chunks survived a 1-token insertion "
+        f"({len(h1)} vs {len(h2)} chunks)")
+    # And the edit is not invisible either: at least one chunk differs.
+    assert h1 != h2

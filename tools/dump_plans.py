@@ -89,7 +89,8 @@ def main() -> None:
              # stream-stream interval join's batch face, interpolated
              # trigram LM
              "q_bpe_train_n", "q_stream_interval_join",
-             "q_text_perplexity_interp", "q_storage_vacuum"]
+             "q_text_perplexity_interp", "q_storage_vacuum",
+             "q_dedup_chunk_cdc"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

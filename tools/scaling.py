@@ -78,6 +78,7 @@ KEYS = [
     "q_stream_interval_join",
     "q_text_perplexity_interp",
     "q_storage_vacuum",
+    "q_dedup_chunk_cdc",
 ]
 
 
