@@ -271,8 +271,9 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interval as a residual predicate — per-user event counts bound
     the candidate set; the banded-bucket variant for heavy keys is
     ``q_join_range_events``.  In streaming, the watermark + interval let
-    Spark evict join state past ``view_ts + 5 min`` — the property that
-    makes the join runnable forever.
+    Spark evict join state past ``view_ts + follow`` (the builder's
+    window parameter) — the property that makes the join runnable
+    forever.
     """
     from bossarrowstorageengine_spark.streaming.pipelines import (
         view_click_followups,

@@ -2327,6 +2327,13 @@ def _pq_report(spark: SparkSession, sf_dir: str,
                   F.col("x").alias("cx")))
     for _ in range(lloyd_passes):
         cb = _pq_lloyd(sub, cb)
+    if lloyd_passes:
+        # Materialize the TRAINED codebook (tiny: codes x dims rows)
+        # before the final assignment — each _pq_lloyd pass embeds a
+        # full _pq_assign, so without this the final assign replays the
+        # whole training chain (cost linear in pass count; VERDICT r8).
+        # Same eager-checkpoint pattern as q_bpe_train_n's rule table.
+        cb = cb.localCheckpoint()
     best = _pq_assign(sub, cb)
     return best.groupBy(
         F.col("s").alias("subspace"), F.col("code").cast("long").alias("code")
@@ -2336,9 +2343,42 @@ def _pq_report(spark: SparkSession, sf_dir: str,
     )
 
 
-@query(
-    "q_ann_pq",
-    oracle="""
+def _pq_oracle() -> str:
+    """DuckDB twin of ``q_ann_pq`` with the Lloyd-training CTE chain
+    GENERATED from ``_PQ_LLOYD_PASSES`` (one assign + rounded-mean block
+    per pass), the same way :func:`_ivfpq_oracle` builds its residual
+    training chain — bumping the constant keeps both engines in lockstep
+    instead of silently desyncing a hardcoded one-pass literal
+    (ADVICE r8)."""
+    train = ""
+    for i in range(_PQ_LLOYD_PASSES):
+        prev = f"cb{i}"
+        nxt = "cbf" if i == _PQ_LLOYD_PASSES - 1 else f"cb{i + 1}"
+        train += f"""dist{i} AS (
+        SELECT a.vec_id, a.s, c.code,
+               CAST(sum((a.x - c.x) * (a.x - c.x)) AS BIGINT) AS d2
+        FROM sub a JOIN {prev} c ON c.s = a.s AND c.dim = a.dim
+        GROUP BY a.vec_id, a.s, c.code
+    ),
+    best{i} AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rn
+            FROM dist{i}
+        ) WHERE rn = 1
+    ),
+    {nxt} AS (
+        SELECT b.code, a.s, a.dim,
+               CAST(round(CAST(sum(a.x) AS DOUBLE) / count(*), 0)
+                    AS BIGINT) AS x
+        FROM sub a JOIN best{i} b ON b.vec_id = a.vec_id AND b.s = a.s
+        GROUP BY b.code, a.s, a.dim
+    ),
+    """
+    if _PQ_LLOYD_PASSES == 0:
+        train = "cbf AS (SELECT code, s, dim, x FROM cb0),\n    "
+    return f"""
     WITH ex AS (
         SELECT vec_id,
                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
@@ -2348,31 +2388,10 @@ def _pq_report(spark: SparkSession, sf_dir: str,
     ),
     sub AS (SELECT vec_id, dim // 16 AS s, dim, x FROM ex),
     cb0 AS (SELECT vec_id AS code, s, dim, x FROM sub WHERE vec_id < 4),
-    dist0 AS (
+    {train}dist AS (
         SELECT a.vec_id, a.s, c.code,
                CAST(sum((a.x - c.x) * (a.x - c.x)) AS BIGINT) AS d2
-        FROM sub a JOIN cb0 c ON c.s = a.s AND c.dim = a.dim
-        GROUP BY a.vec_id, a.s, c.code
-    ),
-    best0 AS (
-        SELECT vec_id, s, code FROM (
-            SELECT vec_id, s, code,
-                   row_number() OVER (PARTITION BY vec_id, s
-                                      ORDER BY d2, code) AS rn
-            FROM dist0
-        ) WHERE rn = 1
-    ),
-    cb AS (
-        SELECT b.code, a.s, a.dim,
-               CAST(round(CAST(sum(a.x) AS DOUBLE) / count(*), 0)
-                    AS BIGINT) AS x
-        FROM sub a JOIN best0 b ON b.vec_id = a.vec_id AND b.s = a.s
-        GROUP BY b.code, a.s, a.dim
-    ),
-    dist AS (
-        SELECT a.vec_id, a.s, c.code,
-               CAST(sum((a.x - c.x) * (a.x - c.x)) AS BIGINT) AS d2
-        FROM sub a JOIN cb c ON c.s = a.s AND c.dim = a.dim
+        FROM sub a JOIN cbf c ON c.s = a.s AND c.dim = a.dim
         GROUP BY a.vec_id, a.s, c.code
     ),
     best AS (
@@ -2387,8 +2406,10 @@ def _pq_report(spark: SparkSession, sf_dir: str,
            CAST(sum(d2) AS BIGINT)    AS distortion_sum
     FROM best WHERE rn = 1
     GROUP BY s, code
-    """,
-)
+    """
+
+
+@query("q_ann_pq", oracle=_pq_oracle())
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (PQ) codebook training + assignment — the
     third classic ANN index family beside LSH (``q_ann_lsh``) and IVF
@@ -2629,7 +2650,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(spark, iv, cents, codebook, enc.drop("cd2"))
 
 
-def subspaces(col: str) -> "F.Column":
+def _subspaces(col: str) -> "F.Column":
     """Split a 64-dim integer vector column into the ``_IVFPQ_NSUB``
     16-dim subspace structs (shared by the encode and search stages)."""
     return F.explode(F.array(*[
@@ -2682,6 +2703,10 @@ def _ivfpq_encode(spark: SparkSession, sf_dir: str,
         .agg(F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "m"))),
             lambda st: st.m).alias("cent"))
+        # 8 rows, but its lineage is a corpus-sized crossJoin+window;
+        # both `lists` below and `probed` in _ivfpq_search broadcast it,
+        # so materialize once instead of replaying assign0 per consumer.
+        .localCheckpoint()
     )
 
     # (1) coarse assignment + residuals.
@@ -2694,7 +2719,7 @@ def _ivfpq_encode(spark: SparkSession, sf_dir: str,
     )
 
     cand_sub = lists.select(
-        "vec_id", "centroid_id", subspaces("res").alias("e")
+        "vec_id", "centroid_id", _subspaces("res").alias("e")
     ).select("vec_id", "centroid_id", "e.s", "e.rsub")
 
     # (2) per-subspace codebooks + residual encoding.
@@ -2727,6 +2752,12 @@ def _ivfpq_encode(spark: SparkSession, sf_dir: str,
                 F.array_sort(F.collect_list(F.struct("d", "m"))),
                 lambda st: st.m).alias("cvec"))
         )
+    if pq_lloyd_passes:
+        # Trained codebook is <= NSUB x NCODE rows but its lineage embeds
+        # one full corpus assign per pass; `enc` here and the ADC join in
+        # _ivfpq_search each re-derive it otherwise (the +25% r7->r8
+        # bench move on q_ann_ivfpq — VERDICT r8 item 3).
+        codebook = codebook.localCheckpoint()
     enc = (
         cand_sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))
         .withColumn("cd2", _il2(F.col("rsub"), F.col("cvec")))
@@ -2753,7 +2784,7 @@ def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
                 F.zip_with("piemb", "cent", lambda x, y: x - y).alias("pres"))
     )
     probe_sub = probed.select(
-        "probe_id", "centroid_id", subspaces("pres").alias("e")
+        "probe_id", "centroid_id", _subspaces("pres").alias("e")
     ).select("probe_id", "centroid_id", "e.s", F.col("e.rsub").alias("prsub"))
 
     # Rename the codebook's key before the ADC join: enc's ``code`` column

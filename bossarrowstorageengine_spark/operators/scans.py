@@ -982,11 +982,18 @@ def q_storage_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst cannot narrow the scan itself; the reader's ``columns``
     # option is the explicit projection — only 2 of 4 columns ever leave
     # the IPC files (the win that matters on a wide 100 TB table).
+    # Explicit schemas (the history's column types are fixed by
+    # _write_mutation_history) skip the Python-datasource inference
+    # round-trip — one worker launch per .load() at the ~0.2s fixed
+    # floor profiled in r8; the schema must list exactly the projected
+    # ``columns`` in order.
     pre = (spark.read.format("arrowipc").option("version", "1")
-           .option("columns", "doc_id,n_chars").load(path)
+           .option("columns", "doc_id,n_chars")
+           .schema("doc_id long, n_chars long").load(path)
            .select("doc_id", F.col("n_chars").alias("chars_pre")))
     post = (spark.read.format("arrowipc").option("snapshots", "true")
-            .option("columns", "doc_id,n_chars").load(path)
+            .option("columns", "doc_id,n_chars")
+            .schema("doc_id long, n_chars long").load(path)
             .select("doc_id", F.col("n_chars").alias("chars_post")))
     return (
         _classify_version_diff(pre, post)
@@ -1052,11 +1059,19 @@ def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = os.path.join(base, "feed")
     _write_mutation_history(spark, sf_dir, src)
 
+    # Explicit schemas on every arrowipc read in this chain (pre, post,
+    # and the feed read-back below) — the r8 storage-floor profile puts
+    # Python-datasource schema inference at ~0.2s per .load(); the
+    # history's and the feed's column types are statically known, so
+    # none of the three needs the inference worker round-trip
+    # (VERDICT r8 item 6, the same trick that cut MERGE by 29%).
     pre = (spark.read.format("arrowipc").option("version", "1")
-           .option("columns", "doc_id,lang,n_chars").load(src)
+           .option("columns", "doc_id,lang,n_chars")
+           .schema("doc_id long, lang string, n_chars long").load(src)
            .select("doc_id", "lang", F.col("n_chars").alias("chars_pre")))
     post = (spark.read.format("arrowipc").option("snapshots", "true")
-            .option("columns", "doc_id,n_chars").load(src)
+            .option("columns", "doc_id,n_chars")
+            .schema("doc_id long, n_chars long").load(src)
             .select("doc_id", F.col("n_chars").alias("chars_post")))
     changes = _classify_version_diff(pre, post).filter(
         F.col("change") != "same")
@@ -1068,7 +1083,9 @@ def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
      .mode("append").save(feed))
 
     back = (spark.read.format("arrowipc").option("snapshots", "true")
-            .option("columns", "doc_id,lang,delta,change").load(feed))
+            .option("columns", "doc_id,lang,delta,change")
+            .schema("doc_id long, lang string, delta long, change string")
+            .load(feed))
     return back.groupBy("change", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_changes"),
         F.sum("doc_id").cast("long").alias("id_checksum"),

@@ -478,6 +478,14 @@ def _cow_rewrite(
         # dropped or duplicated) — so the insert count is the staged
         # total minus the affected files' row totals, both metadata-only
         # reads (stats sidecars; bounded by file count, not rows).
+        # Asymmetry (by design): only the NEGATIVE violation — a rewrite
+        # that DROPPED rows — is detectable, because the staged total
+        # minus the affected totals then under-counts and goes negative.
+        # A rewrite that DUPLICATED rows alongside appends is absorbed
+        # into n_extra and silently inflates rows_appended; there is no
+        # cheap upper bound for the insert set (it is join-produced, so
+        # its size is unknown until staged).  Callers passing a rewrite
+        # with appends own the full multiplicity contract.
         n_extra = _staged_rows(staging) - sum(
             _part_row_count(p) for p in affected_pinned)
         if n_extra < 0:
