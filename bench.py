@@ -102,12 +102,21 @@ def main() -> None:
     region.write.format("arrowipc").mode("append").save(warm_dir)
     spark.read.format("arrowipc").load(warm_dir).collect()
 
+    # Best-of-2 per key (VERDICT r8 item 9): r7's uniform 1.41× "regression"
+    # was machine noise — two back-to-back runs on unchanged code reproduced
+    # r6-era numbers.  The min of two runs absorbs transient load spikes, so
+    # round-over-round deltas track CODE, not environment.  Both runs are
+    # fully independent (storage-mutation keys rebuild their scratch
+    # tables each time), so the min is a legitimate same-work sample.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf_tag = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
@@ -120,6 +129,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # methodology: per-key wall time is the BEST OF 2 independent runs
+        # (post-warmup) — see the comment at the timing loop.
+        "runs_per_key": 2,
+        "per_key_agg": "min",
     }))
 
 

@@ -2943,3 +2943,243 @@ def q_dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occ") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup DECISION pipeline (VERDICT r8 item 7): LSH candidates ->
+# exact-Jaccard verify -> connected components -> per-cluster keeper ->
+# keep/drop table with the reclaimed-bytes report.
+# ---------------------------------------------------------------------------
+
+#: Pipeline LSH shape: 16 permutations in 8 bands of 2 rows — deliberately
+#: MORE PERMISSIVE than q_dedup_near's 4x4 (a 2-row band collides on much
+#: weaker similarity), so the exact-verification stage has real work to do:
+#: at sf0.01 the 8x2 candidates include ~17% false positives the verify
+#: stage rejects, the FineWeb/CCNet production split of cheap-recall LSH +
+#: exact-precision verify.
+_PIPE_NPERM = 16
+_PIPE_ROWS_PER_BAND = 2
+#: Exact-Jaccard acceptance threshold for a candidate pair to become a
+#: duplicate edge (true near-dups in the synthetic corpus sit >= 0.8;
+#: LSH false positives sit < 0.1 — 0.5 splits them with margin).
+_PIPE_TAU = 0.5
+
+
+def _dedup_pipeline_oracle() -> str:
+    """DuckDB twin of the full decision pipeline — the same generated
+    minhash/band CTEs as :func:`_dedup_near_oracle` (at the pipeline's
+    8x2 band shape), then exact-Jaccard verification restricted to the
+    candidate pairs, recursive-CTE connected components (the
+    ``q_dedup_cluster`` idiom), and the keeper/reclaimed report."""
+    n_bands = _PIPE_NPERM // _PIPE_ROWS_PER_BAND
+    perms = ", ".join(
+        f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_minhash_coeffs(_PIPE_NPERM)))
+    bands = ", ".join(
+        "md5(concat_ws(',', {b}, {hs})) AS sig{b}".format(
+            b=b, hs=", ".join(f"h{b * _PIPE_ROWS_PER_BAND + r}"
+                              for r in range(_PIPE_ROWS_PER_BAND)))
+        for b in range(n_bands))
+    sig_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig{b} AS sig FROM bands" for b in range(n_bands))
+    return f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), h0s AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {_MINHASH_P} AS h0
+        FROM sh
+    ), mh AS (
+        SELECT doc_id, {perms} FROM h0s GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, {bands} FROM mh
+    ), sigs AS ({sig_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+              >= {_PIPE_TAU}
+    ), e2 AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ), walk AS (
+        SELECT u AS node, u AS reach FROM (SELECT DISTINCT u FROM e2)
+        UNION
+        SELECT w.node, e2.v FROM walk w JOIN e2 ON w.reach = e2.u
+    ), members AS (
+        SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+    ), reclaim AS (
+        SELECT m.cluster_id,
+               sum(CASE WHEN m.doc_id <> m.cluster_id THEN d.n_chars
+                        ELSE 0 END) AS reclaimed_chars
+        FROM members m JOIN documents d USING (doc_id)
+        GROUP BY m.cluster_id
+    )
+    SELECT CAST(m.doc_id AS BIGINT)         AS doc_id,
+           CAST(m.cluster_id AS BIGINT)     AS cluster_id,
+           CASE WHEN m.doc_id = m.cluster_id THEN 'keep' ELSE 'drop' END
+                                            AS action,
+           CAST(d.n_chars AS BIGINT)        AS n_chars,
+           CAST(r.reclaimed_chars AS BIGINT) AS reclaimed_chars
+    FROM members m JOIN documents d USING (doc_id)
+    JOIN reclaim r ON r.cluster_id = m.cluster_id
+    """
+
+
+@query("q_dedup_pipeline", oracle=_dedup_pipeline_oracle())
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DECISION pipeline — the artifact a training-
+    data pipeline actually ships (the FineWeb/CCNet dedup step), composed
+    from the family's proven stages:
+
+    1. **Candidates** (recall): MinHash-LSH at a deliberately permissive
+       8-band x 2-row shape (vs ``q_dedup_near``'s strict 4x4) — cheap,
+       bounded-bucket, catches everything remotely similar plus false
+       positives.
+    2. **Verify** (precision): exact shingle-set Jaccard computed ONLY
+       for candidate pairs — the per-pair intersection join is keyed on
+       (doc, shingle), so cost is candidates x shingles-per-doc, never
+       corpus x corpus; pairs below ``_PIPE_TAU`` are rejected.
+    3. **Cluster**: connected components over verified edges
+       (min-label propagation, the ``q_dedup_cluster`` loop: keyed joins
+       + ``localCheckpoint`` per round, convergence in graph-diameter
+       rounds).
+    4. **Decide**: each cluster keeps its minimum doc_id (deterministic
+       canonical keeper) and drops the rest; the output is the per-doc
+       keep/drop table with each cluster's reclaimed-bytes total — the
+       row-level artifact downstream jobs apply and the report a
+       curation review reads.
+
+    Determinism: minhash/band arithmetic is the exact-int64 md5 scheme of
+    ``q_dedup_near``; Jaccard is a ratio of exact counts compared against
+    a rational threshold; keeper = min(doc_id).  The DuckDB oracle
+    replays all four stages bit-identically (recursive CTE for the CC).
+
+    Scale: every stage is the 100 TB-safe shape already attested for its
+    standalone key — LSH buckets bound pair expansion, verification
+    touches candidate pairs only, each CC round is two keyed shuffles
+    with checkpoint-truncated lineage, and the final report is one
+    cluster-partitioned window over member rows (clusters are small by
+    construction).  No all-pairs step anywhere.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    # (1) permissive LSH candidates — q_dedup_near's bucket expansion at
+    # the pipeline's 8x2 band shape.
+    mh = _minhash_table(d, _PIPE_NPERM)
+    bands_long = _band_signatures(
+        mh, _PIPE_NPERM, _PIPE_NPERM // _PIPE_ROWS_PER_BAND)
+    buckets = (
+        bands_long.groupBy("sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+    # (2) exact-Jaccard verification restricted to candidates: intersect
+    # via two keyed joins against the per-doc shingle sets (cost bounded
+    # by candidates x shingles/doc), sizes via one per-doc count.
+    sh = _shingles(d, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb")
+                               - F.col("n_common"))
+    edges = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= _PIPE_TAU)
+        .select("doc_a", "doc_b")
+    )
+
+    # (3) connected components: min-label propagation, checkpoint per
+    # round (the q_dedup_cluster loop — lineage stays bounded).
+    e2 = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("u"),
+                         F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node"))
+    for _ in range(20):
+        nbr_min = (
+            e2.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label",
+                        F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    # (4) keeper decision + reclaimed-bytes report: one cluster-
+    # partitioned window over member rows.
+    members = labels.select(F.col("node").alias("doc_id"),
+                            F.col("label").alias("cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = members.join(docs, "doc_id")
+    reclaimed = F.sum(
+        F.when(F.col("doc_id") != F.col("cluster_id"), F.col("n_chars"))
+        .otherwise(F.lit(0))
+    ).over(Window.partitionBy("cluster_id"))
+    return m.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), F.lit("keep"))
+        .otherwise(F.lit("drop")).alias("action"),
+        F.col("n_chars").cast("long"),
+        reclaimed.cast("long").alias("reclaimed_chars"),
+    )

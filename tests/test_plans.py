@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from bossarrowstorageengine_spark.catalog import load_table
-from bossarrowstorageengine_spark.plans import salted_join
+from bossarrowstorageengine_spark.plans import fan_out, salted_join
 
 SF = "/root/testdata/sf0.001"
 QUERIES = entrymod.queries()
@@ -603,3 +603,66 @@ def test_graph_communities_rounds_are_keyed_joins(spark):
     plan = _plan(QUERIES["q_graph_communities"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_fan_out_identity_on_well_split_input(spark):
+    """fan_out must add NOTHING when the input already has >= the
+    session's default parallelism splits — at 100 TB every scan is
+    thousands of row groups and the helper must never insert a shuffle
+    there (plans/hints.py).  Identity is literal: the same DataFrame
+    object comes back."""
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10_000, 1, numPartitions=target)
+    assert fan_out(df, "id") is df
+    wide = spark.range(0, 10_000, 1, numPartitions=target * 2)
+    assert fan_out(wide) is wide
+
+
+def test_fan_out_single_keyed_exchange_on_narrow_scan(spark):
+    """On a single-split input (the sf0.1 one-row-group corpus shape that
+    made q_dedup_chunk_cdc run its HOF chunking on ONE core) fan_out must
+    add exactly one exchange — hash-partitioned on the key when given,
+    round-robin otherwise — and nothing else."""
+    df = spark.range(0, 10_000, 1, numPartitions=1)
+    keyed = _plan(fan_out(df, "id"))
+    assert keyed.count("Exchange") == 1
+    assert "hashpartitioning(id#" in keyed
+    unkeyed = _plan(fan_out(df))
+    assert unkeyed.count("Exchange") == 1
+    assert "roundrobin" in unkeyed.lower()
+
+
+def test_chunk_cdc_single_chunk_shuffle_no_pairs(spark):
+    """The CDC chunk dedup must stay array-side: chunking is JVM HOFs on
+    the scan (no Python workers, no token explode joins), and the only
+    data movement is the distinct-chunk aggregation — no cartesian or
+    nested-loop pair expansion anywhere (the all-pairs trap)."""
+    plan = _plan(QUERIES["q_dedup_chunk_cdc"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # chunk_hash-keyed aggregation is the ONLY wide op: every exchange in
+    # the plan is either fan_out's keyed widen or the agg's chunk_hash
+    # hashpartitioning — nothing else may shuffle.
+    import re as _re
+    parts = _re.findall(r"hashpartitioning\(([a-zA-Z_]+)#", plan)
+    assert set(parts) <= {"chunk_hash", "doc_id"}, parts
+
+
+def test_stream_interval_join_is_keyed_equi_join(spark):
+    """The batch face of the stream-stream interval join must keep
+    user_id as the EQUI key (hash or sort-merge join — both shuffle/build
+    on the key once) with the time interval as a residual predicate; if
+    the equi key ever fell out of the condition Spark would plan a
+    BroadcastNestedLoopJoin, the shape that cannot run at 100 TB."""
+    plan = _plan(QUERIES["q_stream_interval_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin [user_id" in plan \
+        or "SortMergeJoin [user_id" in plan \
+        or "ShuffledHashJoin [user_id" in plan
+    # the interval residual rides the join, not a post-join filter
+    joinline = [ln for ln in plan.splitlines()
+                if "HashJoin [user_id" in ln or
+                "SortMergeJoin [user_id" in ln][0]
+    assert "click_ts" in joinline and "view_ts" in joinline

@@ -90,7 +90,9 @@ def main() -> None:
              # trigram LM
              "q_bpe_train_n", "q_stream_interval_join",
              "q_text_perplexity_interp", "q_storage_vacuum",
-             "q_dedup_chunk_cdc"]
+             "q_dedup_chunk_cdc",
+             # round 9: end-to-end dedup decision pipeline
+             "q_dedup_pipeline"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

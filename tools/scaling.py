@@ -79,6 +79,8 @@ KEYS = [
     "q_text_perplexity_interp",
     "q_storage_vacuum",
     "q_dedup_chunk_cdc",
+    # Round-9 addition.
+    "q_dedup_pipeline",
 ]
 
 
