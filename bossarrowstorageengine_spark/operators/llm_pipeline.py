@@ -236,6 +236,20 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     better variants (large-star/small-star, pointer jumping) drop in as the
     per-round transformation without changing the fixpoint."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _cc_min_label(pairs)
+
+
+def _cc_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over undirected ``(doc_a, doc_b)`` edges by
+    min-label propagation → ``(doc_id, cluster_id)`` with cluster_id =
+    component minimum (shared by ``q_dedup_cluster`` and
+    ``q_dedup_pipeline``).  Each round is a pair of keyed shuffles;
+    ``localCheckpoint`` truncates lineage so round N never replays rounds
+    1..N-1.  Convergence takes graph-diameter rounds (dedup graphs are
+    shallow — cliques or short chains); if a pathological component is
+    deeper than ``max_rounds`` the loop RAISES rather than silently
+    emitting a split component — downstream keep/drop decisions must
+    never be made on half-converged labels."""
     e2 = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -246,7 +260,8 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(20):
+    changed = -1
+    for _ in range(max_rounds):
         nbr_min = (
             e2.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy("u")
@@ -272,6 +287,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "min-label rounds (component diameter exceeds the cap) — "
+            "raise max_rounds; labels would be split, not merely slow")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -3041,6 +3061,78 @@ def _dedup_pipeline_oracle() -> str:
     """
 
 
+def _pipeline_edges(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stages (1)-(2) of :func:`q_dedup_pipeline` over any
+    ``(doc_id, text)`` frame → ``(candidates, verified_edges)``.
+
+    ONE shingle pass feeds both stages: the distinct per-doc shingle
+    frame is cached and reused for the minhash aggregation (min is
+    idempotent over duplicates, so distinct shingles give the identical
+    signature) AND the verification joins — without this the corpus
+    scan + shingle HOF ran twice per invocation.  Factored so the
+    rubber-stamp regression test can compare candidate and verified-edge
+    counts directly."""
+    sh = _shingles(d, 3).cache()
+
+    # (1) permissive LSH candidates — q_dedup_near's bucket expansion at
+    # the pipeline's 8x2 band shape, minhash fed from the cached shingle
+    # frame (same arithmetic as _minhash_table).
+    h0 = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % _MINHASH_P
+    )
+    mh = sh.select("doc_id", h0.alias("h0x")).groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("h0x") + F.lit(b)) % _MINHASH_P)
+        .alias(f"h{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs(_PIPE_NPERM))
+    ])
+    bands_long = _band_signatures(
+        mh, _PIPE_NPERM, _PIPE_NPERM // _PIPE_ROWS_PER_BAND)
+    buckets = (
+        bands_long.groupBy("sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+    # (2) exact-Jaccard verification restricted to candidates: intersect
+    # via two keyed joins against the per-doc shingle sets (cost bounded
+    # by candidates x shingles/doc), sizes via one per-doc count.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb")
+                               - F.col("n_common"))
+    edges = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= _PIPE_TAU)
+        .select("doc_a", "doc_b")
+    )
+    return cand, edges
+
+
 @query("q_dedup_pipeline", oracle=_dedup_pipeline_oracle())
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup DECISION pipeline — the artifact a training-
@@ -3078,97 +3170,11 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction).  No all-pairs step anywhere.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    _, edges = _pipeline_edges(d)
 
-    # (1) permissive LSH candidates — q_dedup_near's bucket expansion at
-    # the pipeline's 8x2 band shape.
-    mh = _minhash_table(d, _PIPE_NPERM)
-    bands_long = _band_signatures(
-        mh, _PIPE_NPERM, _PIPE_NPERM // _PIPE_ROWS_PER_BAND)
-    buckets = (
-        bands_long.groupBy("sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-        ),
-    ))
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"),
-                F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
-
-    # (2) exact-Jaccard verification restricted to candidates: intersect
-    # via two keyed joins against the per-doc shingle sets (cost bounded
-    # by candidates x shingles/doc), sizes via one per-doc count.
-    sh = _shingles(d, 3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb")
-                               - F.col("n_common"))
-    edges = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= _PIPE_TAU)
-        .select("doc_a", "doc_b")
-    )
-
-    # (3) connected components: min-label propagation, checkpoint per
-    # round (the q_dedup_cluster loop — lineage stays bounded).
-    e2 = (
-        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("u"),
-                         F.col("doc_a").alias("v")))
-        .localCheckpoint()
-    )
-    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node"))
-    for _ in range(20):
-        nbr_min = (
-            e2.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("u", "node")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least("label",
-                        F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    # (4) keeper decision + reclaimed-bytes report: one cluster-
-    # partitioned window over member rows.
-    members = labels.select(F.col("node").alias("doc_id"),
-                            F.col("label").alias("cluster_id"))
+    # (3) connected components over verified edges (shared
+    # min-label-propagation core, convergence-guarded).
+    members = _cc_min_label(edges)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     m = members.join(docs, "doc_id")
     reclaimed = F.sum(
