@@ -2985,12 +2985,12 @@ _PIPE_ROWS_PER_BAND = 2
 _PIPE_TAU = 0.5
 
 
-def _dedup_pipeline_oracle() -> str:
-    """DuckDB twin of the full decision pipeline — the same generated
-    minhash/band CTEs as :func:`_dedup_near_oracle` (at the pipeline's
-    8x2 band shape), then exact-Jaccard verification restricted to the
-    candidate pairs, recursive-CTE connected components (the
-    ``q_dedup_cluster`` idiom), and the keeper/reclaimed report."""
+def _dedup_pipeline_ctes() -> str:
+    """The WITH-body shared by the two pipeline oracles: generated
+    minhash/band CTEs (:func:`_dedup_near_oracle`'s scheme at the
+    pipeline's 8x2 band shape), exact-Jaccard verification restricted to
+    the candidate pairs, and recursive-CTE connected components ending at
+    ``members(doc_id, cluster_id)`` (the ``q_dedup_cluster`` idiom)."""
     n_bands = _PIPE_NPERM // _PIPE_ROWS_PER_BAND
     perms = ", ".join(
         f"min(({a} * h0 + {b}) % {_MINHASH_P}) AS h{j}"
@@ -3043,7 +3043,13 @@ def _dedup_pipeline_oracle() -> str:
         SELECT w.node, e2.v FROM walk w JOIN e2 ON w.reach = e2.u
     ), members AS (
         SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
-    ), reclaim AS (
+    )"""
+
+
+def _dedup_pipeline_oracle() -> str:
+    """DuckDB twin of the full decision pipeline: the shared CTE chain
+    plus the keeper/reclaimed per-doc report."""
+    return f"""{_dedup_pipeline_ctes()}, reclaim AS (
         SELECT m.cluster_id,
                sum(CASE WHEN m.doc_id <> m.cluster_id THEN d.n_chars
                         ELSE 0 END) AS reclaimed_chars
@@ -3188,4 +3194,66 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop")).alias("action"),
         F.col("n_chars").cast("long"),
         reclaimed.cast("long").alias("reclaimed_chars"),
+    )
+
+
+def _dedup_apply_oracle() -> str:
+    """DuckDB twin of the APPLY step: the shared pipeline CTE chain, then
+    every document classified (docs in no cluster are implicitly kept)
+    and rolled up per (lang, source)."""
+    return f"""{_dedup_pipeline_ctes()}, decided AS (
+        SELECT d.lang, d.source, d.n_chars,
+               CASE WHEN m.doc_id IS NOT NULL AND m.doc_id <> m.cluster_id
+                    THEN 'drop' ELSE 'keep' END AS action
+        FROM documents d LEFT JOIN members m USING (doc_id)
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_kept,
+           CAST(sum(CASE WHEN action = 'drop' THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_dropped,
+           CAST(sum(CASE WHEN action = 'keep' THEN n_chars ELSE 0 END)
+                AS BIGINT)                                   AS chars_kept,
+           CAST(sum(CASE WHEN action = 'drop' THEN n_chars ELSE 0 END)
+                AS BIGINT)                                   AS chars_reclaimed
+    FROM decided
+    GROUP BY lang, source
+    """
+
+
+@query("q_dedup_apply", oracle=_dedup_apply_oracle())
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the dedup decision table to the corpus — the step after
+    :func:`q_dedup_pipeline`: the per-doc keep/drop table joins back to
+    the full documents table (docs in no duplicate cluster are kept by
+    definition) and the deduplicated corpus is summarized per
+    (lang, source) — documents in/kept/dropped and characters
+    retained/reclaimed.  This is the acceptance report a curation run
+    publishes before the physical rewrite, and it proves the decision
+    table composes with the corpus (the keep/drop rows are not a
+    dead-end artifact).
+
+    Scale: the decision table is duplicate-cluster-sized (orders of
+    magnitude smaller than the corpus — here it broadcasts; at 100 TB it
+    is a keyed join on doc_id against a table still ~1000x smaller than
+    the corpus), and the rollup is an ordinary partial->final aggregate
+    on low-cardinality keys.  The corpus is scanned once.
+    """
+    decisions = q_dedup_pipeline(spark, sf_dir).select("doc_id", "action")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    decided = (
+        d.join(F.broadcast(decisions), "doc_id", "left")
+        .withColumn("action", F.coalesce(F.col("action"), F.lit("keep")))
+    )
+    keep = F.col("action") == "keep"
+    return decided.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        F.sum((~keep).cast("long")).cast("long").alias("n_dropped"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("chars_kept"),
+        F.sum(F.when(~keep, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("chars_reclaimed"),
     )

@@ -71,3 +71,23 @@ def test_dedup_pipeline_verify_rejects_lsh_false_positives(spark):
         f"{n_edges} — the tau gate appears to reject nothing (a "
         "spanning-bound version of this assertion was vacuous; compare "
         "the ACTUAL edge count)")
+
+
+def test_dedup_apply_accounting_closes(spark):
+    """The APPLY rollup must conserve the corpus: per (lang, source),
+    kept + dropped docs == all docs and kept + reclaimed chars == all
+    chars — the acceptance report can never lose or invent bytes."""
+    rows = QUERIES["q_dedup_apply"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_docs, (r.lang, r.source)
+        assert r.n_kept >= 1 or r.n_docs == r.n_dropped
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    total_docs, total_chars = con.execute(
+        "SELECT count(*), sum(n_chars) FROM documents").fetchone()
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.chars_kept + r.chars_reclaimed for r in rows) == total_chars

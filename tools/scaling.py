@@ -81,6 +81,7 @@ KEYS = [
     "q_dedup_chunk_cdc",
     # Round-9 addition.
     "q_dedup_pipeline",
+    "q_dedup_apply",
 ]
 
 
