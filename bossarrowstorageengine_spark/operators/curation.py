@@ -2065,3 +2065,251 @@ def q_text_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((-F.col("sum_logp_micro")).cast("double")
                 / F.col("n_trigrams"), 0).cast("long").alias("avg_nll_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (SentencePiece family) — SURVEY §7 r10 item 2,
+# pulled forward: candidate pieces -> scored seed vocab -> per-word Viterbi
+# DP -> corpus cost + the SentencePiece prune signal (per-piece loss delta).
+# ---------------------------------------------------------------------------
+
+#: Max candidate piece length (chars) and the multi-char vocab budget.
+#: All single characters are ALWAYS in the vocab (SentencePiece's coverage
+#: requirement — every word must be segmentable), so the budget buys the
+#: top multi-char pieces by weighted substring frequency.
+_UNI_MAXLEN = 4
+_UNI_KMULTI = 64
+#: Pieces-count tiebreak packing: comb = score_micro * 64 - n_pieces.
+#: Valid while every word is < 64 tokens of pieces, i.e. < 64 chars —
+#: enforced by the word-length filter below.
+_UNI_NP_BASE = 64
+_UNI_MAX_WORD = 16
+
+
+def _uni_dp_comb(w, mp, low) -> "F.Column":
+    """Viterbi DP over one word under an (optionally filtered) piece->
+    logp_micro map: fold positions 1..len(w), each best[i] the max packed
+    ``comb`` (score*64 - n_pieces — one long, additive, so the
+    lexicographic (max score, min pieces) objective has optimal
+    substructure) over the <= _UNI_MAXLEN pieces ending at i.  Returns
+    the comb at the final position.  Pure JVM HOFs — the per-word
+    trellis never leaves the executor."""
+    n = F.length(w)
+
+    def step(acc, i):
+        cands = []
+        for k in range(1, _UNI_MAXLEN + 1):
+            prev = F.element_at(acc, i - k + 1)  # best[i-k] (1-based)
+            logp = F.element_at(mp, w.substr(i - k + 1, F.lit(k)))
+            cands.append(
+                F.when(i >= k,
+                       prev + F.coalesce(logp * _UNI_NP_BASE - 1, low))
+                .otherwise(low))
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    return F.element_at(
+        F.aggregate(F.sequence(F.lit(1), n),
+                    F.array(F.lit(0).cast("long")), step),
+        n + 1)
+
+
+def _unigram_oracle() -> str:
+    """DuckDB twin: same candidate/vocab CTEs, the Viterbi DP replayed as
+    a recursive state walk (states are (excluded-piece, word, pos, comb);
+    max comb per final position == the DP value, since comb is additive
+    and the walk enumerates every segmentation), same packing."""
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE len(w) > 0 AND len(w) < {_UNI_MAX_WORD}
+        GROUP BY w
+    ), cand AS (
+        SELECT substr(w, s, k) AS piece, CAST(sum(c) AS BIGINT) AS freq
+        FROM words,
+             unnest(range(1, len(w) + 1)) AS us(s),
+             unnest(range(1, {_UNI_MAXLEN} + 1)) AS uk(k)
+        WHERE s + k - 1 <= len(w)
+        GROUP BY substr(w, s, k)
+    ), vocab AS (
+        SELECT piece, freq FROM cand WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, freq FROM (
+            SELECT piece, freq,
+                   row_number() OVER (ORDER BY freq DESC, piece) AS rn
+            FROM cand WHERE len(piece) > 1
+        ) WHERE rn <= {_UNI_KMULTI}
+    ), scored AS (
+        SELECT piece, freq,
+               CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
+                    / (SELECT sum(freq) FROM vocab)), 0) AS BIGINT)
+                   AS logp_micro
+        FROM vocab
+    ), variants AS (
+        SELECT '' AS excl
+        UNION ALL
+        SELECT piece FROM scored WHERE len(piece) > 1
+    ), walk AS (
+        SELECT v.excl, w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb
+        FROM words w CROSS JOIN variants v
+        UNION
+        SELECT wk.excl, wk.w, wk.pos + len(s.piece),
+               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk wk JOIN scored s
+          ON s.piece <> wk.excl
+         AND substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
+    ), best AS (
+        SELECT excl, w, max(comb) AS comb
+        FROM walk WHERE pos = len(w)
+        GROUP BY excl, w
+    ), full_seg AS (
+        SELECT b.w, wd.c,
+               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) / {_UNI_NP_BASE}
+                   AS score_micro,
+               (-b.comb) % {_UNI_NP_BASE} AS np
+        FROM best b JOIN words wd ON wd.w = b.w
+        WHERE b.excl = ''
+    ), metrics AS (
+        SELECT CAST(sum(c * (-score_micro)) AS BIGINT) AS corpus_nll_micro,
+               CAST(sum(c * np) AS BIGINT)             AS corpus_pieces
+        FROM full_seg
+    ), excl_nll AS (
+        SELECT b.excl AS piece,
+               sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
+                             / {_UNI_NP_BASE}))) AS nll
+        FROM best b JOIN words wd ON wd.w = b.w
+        WHERE b.excl <> ''
+        GROUP BY b.excl
+    )
+    SELECT s.piece,
+           s.freq,
+           s.logp_micro,
+           CAST(e.nll - (SELECT sum(c * (-score_micro)) FROM full_seg)
+                AS BIGINT)               AS loss_delta_micro,
+           m.corpus_nll_micro,
+           m.corpus_pieces
+    FROM scored s
+    LEFT JOIN excl_nll e ON e.piece = s.piece
+    CROSS JOIN metrics m
+    """
+
+
+@query("q_unigram_train", oracle=_unigram_oracle())
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training iteration (the SentencePiece family
+    — the missing sibling of the BPE trainers): candidate pieces →
+    frequency-scored seed vocabulary → exact Viterbi segmentation of the
+    corpus → corpus cost + the PRUNE SIGNAL SentencePiece's trainer
+    actually uses (per-piece loss delta: how much worse the corpus
+    Viterbi cost gets if the piece is removed, other scores held fixed —
+    its Algorithm 1 prune step).  Emits one row per vocab piece with its
+    weighted frequency, micro-nat log probability, loss delta (NULL for
+    single chars, which are never prunable — they guarantee coverage),
+    and the corpus-level Viterbi NLL + piece count.
+
+    Determinism: piece scores are integer micro-nats (the established
+    perplexity-family trick); the Viterbi DP maximizes the packed
+    ``score*64 - n_pieces`` long, so the (max score, min pieces)
+    objective is a single additive max with exact integer arithmetic —
+    both the value and the tiebreak replay bit-identically in DuckDB's
+    recursive state walk.  Only segmentation VALUES are emitted (never a
+    chosen path), so double-ties cannot desync the engines.  Full hard-
+    EM (re-estimating scores from Viterbi counts) needs a deterministic
+    argmax PATH and is out of scope; the loss-delta prune is the
+    iteration step that is value-deterministic.
+
+    Scale: the corpus shuffles ONCE into the weighted distinct-word
+    table (the ``q_bpe_train_n`` trick — Zipf-bounded at any corpus
+    size); candidates and the vocab are word-local explodes + one top-k;
+    each (word, removed-piece) Viterbi is an O(len·maxlen) JVM HOF fold
+    over a broadcast piece map — |words| × |vocab| independent tasks,
+    embarrassingly parallel, no further shuffle.  At 100 TB this is the
+    standard trainer cost and the corpus is never rescanned.
+    """
+    toks = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") < _UNI_MAX_WORD))
+    )
+    words = (toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .localCheckpoint())  # the ONLY corpus-sized pass
+
+    # Candidate pieces: every substring of length 1.._UNI_MAXLEN of every
+    # distinct word, weighted by the word's corpus count.
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda s: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(_UNI_MAXLEN), F.length("w") - s + 1)),
+            lambda k: F.col("w").substr(s, k)),
+    ))
+    cand = (
+        words.select(F.explode(subs).alias("piece"), "c")
+        .groupBy("piece").agg(F.sum("c").cast("long").alias("freq"))
+    )
+    chars = cand.filter(F.length("piece") == 1)
+    wm = Window.orderBy(F.col("freq").desc(), "piece")
+    multi = (cand.filter(F.length("piece") > 1)
+             .withColumn("rn", F.row_number().over(wm))
+             .filter(F.col("rn") <= _UNI_KMULTI).drop("rn"))
+    vocab = chars.unionByName(multi)
+    total = vocab.agg(F.sum("freq").alias("S"))
+    scored = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "piece", "freq",
+            F.round(F.log(F.col("freq").cast("double") / F.col("S"))
+                    * 1_000_000, 0).cast("long").alias("logp_micro"))
+        .localCheckpoint()  # tiny; 65 DP variants below all reuse it
+    )
+
+    # One piece->logp map, broadcast onto every (word, variant) row; the
+    # variant's excluded piece is dropped with map_filter (excl='' is the
+    # full model).
+    mp_row = scored.agg(F.map_from_entries(
+        F.collect_list(F.struct("piece", "logp_micro"))).alias("mp"))
+    variants = (
+        scored.filter(F.length("piece") > 1).select(F.col("piece").alias("excl"))
+        .unionByName(
+            scored.sparkSession.range(1).select(F.lit("").alias("excl")))
+    )
+    low = F.lit(-(2 ** 61)).cast("long")
+    comb = _uni_dp_comb(
+        F.col("w"),
+        F.map_filter("mp", lambda k, v: k != F.col("excl")),
+        low)
+    np_ = F.pmod(-F.col("comb"), F.lit(_UNI_NP_BASE))
+    seg = (
+        words.crossJoin(F.broadcast(variants))
+        .crossJoin(F.broadcast(mp_row))
+        .select("w", "c", "excl", comb.alias("comb"))
+        .select(
+            "w", "c", "excl",
+            ((F.col("comb") + np_) / _UNI_NP_BASE).cast("long")
+            .alias("score_micro"),
+            np_.cast("long").alias("np"))
+    )
+    full_seg = seg.filter(F.col("excl") == "")
+    metrics = full_seg.agg(
+        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+        .alias("corpus_nll_micro"),
+        F.sum(F.col("c") * F.col("np")).cast("long").alias("corpus_pieces"),
+        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+        .alias("full_nll"),
+    )
+    excl_nll = (
+        seg.filter(F.col("excl") != "")
+        .groupBy(F.col("excl").alias("piece"))
+        .agg(F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+             .alias("nll"))
+    )
+    return (
+        scored.join(excl_nll, "piece", "left")
+        .crossJoin(F.broadcast(metrics))
+        .select(
+            "piece", "freq", "logp_micro",
+            (F.col("nll") - F.col("full_nll")).cast("long")
+            .alias("loss_delta_micro"),
+            "corpus_nll_micro", "corpus_pieces",
+        )
+    )

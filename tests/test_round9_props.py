@@ -91,3 +91,101 @@ def test_dedup_apply_accounting_closes(spark):
         "SELECT count(*), sum(n_chars) FROM documents").fetchone()
     assert sum(r.n_docs for r in rows) == total_docs
     assert sum(r.chars_kept + r.chars_reclaimed for r in rows) == total_chars
+
+
+def test_unigram_train_matches_python_viterbi(spark):
+    """q_unigram_train vs an independent pure-Python reference: rebuild
+    the weighted word table and the scored vocab from the parquet with
+    plain Python, run a dict-based Viterbi DP (same packed
+    score*64 - n_pieces objective), and compare corpus NLL, corpus piece
+    count, and every per-piece loss delta — the whole-algorithm check an
+    engine-vs-engine EXACT replay cannot provide (both engines could
+    share a bug)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    rows = QUERIES["q_unigram_train"](spark, SF).collect()
+    assert rows
+    from bossarrowstorageengine_spark.operators.curation import (
+        _UNI_KMULTI,
+        _UNI_MAXLEN,
+        _UNI_MAX_WORD,
+        _UNI_NP_BASE,
+    )
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    words = Counter()
+    for (t,) in texts:
+        for w in t.split(" "):
+            if 0 < len(w) < _UNI_MAX_WORD:
+                words[w] += 1
+
+    cand = Counter()
+    for w, c in words.items():
+        for s in range(len(w)):
+            for k in range(1, min(_UNI_MAXLEN, len(w) - s) + 1):
+                cand[w[s:s + k]] += c
+    chars = {p: f for p, f in cand.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in cand.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]))[:_UNI_KMULTI]
+    vocab = dict(chars)
+    vocab.update(dict(multi))
+    S = sum(vocab.values())
+    # Python round() is round-half-even; Spark/DuckDB round() is
+    # half-away-from-zero — match THEIR semantics explicitly.
+    import decimal
+
+    def r0(x: float) -> int:
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    logp = {p: r0(1_000_000 * math.log(f / S)) for p, f in vocab.items()}
+
+    def viterbi_comb(w: str, excl: str | None) -> int:
+        best = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            b = None
+            for k in range(1, min(_UNI_MAXLEN, i) + 1):
+                p = w[i - k:i]
+                if p == excl or p not in logp or best[i - k] is None:
+                    continue
+                v = best[i - k] + logp[p] * _UNI_NP_BASE - 1
+                b = v if b is None else max(b, v)
+            best[i] = b
+        return best[len(w)]
+
+    def corpus_nll(excl: str | None) -> tuple[int, int]:
+        nll = pieces = 0
+        for w, c in words.items():
+            comb = viterbi_comb(w, excl)
+            np_ = (-comb) % _UNI_NP_BASE
+            score = (comb + np_) // _UNI_NP_BASE
+            nll += c * -score
+            pieces += c * np_
+        return nll, pieces
+
+    ref_nll, ref_pieces = corpus_nll(None)
+    got = {r.piece: r for r in rows}
+    assert set(got) == set(vocab)
+    any_row = rows[0]
+    assert any_row.corpus_nll_micro == ref_nll
+    assert any_row.corpus_pieces == ref_pieces
+    for p, r in got.items():
+        assert r.freq == vocab[p]
+        assert r.logp_micro == logp[p]
+        if len(p) == 1:
+            assert r.loss_delta_micro is None
+        else:
+            ref_delta = corpus_nll(p)[0] - ref_nll
+            assert r.loss_delta_micro == ref_delta, p
+            assert r.loss_delta_micro >= 0, p  # removal never helps
+    # training must be non-degenerate: some multi-char piece carries
+    # real corpus cost (the vocab is actually used by the segmenter)
+    assert any(r.loss_delta_micro and r.loss_delta_micro > 0
+               for r in rows if r.loss_delta_micro is not None)

@@ -82,6 +82,7 @@ KEYS = [
     # Round-9 addition.
     "q_dedup_pipeline",
     "q_dedup_apply",
+    "q_unigram_train",
 ]
 
 
