@@ -2248,10 +2248,11 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece").agg(F.sum("c").cast("long").alias("freq"))
     )
     chars = cand.filter(F.length("piece") == 1)
-    wm = Window.orderBy(F.col("freq").desc(), "piece")
+    # top-K via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition global window; same set as the oracle's
+    # row_number <= K since the order is total with a unique tiebreak).
     multi = (cand.filter(F.length("piece") > 1)
-             .withColumn("rn", F.row_number().over(wm))
-             .filter(F.col("rn") <= _UNI_KMULTI).drop("rn"))
+             .orderBy(F.col("freq").desc(), "piece").limit(_UNI_KMULTI))
     vocab = chars.unionByName(multi)
     total = vocab.agg(F.sum("freq").alias("S"))
     scored = (

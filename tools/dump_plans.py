@@ -105,13 +105,15 @@ def main() -> None:
         "for top-k, and how few `Exchange`s each plan carries.",
         "",
     ]
-    for name in list(HEADLINE) + extra:
+    # dict.fromkeys: keys listed in both HEADLINE and extra dump once
+    for name in dict.fromkeys(list(HEADLINE) + extra):
         df = qs[name](spark, SF_DIR)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
     (REPO / "PLANS.md").write_text("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE) + len(extra)} plans)")
+    print(f"wrote PLANS.md "
+          f"({len(dict.fromkeys(list(HEADLINE) + extra))} plans)")
 
 
 if __name__ == "__main__":
