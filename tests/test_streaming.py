@@ -627,3 +627,71 @@ def test_changefeed_streams_into_incremental_consumer(spark):
                        .collect())}
     assert batch == state
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_chunk_dedup_probes_index_incrementally(spark):
+    """Streaming CDC chunk dedup (batch-differential): two micro-batches
+    of documents processed through chunk_dedup_batch must (a) build an
+    index equal to the batch-mode distinct chunk set, (b) report batch-2
+    dups against BOTH the index and intra-batch repeats, matching a
+    reference computed from the same _cdc_chunks core, and (c) treat a
+    replayed batch id as a no-op (index and reports unchanged)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import _cdc_chunks
+    from bossarrowstorageengine_spark.streaming.chunk_dedup import (
+        MIN_TOKENS,
+        chunk_dedup_batch,
+    )
+
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    idx, rep = f"{base}/index", f"{base}/report"
+    os.makedirs(idx, exist_ok=True)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    try:
+        chunk_dedup_batch(b1, 0, idx, rep)
+        chunk_dedup_batch(b2, 1, idx, rep)
+
+        # (a) index == batch-mode distinct chunk set over the full corpus
+        got_idx = {r.chunk_hash for r in
+                   spark.read.parquet(f"{idx}/data").collect()}
+        ref_all = {r.chunk_hash for r in
+                   _cdc_chunks(docs).filter(F.col("n_tokens") >= MIN_TOKENS)
+                   .select("chunk_hash").distinct().collect()}
+        assert got_idx == ref_all
+
+        # (b) per-doc dup counts vs a python reference replaying the
+        # same batch order and the same (doc_id, chunk_id) tiebreak
+        seen: set = set()
+        ref: dict = {}
+        for b in (b1, b2):
+            rows = (_cdc_chunks(b).filter(F.col("n_tokens") >= MIN_TOKENS)
+                    .orderBy("doc_id", "chunk_id").collect())
+            batch_first: set = set()
+            for r in rows:
+                dup = r.chunk_hash in seen or r.chunk_hash in batch_first
+                n, d = ref.get(r.doc_id, (0, 0))
+                ref[r.doc_id] = (n + 1, d + (1 if dup else 0))
+                batch_first.add(r.chunk_hash)
+            seen |= batch_first
+        got = {r.doc_id: (r.n_chunks, r.n_dup_chunks)
+               for r in spark.read.parquet(rep).collect()}
+        assert got == ref
+        # the corpus HAS cross-batch dups, else (b) is vacuous
+        assert any(d for _, d in ref.values())
+
+        # (c) replay of batch 1 is a no-op
+        n_rep = spark.read.parquet(rep).count()
+        chunk_dedup_batch(b2, 1, idx, rep)
+        assert spark.read.parquet(rep).count() == n_rep
+        assert {r.chunk_hash for r in
+                spark.read.parquet(f"{idx}/data").collect()} == ref_all
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
