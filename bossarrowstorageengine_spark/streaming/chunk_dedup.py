@@ -48,12 +48,11 @@ def chunk_dedup_batch(batch_df: DataFrame, batch_id: int,
               .filter(F.col("n_tokens") >= MIN_TOKENS)
               .localCheckpoint())  # chunk once; probe + report + append reuse
     data_dir = os.path.join(index_dir, "data")
-    try:
-        index = spark.read.parquet(data_dir).select("chunk_hash")
-        have_index = True
-    except Exception:
-        index = None
-        have_index = False
+    # isdir check, not try/except: probing a not-yet-born index with
+    # spark.read logs a full FileNotFoundException stack per batch.
+    have_index = os.path.isdir(data_dir)
+    index = (spark.read.parquet(data_dir).select("chunk_hash")
+             if have_index else None)
 
     # A chunk occurrence is a DUP if its hash is already in the index OR
     # an earlier occurrence exists in this batch (earlier = lower
