@@ -666,3 +666,24 @@ def test_stream_interval_join_is_keyed_equi_join(spark):
                 if "HashJoin [user_id" in ln or
                 "SortMergeJoin [user_id" in ln][0]
     assert "click_ts" in joinline and "view_ts" in joinline
+
+
+def test_dedup_pipeline_no_pair_expansion_no_python(spark):
+    """The composed dedup pipeline must keep every stage's attested
+    shape: no cartesian/nested-loop pair expansion anywhere (LSH buckets
+    + candidate-restricted verification bound all pairs) and no Python
+    workers (pure JVM HOF hashing)."""
+    plan = _plan(QUERIES["q_dedup_pipeline"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_train_stays_jvm_with_broadcast_variants(spark):
+    """The unigram trainer's (word x removed-piece) Viterbi grid must be
+    broadcast-composed JVM folds: no Python eval, no cartesian between
+    corpus-sized sides (the only cross joins carry the tiny variant and
+    map tables), no global sort."""
+    plan = _plan(QUERIES["q_unigram_train"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
