@@ -2084,6 +2084,8 @@ _UNI_KMULTI = 64
 #: enforced by the word-length filter below.
 _UNI_NP_BASE = 64
 _UNI_MAX_WORD = 16
+#: multi-char pieces dropped per prune round (bottom-k by loss delta).
+_UNI_PRUNE_K = 16
 
 
 def _uni_dp_comb(w, mp, low) -> "F.Column":
@@ -2113,11 +2115,92 @@ def _uni_dp_comb(w, mp, low) -> "F.Column":
         n + 1)
 
 
-def _unigram_oracle() -> str:
-    """DuckDB twin: same candidate/vocab CTEs, the Viterbi DP replayed as
-    a recursive state walk (states are (excluded-piece, word, pos, comb);
-    max comb per final position == the DP value, since comb is additive
-    and the walk enumerates every segmentation), same packing."""
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted distinct-word table — the trainer family's ONLY
+    corpus-sized pass (eagerly checkpointed; everything downstream is
+    vocab-sized)."""
+    toks = (
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") > 0) & (F.length("w") < _UNI_MAX_WORD))
+    )
+    return (toks.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint())
+
+
+def _unigram_scored(words: DataFrame) -> DataFrame:
+    """Seed vocabulary from a weighted word table: all single chars (the
+    coverage floor) + the top ``_UNI_KMULTI`` multi-char substrings by
+    weighted frequency, scored to micro-nat log probs.  Checkpointed —
+    every DP variant downstream reuses it."""
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda s: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(_UNI_MAXLEN), F.length("w") - s + 1)),
+            lambda k: F.col("w").substr(s, k)),
+    ))
+    cand = (
+        words.select(F.explode(subs).alias("piece"), "c")
+        .groupBy("piece").agg(F.sum("c").cast("long").alias("freq"))
+    )
+    chars = cand.filter(F.length("piece") == 1)
+    # top-K via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition global window; same set as the oracle's
+    # row_number <= K since the order is total with a unique tiebreak).
+    multi = (cand.filter(F.length("piece") > 1)
+             .orderBy(F.col("freq").desc(), "piece").limit(_UNI_KMULTI))
+    return _unigram_normalize(chars.unionByName(multi))
+
+
+def _unigram_normalize(vocab: DataFrame) -> DataFrame:
+    """(Re-)score a ``(piece, freq)`` vocabulary to micro-nat log probs
+    against ITS OWN frequency total (the prune step renormalizes the
+    survivors through this same path)."""
+    total = vocab.agg(F.sum("freq").alias("S"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "piece", "freq",
+            F.round(F.log(F.col("freq").cast("double") / F.col("S"))
+                    * 1_000_000, 0).cast("long").alias("logp_micro"))
+        .localCheckpoint()
+    )
+
+
+def _unigram_seg(words: DataFrame, scored: DataFrame,
+                 variants: DataFrame) -> DataFrame:
+    """Viterbi-evaluate every (word, variant) pair: one piece->logp map
+    broadcast onto the grid, the variant's excluded piece dropped with
+    map_filter (excl='' = the full model).  Returns
+    ``(w, c, excl, score_micro, np)``."""
+    mp_row = scored.agg(F.map_from_entries(
+        F.collect_list(F.struct("piece", "logp_micro"))).alias("mp"))
+    low = F.lit(-(2 ** 61)).cast("long")
+    comb = _uni_dp_comb(
+        F.col("w"),
+        F.map_filter("mp", lambda k, v: k != F.col("excl")),
+        low)
+    np_ = F.pmod(-F.col("comb"), F.lit(_UNI_NP_BASE))
+    return (
+        words.crossJoin(F.broadcast(variants))
+        .crossJoin(F.broadcast(mp_row))
+        .select("w", "c", "excl", comb.alias("comb"))
+        .select(
+            "w", "c", "excl",
+            ((F.col("comb") + np_) / _UNI_NP_BASE).cast("long")
+            .alias("score_micro"),
+            np_.cast("long").alias("np"))
+    )
+
+
+def _unigram_ctes() -> str:
+    """Shared WITH-body of the unigram oracles: candidate/vocab/scored
+    CTEs, the Viterbi DP replayed as a recursive state walk (states are
+    (excluded-piece, word, pos, comb); max comb per final position == the
+    DP value, since comb is additive and the walk enumerates every
+    segmentation), per-variant corpus NLLs."""
     return f"""
     WITH RECURSIVE words AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
@@ -2181,6 +2264,13 @@ def _unigram_oracle() -> str:
         WHERE b.excl <> ''
         GROUP BY b.excl
     )
+    """
+
+
+def _unigram_oracle() -> str:
+    """DuckDB twin of ``q_unigram_train``: shared CTE chain + the
+    per-piece loss-delta report."""
+    return f"""{_unigram_ctes()}
     SELECT s.piece,
            s.freq,
            s.logp_micro,
@@ -2191,6 +2281,66 @@ def _unigram_oracle() -> str:
     FROM scored s
     LEFT JOIN excl_nll e ON e.piece = s.piece
     CROSS JOIN metrics m
+    """
+
+
+def _unigram_prune_oracle() -> str:
+    """DuckDB twin of ``q_unigram_prune``: the trainer chain, then the
+    bottom-``_UNI_PRUNE_K`` multi-char pieces by (loss delta, piece)
+    pruned, survivors renormalized, and a SECOND recursive walk under
+    the pruned model for the after-metrics."""
+    return f"""{_unigram_ctes()}, deltas AS (
+        SELECT e.piece,
+               e.nll - (SELECT sum(c * (-score_micro)) FROM full_seg)
+                   AS loss_delta
+        FROM excl_nll e
+    ), pruned AS (
+        SELECT piece FROM (
+            SELECT piece, row_number() OVER (
+                ORDER BY loss_delta, piece) AS rn
+            FROM deltas
+        ) WHERE rn <= {_UNI_PRUNE_K}
+    ), survivors AS (
+        SELECT s.piece, s.freq FROM scored s
+        WHERE s.piece NOT IN (SELECT piece FROM pruned)
+    ), scored2 AS (
+        SELECT piece, freq,
+               CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
+                    / (SELECT sum(freq) FROM survivors)), 0) AS BIGINT)
+                   AS logp_micro
+        FROM survivors
+    ), walk2 AS (
+        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
+        UNION
+        SELECT wk.w, wk.pos + len(s.piece),
+               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk2 wk JOIN scored2 s
+          ON substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
+    ), best2 AS (
+        SELECT w, max(comb) AS comb FROM walk2
+        WHERE pos = len(w) GROUP BY w
+    ), after_seg AS (
+        SELECT b.w, wd.c,
+               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) / {_UNI_NP_BASE}
+                   AS score_micro,
+               (-b.comb) % {_UNI_NP_BASE} AS np
+        FROM best2 b JOIN words wd ON wd.w = b.w
+    ), after_metrics AS (
+        SELECT CAST(sum(c * (-score_micro)) AS BIGINT) AS nll_after_micro,
+               CAST(sum(c * np) AS BIGINT)             AS pieces_after
+        FROM after_seg
+    )
+    SELECT s.piece,
+           s.piece NOT IN (SELECT piece FROM pruned) AS kept,
+           s2.logp_micro                     AS logp_after_micro,
+           m.corpus_nll_micro                AS nll_before_micro,
+           am.nll_after_micro,
+           m.corpus_pieces                   AS pieces_before,
+           am.pieces_after
+    FROM scored s
+    LEFT JOIN scored2 s2 ON s2.piece = s.piece
+    CROSS JOIN metrics m
+    CROSS JOIN after_metrics am
     """
 
 
@@ -2226,70 +2376,14 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel, no further shuffle.  At 100 TB this is the
     standard trainer cost and the corpus is never rescanned.
     """
-    toks = (
-        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .filter((F.length("w") > 0) & (F.length("w") < _UNI_MAX_WORD))
-    )
-    words = (toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-             .localCheckpoint())  # the ONLY corpus-sized pass
-
-    # Candidate pieces: every substring of length 1.._UNI_MAXLEN of every
-    # distinct word, weighted by the word's corpus count.
-    subs = F.flatten(F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda s: F.transform(
-            F.sequence(F.lit(1),
-                       F.least(F.lit(_UNI_MAXLEN), F.length("w") - s + 1)),
-            lambda k: F.col("w").substr(s, k)),
-    ))
-    cand = (
-        words.select(F.explode(subs).alias("piece"), "c")
-        .groupBy("piece").agg(F.sum("c").cast("long").alias("freq"))
-    )
-    chars = cand.filter(F.length("piece") == 1)
-    # top-K via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
-    # no single-partition global window; same set as the oracle's
-    # row_number <= K since the order is total with a unique tiebreak).
-    multi = (cand.filter(F.length("piece") > 1)
-             .orderBy(F.col("freq").desc(), "piece").limit(_UNI_KMULTI))
-    vocab = chars.unionByName(multi)
-    total = vocab.agg(F.sum("freq").alias("S"))
-    scored = (
-        vocab.crossJoin(F.broadcast(total))
-        .select(
-            "piece", "freq",
-            F.round(F.log(F.col("freq").cast("double") / F.col("S"))
-                    * 1_000_000, 0).cast("long").alias("logp_micro"))
-        .localCheckpoint()  # tiny; 65 DP variants below all reuse it
-    )
-
-    # One piece->logp map, broadcast onto every (word, variant) row; the
-    # variant's excluded piece is dropped with map_filter (excl='' is the
-    # full model).
-    mp_row = scored.agg(F.map_from_entries(
-        F.collect_list(F.struct("piece", "logp_micro"))).alias("mp"))
+    words = _unigram_words(spark, sf_dir)
+    scored = _unigram_scored(words)
     variants = (
         scored.filter(F.length("piece") > 1).select(F.col("piece").alias("excl"))
         .unionByName(
             scored.sparkSession.range(1).select(F.lit("").alias("excl")))
     )
-    low = F.lit(-(2 ** 61)).cast("long")
-    comb = _uni_dp_comb(
-        F.col("w"),
-        F.map_filter("mp", lambda k, v: k != F.col("excl")),
-        low)
-    np_ = F.pmod(-F.col("comb"), F.lit(_UNI_NP_BASE))
-    seg = (
-        words.crossJoin(F.broadcast(variants))
-        .crossJoin(F.broadcast(mp_row))
-        .select("w", "c", "excl", comb.alias("comb"))
-        .select(
-            "w", "c", "excl",
-            ((F.col("comb") + np_) / _UNI_NP_BASE).cast("long")
-            .alias("score_micro"),
-            np_.cast("long").alias("np"))
-    )
+    seg = _unigram_seg(words, scored, variants)
     full_seg = seg.filter(F.col("excl") == "")
     metrics = full_seg.agg(
         F.sum(F.col("c") * -F.col("score_micro")).cast("long")
@@ -2313,4 +2407,76 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loss_delta_micro"),
             "corpus_nll_micro", "corpus_pieces",
         )
+    )
+
+
+@query("q_unigram_prune", oracle=_unigram_prune_oracle())
+def q_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PRUNE round of the unigram trainer (SentencePiece Algorithm 1
+    iteration step, continuing :func:`q_unigram_train`): the
+    ``_UNI_PRUNE_K`` multi-char pieces whose removal costs the corpus the
+    LEAST (smallest Viterbi loss delta, tie -> piece asc) are dropped,
+    the survivors' scores renormalize against the shrunken frequency
+    total, and the corpus is re-segmented under the pruned model — the
+    output carries every ORIGINAL piece with its kept/pruned decision,
+    its renormalized score, and the before/after corpus NLL + piece
+    counts, so the row a reviewer reads IS the iteration's accounting.
+
+    Determinism: the deltas, the bottom-k selection (total order with a
+    unique piece tiebreak), the renormalized micro-nat scores, and both
+    Viterbi evaluations are the exact-integer machinery of
+    ``q_unigram_train`` — value-deterministic end to end, replayed by a
+    second recursive walk in the oracle.
+
+    Scale: identical to the trainer (the grid is (distinct words) x
+    (variants), all broadcast-composed JVM folds) plus ONE more
+    evaluation pass under the pruned model — per round the cost is two
+    trainer evaluations, and rounds chain by feeding survivors back in.
+    """
+    words = _unigram_words(spark, sf_dir)
+    scored = _unigram_scored(words)
+    variants = (
+        scored.filter(F.length("piece") > 1)
+        .select(F.col("piece").alias("excl"))
+        .unionByName(
+            scored.sparkSession.range(1).select(F.lit("").alias("excl")))
+    )
+    seg = _unigram_seg(words, scored, variants)
+    full_nll = seg.filter(F.col("excl") == "").agg(
+        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+        .alias("full_nll"),
+        F.sum(F.col("c") * F.col("np")).cast("long")
+        .alias("pieces_before"))
+    deltas = (
+        seg.filter(F.col("excl") != "")
+        .groupBy(F.col("excl").alias("piece"))
+        .agg(F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+             .alias("nll"))
+        .crossJoin(F.broadcast(full_nll))
+        .select("piece", (F.col("nll") - F.col("full_nll"))
+                .alias("loss_delta"))
+    )
+    pruned = (deltas.orderBy("loss_delta", "piece").limit(_UNI_PRUNE_K)
+              .select("piece"))
+    survivors = scored.join(pruned, "piece", "left_anti") \
+        .select("piece", "freq")
+    scored2 = _unigram_normalize(survivors)
+    none_excl = scored.sparkSession.range(1).select(
+        F.lit("").alias("excl"))
+    after = _unigram_seg(words, scored2, none_excl).agg(
+        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+        .alias("nll_after_micro"),
+        F.sum(F.col("c") * F.col("np")).cast("long").alias("pieces_after"))
+    return (
+        scored.select("piece")
+        .join(scored2.select("piece",
+                             F.col("logp_micro").alias("logp_after_micro")),
+              "piece", "left")
+        .withColumn("kept", F.col("logp_after_micro").isNotNull())
+        .crossJoin(F.broadcast(full_nll.select(
+            F.col("full_nll").alias("nll_before_micro"), "pieces_before")))
+        .crossJoin(F.broadcast(after))
+        .select("piece", "kept", "logp_after_micro",
+                "nll_before_micro", "nll_after_micro",
+                "pieces_before", "pieces_after")
     )

@@ -189,3 +189,82 @@ def test_unigram_train_matches_python_viterbi(spark):
     # real corpus cost (the vocab is actually used by the segmenter)
     assert any(r.loss_delta_micro and r.loss_delta_micro > 0
                for r in rows if r.loss_delta_micro is not None)
+
+
+def test_unigram_prune_drops_cheapest_pieces_and_renormalizes(spark):
+    """The prune round must drop exactly the bottom-k multi-char pieces
+    by q_unigram_train's own loss deltas (tie -> piece asc), never a
+    single char, and the after-metrics must equal an independent Python
+    Viterbi over the renormalized survivor model.  (NLL direction is NOT
+    asserted: renormalizing over the shrunken frequency total raises
+    every survivor's probability, so the after-NLL can legitimately be
+    lower — only the FIXED-score deltas are one-sided.)"""
+    import decimal
+    import math
+
+    from bossarrowstorageengine_spark.operators.curation import (
+        _UNI_MAXLEN,
+        _UNI_NP_BASE,
+        _UNI_PRUNE_K,
+    )
+
+    train = {r.piece: r for r in
+             QUERIES["q_unigram_train"](spark, SF).collect()}
+    prune = QUERIES["q_unigram_prune"](spark, SF).collect()
+    assert {r.piece for r in prune} == set(train)
+
+    dropped = {r.piece for r in prune if not r.kept}
+    assert len(dropped) == _UNI_PRUNE_K
+    assert all(len(p) > 1 for p in dropped), "a single char was pruned"
+    expect = {p for p, _ in sorted(
+        ((p, r.loss_delta_micro) for p, r in train.items()
+         if r.loss_delta_micro is not None),
+        key=lambda x: (x[1], x[0]))[:_UNI_PRUNE_K]}
+    assert dropped == expect
+
+    any_row = prune[0]
+    assert any_row.nll_before_micro == train[next(iter(train))].corpus_nll_micro
+    # survivors renormalize UP (smaller total -> higher probability)...
+    for r in prune:
+        if r.kept:
+            assert r.logp_after_micro >= train[r.piece].logp_micro
+
+    # ...and the after-metrics replay exactly in Python: rebuild the
+    # survivor model (half-away-from-zero rounding, Spark/DuckDB
+    # semantics) and run the packed-long Viterbi over the word table.
+    def r0(x: float) -> int:
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    freqs = {r.piece: train[r.piece].freq for r in prune if r.kept}
+    s2 = sum(freqs.values())
+    logp2 = {p: r0(1_000_000 * math.log(f / s2)) for p, f in freqs.items()}
+
+    import duckdb
+    con = duckdb.connect()
+    words = con.execute(
+        "SELECT w, count(*) FROM (SELECT unnest(string_split(text, ' ')) "
+        f"AS w FROM read_parquet('{SF}/documents.parquet')) "
+        "WHERE len(w) > 0 AND len(w) < 16 GROUP BY w").fetchall()
+
+    def comb(word: str) -> int:
+        best = [0] + [None] * len(word)
+        for i in range(1, len(word) + 1):
+            b = None
+            for k in range(1, min(_UNI_MAXLEN, i) + 1):
+                p = word[i - k:i]
+                if p not in logp2 or best[i - k] is None:
+                    continue
+                v = best[i - k] + logp2[p] * _UNI_NP_BASE - 1
+                b = v if b is None else max(b, v)
+            best[i] = b
+        return best[len(word)]
+
+    ref_nll = ref_pieces = 0
+    for w, c in words:
+        cb = comb(w)
+        np_ = (-cb) % _UNI_NP_BASE
+        ref_nll += c * -((cb + np_) // _UNI_NP_BASE)
+        ref_pieces += c * np_
+    assert any_row.nll_after_micro == ref_nll
+    assert any_row.pieces_after == ref_pieces

@@ -83,6 +83,7 @@ KEYS = [
     "q_dedup_pipeline",
     "q_dedup_apply",
     "q_unigram_train",
+    "q_unigram_prune",
 ]
 
 
