@@ -3257,3 +3257,85 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~keep, F.col("n_chars")).otherwise(0))
         .cast("long").alias("chars_reclaimed"),
     )
+
+
+@query(
+    "q_dedup_chunk_incremental",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, i AS pos, t[i] AS w,
+               CASE WHEN i >= 3
+                    THEN t[i-2] || ' ' || t[i-1] || ' ' || t[i] END AS gram
+        FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ), flagged AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN gram IS NOT NULL AND
+                    CAST(('0x' || substr(md5(gram), 1, 6)) AS BIGINT) % 8 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM tok
+    ), chunked AS (
+        SELECT doc_id, pos, w,
+               COALESCE(sum(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_id
+        FROM flagged
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+               count(*) AS n_tokens
+        FROM chunked GROUP BY doc_id, chunk_id
+    ), occ AS (
+        SELECT doc_id % 2 AS batch_id, doc_id, chunk_hash, n_tokens,
+               row_number() OVER (PARTITION BY chunk_hash
+                   ORDER BY doc_id % 2, doc_id, chunk_id) AS occ
+        FROM chunks WHERE n_tokens >= 5
+    )
+    SELECT CAST(batch_id AS BIGINT)        AS batch_id,
+           CAST(doc_id AS BIGINT)          AS doc_id,
+           CAST(count(*) AS BIGINT)        AS n_chunks,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                           AS n_dup_chunks,
+           CAST(sum(CASE WHEN occ > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                                           AS dup_tokens
+    FROM occ
+    GROUP BY batch_id, doc_id
+    """,
+)
+def q_dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle face of the STREAMING CDC chunk-dedup report
+    (``streaming.chunk_dedup`` — the ``q_stream_interval_join`` pattern
+    of gating a harness-only streaming family through the driver's
+    DuckDB diff): the corpus split into two deterministic micro-batches
+    (``doc_id % 2``), chunked with the same ``_cdc_chunks`` core, and
+    each chunk occurrence classified exactly as the streaming probe
+    does — a DUP iff an earlier occurrence exists in
+    ``(batch, doc_id, chunk_id)`` order, i.e. it was in the persistent
+    index (an earlier batch) or earlier in its own batch.  Output is the
+    per-(batch, doc) report the stream sinks; the pytest differential
+    additionally pins this table equal to ``chunk_dedup_batch``'s actual
+    parquet output over the same split.
+
+    Scale: one chunking pass + ONE chunk_hash-keyed window (the
+    first-occurrence rank) + a per-doc aggregate — the same linear
+    index-build shape as ``q_dedup_chunk_cdc``; the streaming runtime
+    replaces the window with an index semi-join, same semantics.
+    """
+    chunks = (
+        _cdc_chunks(fan_out(load_table(spark, sf_dir, "documents"),
+                            "doc_id"))
+        .filter(F.col("n_tokens") >= 5)
+        .withColumn("batch_id", (F.col("doc_id") % 2).cast("long"))
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(
+        "batch_id", "doc_id", "chunk_id")
+    occ = chunks.withColumn("occ", F.row_number().over(w))
+    dup = F.col("occ") > 1
+    return occ.groupBy("batch_id", F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(dup.cast("long")).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(dup, F.col("n_tokens")).otherwise(0)).cast("long")
+        .alias("dup_tokens"),
+    )

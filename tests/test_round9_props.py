@@ -268,3 +268,37 @@ def test_unigram_prune_drops_cheapest_pieces_and_renormalizes(spark):
         ref_pieces += c * np_
     assert any_row.nll_after_micro == ref_nll
     assert any_row.pieces_after == ref_pieces
+
+
+def test_chunk_incremental_batch_face_matches_streaming(spark):
+    """The oracle-gated batch face (q_dedup_chunk_incremental) must emit
+    the SAME per-(batch, doc) report the streaming chunk_dedup_batch
+    path writes for the identical doc_id % 2 split — the differential
+    that makes the driver's DuckDB gate meaningful for the stream."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.streaming.chunk_dedup import (
+        chunk_dedup_batch,
+    )
+
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    idx, rep = f"{base}/index", f"{base}/report"
+    os.makedirs(idx, exist_ok=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    try:
+        chunk_dedup_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, idx, rep)
+        chunk_dedup_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, idx, rep)
+        stream_rows = {
+            (r.batch_id, r.doc_id): (r.n_chunks, r.n_dup_chunks, r.dup_tokens)
+            for r in spark.read.parquet(rep).collect()}
+        batch_rows = {
+            (r.batch_id, r.doc_id): (r.n_chunks, r.n_dup_chunks, r.dup_tokens)
+            for r in QUERIES["q_dedup_chunk_incremental"](spark, SF).collect()}
+        assert batch_rows == stream_rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -92,7 +92,8 @@ def main() -> None:
              "q_text_perplexity_interp", "q_storage_vacuum",
              "q_dedup_chunk_cdc",
              # round 9: end-to-end dedup decision pipeline
-             "q_dedup_pipeline", "q_dedup_apply", "q_unigram_train", "q_unigram_prune"]
+             "q_dedup_pipeline", "q_dedup_apply", "q_unigram_train", "q_unigram_prune",
+             "q_dedup_chunk_incremental"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

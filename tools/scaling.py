@@ -84,6 +84,7 @@ KEYS = [
     "q_dedup_apply",
     "q_unigram_train",
     "q_unigram_prune",
+    "q_dedup_chunk_incremental",
 ]
 
 
