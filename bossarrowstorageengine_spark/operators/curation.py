@@ -2169,6 +2169,18 @@ def _unigram_normalize(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _unigram_variants(scored: DataFrame) -> DataFrame:
+    """One DP variant per multi-char piece (its exclusion) plus the ''
+    sentinel for the full model — shared by the trainer and the prune
+    round so the variant rule can never drift between them."""
+    return (
+        scored.filter(F.length("piece") > 1)
+        .select(F.col("piece").alias("excl"))
+        .unionByName(
+            scored.sparkSession.range(1).select(F.lit("").alias("excl")))
+    )
+
+
 def _unigram_seg(words: DataFrame, scored: DataFrame,
                  variants: DataFrame) -> DataFrame:
     """Viterbi-evaluate every (word, variant) pair: one piece->logp map
@@ -2378,19 +2390,12 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words = _unigram_words(spark, sf_dir)
     scored = _unigram_scored(words)
-    variants = (
-        scored.filter(F.length("piece") > 1).select(F.col("piece").alias("excl"))
-        .unionByName(
-            scored.sparkSession.range(1).select(F.lit("").alias("excl")))
-    )
-    seg = _unigram_seg(words, scored, variants)
+    seg = _unigram_seg(words, scored, _unigram_variants(scored))
     full_seg = seg.filter(F.col("excl") == "")
     metrics = full_seg.agg(
         F.sum(F.col("c") * -F.col("score_micro")).cast("long")
         .alias("corpus_nll_micro"),
         F.sum(F.col("c") * F.col("np")).cast("long").alias("corpus_pieces"),
-        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
-        .alias("full_nll"),
     )
     excl_nll = (
         seg.filter(F.col("excl") != "")
@@ -2403,7 +2408,7 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(metrics))
         .select(
             "piece", "freq", "logp_micro",
-            (F.col("nll") - F.col("full_nll")).cast("long")
+            (F.col("nll") - F.col("corpus_nll_micro")).cast("long")
             .alias("loss_delta_micro"),
             "corpus_nll_micro", "corpus_pieces",
         )
@@ -2435,13 +2440,7 @@ def q_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words = _unigram_words(spark, sf_dir)
     scored = _unigram_scored(words)
-    variants = (
-        scored.filter(F.length("piece") > 1)
-        .select(F.col("piece").alias("excl"))
-        .unionByName(
-            scored.sparkSession.range(1).select(F.lit("").alias("excl")))
-    )
-    seg = _unigram_seg(words, scored, variants)
+    seg = _unigram_seg(words, scored, _unigram_variants(scored))
     full_nll = seg.filter(F.col("excl") == "").agg(
         F.sum(F.col("c") * -F.col("score_micro")).cast("long")
         .alias("full_nll"),

@@ -2843,6 +2843,16 @@ def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
     )
 
 
+#: Min chunk size (tokens) shared by the CDC dedup faces: the batch
+#: report (q_dedup_chunk_cdc keeps its literal 5 with a pointer here —
+#: it is driver-attested and the value is pinned by this constant's
+#: consumers), the incremental batch face (q_dedup_chunk_incremental),
+#: and the streaming probe (streaming.chunk_dedup.MIN_TOKENS aliases
+#: this).  One value, or the oracle gate and the stream silently
+#: disagree on the floor.
+_CDC_MIN_TOKENS = 5
+
+
 def _cdc_chunks(d: DataFrame) -> DataFrame:
     """Content-defined chunking core over any ``(doc_id, text)`` frame:
     rolling md5 over each 3-token gram, boundary where it hits
@@ -3261,7 +3271,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_chunk_incremental",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), tok AS (
@@ -3291,7 +3301,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id % 2 AS batch_id, doc_id, chunk_hash, n_tokens,
                row_number() OVER (PARTITION BY chunk_hash
                    ORDER BY doc_id % 2, doc_id, chunk_id) AS occ
-        FROM chunks WHERE n_tokens >= 5
+        FROM chunks WHERE n_tokens >= {_CDC_MIN_TOKENS}
     )
     SELECT CAST(batch_id AS BIGINT)        AS batch_id,
            CAST(doc_id AS BIGINT)          AS doc_id,
@@ -3326,7 +3336,7 @@ def q_dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         _cdc_chunks(fan_out(load_table(spark, sf_dir, "documents"),
                             "doc_id"))
-        .filter(F.col("n_tokens") >= 5)
+        .filter(F.col("n_tokens") >= _CDC_MIN_TOKENS)
         .withColumn("batch_id", (F.col("doc_id") % 2).cast("long"))
     )
     w = Window.partitionBy("chunk_hash").orderBy(

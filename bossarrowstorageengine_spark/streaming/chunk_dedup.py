@@ -3,22 +3,34 @@
 the SAME array-side core the batch key uses
 (``operators.llm_pipeline._cdc_chunks`` — rolling-md5 3-gram boundaries),
 probed against a PERSISTENT chunk-hash index, and reported per document;
-only previously-unseen hashes append to the index.  This is the
+only previously-unseen hashes join the index.  This is the
 ``q_dedup_incremental`` shape applied to the chunk grain: the new batch
 probes the index, never batch x batch, never a corpus rescan.
 
 Idempotence: a replayed micro-batch (foreachBatch redelivery after a
-failure) must not double-append hashes or double-count reports — each
-batch commits a ``_batch-<id>.done`` marker in the index directory and a
-replay of a marked batch is a no-op, the same high-water-mark discipline
-as the partitioned arrowipc sink.
+failure) must reproduce EXACTLY the original report and index state.
+Two mechanisms compose:
+
+- every per-batch write goes to its own ``batch=<id>`` partition
+  directory with overwrite semantics, so a re-run replaces its own
+  output instead of appending a second copy;
+- the probe EXCLUDES index rows written by the current batch id, so a
+  re-run that crashed after its index write still classifies its chunks
+  against the same pre-batch state the first attempt saw (without this,
+  the replay would find its own hashes and mark everything a dup).
+
+A ``_batch-<id>.done`` marker makes the common replay a cheap no-op;
+correctness never depends on it.  The index tolerates the same hash
+appearing under several batch ids (concurrent writers on disjoint
+batches): the probe reads distinct hashes.
 
 Scale: the index is one hash-keyed parquet table (bucketable on
 chunk_hash at 100 TB so the probe is a co-located join); the per-batch
-work is chunking (map-side HOFs) + one semi-join against the index +
-one append of the batch's distinct new hashes.  State lives in storage,
-not executor memory, so the stream restarts cheaply and the index is
-shared by any number of writers processing disjoint batches.
+work is chunking (map-side HOFs) + one probe join against the distinct
+index hashes + one overwrite of the batch's new-hash partition.  State
+lives in storage, not executor memory, so the stream restarts cheaply.
+The batch face of this report is oracle-gated as
+``q_dedup_chunk_incremental``.
 """
 
 from __future__ import annotations
@@ -28,21 +40,26 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bossarrowstorageengine_spark.operators.llm_pipeline import _cdc_chunks
+from bossarrowstorageengine_spark.operators.llm_pipeline import (
+    _CDC_MIN_TOKENS,
+    _cdc_chunks,
+)
 
-#: chunks below this token count are ignored (the batch key's floor).
-MIN_TOKENS = 5
+#: chunks below this token count are ignored — shared with the batch
+#: faces (q_dedup_chunk_cdc / q_dedup_chunk_incremental) so the oracle
+#: gate and the stream can never silently disagree on the floor.
+MIN_TOKENS = _CDC_MIN_TOKENS
 
 
 def chunk_dedup_batch(batch_df: DataFrame, batch_id: int,
                       index_dir: str, report_dir: str) -> None:
-    """Process ONE micro-batch: chunk, probe, report, append new hashes.
+    """Process ONE micro-batch: chunk, probe, report, commit new hashes.
     Exposed separately from the stream wrapper so tests can drive exact
     batch boundaries and replay semantics directly."""
     spark = batch_df.sparkSession
     marker = os.path.join(index_dir, f"_batch-{batch_id}.done")
     if os.path.exists(marker):
-        return  # replayed batch — already committed
+        return  # replayed batch — already committed (fast path)
 
     chunks = (_cdc_chunks(batch_df)
               .filter(F.col("n_tokens") >= MIN_TOKENS)
@@ -51,8 +68,16 @@ def chunk_dedup_batch(batch_df: DataFrame, batch_id: int,
     # isdir check, not try/except: probing a not-yet-born index with
     # spark.read logs a full FileNotFoundException stack per batch.
     have_index = os.path.isdir(data_dir)
-    index = (spark.read.parquet(data_dir).select("chunk_hash")
-             if have_index else None)
+    index = None
+    if have_index:
+        # Partition column ``batch`` comes from the batch=<id> dirs.
+        # Exclude the current batch id (replay safety — see module doc)
+        # and collapse to DISTINCT hashes (the same hash may be recorded
+        # by several concurrent writers; a plain join would multiply
+        # probe rows and inflate every count).
+        index = (spark.read.parquet(data_dir)
+                 .filter(F.col("batch") != F.lit(batch_id))
+                 .select("chunk_hash").distinct())
 
     # A chunk occurrence is a DUP if its hash is already in the index OR
     # an earlier occurrence exists in this batch (earlier = lower
@@ -75,21 +100,21 @@ def chunk_dedup_batch(batch_df: DataFrame, batch_id: int,
         )
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )
-    os.makedirs(report_dir, exist_ok=True)
-    report.write.mode("append").parquet(report_dir)
+    # Per-batch partition dirs with overwrite: a replay REPLACES its own
+    # output (identical content, since the probe excluded this batch's
+    # index rows) instead of appending a conflicting second copy.
+    report.write.mode("overwrite").parquet(
+        os.path.join(report_dir, f"batch={batch_id}"))
 
     new_hashes = (
         marked.filter(~F.coalesce(F.col("known"), F.lit(False))
                       & (F.col("occ") == 1))
         .select("chunk_hash")
     )
-    new_hashes.write.mode("append").parquet(data_dir)
+    new_hashes.write.mode("overwrite").parquet(
+        os.path.join(data_dir, f"batch={batch_id}"))
 
-    # Commit point: report + index rows are in place; the marker makes a
-    # redelivered batch a no-op.  (Crash between the writes above and
-    # this marker -> the replay re-appends; the index tolerates duplicate
-    # hashes because every probe is a semi-join/EXISTS, and the report
-    # dedupes on (batch_id, doc_id) at read time if exactly-once matters.)
+    # Fast-path marker only — replay correctness holds without it.
     with open(marker, "w") as f:
         f.write("done")
 

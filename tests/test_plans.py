@@ -672,18 +672,41 @@ def test_dedup_pipeline_no_pair_expansion_no_python(spark):
     """The composed dedup pipeline must keep every stage's attested
     shape: no cartesian/nested-loop pair expansion anywhere (LSH buckets
     + candidate-restricted verification bound all pairs) and no Python
-    workers (pure JVM HOF hashing)."""
-    plan = _plan(QUERIES["q_dedup_pipeline"](spark, SF))
+    workers (pure JVM HOF hashing).  Asserted on the PRE-checkpoint
+    edges frame: q_dedup_pipeline's own final plan is truncated at
+    _cc_min_label's localCheckpoints, so the LSH + verify stages this
+    test exists for would not even appear in it."""
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _pipeline_edges,
+    )
+
+    _, edges = _pipeline_edges(load_table(spark, SF, "documents"))
+    plan = _plan(edges)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the final (post-checkpoint) report stays clean too
+    final = _plan(QUERIES["q_dedup_pipeline"](spark, SF))
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
 
 
 def test_unigram_train_stays_jvm_with_broadcast_variants(spark):
     """The unigram trainer's (word x removed-piece) Viterbi grid must be
-    broadcast-composed JVM folds: no Python eval, no cartesian between
-    corpus-sized sides (the only cross joins carry the tiny variant and
-    map tables), no global sort."""
-    plan = _plan(QUERIES["q_unigram_train"](spark, SF))
+    broadcast-composed JVM folds with no Python eval and no global sort.
+    The DP grid lives BEHIND localCheckpoints in the shipped key, so
+    assert on the seg stage directly: the grid must broadcast its
+    variant/map sides and stay sort-free JVM."""
+    from bossarrowstorageengine_spark.operators.curation import (
+        _unigram_scored,
+        _unigram_seg,
+        _unigram_variants,
+        _unigram_words,
+    )
+
+    words = _unigram_words(spark, SF)
+    scored = _unigram_scored(words)
+    seg = _unigram_seg(words, scored, _unigram_variants(scored))
+    plan = _plan(seg)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

@@ -81,7 +81,14 @@ def test_dedup_apply_accounting_closes(spark):
     assert rows
     for r in rows:
         assert r.n_kept + r.n_dropped == r.n_docs, (r.lang, r.source)
-        assert r.n_kept >= 1 or r.n_docs == r.n_dropped
+    # cross-check the drop totals against the decision table itself:
+    # every 'drop' row in q_dedup_pipeline must surface in the rollup,
+    # and something must survive globally (a rollup that drops the whole
+    # corpus would satisfy per-row accounting).
+    pipeline = QUERIES["q_dedup_pipeline"](spark, SF).collect()
+    n_drops = sum(1 for p in pipeline if p.action == "drop")
+    assert sum(r.n_dropped for r in rows) == n_drops
+    assert sum(r.n_kept for r in rows) >= 1
     import duckdb
     con = duckdb.connect()
     con.execute(

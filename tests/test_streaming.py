@@ -695,3 +695,53 @@ def test_stream_chunk_dedup_probes_index_incrementally(spark):
                 spark.read.parquet(f"{idx}/data").collect()} == ref_all
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_chunk_dedup_replay_without_marker_is_identical(spark):
+    """The crash-window guarantee: a batch that wrote its index rows but
+    DIED before its marker re-runs from scratch on redelivery — and must
+    reproduce byte-identical state, because the probe excludes the
+    current batch id's own index rows (without that, the replay would
+    see its own hashes and poison the report with all-dup rows)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.streaming.chunk_dedup import (
+        chunk_dedup_batch,
+    )
+
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    idx, rep = f"{base}/index", f"{base}/report"
+    os.makedirs(idx, exist_ok=True)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    try:
+        chunk_dedup_batch(b1, 0, idx, rep)
+        chunk_dedup_batch(b2, 1, idx, rep)
+        before_rep = sorted(
+            (r.batch_id, r.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_tokens)
+            for r in spark.read.parquet(rep).collect())
+        before_idx = sorted(
+            r.chunk_hash for r in
+            spark.read.parquet(f"{idx}/data").collect())
+        assert any(d for *_x, d, _t in
+                   [(r[0], r[1], r[2], r[3], r[4]) for r in before_rep]), \
+            "no dups at all — replay check would be vacuous"
+
+        # simulate the crash window: marker lost, index rows present
+        os.remove(os.path.join(idx, "_batch-1.done"))
+        chunk_dedup_batch(b2, 1, idx, rep)
+
+        after_rep = sorted(
+            (r.batch_id, r.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_tokens)
+            for r in spark.read.parquet(rep).collect())
+        after_idx = sorted(
+            r.chunk_hash for r in
+            spark.read.parquet(f"{idx}/data").collect())
+        assert after_rep == before_rep
+        assert after_idx == before_idx
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
