@@ -309,3 +309,60 @@ def test_chunk_incremental_batch_face_matches_streaming(spark):
         assert batch_rows == stream_rows
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cc_min_label_matches_union_find(spark):
+    """The shared connected-components core (_cc_min_label, now driving
+    keep/drop decisions in two keys) vs an independent union-find over
+    randomized edge lists — including chain graphs near the round cap
+    and graphs ABOVE it (which must RAISE, never return split labels)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _cc_min_label,
+    )
+
+    def uf_components(edges):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        out = {}
+        for n in parent:
+            out[n] = find(n)
+        # normalize: label = component min (find with path order can
+        # already give it since we always parent toward the min root)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=0, max_value=30))
+        .filter(lambda p: p[0] != p[1]),
+        min_size=1, max_size=40))
+    def check(edges):
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], ["doc_a", "doc_b"])
+        got = {r.doc_id: r.cluster_id
+               for r in _cc_min_label(df, max_rounds=40).collect()}
+        assert got == uf_components(edges)
+
+    check()
+
+    # a 5-node chain needs ~4 rounds; with max_rounds=2 the guard must
+    # RAISE (split labels driving keep/drop silently would be the bug)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _cc_min_label(chain, max_rounds=2)
