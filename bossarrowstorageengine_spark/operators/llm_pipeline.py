@@ -3253,8 +3253,13 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions = q_dedup_pipeline(spark, sf_dir).select("doc_id", "action")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
+    # No broadcast HINT on the decision table: it is duplicate-cluster-
+    # sized, which is tiny here but can be a double-digit percentage of
+    # a real crawl — a hard hint would force an OOM-prone broadcast at
+    # 100 TB, while AQE broadcasts it at runtime whenever it actually
+    # fits and falls back to a keyed join when it doesn't.
     decided = (
-        d.join(F.broadcast(decisions), "doc_id", "left")
+        d.join(decisions, "doc_id", "left")
         .withColumn("action", F.coalesce(F.col("action"), F.lit("keep")))
     )
     keep = F.col("action") == "keep"
