@@ -2258,8 +2258,12 @@ def _unigram_ctes() -> str:
         FROM walk WHERE pos = len(w)
         GROUP BY excl, w
     ), full_seg AS (
+        -- // (integer division) keeps the whole chain in BIGINT: the
+        -- numerator is an exact multiple of {_UNI_NP_BASE}, so the value
+        -- is identical to float /, but the downstream c*score sums stay
+        -- exact past 2^53 (the Spark side sums pure int64).
         SELECT b.w, wd.c,
-               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) / {_UNI_NP_BASE}
+               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) // {_UNI_NP_BASE}
                    AS score_micro,
                (-b.comb) % {_UNI_NP_BASE} AS np
         FROM best b JOIN words wd ON wd.w = b.w
@@ -2271,7 +2275,7 @@ def _unigram_ctes() -> str:
     ), excl_nll AS (
         SELECT b.excl AS piece,
                sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
-                             / {_UNI_NP_BASE}))) AS nll
+                             // {_UNI_NP_BASE}))) AS nll
         FROM best b JOIN words wd ON wd.w = b.w
         WHERE b.excl <> ''
         GROUP BY b.excl
@@ -2333,7 +2337,7 @@ def _unigram_prune_oracle() -> str:
         WHERE pos = len(w) GROUP BY w
     ), after_seg AS (
         SELECT b.w, wd.c,
-               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) / {_UNI_NP_BASE}
+               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) // {_UNI_NP_BASE}
                    AS score_micro,
                (-b.comb) % {_UNI_NP_BASE} AS np
         FROM best2 b JOIN words wd ON wd.w = b.w

@@ -29,6 +29,10 @@ chunk_hash at 100 TB so the probe is a co-located join); the per-batch
 work is chunking (map-side HOFs) + one probe join against the distinct
 index hashes + one overwrite of the batch's new-hash partition.  State
 lives in storage, not executor memory, so the stream restarts cheaply.
+CONTRACT: ``index_dir``/``report_dir`` must be driver-visible POSIX
+paths (URI schemes are rejected) — the existence probes and the marker
+write use local filesystem calls, which silently see nothing on
+``s3://``/``hdfs://`` URIs.
 The batch face of this report is oracle-gated as
 ``q_dedup_chunk_incremental``.
 """
@@ -51,12 +55,50 @@ from bossarrowstorageengine_spark.operators.llm_pipeline import (
 MIN_TOKENS = _CDC_MIN_TOKENS
 
 
+def _require_posix_dir(path: str, what: str) -> str:
+    """Index/report/marker state is probed and written with driver-local
+    filesystem calls (``os.path``, ``open``), so the contract is that
+    these directories live on a driver-visible POSIX filesystem.  A URI
+    scheme (``s3://``, ``hdfs://``) would make ``os.path.isdir`` silently
+    return ``False`` — every batch would treat the index as absent and
+    report all chunks unseen — so reject schemes loudly up front instead
+    of mis-deduplicating first and crashing on the marker write later."""
+    if "://" in path:
+        raise ValueError(
+            f"{what} must be a driver-visible POSIX path, got URI "
+            f"{path!r}; chunk-dedup state probing uses local filesystem "
+            "calls (mount object stores, or port the probes to the "
+            "Hadoop FileSystem API before pointing this at one)")
+    return path
+
+
+def _index_has_data(data_dir: str) -> bool:
+    """True only when the index holds at least one COMMITTED parquet part
+    file.  A bare ``isdir`` probe is wrong after a crash that created
+    ``data_dir`` (e.g. only a ``_temporary`` dir survives): the read
+    would then fail schema inference on every subsequent batch until
+    manual cleanup.  Spark's file listing skips ``_``/``.``-prefixed
+    paths, so committed ``part-*`` files are the exact signal it needs."""
+    if not os.path.isdir(data_dir):
+        return False
+    for part in os.listdir(data_dir):
+        pdir = os.path.join(data_dir, part)
+        if not part.startswith("batch=") or not os.path.isdir(pdir):
+            continue
+        for name in os.listdir(pdir):
+            if name.startswith("part-") and not name.endswith(".crc"):
+                return True
+    return False
+
+
 def chunk_dedup_batch(batch_df: DataFrame, batch_id: int,
                       index_dir: str, report_dir: str) -> None:
     """Process ONE micro-batch: chunk, probe, report, commit new hashes.
     Exposed separately from the stream wrapper so tests can drive exact
     batch boundaries and replay semantics directly."""
     spark = batch_df.sparkSession
+    _require_posix_dir(index_dir, "index_dir")
+    _require_posix_dir(report_dir, "report_dir")
     marker = os.path.join(index_dir, f"_batch-{batch_id}.done")
     if os.path.exists(marker):
         return  # replayed batch — already committed (fast path)
@@ -65,9 +107,10 @@ def chunk_dedup_batch(batch_df: DataFrame, batch_id: int,
               .filter(F.col("n_tokens") >= MIN_TOKENS)
               .localCheckpoint())  # chunk once; probe + report + append reuse
     data_dir = os.path.join(index_dir, "data")
-    # isdir check, not try/except: probing a not-yet-born index with
-    # spark.read logs a full FileNotFoundException stack per batch.
-    have_index = os.path.isdir(data_dir)
+    # Committed-file probe, not try/except: probing a not-yet-born index
+    # with spark.read logs a full FileNotFoundException stack per batch,
+    # and a bare isdir would trust a crash-orphaned empty directory.
+    have_index = _index_has_data(data_dir)
     index = None
     if have_index:
         # Partition column ``batch`` comes from the batch=<id> dirs.
@@ -123,6 +166,8 @@ def stream_chunk_dedup(docs: DataFrame, index_dir: str, report_dir: str,
                        checkpoint_dir: str):
     """Wire :func:`chunk_dedup_batch` into ``foreachBatch`` — returns the
     StreamingQuery handle."""
+    _require_posix_dir(index_dir, "index_dir")
+    _require_posix_dir(report_dir, "report_dir")
     os.makedirs(index_dir, exist_ok=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:

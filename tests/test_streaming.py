@@ -745,3 +745,58 @@ def test_stream_chunk_dedup_replay_without_marker_is_identical(spark):
         assert after_idx == before_idx
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_chunk_dedup_rejects_uri_schemes(spark):
+    """index/report dirs are probed with driver-local filesystem calls,
+    so an object-store URI would silently see no index (every batch
+    reports all-unseen) before crashing on the marker write — the
+    contract is enforced loudly up front instead."""
+    import uuid as _uuid
+
+    import pytest
+
+    from bossarrowstorageengine_spark.streaming.chunk_dedup import (
+        chunk_dedup_batch,
+        stream_chunk_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(1)
+    local = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    with pytest.raises(ValueError, match="POSIX path"):
+        chunk_dedup_batch(docs, 0, "s3://bucket/index", local)
+    with pytest.raises(ValueError, match="POSIX path"):
+        chunk_dedup_batch(docs, 0, local, "hdfs://nn/report")
+    with pytest.raises(ValueError, match="POSIX path"):
+        stream_chunk_dedup(docs, "s3://bucket/index", local, local)
+
+
+def test_stream_chunk_dedup_tolerates_uncommitted_index_dir(spark):
+    """A crash after data_dir creation but before any committed parquet
+    file (only a _temporary dir remains) must read as NO index — a bare
+    isdir probe would try spark.read.parquet on it and fail schema
+    inference on every subsequent batch until manual cleanup."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.streaming.chunk_dedup import (
+        chunk_dedup_batch,
+    )
+
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    idx, rep = f"{base}/index", f"{base}/report"
+    # simulate the orphan: a batch partition dir holding only _temporary
+    os.makedirs(f"{idx}/data/batch=0/_temporary/0", exist_ok=True)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 10 == 0)
+    try:
+        chunk_dedup_batch(b1, 1, idx, rep)  # must not raise
+        rows = spark.read.parquet(rep).collect()
+        assert rows and all(r.batch_id == 1 for r in rows)
+        # index now holds committed data, so a later batch probes it
+        assert spark.read.parquet(f"{idx}/data").count() > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
