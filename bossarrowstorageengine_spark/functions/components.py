@@ -1,0 +1,113 @@
+"""Shared connected-components core: min-label propagation over an edge
+list (the iterative-fixpoint primitive behind dedup clustering and
+entity resolution).
+
+Consolidates what were two parallel implementations with divergent
+failure semantics (round-9 verdict finding 1):
+
+- ``operators/llm_pipeline._cc_min_label`` — STRICT: raises past the
+  round cap, because downstream keep/drop decisions must never be made
+  on half-converged (split) labels; differential-tested against
+  union-find.
+- ``operators/graph._propagate_min_labels`` — FLAG: returns a
+  ``converged`` boolean and emits the (possibly still split) labels,
+  defensible for a histogram/audit report that carries the flag.
+
+Both are now the one loop here, with the strict-vs-flag choice a
+parameter, so a fix to the propagation can never again land in one core
+and not the other.
+
+Algorithm: every node starts labeled with its own id; each round takes
+the minimum label over the neighborhood (one keyed join + one keyed
+aggregation over the undirected edge list) and keeps the smaller of own
+and neighborhood label.  Labels are monotone non-increasing per node,
+so the fixpoint is the component minimum; convergence takes
+graph-diameter rounds.  ``localCheckpoint`` truncates lineage so round
+N's plan never replays rounds 1..N-1.
+
+Convergence checks are BATCHED (round-9 verdict finding 3): the
+changed-label count is itself a full Spark job, so checking every
+``check_every`` rounds instead of every round cuts fixpoint job-launch
+overhead on a real cluster.  Sound because labels are monotone: equal
+label frames across a k-round batch imply no round in the batch changed
+anything, i.e. the state at the batch start was already the fixpoint.
+
+At 100 TB the same loop runs with the edge list persisted and the label
+frame checkpointed to storage; asymptotically better variants
+(large-star/small-star, pointer jumping) drop in as the per-round
+transformation without changing the fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cc_min_label(
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    *,
+    strict: bool = True,
+    check_every: int = 2,
+) -> tuple[DataFrame, bool]:
+    """Connected components over undirected edges by min-label
+    propagation.
+
+    ``pairs``: an edge frame whose FIRST TWO columns are the endpoints
+    (any names — ``(u, v)``, ``(doc_a, doc_b)``); each edge is expanded
+    to both directions internally, so directed ``u < v`` input is fine.
+
+    Returns ``(labels, converged)`` where ``labels`` is a
+    ``(node, label)`` frame with ``label`` = the component minimum
+    (exact iff ``converged``).  With ``strict=True`` a fixpoint not
+    reached within ``max_rounds`` RAISES instead of returning split
+    labels; with ``strict=False`` the caller gets the flag and decides
+    (e.g. a histogram report that emits ``converged=false``).
+    """
+    ca, cb = pairs.columns[:2]
+    p = pairs.select(F.col(ca).alias("u"), F.col(cb).alias("v"))
+    e2 = p.unionByName(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node"))
+
+    converged = False
+    prev_check = labels  # label frame as of the last convergence check
+    since_check = 0
+    for rnd in range(1, max_rounds + 1):
+        nbr_min = (
+            e2.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label"))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        since_check += 1
+        if since_check >= check_every or rnd == max_rounds:
+            changed = (
+                labels.withColumnRenamed("label", "new_label")
+                .join(prev_check, "node")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
+            prev_check = labels
+            since_check = 0
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "min-label rounds (component diameter exceeds the cap) — "
+            "raise max_rounds; labels would be split, not merely slow")
+    return labels, converged

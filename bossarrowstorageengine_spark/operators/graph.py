@@ -239,17 +239,25 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits the component-size histogram with a min-id checksum, the
     dedup-audit face of entity resolution.
 
-    Scale: iterative min-label propagation — per round one keyed join +
+    Scale: the consolidated min-label-propagation core
+    (``functions.components.cc_min_label`` — per round one keyed join +
     one keyed aggregation over the edge list, converging in
-    graph-diameter rounds; ``localCheckpoint`` truncates lineage.  The
-    ``converged`` column flags whether the fixpoint was reached within
-    the iteration bound (a >bound-diameter graph is reported, not
-    silently mislabeled).  The
+    graph-diameter rounds; ``localCheckpoint`` truncates lineage;
+    convergence checks batched) in FLAG mode: the ``converged`` column
+    reports whether the fixpoint was reached within the iteration bound
+    (a >bound-diameter graph is reported, not silently mislabeled —
+    appropriate for this histogram/audit face, where the dedup keys use
+    the same core's strict/raising mode).  The
     oracle replays the fixpoint as a recursive reachability closure —
     exact because linkage components are small (closure is quadratic per
     component, which is why the ENGINE side never materializes it).
     """
-    labels, converged = _propagate_min_labels(_linkage_edges(spark, sf_dir))
+    from bossarrowstorageengine_spark.functions.components import (
+        cc_min_label,
+    )
+
+    labels, converged = cc_min_label(
+        _linkage_edges(spark, sf_dir), strict=False)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
     return sizes.groupBy(F.col("size").cast("long").alias("component_size")).agg(
         F.count(F.lit(1)).cast("long").alias("n_components"),
@@ -260,47 +268,6 @@ def q_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # may still be split), instead of mistaking them for final.
         F.lit(converged).alias("converged"),
     )
-
-
-def _propagate_min_labels(pairs: DataFrame, max_rounds: int = 20):
-    """Min-label propagation over directed (u < v) match edges.
-
-    Returns ``(labels, converged)``: a (node, label) frame and whether the
-    fixpoint was actually reached within ``max_rounds`` (label propagation
-    needs ~graph-diameter rounds; linkage graphs are near-cliques, so 20 is
-    generous — but a pathological chain longer than the bound must be
-    FLAGGED, never silently emitted as final labels)."""
-    e2 = (
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
-    )
-    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node"))
-    converged = False
-    for _ in range(max_rounds):
-        nbr_min = (
-            e2.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy("u").agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("u", "node")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select("node", F.least(
-                "label", F.coalesce("nbr_label", "label")).alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    return labels, converged
 
 
 @query(

@@ -240,58 +240,20 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """Connected components over undirected ``(doc_a, doc_b)`` edges by
-    min-label propagation → ``(doc_id, cluster_id)`` with cluster_id =
-    component minimum (shared by ``q_dedup_cluster`` and
-    ``q_dedup_pipeline``).  Each round is a pair of keyed shuffles;
-    ``localCheckpoint`` truncates lineage so round N never replays rounds
-    1..N-1.  Convergence takes graph-diameter rounds (dedup graphs are
-    shallow — cliques or short chains); if a pathological component is
-    deeper than ``max_rounds`` the loop RAISES rather than silently
-    emitting a split component — downstream keep/drop decisions must
-    never be made on half-converged labels."""
-    e2 = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .localCheckpoint()
+    """Connected components over undirected ``(doc_a, doc_b)`` edges →
+    ``(doc_id, cluster_id)`` with cluster_id = component minimum (shared
+    by ``q_dedup_cluster`` and ``q_dedup_pipeline``).  Thin strict-mode
+    face of the consolidated ``functions.components.cc_min_label`` core
+    (keyed-join min-label propagation, checkpoint-truncated lineage,
+    batched convergence checks); STRICT because a pathological component
+    deeper than ``max_rounds`` must RAISE rather than silently emit a
+    split component — downstream keep/drop decisions must never be made
+    on half-converged labels."""
+    from bossarrowstorageengine_spark.functions.components import (
+        cc_min_label,
     )
-    labels = e2.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    changed = -1
-    for _ in range(max_rounds):
-        nbr_min = (
-            e2.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("u", "node")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "label", F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"connected components did not converge in {max_rounds} "
-            "min-label rounds (component diameter exceeds the cap) — "
-            "raise max_rounds; labels would be split, not merely slow")
+
+    labels, _ = cc_min_label(pairs, max_rounds=max_rounds, strict=True)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -279,21 +279,23 @@ def test_user_streaks_bounds(spark):
 
 def test_label_propagation_flags_unconverged_long_chain(spark):
     """The CC iteration bound is a FLAG, not a silent cap (round-4 verdict):
-    a chain whose diameter exceeds max_rounds must report converged=False;
-    with enough rounds the same graph converges to one component."""
+    in non-strict mode a chain whose diameter exceeds max_rounds must
+    report converged=False; with enough rounds the same graph converges
+    to one component.  (Strict mode — the dedup keys — raises instead;
+    covered by the union-find differential in test_round9_props.)"""
     from pyspark.sql import functions as F
 
-    from bossarrowstorageengine_spark.operators.graph import (
-        _propagate_min_labels,
+    from bossarrowstorageengine_spark.functions.components import (
+        cc_min_label,
     )
 
     # 9-node path graph: diameter 8 — label 0 spreads one hop per round.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "u long, v long")
-    _, conv = _propagate_min_labels(pairs, max_rounds=3)
+    _, conv = cc_min_label(pairs, max_rounds=3, strict=False)
     assert conv is False
 
-    labels, conv2 = _propagate_min_labels(pairs, max_rounds=12)
+    labels, conv2 = cc_min_label(pairs, max_rounds=12, strict=False)
     assert conv2 is True
     assert labels.select(F.countDistinct("label")).collect()[0][0] == 1
     assert labels.agg(F.min("label")).collect()[0][0] == 0

@@ -153,6 +153,7 @@ def test_shared_module_deps_cover_direct_references():
         "sources/arrowipc.py": ("register_arrowipc", 'format("arrowipc")'),
         "sources/maintenance.py": ("sources.maintenance import",),
         "streaming/pipelines.py": ("streaming.pipelines import",),
+        "functions/components.py": ("functions.components import",),
     }
     for rel, needles in markers.items():
         declared = set(SHARED_MODULE_DEPS[rel])

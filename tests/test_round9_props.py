@@ -345,6 +345,10 @@ def test_cc_min_label_matches_union_find(spark):
         # already give it since we always parent toward the min root)
         return out
 
+    from bossarrowstorageengine_spark.functions.components import (
+        cc_min_label,
+    )
+
     @settings(max_examples=8, deadline=None)
     @given(edges=st.lists(
         st.tuples(st.integers(min_value=0, max_value=30),
@@ -357,12 +361,26 @@ def test_cc_min_label_matches_union_find(spark):
         got = {r.doc_id: r.cluster_id
                for r in _cc_min_label(df, max_rounds=40).collect()}
         assert got == uf_components(edges)
+        # FLAG mode of the consolidated core (q_entity_components' face)
+        # must produce the identical labels and report converged=True
+        labels, conv = cc_min_label(df, max_rounds=40, strict=False)
+        assert conv is True
+        assert {r.node: r.label for r in labels.collect()} == got
 
     check()
 
-    # a 5-node chain needs ~4 rounds; with max_rounds=2 the guard must
-    # RAISE (split labels driving keep/drop silently would be the bug)
+    # a 5-node chain needs ~4 rounds; with max_rounds=2 the strict guard
+    # must RAISE (split labels driving keep/drop silently would be the
+    # bug) while flag mode reports converged=False for the same input
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         _cc_min_label(chain, max_rounds=2)
+    _, conv = cc_min_label(chain, max_rounds=2, strict=False)
+    assert conv is False
+    # batching never over-runs: check_every larger than the diameter
+    # still converges with the exact component minima
+    labels, conv = cc_min_label(chain, max_rounds=20, check_every=7)
+    assert conv is True
+    assert {r.node: r.label for r in labels.collect()} == \
+        {i: 0 for i in range(6)}
