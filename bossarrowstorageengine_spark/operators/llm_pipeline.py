@@ -266,6 +266,20 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 #: hashing per permutation.
 _MINHASH_P = 2_147_483_647
 
+#: Hot-bucket guard for LSH pair expansion (round-9 verdict finding 2):
+#: an LSH bucket is one collect_list array in ONE task, and its pair
+#: expansion is quadratic — a boilerplate-heavy corpus (headers, legal
+#: footers, template pages) can put millions of docs behind one band
+#: signature at 100 TB.  Buckets above this many members are DROPPED
+#: from candidate generation (the standard production treatment: a
+#: bucket that hot is boilerplate, not near-duplication — the same
+#: rationale as the df_cap hot-shingle guard in _jaccard_pairs), and the
+#: cap is mirrored in every oracle CTE so the gate stays EXACT.  At the
+#: test SFs the largest real bucket is 9 docs, so 64 is behavior-
+#: preserving there while bounding the adversarial case; a production
+#: run would emit the dropped-bucket count as a metric.
+_LSH_BUCKET_CAP = 64
+
 
 def _minhash_coeffs(n_perm: int) -> list[tuple[int, int]]:
     """Fixed (a_j, b_j) affine coefficients (Knuth multiplicative mixing;
@@ -305,10 +319,15 @@ def _dedup_near_oracle(n_perm: int = 16) -> str:
         SELECT doc_id, {perms} FROM h0s GROUP BY doc_id
     ), bands AS (
         SELECT doc_id, {bands} FROM mh
-    ), sigs AS ({sig_union})
+    ), sigs AS ({sig_union}), sig_ok AS (
+        SELECT sig FROM sigs GROUP BY sig
+        HAVING count(*) > 1 AND count(*) <= {_LSH_BUCKET_CAP}
+    )
     SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
                     CAST(b.doc_id AS BIGINT) AS doc_b
-    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+    FROM sig_ok o
+    JOIN sigs a ON a.sig = o.sig
+    JOIN sigs b ON b.sig = o.sig AND a.doc_id < b.doc_id
     """
 
 
@@ -343,6 +362,36 @@ def _band_signatures(mh: DataFrame, n_perm: int, n_bands: int) -> DataFrame:
     )
 
 
+def _lsh_candidate_pairs(bands_long: DataFrame) -> DataFrame:
+    """Bucket long-form band signatures and expand each bucket's (i < j)
+    pairs with array HOFs — ONE pass over the signature pipeline and ONE
+    shuffle (the groupBy), where a self-join would re-evaluate the
+    scan+minhash stage for each side.  Buckets above ``_LSH_BUCKET_CAP``
+    members are DROPPED before expansion (hot-bucket guard — see the
+    constant's doc; the cap is mirrored in the q_dedup_near and
+    q_dedup_pipeline oracle CTEs).  Shared by ``q_dedup_near`` and
+    ``_pipeline_edges``; returns distinct ``(doc_a, doc_b)``."""
+    buckets = (
+        bands_long.groupBy("sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query("q_dedup_near", oracle=_dedup_near_oracle())
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (hand-rolled, fixed
@@ -355,7 +404,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs.  All arithmetic is exact int64 in Spark and DuckDB,
     so the sketch is EXACT-checkable (same md5 trick as
     ``q_dedup_simhash``).  At scale each stage is a bounded shuffle
-    (doc_id or bucket key); no all-pairs step ever materializes.
+    (doc_id or bucket key); no all-pairs step ever materializes, and
+    buckets hotter than ``_LSH_BUCKET_CAP`` are dropped before the
+    quadratic expansion (mirrored in the oracle).
     """
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
@@ -372,29 +423,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, sig) and self-join ONCE on sig — one shuffle over the band
     # keys instead of 2·n_bands re-evaluations of the minhash pipeline.
     bands_long = _band_signatures(mh, n_perm, n_bands)
-    # Bucket by signature and expand each bucket's (i < j) pairs with array
-    # HOFs — ONE pass over the signature pipeline and ONE shuffle (the
-    # groupBy), where a self-join would re-evaluate the scan+minhash stage
-    # for each side.  LSH keeps bucket sizes bounded, so the per-bucket
-    # quadratic expansion is safe at corpus scale.
-    buckets = (
-        bands_long.groupBy("sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-        ),
-    ))
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    # Capped bucket expansion (shared helper): typical LSH buckets are a
+    # handful of docs, and the _LSH_BUCKET_CAP guard drops the
+    # boilerplate-hot outliers so the per-bucket quadratic expansion is
+    # bounded at corpus scale.
+    return _lsh_candidate_pairs(bands_long)
 
 
 @query(
@@ -2990,9 +3023,15 @@ def _dedup_pipeline_ctes() -> str:
     ), bands AS (
         SELECT doc_id, {bands} FROM mh
     ), sigs AS ({sig_union}),
+    sig_ok AS (
+        SELECT sig FROM sigs GROUP BY sig
+        HAVING count(*) > 1 AND count(*) <= {_LSH_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        FROM sig_ok o
+        JOIN sigs a ON a.sig = o.sig
+        JOIN sigs b ON b.sig = o.sig AND a.doc_id < b.doc_id
     ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -3066,25 +3105,9 @@ def _pipeline_edges(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     ])
     bands_long = _band_signatures(
         mh, _PIPE_NPERM, _PIPE_NPERM // _PIPE_ROWS_PER_BAND)
-    buckets = (
-        bands_long.groupBy("sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-        ),
-    ))
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"),
-                F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    # Capped bucket expansion (shared helper, _LSH_BUCKET_CAP hot-bucket
+    # guard mirrored in the pipeline oracle CTEs).
+    cand = _lsh_candidate_pairs(bands_long)
 
     # (2) exact-Jaccard verification restricted to candidates: intersect
     # via two keyed joins against the per-doc shingle sets (cost bounded

@@ -73,6 +73,55 @@ def test_dedup_pipeline_verify_rejects_lsh_false_positives(spark):
         "the ACTUAL edge count)")
 
 
+def test_lsh_hot_bucket_cap_drops_boilerplate_bucket(spark):
+    """Adversarial all-identical corpus (round-9 verdict finding 2): N
+    identical documents put every doc behind ONE band signature per
+    band; above _LSH_BUCKET_CAP that bucket must be DROPPED — quadratic
+    expansion of a boilerplate-hot bucket is the one place the dedup
+    pipeline used to trust data distribution.  Small duplicate groups
+    (under the cap) must still pair normally."""
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _LSH_BUCKET_CAP,
+        _band_signatures,
+        _lsh_candidate_pairs,
+        _minhash_table,
+        _pipeline_edges,
+    )
+
+    boiler = "the same legal footer text repeated on every page of site"
+    n_hot = _LSH_BUCKET_CAP + 10
+    hot = spark.createDataFrame(
+        [(i, boiler) for i in range(n_hot)], "doc_id long, text string")
+
+    def cands(docs):
+        bl = _band_signatures(_minhash_table(docs, 16), 16, 4)
+        return _lsh_candidate_pairs(bl)
+
+    assert cands(hot).count() == 0, (
+        "hot bucket above the cap must produce NO candidate pairs")
+    # the full pipeline front-end sees the same guard
+    pc, pe = _pipeline_edges(hot)
+    assert pc.count() == 0 and pe.count() == 0
+
+    # a small duplicate group (below the cap) still pairs: recall intact
+    small = spark.createDataFrame(
+        [(i, boiler) for i in range(5)]
+        + [(100 + i, f"unique filler document number {i} about topic {i}")
+           for i in range(5)],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in cands(small).collect()}
+    expect = {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert expect <= got
+    # at exactly the cap the bucket is still expanded (boundary is <=)
+    at_cap = spark.createDataFrame(
+        [(i, boiler) for i in range(_LSH_BUCKET_CAP)],
+        "doc_id long, text string")
+    n_pairs = cands(at_cap).count()
+    assert n_pairs == _LSH_BUCKET_CAP * (_LSH_BUCKET_CAP - 1) // 2
+
+
 def test_dedup_apply_accounting_closes(spark):
     """The APPLY rollup must conserve the corpus: per (lang, source),
     kept + dropped docs == all docs and kept + reclaimed chars == all
