@@ -3259,9 +3259,13 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_chunk_incremental",
-    oracle=f"""
+def _chunk_incr_ctes() -> str:
+    """Shared WITH-body of the chunk-dedup incremental oracles: the CDC
+    chunking replay (rolling-md5 3-gram boundaries), the doc_id % 2
+    two-batch split, the first-occurrence rank, and the per-(batch, doc)
+    ``report`` — consumed by ``q_dedup_chunk_incremental`` (the report
+    itself) and ``q_dedup_chunk_apply`` (decisions over it)."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), tok AS (
@@ -3292,16 +3296,24 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY chunk_hash
                    ORDER BY doc_id % 2, doc_id, chunk_id) AS occ
         FROM chunks WHERE n_tokens >= {_CDC_MIN_TOKENS}
-    )
-    SELECT CAST(batch_id AS BIGINT)        AS batch_id,
-           CAST(doc_id AS BIGINT)          AS doc_id,
-           CAST(count(*) AS BIGINT)        AS n_chunks,
-           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                                           AS n_dup_chunks,
-           CAST(sum(CASE WHEN occ > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
-                                           AS dup_tokens
-    FROM occ
-    GROUP BY batch_id, doc_id
+    ), report AS (
+        SELECT CAST(batch_id AS BIGINT)        AS batch_id,
+               CAST(doc_id AS BIGINT)          AS doc_id,
+               CAST(count(*) AS BIGINT)        AS n_chunks,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                               AS n_dup_chunks,
+               CAST(sum(CASE WHEN occ > 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT)                 AS dup_tokens
+        FROM occ
+        GROUP BY batch_id, doc_id
+    )"""
+
+
+@query(
+    "q_dedup_chunk_incremental",
+    oracle=f"""{_chunk_incr_ctes()}
+    SELECT batch_id, doc_id, n_chunks, n_dup_chunks, dup_tokens
+    FROM report
     """,
 )
 def q_dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3338,4 +3350,72 @@ def q_dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup.cast("long")).cast("long").alias("n_dup_chunks"),
         F.sum(F.when(dup, F.col("n_tokens")).otherwise(0)).cast("long")
         .alias("dup_tokens"),
+    )
+
+
+#: Chunk-grain apply thresholds: a doc whose chunks are ALL already
+#: stored is dropped outright; one at or above this duplicated-chunk
+#: share (permille, integer arithmetic) is rewritten to reference the
+#: chunk store; below it the doc is kept as-is (rewrite churn would cost
+#: more than the dedup saves).
+_CHUNK_APPLY_REWRITE_PERMILLE = 500
+
+
+@query(
+    "q_dedup_chunk_apply",
+    oracle=f"""{_chunk_incr_ctes()}, decided AS (
+        SELECT batch_id, n_chunks, n_dup_chunks, dup_tokens,
+               CASE WHEN n_dup_chunks = n_chunks THEN 'drop'
+                    WHEN (n_dup_chunks * 1000) // n_chunks
+                         >= {_CHUNK_APPLY_REWRITE_PERMILLE} THEN 'rewrite'
+                    ELSE 'keep' END AS action
+        FROM report
+    )
+    SELECT batch_id, action,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT)     AS chunks_total,
+           CAST(sum(n_dup_chunks) AS BIGINT) AS chunks_dup,
+           CAST(sum(CASE WHEN action <> 'keep' THEN dup_tokens ELSE 0 END)
+                AS BIGINT)                   AS tokens_reclaimed
+    FROM decided
+    GROUP BY batch_id, action
+    """,
+)
+def q_dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY step at the CHUNK grain — the ``q_dedup_apply`` pattern over
+    :func:`q_dedup_chunk_incremental`'s per-doc dup ratios: each
+    reported document becomes a storage decision (``drop`` when every
+    chunk is already in the store, ``rewrite`` when at least
+    ``_CHUNK_APPLY_REWRITE_PERMILLE``/1000 of its chunks are duplicates
+    — worth re-pointing at the chunk store — else ``keep`` as-is), and
+    the decisions roll up to the per-(batch, action) dedup-aware storage
+    savings report: documents affected, chunk totals, and the tokens a
+    rewrite/drop reclaims.  Docs whose chunks all fall under the CDC
+    minimum never enter the chunk report, so no chunk-grain decision
+    exists for them — by construction, not omission.
+
+    Determinism: the ratio is integer permille (``* 1000 div n_chunks``
+    both engines); thresholds are exact integer comparisons.
+
+    Scale: the report is corpus-row-sized but 3-longs narrow; the
+    decision is a map-side CASE over it and the rollup is an ordinary
+    partial->final aggregate on (batch, action) — nothing here rescans
+    the corpus (the chunking cost lives in the report it consumes).  The
+    pytest differential pins the same decisions computed from the
+    STREAMING face's actual report parquet.
+    """
+    report = q_dedup_chunk_incremental(spark, sf_dir)
+    permille = F.expr("n_dup_chunks * 1000 div n_chunks")
+    decided = report.withColumn(
+        "action",
+        F.when(F.col("n_dup_chunks") == F.col("n_chunks"), "drop")
+        .when(permille >= _CHUNK_APPLY_REWRITE_PERMILLE, "rewrite")
+        .otherwise("keep"),
+    )
+    return decided.groupBy("batch_id", "action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("chunks_total"),
+        F.sum("n_dup_chunks").cast("long").alias("chunks_dup"),
+        F.sum(F.when(F.col("action") != "keep", F.col("dup_tokens"))
+              .otherwise(0)).cast("long").alias("tokens_reclaimed"),
     )

@@ -54,3 +54,53 @@ def test_win_session_gap_gap_and_burst_invariants(spark):
             assert m.gap_ms is not None and m.gap_ms <= 30 * 60 * 1000, key
     for r in rows:
         assert r.n_burst_5min >= 1
+
+
+def test_chunk_apply_matches_streaming_report(spark):
+    """q_dedup_chunk_apply's decisions computed from the STREAMING face's
+    actual report parquet (chunk_dedup_batch over the same doc_id % 2
+    split) must equal the key's output — the apply step is pinned to the
+    report the stream really writes, not just to its batch twin."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _CHUNK_APPLY_REWRITE_PERMILLE,
+    )
+    from bossarrowstorageengine_spark.streaming.chunk_dedup import (
+        chunk_dedup_batch,
+    )
+
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    idx, rep = f"{base}/index", f"{base}/report"
+    os.makedirs(idx, exist_ok=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    try:
+        chunk_dedup_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, idx, rep)
+        chunk_dedup_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, idx, rep)
+        ref: dict = {}
+        for r in spark.read.parquet(rep).collect():
+            if r.n_dup_chunks == r.n_chunks:
+                action = "drop"
+            elif r.n_dup_chunks * 1000 // r.n_chunks >= \
+                    _CHUNK_APPLY_REWRITE_PERMILLE:
+                action = "rewrite"
+            else:
+                action = "keep"
+            n, ct, cd, tr = ref.get((r.batch_id, action), (0, 0, 0, 0))
+            ref[(r.batch_id, action)] = (
+                n + 1, ct + r.n_chunks, cd + r.n_dup_chunks,
+                tr + (r.dup_tokens if action != "keep" else 0))
+        got = {(r.batch_id, r.action):
+               (r.n_docs, r.chunks_total, r.chunks_dup, r.tokens_reclaimed)
+               for r in QUERIES["q_dedup_chunk_apply"](spark, SF).collect()}
+        assert got == ref
+        # the corpus must exercise every decision branch or the test is
+        # rubber-stamping a constant
+        assert {a for _, a in got} == {"keep", "rewrite", "drop"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
