@@ -1326,7 +1326,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                            - ln(CAST(ug.c1 + vocab.v AS DOUBLE)))
                           * 1000000, 0) AS BIGINT) AS lp_micro
         FROM bg JOIN ug ON bg.w1 = ug.w1 CROSS JOIN vocab
-    ), scored AS (
+    ), scored AS MATERIALIZED (
         SELECT g.doc_id,
                CAST(count(*) AS BIGINT)           AS n_bigrams,
                CAST(sum(m.lp_micro) AS BIGINT)    AS sum_logp_micro
@@ -2234,7 +2234,7 @@ def _unigram_ctes() -> str:
                    row_number() OVER (ORDER BY freq DESC, piece) AS rn
             FROM cand WHERE len(piece) > 1
         ) WHERE rn <= {_UNI_KMULTI}
-    ), scored AS (
+    ), scored AS MATERIALIZED (
         SELECT piece, freq,
                CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
                     / (SELECT sum(freq) FROM vocab)), 0) AS BIGINT)
@@ -2257,7 +2257,7 @@ def _unigram_ctes() -> str:
         SELECT excl, w, max(comb) AS comb
         FROM walk WHERE pos = len(w)
         GROUP BY excl, w
-    ), full_seg AS (
+    ), full_seg AS MATERIALIZED (
         -- // (integer division) keeps the whole chain in BIGINT: the
         -- numerator is an exact multiple of {_UNI_NP_BASE}, so the value
         -- is identical to float /, but the downstream c*score sums stay
@@ -2268,11 +2268,11 @@ def _unigram_ctes() -> str:
                (-b.comb) % {_UNI_NP_BASE} AS np
         FROM best b JOIN words wd ON wd.w = b.w
         WHERE b.excl = ''
-    ), metrics AS (
+    ), metrics AS MATERIALIZED (
         SELECT CAST(sum(c * (-score_micro)) AS BIGINT) AS corpus_nll_micro,
                CAST(sum(c * np) AS BIGINT)             AS corpus_pieces
         FROM full_seg
-    ), excl_nll AS (
+    ), excl_nll AS MATERIALIZED (
         SELECT b.excl AS piece,
                sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
                              // {_UNI_NP_BASE}))) AS nll
@@ -2310,16 +2310,16 @@ def _unigram_prune_oracle() -> str:
                e.nll - (SELECT sum(c * (-score_micro)) FROM full_seg)
                    AS loss_delta
         FROM excl_nll e
-    ), pruned AS (
+    ), pruned AS MATERIALIZED (
         SELECT piece FROM (
             SELECT piece, row_number() OVER (
                 ORDER BY loss_delta, piece) AS rn
             FROM deltas
         ) WHERE rn <= {_UNI_PRUNE_K}
-    ), survivors AS (
+    ), survivors AS MATERIALIZED (
         SELECT s.piece, s.freq FROM scored s
         WHERE s.piece NOT IN (SELECT piece FROM pruned)
-    ), scored2 AS (
+    ), scored2 AS MATERIALIZED (
         SELECT piece, freq,
                CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
                     / (SELECT sum(freq) FROM survivors)), 0) AS BIGINT)
@@ -2335,13 +2335,13 @@ def _unigram_prune_oracle() -> str:
     ), best2 AS (
         SELECT w, max(comb) AS comb FROM walk2
         WHERE pos = len(w) GROUP BY w
-    ), after_seg AS (
+    ), after_seg AS MATERIALIZED (
         SELECT b.w, wd.c,
                (b.comb + ((-b.comb) % {_UNI_NP_BASE})) // {_UNI_NP_BASE}
                    AS score_micro,
                (-b.comb) % {_UNI_NP_BASE} AS np
         FROM best2 b JOIN words wd ON wd.w = b.w
-    ), after_metrics AS (
+    ), after_metrics AS MATERIALIZED (
         SELECT CAST(sum(c * (-score_micro)) AS BIGINT) AS nll_after_micro,
                CAST(sum(c * np) AS BIGINT)             AS pieces_after
         FROM after_seg
@@ -2483,3 +2483,202 @@ def q_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nll_before_micro", "nll_after_micro",
                 "pieces_before", "pieces_after")
     )
+
+
+#: EM shrink schedule length: prune rounds chained before the final
+#: evaluation (rounds 0..K-1 prune ``_UNI_PRUNE_K`` multi-char pieces
+#: each; round K only evaluates).  K=2 keeps the oracle's recursive
+#: walks (one per round, each over words x surviving-variants) tractable
+#: while exercising a real multi-round schedule; production would run
+#: until the target vocab size.
+_UNI_EM_ROUNDS = 2
+
+
+def _unigram_em_oracle(k: int = _UNI_EM_ROUNDS) -> str:
+    """DuckDB twin of ``q_unigram_em``: round 0 reuses the shared trainer
+    CTE chain, then each prune round r chains bottom-k selection →
+    survivor renormalization → a fresh recursive Viterbi walk (with
+    exclusion variants while deltas are still needed, full-model-only on
+    the final round), and the trace unions one row per round."""
+    parts = [_unigram_ctes()]
+    scored_prev, full_prev, excl_prev = "scored", "full_seg", "excl_nll"
+    selects = [f"""
+    SELECT CAST(0 AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_pieces,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored
+            WHERE len(piece) > 1) AS n_multi,
+           corpus_nll_micro, corpus_pieces
+    FROM metrics"""]
+    for r in range(1, k + 1):
+        final = r == k
+        parts.append(f""", deltas_r{r} AS MATERIALIZED (
+        SELECT e.piece,
+               e.nll - (SELECT sum(c * (-score_micro)) FROM {full_prev})
+                   AS loss_delta
+        FROM {excl_prev} e
+    ), pruned_r{r} AS MATERIALIZED (
+        SELECT piece FROM (
+            SELECT piece, row_number() OVER (
+                ORDER BY loss_delta, piece) AS rn
+            FROM deltas_r{r}
+        ) WHERE rn <= {_UNI_PRUNE_K}
+    ), survivors_r{r} AS MATERIALIZED (
+        SELECT s.piece, s.freq FROM {scored_prev} s
+        WHERE s.piece NOT IN (SELECT piece FROM pruned_r{r})
+    ), scored_r{r} AS MATERIALIZED (
+        SELECT piece, freq,
+               CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
+                    / (SELECT sum(freq) FROM survivors_r{r})), 0) AS BIGINT)
+                   AS logp_micro
+        FROM survivors_r{r}
+    )""")
+        if final:
+            parts.append(f""", walk_r{r} AS (
+        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
+        UNION
+        SELECT wk.w, wk.pos + len(s.piece),
+               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk_r{r} wk JOIN scored_r{r} s
+          ON substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
+    ), best_r{r} AS (
+        SELECT w, max(comb) AS comb FROM walk_r{r}
+        WHERE pos = len(w) GROUP BY w
+    ), full_seg_r{r} AS MATERIALIZED (
+        SELECT b.w, wd.c,
+               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) // {_UNI_NP_BASE}
+                   AS score_micro,
+               (-b.comb) % {_UNI_NP_BASE} AS np
+        FROM best_r{r} b JOIN words wd ON wd.w = b.w
+    ), metrics_r{r} AS MATERIALIZED (
+        SELECT CAST(sum(c * (-score_micro)) AS BIGINT) AS corpus_nll_micro,
+               CAST(sum(c * np) AS BIGINT)             AS corpus_pieces
+        FROM full_seg_r{r}
+    )""")
+        else:
+            parts.append(f""", variants_r{r} AS MATERIALIZED (
+        SELECT '' AS excl
+        UNION ALL
+        SELECT piece FROM scored_r{r} WHERE len(piece) > 1
+    ), walk_r{r} AS (
+        SELECT v.excl, w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb
+        FROM words w CROSS JOIN variants_r{r} v
+        UNION
+        SELECT wk.excl, wk.w, wk.pos + len(s.piece),
+               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk_r{r} wk JOIN scored_r{r} s
+          ON s.piece <> wk.excl
+         AND substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
+    ), best_r{r} AS (
+        SELECT excl, w, max(comb) AS comb FROM walk_r{r}
+        WHERE pos = len(w) GROUP BY excl, w
+    ), full_seg_r{r} AS MATERIALIZED (
+        SELECT b.w, wd.c,
+               (b.comb + ((-b.comb) % {_UNI_NP_BASE})) // {_UNI_NP_BASE}
+                   AS score_micro,
+               (-b.comb) % {_UNI_NP_BASE} AS np
+        FROM best_r{r} b JOIN words wd ON wd.w = b.w
+        WHERE b.excl = ''
+    ), metrics_r{r} AS MATERIALIZED (
+        SELECT CAST(sum(c * (-score_micro)) AS BIGINT) AS corpus_nll_micro,
+               CAST(sum(c * np) AS BIGINT)             AS corpus_pieces
+        FROM full_seg_r{r}
+    ), excl_nll_r{r} AS MATERIALIZED (
+        SELECT b.excl AS piece,
+               sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
+                             // {_UNI_NP_BASE}))) AS nll
+        FROM best_r{r} b JOIN words wd ON wd.w = b.w
+        WHERE b.excl <> ''
+        GROUP BY b.excl
+    )""")
+        selects.append(f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored_r{r}) AS n_pieces,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored_r{r}
+            WHERE len(piece) > 1) AS n_multi,
+           corpus_nll_micro, corpus_pieces
+    FROM metrics_r{r}""")
+        scored_prev = f"scored_r{r}"
+        full_prev = f"full_seg_r{r}"
+        excl_prev = f"excl_nll_r{r}"
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@query("q_unigram_em", oracle=_unigram_em_oracle())
+def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM EM SHRINK SCHEDULE (SentencePiece Algorithm 1's outer
+    loop, chaining :func:`q_unigram_prune` rounds): starting from the
+    seed vocabulary, each round Viterbi-evaluates the corpus, prunes the
+    ``_UNI_PRUNE_K`` multi-char pieces with the smallest loss deltas
+    (tie → piece asc), renormalizes the survivors, and feeds them back —
+    ``_UNI_EM_ROUNDS`` times — with a final evaluation of the last
+    model.  The output is the per-round TRACE a tokenizer-training run
+    logs: vocab size, surviving multi-char pieces, corpus Viterbi NLL,
+    and corpus piece count at every round (NLL direction is not
+    monotone: renormalization raises survivor probabilities, so the
+    trace is the metric to READ, not a one-sided invariant).
+
+    Determinism: every round is the exact-integer machinery of
+    ``q_unigram_train`` (micro-nat scores, packed ``score*64 − n``
+    Viterbi longs, integer division), so the whole schedule is
+    value-deterministic; the oracle replays each round with its own
+    recursive walk, exclusion variants included while prune decisions
+    remain.
+
+    Scale: the corpus shuffles ONCE into the weighted distinct-word
+    table; each round is a vocab-sized broadcast-composed JVM fold grid
+    (words × surviving variants), ``localCheckpoint``-ed so round r
+    never replays rounds < r — per round the cost of one trainer
+    evaluation, shrinking as the vocabulary shrinks.
+    """
+    words = _unigram_words(spark, sf_dir)
+    vocab = _unigram_scored(words)
+    none_excl = spark.range(1).select(F.lit("").alias("excl"))
+    out = None
+    for r in range(_UNI_EM_ROUNDS + 1):
+        final = r == _UNI_EM_ROUNDS
+        variants = none_excl if final else _unigram_variants(vocab)
+        # checkpoint the round's DP grid: metrics, deltas, and the next
+        # round's vocab all read it — without this each reference
+        # re-runs the words x variants fold.
+        seg = _unigram_seg(words, vocab, variants).localCheckpoint()
+        full = seg.filter(F.col("excl") == "")
+        metrics = full.agg(
+            F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+            .alias("corpus_nll_micro"),
+            F.sum(F.col("c") * F.col("np")).cast("long")
+            .alias("corpus_pieces"),
+        )
+        meta = vocab.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.sum((F.length("piece") > 1).cast("long")).cast("long")
+            .alias("n_multi"),
+        )
+        row = (
+            metrics.crossJoin(F.broadcast(meta))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_pieces", "n_multi",
+                "corpus_nll_micro", "corpus_pieces",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        if not final:
+            full_nll = full.agg(
+                F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+                .alias("full_nll"))
+            deltas = (
+                seg.filter(F.col("excl") != "")
+                .groupBy(F.col("excl").alias("piece"))
+                .agg(F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+                     .alias("nll"))
+                .crossJoin(F.broadcast(full_nll))
+                .select("piece",
+                        (F.col("nll") - F.col("full_nll"))
+                        .alias("loss_delta"))
+            )
+            pruned = (deltas.orderBy("loss_delta", "piece")
+                      .limit(_UNI_PRUNE_K).select("piece"))
+            vocab = _unigram_normalize(
+                vocab.join(pruned, "piece", "left_anti")
+                .select("piece", "freq"))
+    return out

@@ -56,6 +56,104 @@ def test_win_session_gap_gap_and_burst_invariants(spark):
         assert r.n_burst_5min >= 1
 
 
+def test_unigram_em_matches_python_em(spark):
+    """q_unigram_em vs an independent pure-Python EM reference: rebuild
+    the weighted word table and seed vocab from the parquet, then run
+    the SAME shrink schedule (Viterbi-evaluate → bottom-k prune by loss
+    delta with the piece tiebreak → renormalize → repeat) in plain
+    Python and compare EVERY trace row — vocab sizes, corpus NLL, and
+    piece counts per round.  A whole-algorithm check neither the EXACT
+    oracle replay (both engines could share a bug) nor the single-round
+    prune test can provide."""
+    import decimal
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from bossarrowstorageengine_spark.operators.curation import (
+        _UNI_EM_ROUNDS,
+        _UNI_KMULTI,
+        _UNI_MAXLEN,
+        _UNI_MAX_WORD,
+        _UNI_NP_BASE,
+        _UNI_PRUNE_K,
+    )
+
+    got = sorted(QUERIES["q_unigram_em"](spark, SF).collect(),
+                 key=lambda r: r.round)
+    assert [r.round for r in got] == list(range(_UNI_EM_ROUNDS + 1))
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    words = Counter()
+    for (t,) in texts:
+        for w in t.split(" "):
+            if 0 < len(w) < _UNI_MAX_WORD:
+                words[w] += 1
+    cand = Counter()
+    for w, c in words.items():
+        for s in range(len(w)):
+            for k in range(1, min(_UNI_MAXLEN, len(w) - s) + 1):
+                cand[w[s:s + k]] += c
+    vocab = {p: f for p, f in cand.items() if len(p) == 1}
+    vocab.update(dict(sorted(
+        ((p, f) for p, f in cand.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]))[:_UNI_KMULTI]))
+
+    def r0(x: float) -> int:
+        # Spark/DuckDB round() is half-away-from-zero, not banker's
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    def normalize(freqs: dict) -> dict:
+        s = sum(freqs.values())
+        return {p: r0(1_000_000 * math.log(f / s)) for p, f in freqs.items()}
+
+    def viterbi_comb(w: str, logp: dict, excl: str | None) -> int:
+        best = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            b = None
+            for k in range(1, min(_UNI_MAXLEN, i) + 1):
+                p = w[i - k:i]
+                if p == excl or p not in logp or best[i - k] is None:
+                    continue
+                v = best[i - k] + logp[p] * _UNI_NP_BASE - 1
+                b = v if b is None else max(b, v)
+            best[i] = b
+        return best[len(w)]
+
+    def corpus_eval(logp: dict, excl: str | None) -> tuple[int, int]:
+        nll = pieces = 0
+        for w, c in words.items():
+            comb = viterbi_comb(w, logp, excl)
+            np_ = (-comb) % _UNI_NP_BASE
+            nll += c * -((comb + np_) // _UNI_NP_BASE)
+            pieces += c * np_
+        return nll, pieces
+
+    freqs = dict(vocab)
+    for r in range(_UNI_EM_ROUNDS + 1):
+        logp = normalize(freqs)
+        nll, pieces = corpus_eval(logp, None)
+        row = got[r]
+        assert row.n_pieces == len(freqs), r
+        assert row.n_multi == sum(1 for p in freqs if len(p) > 1), r
+        assert row.corpus_nll_micro == nll, r
+        assert row.corpus_pieces == pieces, r
+        if r < _UNI_EM_ROUNDS:
+            deltas = {p: corpus_eval(logp, p)[0] - nll
+                      for p in freqs if len(p) > 1}
+            drop = {p for p, _ in sorted(
+                deltas.items(), key=lambda x: (x[1], x[0]))[:_UNI_PRUNE_K]}
+            freqs = {p: f for p, f in freqs.items() if p not in drop}
+    # the schedule must actually shrink the multi-char vocabulary
+    assert got[-1].n_multi == \
+        got[0].n_multi - _UNI_EM_ROUNDS * _UNI_PRUNE_K
+
+
 def test_chunk_apply_matches_streaming_report(spark):
     """q_dedup_chunk_apply's decisions computed from the STREAMING face's
     actual report parquet (chunk_dedup_batch over the same doc_id % 2
