@@ -539,7 +539,8 @@ def q_storage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
      .mode("append").save(path))
     delete_arrowipc(spark, path, "lang = 'en' AND n_chars < 500",
                     compression="lz4",
-                    predicate_columns=["lang", "n_chars"])
+                    predicate_columns=["lang", "n_chars"],
+                    schema=d.schema)
 
     def _agg(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy("lang").agg(
@@ -608,7 +609,7 @@ def q_storage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = d.filter(F.col("doc_id") % 97 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000)
     merge_arrowipc(spark, path, updates.unionByName(inserts), "doc_id",
-                   compression="lz4")
+                   compression="lz4", schema=d.schema)
 
     # Explicit read-side projection (no pruning hook in the Python
     # DataSource API): the post-merge face never needs ``source``.
@@ -799,7 +800,8 @@ def q_storage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     update_arrowipc(
         spark, path, "source = 'src3' AND n_chars >= 500",
         {"n_chars": "n_chars - 250", "source": "concat(source, '_v2')"},
-        compression="lz4", predicate_columns=["source", "n_chars"])
+        compression="lz4", predicate_columns=["source", "n_chars"],
+        schema=d.schema)
 
     def _agg(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy("lang").agg(
@@ -912,11 +914,16 @@ def _write_mutation_history(spark: SparkSession, sf_dir: str,
     (d.repartition(4).write.format("arrowipc")
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(path))
+    # schema=d.schema: the table was just written from d, so each
+    # mutation's internal full read skips its Python-datasource schema
+    # inference (~0.2s/action of the changefeed/ttdiff fixed floor).
     update_arrowipc(spark, path, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
                     compression="lz4",
-                    predicate_columns=["lang", "n_chars"])
+                    predicate_columns=["lang", "n_chars"],
+                    schema=d.schema)
     delete_arrowipc(spark, path, _TTDIFF_DELETE_PRED, compression="lz4",
-                    predicate_columns=["lang", "n_chars"])
+                    predicate_columns=["lang", "n_chars"],
+                    schema=d.schema)
 
 
 def _classify_version_diff(pre: DataFrame, post: DataFrame) -> DataFrame:
@@ -1237,7 +1244,7 @@ def q_storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.format("arrowipc").option("snapshots", "true")
      .option("compression", "lz4").mode("append").save(path))
     delete_arrowipc(spark, path, "lang = 'en'", compression="lz4",
-                    predicate_columns=["lang"])
+                    predicate_columns=["lang"], schema=d.schema)
 
     faces = []
     for h in history_arrowipc(path):
@@ -1309,7 +1316,7 @@ def q_storage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(path))
     delete_arrowipc(spark, path, "lang = 'en'", compression="lz4",
-                    predicate_columns=["lang"])
+                    predicate_columns=["lang"], schema=d.schema)
     res = restore_arrowipc(path, version=1)
     kinds = {h["version"]: h["kind"] for h in history_arrowipc(path)}
 
@@ -1378,7 +1385,7 @@ def q_storage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(path))
     delete_arrowipc(spark, path, "lang = 'en'", compression="lz4",
-                    predicate_columns=["lang"])
+                    predicate_columns=["lang"], schema=d.schema)
     info = vacuum_arrowipc(path, keep_versions=1)
     versions = _manifest_versions(path)
     visible = set(_read_manifest(path, versions[-1]))

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from bossarrowstorageengine_spark.sources.arrowipc import (
     ConcurrentWriteConflict,
@@ -308,6 +308,7 @@ def _cow_rewrite(
     compression: str = "zstd",
     ipc_format: str = "file",
     scan_columns: list[str] | None = None,
+    schema: StructType | None = None,
 ) -> dict:
     """Copy-on-write core shared by DELETE / UPDATE / MERGE — the
     Delta/Iceberg CoW model at part-file granularity.
@@ -332,6 +333,12 @@ def _cow_rewrite(
     rows, but only from affected files.  ``appends`` receives
     ``(df, scan_df)``: the full attributed read for schema alignment and
     the column-pruned read for key probing.
+    ``schema``: the TABLE schema, when the caller already holds it (a
+    changefeed/time-travel chain that just read the table) — skips the
+    internal full read's Python-datasource schema inference (~0.2s of
+    the fixed per-mutation floor; the attribution column is appended
+    here, matching the reader's own composition rule).  Must equal the
+    stored schema exactly; the read fails loudly on a mismatch.
 
     Scale shape: one distributed scan finds the affected file list (only
     file names + counts are collected, never rows); one distributed job
@@ -366,8 +373,14 @@ def _cow_rewrite(
                 shutil.copy2(src, dst)
         pinned_to_orig[os.path.join(pin, os.path.relpath(orig, path))] = orig
 
-    df = (spark.read.format("arrowipc")
-          .option("filenameColumn", _FCOL).load(pin))
+    full_read = spark.read.format("arrowipc").option("filenameColumn", _FCOL)
+    if schema is not None:
+        # Reader composition rule: selected columns, attribution last
+        # (a non-nullable string — the reader always populates it).
+        full_read = full_read.schema(StructType(
+            list(schema.fields)
+            + [StructField(_FCOL, StringType(), False)]))
+    df = full_read.load(pin)
     if scan_columns:
         # Derive the pruned read's schema from the full read instead of a
         # second inference pass — each Python-datasource schema inference
@@ -586,6 +599,7 @@ def delete_arrowipc(
     ipc_format: str = "file",
     predicate_columns: list[str] | None = None,
     max_retries: int = 0,
+    schema=None,
 ) -> dict:
     """Row-level DELETE: remove rows matching a Spark SQL boolean
     ``predicate`` via the copy-on-write core (see ``_cow_rewrite`` for the
@@ -608,6 +622,7 @@ def delete_arrowipc(
         rewrite=lambda aff: aff.filter(
             ~F.coalesce(F.expr(predicate), F.lit(False))).drop(_FCOL),
         compression=compression, ipc_format=ipc_format,
+        schema=schema,
     ), max_retries)
     out = {"rows_deleted": res["rows_matched"],
            "files_rewritten": res["files_rewritten"]}
@@ -625,6 +640,7 @@ def update_arrowipc(
     ipc_format: str = "file",
     predicate_columns: list[str] | None = None,
     max_retries: int = 0,
+    schema=None,
 ) -> dict:
     """Row-level UPDATE: for rows matching ``predicate``, set each column
     in ``assignments`` to its Spark SQL expression (evaluated against the
@@ -652,6 +668,7 @@ def update_arrowipc(
         rewrite=_rewrite,
         compression=compression, ipc_format=ipc_format,
         scan_columns=predicate_columns,
+        schema=schema,
     ), max_retries)
     out = {"rows_updated": res["rows_matched"],
            "files_rewritten": res["files_rewritten"]}
@@ -668,6 +685,7 @@ def merge_arrowipc(
     compression: str = "zstd",
     ipc_format: str = "file",
     max_retries: int = 0,
+    schema=None,
 ) -> dict:
     """Keyed upsert (the core of SQL MERGE): target rows whose ``key``
     appears in ``source`` are replaced by the source row; source rows with
@@ -730,6 +748,7 @@ def merge_arrowipc(
                 scan_df.select(*keys), keys, "anti"),
             compression=compression, ipc_format=ipc_format,
             scan_columns=keys,
+            schema=schema,
         ), max_retries)
     finally:
         src.unpersist()
