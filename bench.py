@@ -55,6 +55,11 @@ HEADLINE = [
     # Round-8 (VERDICT r6 item 7): the most expensive declared query in
     # SCALING.md (~4.8s) was invisible round-over-round until now.
     "q_storage_changefeed",
+    # Round-10 flagship additions (the 22 keys above keep their order
+    # for comparability with BENCH_r01..r09).
+    "q_unigram_em",
+    "q_dedup_chunk_apply",
+    "q_win_session_gap",
 ]
 
 

@@ -93,7 +93,10 @@ def main() -> None:
              "q_dedup_chunk_cdc",
              # round 9: end-to-end dedup decision pipeline
              "q_dedup_pipeline", "q_dedup_apply", "q_unigram_train", "q_unigram_prune",
-             "q_dedup_chunk_incremental"]
+             "q_dedup_chunk_incremental",
+             # round 10: unigram EM schedule, chunk-grain apply,
+             # session-gap window
+             "q_unigram_em", "q_dedup_chunk_apply", "q_win_session_gap"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

@@ -85,6 +85,10 @@ KEYS = [
     "q_unigram_train",
     "q_unigram_prune",
     "q_dedup_chunk_incremental",
+    # Round-10 additions.
+    "q_unigram_em",
+    "q_dedup_chunk_apply",
+    "q_win_session_gap",
 ]
 
 
