@@ -2207,6 +2207,47 @@ def _unigram_seg(words: DataFrame, scored: DataFrame,
     )
 
 
+def _unigram_prune_round(words: DataFrame, scored: DataFrame, *,
+                         checkpoint: bool = False):
+    """ONE prune round of the unigram trainer, shared by
+    ``q_unigram_prune`` (single round with full accounting) and
+    ``q_unigram_em`` (the chained schedule) so the prune rule — delta
+    definition, bottom-``_UNI_PRUNE_K`` selection with the piece
+    tiebreak, survivor renormalization — can never drift between them.
+
+    Returns ``(seg, metrics, pruned, next_scored)``: the (word, variant)
+    Viterbi grid under ``scored`` (``checkpoint=True`` materializes it
+    so multiple consumers share one evaluation), the 1-row
+    ``(corpus_nll_micro, corpus_pieces)`` full-model metrics (also the
+    delta baseline — computed once), the k dropped pieces, and the
+    renormalized survivor model."""
+    seg = _unigram_seg(words, scored, _unigram_variants(scored))
+    if checkpoint:
+        seg = seg.localCheckpoint()
+    full = seg.filter(F.col("excl") == "")
+    metrics = full.agg(
+        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+        .alias("corpus_nll_micro"),
+        F.sum(F.col("c") * F.col("np")).cast("long")
+        .alias("corpus_pieces"),
+    )
+    deltas = (
+        seg.filter(F.col("excl") != "")
+        .groupBy(F.col("excl").alias("piece"))
+        .agg(F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+             .alias("nll"))
+        .crossJoin(F.broadcast(metrics))
+        .select("piece",
+                (F.col("nll") - F.col("corpus_nll_micro"))
+                .alias("loss_delta"))
+    )
+    pruned = (deltas.orderBy("loss_delta", "piece").limit(_UNI_PRUNE_K)
+              .select("piece"))
+    next_scored = _unigram_normalize(
+        scored.join(pruned, "piece", "left_anti").select("piece", "freq"))
+    return seg, metrics, pruned, next_scored
+
+
 def _unigram_ctes() -> str:
     """Shared WITH-body of the unigram oracles: candidate/vocab/scored
     CTEs, the Viterbi DP replayed as a recursive state walk (states are
@@ -2444,26 +2485,7 @@ def q_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words = _unigram_words(spark, sf_dir)
     scored = _unigram_scored(words)
-    seg = _unigram_seg(words, scored, _unigram_variants(scored))
-    full_nll = seg.filter(F.col("excl") == "").agg(
-        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
-        .alias("full_nll"),
-        F.sum(F.col("c") * F.col("np")).cast("long")
-        .alias("pieces_before"))
-    deltas = (
-        seg.filter(F.col("excl") != "")
-        .groupBy(F.col("excl").alias("piece"))
-        .agg(F.sum(F.col("c") * -F.col("score_micro")).cast("long")
-             .alias("nll"))
-        .crossJoin(F.broadcast(full_nll))
-        .select("piece", (F.col("nll") - F.col("full_nll"))
-                .alias("loss_delta"))
-    )
-    pruned = (deltas.orderBy("loss_delta", "piece").limit(_UNI_PRUNE_K)
-              .select("piece"))
-    survivors = scored.join(pruned, "piece", "left_anti") \
-        .select("piece", "freq")
-    scored2 = _unigram_normalize(survivors)
+    _seg, metrics, _pruned, scored2 = _unigram_prune_round(words, scored)
     none_excl = scored.sparkSession.range(1).select(
         F.lit("").alias("excl"))
     after = _unigram_seg(words, scored2, none_excl).agg(
@@ -2476,8 +2498,9 @@ def q_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("logp_micro").alias("logp_after_micro")),
               "piece", "left")
         .withColumn("kept", F.col("logp_after_micro").isNotNull())
-        .crossJoin(F.broadcast(full_nll.select(
-            F.col("full_nll").alias("nll_before_micro"), "pieces_before")))
+        .crossJoin(F.broadcast(metrics.select(
+            F.col("corpus_nll_micro").alias("nll_before_micro"),
+            F.col("corpus_pieces").alias("pieces_before"))))
         .crossJoin(F.broadcast(after))
         .select("piece", "kept", "logp_after_micro",
                 "nll_before_micro", "nll_after_micro",
@@ -2632,22 +2655,23 @@ def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words = _unigram_words(spark, sf_dir)
     vocab = _unigram_scored(words)
-    none_excl = spark.range(1).select(F.lit("").alias("excl"))
     out = None
     for r in range(_UNI_EM_ROUNDS + 1):
         final = r == _UNI_EM_ROUNDS
-        variants = none_excl if final else _unigram_variants(vocab)
-        # checkpoint the round's DP grid: metrics, deltas, and the next
-        # round's vocab all read it — without this each reference
-        # re-runs the words x variants fold.
-        seg = _unigram_seg(words, vocab, variants).localCheckpoint()
-        full = seg.filter(F.col("excl") == "")
-        metrics = full.agg(
-            F.sum(F.col("c") * -F.col("score_micro")).cast("long")
-            .alias("corpus_nll_micro"),
-            F.sum(F.col("c") * F.col("np")).cast("long")
-            .alias("corpus_pieces"),
-        )
+        if final:
+            # last round only evaluates — full model, no variants
+            none_excl = spark.range(1).select(F.lit("").alias("excl"))
+            metrics = _unigram_seg(words, vocab, none_excl).agg(
+                F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+                .alias("corpus_nll_micro"),
+                F.sum(F.col("c") * F.col("np")).cast("long")
+                .alias("corpus_pieces"),
+            )
+        else:
+            # shared prune round (checkpoint=True: the trace row and the
+            # next round's vocab both read the words x variants grid)
+            _seg, metrics, _pruned, next_vocab = _unigram_prune_round(
+                words, vocab, checkpoint=True)
         meta = vocab.agg(
             F.count(F.lit(1)).cast("long").alias("n_pieces"),
             F.sum((F.length("piece") > 1).cast("long")).cast("long")
@@ -2663,22 +2687,5 @@ def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
         if not final:
-            full_nll = full.agg(
-                F.sum(F.col("c") * -F.col("score_micro")).cast("long")
-                .alias("full_nll"))
-            deltas = (
-                seg.filter(F.col("excl") != "")
-                .groupBy(F.col("excl").alias("piece"))
-                .agg(F.sum(F.col("c") * -F.col("score_micro")).cast("long")
-                     .alias("nll"))
-                .crossJoin(F.broadcast(full_nll))
-                .select("piece",
-                        (F.col("nll") - F.col("full_nll"))
-                        .alias("loss_delta"))
-            )
-            pruned = (deltas.orderBy("loss_delta", "piece")
-                      .limit(_UNI_PRUNE_K).select("piece"))
-            vocab = _unigram_normalize(
-                vocab.join(pruned, "piece", "left_anti")
-                .select("piece", "freq"))
+            vocab = next_vocab
     return out

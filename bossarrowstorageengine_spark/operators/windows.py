@@ -335,99 +335,3 @@ def q_win_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-@query(
-    "q_win_session_gap",
-    oracle="""
-    WITH ev AS (
-        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-    ), marked AS (
-        SELECT event_id, user_id, ts_us,
-               (ts_us - lag(ts_us) OVER w) // 1000 AS gap_ms,
-               CASE WHEN lag(ts_us) OVER w IS NULL
-                         OR ts_us - lag(ts_us) OVER w > 1800000000
-                    THEN 1 ELSE 0 END AS is_new
-        FROM ev
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-    ), numbered AS (
-        SELECT *, sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_seq,
-               count(*) OVER (
-                   PARTITION BY user_id ORDER BY ts_us
-                   RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
-                   AS n_burst_5min
-        FROM marked
-    )
-    SELECT event_id, user_id,
-           CAST(gap_ms AS BIGINT)       AS gap_ms,
-           CAST(session_seq AS BIGINT)  AS session_seq,
-           CAST(row_number() OVER ws AS BIGINT) AS pos_in_session,
-           CAST(count(*) OVER (PARTITION BY user_id, session_seq)
-                AS BIGINT)              AS session_events,
-           CAST((max(ts_us) OVER (PARTITION BY user_id, session_seq)
-                 - min(ts_us) OVER (PARTITION BY user_id, session_seq))
-                // 1000 AS BIGINT)      AS session_ms,
-           CAST(n_burst_5min AS BIGINT) AS n_burst_5min
-    FROM numbered
-    WINDOW ws AS (PARTITION BY user_id, session_seq
-                  ORDER BY ts_us, event_id)
-    """,
-)
-def q_win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-EVENT gaps-and-islands annotation (the window-family face of
-    sessionization, where ``q_sessionize`` rolls islands up): each event
-    carries its gap to the previous event, its session ordinal (new
-    island when the gap exceeds 30 minutes, strict ``>`` so gap-equal
-    events merge — §8.7), its position and the island's size/span via a
-    second window over (user, session), and a value-based RANGE frame
-    over event time — events in the trailing 5 minutes (``n_burst_5min``,
-    the burst signal a rate-limit audit reads alongside session
-    boundaries).
-
-    Determinism: all arithmetic is integer epoch-µs (``unix_micros``
-    both engines); the RANGE frame orders by the µs value itself, so
-    equal timestamps share a frame with no tiebreak needed (§8.3), and
-    every ROWS window ends with the unique event_id.
-
-    Scale: every window partitions by user_id (the island windows by
-    (user_id, session_seq), a refinement) — ONE shuffle on user_id then
-    per-key linear scans; the RANGE frame keeps O(window-span) state per
-    key.  No global order anywhere.
-    """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    lag_us = F.lag("ts_us").over(w)
-    marked = ev.select(
-        "event_id", "user_id", "ts_us",
-        F.expr("ts_us - lag(ts_us) OVER (PARTITION BY user_id "
-               "ORDER BY ts_us, event_id)").alias("gap_us"),
-        F.when(lag_us.isNull() | (F.col("ts_us") - lag_us > 1_800_000_000),
-               1).otherwise(0).alias("is_new"),
-    )
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_burst = (
-        Window.partitionBy("user_id").orderBy("ts_us")
-        .rangeBetween(-300_000_000, Window.currentRow)
-    )
-    numbered = marked.select(
-        "event_id", "user_id", "ts_us",
-        F.expr("gap_us div 1000").alias("gap_ms"),
-        F.sum("is_new").over(w_run).alias("session_seq"),
-        F.count(F.lit(1)).over(w_burst).alias("n_burst_5min"),
-    )
-    ws = Window.partitionBy("user_id", "session_seq")
-    ws_ord = ws.orderBy("ts_us", "event_id")
-    return numbered.select(
-        "event_id", "user_id",
-        F.col("gap_ms").cast("long").alias("gap_ms"),
-        F.col("session_seq").cast("long").alias("session_seq"),
-        F.row_number().over(ws_ord).cast("long").alias("pos_in_session"),
-        F.count(F.lit(1)).over(ws).cast("long").alias("session_events"),
-        F.expr("(max(ts_us) OVER (PARTITION BY user_id, session_seq) "
-               "- min(ts_us) OVER (PARTITION BY user_id, session_seq)) "
-               "div 1000").cast("long").alias("session_ms"),
-        F.col("n_burst_5min").cast("long").alias("n_burst_5min"),
-    )

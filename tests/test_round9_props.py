@@ -433,3 +433,13 @@ def test_cc_min_label_matches_union_find(spark):
     assert conv is True
     assert {r.node: r.label for r in labels.collect()} == \
         {i: 0 for i in range(6)}
+    # batching must not SHRINK the round budget (code-review regression):
+    # a 6-node path reaches its fixpoint at round 5 — detectable only by
+    # round 6's no-change pass.  With max_rounds=6 and check_every=2 the
+    # final check must compare against round 5, not the round-4 snapshot,
+    # or an input the unbatched loop accepted would raise.
+    path6 = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"])
+    labels, conv = cc_min_label(path6, max_rounds=6, check_every=2)
+    assert conv is True
+    assert {r.label for r in labels.collect()} == {0}

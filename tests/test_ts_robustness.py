@@ -86,7 +86,8 @@ def test_load_table_normalizes_all_physical_types(spark, variant_dirs):
             assert rows == baseline, f"variant {v}: row drift vs ns baseline"
 
 
-@pytest.mark.parametrize("key", ["q_sessionize", "q_stream_session"])
+@pytest.mark.parametrize(
+    "key", ["q_sessionize", "q_stream_session", "q_win_session_gap"])
 def test_round2_breakage_sentinels_on_every_variant(spark, variant_dirs, key):
     fn = QUERIES[key]
     results = {}
