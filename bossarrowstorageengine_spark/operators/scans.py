@@ -1101,6 +1101,148 @@ def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_changefeed_consume",
+    oracle="""
+    WITH base AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents GROUP BY lang
+    ), upd AS (
+        -- commit 1: the UPDATE's per-doc char delta is (2n+1) - n = n+1
+        SELECT lang, sum(n_chars + 1) AS chars_delta
+        FROM documents WHERE lang = 'de' AND n_chars < 800 GROUP BY lang
+    ), del AS (
+        -- commit 2: deleted docs are English, untouched by the German
+        -- update, so their removed chars are the ORIGINAL n_chars
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE lang = 'en' AND n_chars < 500 GROUP BY lang
+    )
+    SELECT b.lang,
+           CAST(b.docs AS BIGINT)                       AS docs_base,
+           CAST(b.chars AS BIGINT)                      AS chars_base,
+           CAST(b.chars + coalesce(u.chars_delta, 0)
+                AS BIGINT)                              AS chars_after_c1,
+           CAST(b.docs - coalesce(d.docs, 0) AS BIGINT) AS docs_final,
+           CAST(b.chars + coalesce(u.chars_delta, 0)
+                - coalesce(d.chars, 0) AS BIGINT)       AS chars_final,
+           TRUE                                         AS consistent
+    FROM base b
+    LEFT JOIN upd u ON u.lang = b.lang
+    LEFT JOIN del d ON d.lang = b.lang
+    """,
+)
+def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CHANGEFEED CONSUMER — closes the CDC loop the feed
+    producer (``q_storage_changefeed``) opened: the 3-version mutation
+    history lands as TWO feed commits on one snapshotted feed table
+    (commit 1 = the v1→v2 UPDATE's changes, commit 2 = the v2→v3
+    DELETE's), and a downstream per-lang aggregate is maintained
+    INCREMENTALLY — base state from the v1 snapshot, then each commit's
+    rows applied as deltas, never rescanning the source.  The final
+    column ``consistent`` is engine-verified: the incrementally
+    maintained state must equal a direct aggregate of the latest source
+    snapshot, per lang (the maintenance invariant every materialized
+    view / incremental pipeline contract rests on).
+
+    Feed layout: partitioned by ``commit_seq``, so a consumer applying
+    only the newest commit prunes to its directory at planning time —
+    the O(changes) consumption pattern that makes CDC cheaper than
+    re-aggregation at 100 TB (the source is scanned once for the base;
+    each refresh reads only mutation-sized feed partitions).
+
+    Scale: diffs shuffle on the narrow key (the producer's shape); the
+    consumer side is feed-partition scans + per-lang aggregates +
+    broadcast-sized join against the base state.  The oracle re-derives
+    every intermediate state from the mutation predicates, so the hash
+    pins the whole maintenance chain, not just the final counts."""
+    register_arrowipc(spark)
+    base_dir = _scratch(sf_dir, "cf_consume")
+    src = os.path.join(base_dir, "src")
+    feed = os.path.join(base_dir, "feed")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    (d.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(src))
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    hist_schema = "doc_id long, lang string, n_chars long"
+
+    def _snap(version: str | None) -> DataFrame:
+        r = spark.read.format("arrowipc").option(
+            "columns", "doc_id,lang,n_chars").schema(hist_schema)
+        r = (r.option("version", version) if version
+             else r.option("snapshots", "true"))
+        return r.load(src)
+
+    def _commit_changes(pre: DataFrame, post: DataFrame, seq: int) -> None:
+        changes = _classify_version_diff(
+            pre.select("doc_id", "lang", F.col("n_chars").alias("chars_pre")),
+            post.select("doc_id", F.col("n_chars").alias("chars_post")),
+        ).filter(F.col("change") != "same").withColumn(
+            "commit_seq", F.lit(seq).cast("long"))
+        (changes.select("doc_id", "lang", "change", "delta", "commit_seq")
+         .write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+
+    update_arrowipc(spark, src, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"], schema=d.schema)
+    _commit_changes(_snap("1"), _snap("2"), 1)
+    delete_arrowipc(spark, src, _TTDIFF_DELETE_PRED, compression="lz4",
+                    predicate_columns=["lang", "n_chars"], schema=d.schema)
+    _commit_changes(_snap("2"), _snap(None), 2)
+
+    # Consumer: base state once, then per-commit delta application.  The
+    # feed read prunes to one commit_seq directory at planning time.
+    base = _snap("1").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_base"),
+        F.sum("n_chars").cast("long").alias("chars_base"))
+    feed_schema = ("doc_id long, lang string, change string, delta long, "
+                   "commit_seq long")
+
+    def _increments(seq: int) -> DataFrame:
+        rows = (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("columns", "lang,change,delta,commit_seq")
+                .schema("lang string, change string, delta long, "
+                        "commit_seq long")
+                .load(feed).filter(F.col("commit_seq") == seq))
+        return rows.groupBy("lang").agg(
+            (F.sum((F.col("change") == "insert").cast("long"))
+             - F.sum((F.col("change") == "delete").cast("long")))
+            .cast("long").alias(f"docs_delta_c{seq}"),
+            F.sum("delta").cast("long").alias(f"chars_delta_c{seq}"))
+
+    state = (base.join(_increments(1), "lang", "left")
+             .join(_increments(2), "lang", "left")
+             .na.fill(0))
+    direct = _snap(None).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_direct"),
+        F.sum("n_chars").cast("long").alias("chars_direct"))
+    docs_final = (F.col("docs_base") + F.col("docs_delta_c1")
+                  + F.col("docs_delta_c2"))
+    chars_after_c1 = F.col("chars_base") + F.col("chars_delta_c1")
+    chars_final = chars_after_c1 + F.col("chars_delta_c2")
+    return (
+        state.join(direct, "lang", "left").na.fill(0)
+        .select(
+            "lang", "docs_base", "chars_base",
+            chars_after_c1.cast("long").alias("chars_after_c1"),
+            docs_final.cast("long").alias("docs_final"),
+            chars_final.cast("long").alias("chars_final"),
+            ((docs_final == F.col("docs_direct"))
+             & (chars_final == F.col("chars_direct")))
+            .alias("consistent"),
+        )
+    )
+
+
+@query(
     "q_schema_drift",
     oracle="""
     WITH g AS (

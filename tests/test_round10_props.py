@@ -202,3 +202,19 @@ def test_chunk_apply_matches_streaming_report(spark):
         assert {a for _, a in got} == {"keep", "rewrite", "drop"}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_changefeed_consume_is_consistent_and_nonvacuous(spark):
+    """The incremental consumer's maintained state must equal the direct
+    aggregate on EVERY lang (consistent=True is engine-computed, so this
+    is the maintenance invariant, not a constant), and the scenario must
+    actually exercise both commits: some lang's chars move at commit 1
+    (the update) and some lang loses docs at commit 2 (the delete)."""
+    rows = QUERIES["q_changefeed_consume"](spark, SF).collect()
+    assert rows
+    assert all(r.consistent for r in rows)
+    assert any(r.chars_after_c1 != r.chars_base for r in rows), \
+        "no lang saw the update commit — vacuous"
+    assert any(r.docs_final != r.docs_base for r in rows), \
+        "no lang saw the delete commit — vacuous"
+    assert all(r.docs_final <= r.docs_base for r in rows)

@@ -96,7 +96,8 @@ def main() -> None:
              "q_dedup_chunk_incremental",
              # round 10: unigram EM schedule, chunk-grain apply,
              # session-gap window
-             "q_unigram_em", "q_dedup_chunk_apply", "q_win_session_gap"]
+             "q_unigram_em", "q_dedup_chunk_apply", "q_win_session_gap",
+             "q_changefeed_consume"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

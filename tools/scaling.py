@@ -89,6 +89,7 @@ KEYS = [
     "q_unigram_em",
     "q_dedup_chunk_apply",
     "q_win_session_gap",
+    "q_changefeed_consume",
 ]
 
 
