@@ -218,3 +218,61 @@ def test_changefeed_consume_is_consistent_and_nonvacuous(spark):
     assert any(r.docs_final != r.docs_base for r in rows), \
         "no lang saw the delete commit — vacuous"
     assert all(r.docs_final <= r.docs_base for r in rows)
+
+
+def test_cc_large_small_star_matches_min_label_and_union_find(spark):
+    """The O(log² n) large/small-star algorithm behind
+    cc_min_label(algorithm="large_small_star") must produce EXACTLY the
+    min-label core's labels (and union-find's) on randomized graphs —
+    same contract, drop-in — and must converge on a chain far deeper
+    than min-label's round budget (the long-diameter case it exists
+    for: O(log) alternations vs O(diameter) propagation rounds)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bossarrowstorageengine_spark.functions.components import (
+        cc_min_label,
+    )
+
+    def uf(edges):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(max_examples=6, deadline=None)
+    @given(edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=24),
+                  st.integers(min_value=0, max_value=24))
+        .filter(lambda p: p[0] != p[1]),
+        min_size=1, max_size=30))
+    def check(edges):
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], ["doc_a", "doc_b"])
+        lss, conv = cc_min_label(df, algorithm="large_small_star")
+        assert conv is True
+        got = {r.node: r.label for r in lss.collect()}
+        assert got == uf(edges)
+        ml, _ = cc_min_label(df)
+        assert got == {r.node: r.label for r in ml.collect()}
+
+    check()
+
+    # 65-node chain: diameter 64 >> min-label's 20-round default, but
+    # large/small-star star-collapses it within the same budget.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["doc_a", "doc_b"])
+    labels, conv = cc_min_label(
+        chain, max_rounds=20, algorithm="large_small_star")
+    assert conv is True
+    assert {r.label for r in labels.collect()} == {0}
+    assert labels.count() == 65
