@@ -1717,8 +1717,17 @@ def q_win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key linear scans; the RANGE frame keeps O(window-span) state per
     key.  No global order anywhere.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    return _session_gap_annotate(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts"))
+
+
+def _session_gap_annotate(ev: DataFrame) -> DataFrame:
+    """Core of :func:`q_win_session_gap` over any
+    ``(event_id, user_id, ts)`` frame — factored so the STREAMING face
+    (``streaming.pipelines.session_gap_annotate``) can use it as its
+    batch twin and its differential oracle."""
+    ev = ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     lag_us = F.lag("ts_us").over(w)
     marked = ev.select(

@@ -120,6 +120,114 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+#: Output/state schemas for ``session_gap_annotate``.
+_SGAP_OUT_SCHEMA = (
+    "event_id long, user_id long, gap_ms long, session_seq long, "
+    "pos_in_session long, n_burst_5min long"
+)
+_SGAP_STATE_SCHEMA = (
+    "last_ts long, session_seq long, pos long, recent array<long>"
+)
+#: Session boundary (µs, strict >) and burst lookback (µs) — MUST match
+#: operators/event_time.py's q_win_session_gap (the batch twin / oracle).
+_SGAP_GAP_US = 1_800_000_000
+_SGAP_BURST_US = 300_000_000
+
+
+def session_gap_annotate(events: DataFrame) -> DataFrame:
+    """STREAMING face of ``q_win_session_gap``: per-event gaps-and-islands
+    annotation maintained as explicit per-user state across micro-batches
+    (``applyInPandasWithState``, update mode).  Each event is emitted
+    once with its prefix-final columns — gap to the previous event,
+    session ordinal (strict > 30 min boundary), position in session, and
+    trailing-5-minute burst count.  These four depend only on EARLIER
+    events of the same user, so their streamed values equal the batch
+    key's exactly (the pytest differential); the island's final
+    size/span (``session_events``/``session_ms``) are inherently
+    retrospective and only the batch face emits them.
+
+    State per user: (last event µs, session ordinal, position, the
+    trailing-burst-window timestamps) — bounded by key cardinality plus
+    the per-key event rate over 5 minutes; at scale the state store
+    hash-partitions it across executors.  Contract: events must arrive
+    per-user in event-time order across batches, and a same-timestamp
+    tie group must land within one micro-batch (the batch RANGE frame
+    counts the WHOLE tie group for every member, so a tie split across
+    batches would be unknowable at emission time; micro-batch rows are
+    sorted internally).  An out-of-order deployment needs a
+    watermark+reorder buffer in front, the same contract as
+    ``q_dedup_incremental``'s index probe.
+
+    Batch mode delegates to the window implementation
+    (``operators.event_time._session_gap_annotate``) — the equivalence
+    tests assert streamed == batch on identical inputs.
+    """
+    if not events.isStreaming:
+        from bossarrowstorageengine_spark.operators.event_time import (
+            _session_gap_annotate,
+        )
+
+        return _session_gap_annotate(
+            events.select("event_id", "user_id", "ts")).select(
+            "event_id", "user_id", "gap_ms", "session_seq",
+            "pos_in_session", "n_burst_5min")
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def annotate(key, pdf_iter, state: GroupState):
+        last_ts, seq, pos, recent = (
+            state.get if state.exists else (None, 0, 0, []))
+        recent = list(recent)
+        out: dict[str, list] = {c: [] for c in (
+            "event_id", "user_id", "gap_ms", "session_seq",
+            "pos_in_session", "n_burst_5min")}
+        for pdf in pdf_iter:
+            # normalize to integer µs regardless of the Arrow unit, then
+            # process in deterministic (ts, event_id) order
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            order = sorted(range(len(pdf)),
+                           key=lambda i: (ts_us[i], int(pdf["event_id"].iloc[i])))
+            from collections import Counter
+
+            tie_total = Counter(int(t) for t in ts_us)
+            tie_seen: Counter = Counter()
+            for i in order:
+                t = int(ts_us[i])
+                gap = None if last_ts is None else t - last_ts
+                if gap is None or gap > _SGAP_GAP_US:
+                    seq += 1
+                    pos = 1
+                else:
+                    pos += 1
+                recent = [r for r in recent if r >= t - _SGAP_BURST_US]
+                recent.append(t)
+                tie_seen[t] += 1
+                # RANGE-frame parity: the batch twin's frame includes the
+                # FULL same-µs tie group for every member, so count the
+                # batch's not-yet-processed ties too (contract: a tie
+                # group never splits across batches).
+                ties_after = tie_total[t] - tie_seen[t]
+                out["event_id"].append(int(pdf["event_id"].iloc[i]))
+                out["user_id"].append(key[0])
+                out["gap_ms"].append(
+                    None if gap is None else gap // 1000)
+                out["session_seq"].append(seq)
+                out["pos_in_session"].append(pos)
+                out["n_burst_5min"].append(len(recent) + ties_after)
+                last_ts = t
+        state.update((last_ts, seq, pos, recent))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        annotate,
+        outputStructType=_SGAP_OUT_SCHEMA,
+        stateStructType=_SGAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: Output schema for ``user_event_profile`` (transformWithStateInPandas).
 _PROFILE_OUT_SCHEMA = (
     "user_id long, n_events long, total_value double, "
