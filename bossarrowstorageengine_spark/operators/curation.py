@@ -2088,14 +2088,15 @@ _UNI_MAX_WORD = 16
 _UNI_PRUNE_K = 16
 
 
-def _uni_dp_comb(w, mp, low) -> "F.Column":
+def _uni_dp_best(w, mp, low) -> "F.Column":
     """Viterbi DP over one word under an (optionally filtered) piece->
     logp_micro map: fold positions 1..len(w), each best[i] the max packed
     ``comb`` (score*64 - n_pieces — one long, additive, so the
     lexicographic (max score, min pieces) objective has optimal
     substructure) over the <= _UNI_MAXLEN pieces ending at i.  Returns
-    the comb at the final position.  Pure JVM HOFs — the per-word
-    trellis never leaves the executor."""
+    the FULL best[] array (1-based: element i+1 = best value of the
+    length-i prefix; unreachable prefixes hold ``low``).  Pure JVM HOFs —
+    the per-word trellis never leaves the executor."""
     n = F.length(w)
 
     def step(acc, i):
@@ -2109,10 +2110,53 @@ def _uni_dp_comb(w, mp, low) -> "F.Column":
                 .otherwise(low))
         return F.concat(acc, F.array(F.greatest(*cands)))
 
-    return F.element_at(
-        F.aggregate(F.sequence(F.lit(1), n),
-                    F.array(F.lit(0).cast("long")), step),
-        n + 1)
+    return F.aggregate(F.sequence(F.lit(1), n),
+                       F.array(F.lit(0).cast("long")), step)
+
+
+def _uni_dp_comb(w, mp, low) -> "F.Column":
+    """The DP value at the final position (see :func:`_uni_dp_best`)."""
+    return F.element_at(_uni_dp_best(w, mp, low), F.length(w) + 1)
+
+
+def _uni_backtrack(w, mp, best, low) -> "F.Column":
+    """CANONICAL Viterbi path under the smallest-last-piece tiebreak:
+    walk back from the final position, at each step taking the SMALLEST
+    k whose piece exactly closes the DP equation
+    ``best[pos-k] + logp*64 - 1 == best[pos]`` — a total, engine-neutral
+    rule, so the argmax PATH (not just its value) is deterministic and
+    the piece-occurrence counts become EXACT-checkable.  Returns the
+    pieces as ``array<string>`` (end-to-start order; counts don't care).
+    Pure JVM fold, ≤ one step per character."""
+    n = F.length(w)
+
+    def bp(pos):  # best[pos] for 0-based position value
+        return F.element_at(best, pos + 1)
+
+    def step(acc, _i):
+        pos = acc["pos"]
+
+        def ok(k):
+            # when-guarded, not &-conjoined: element_at with index <= 0
+            # throws (ANSI), and & does not short-circuit
+            lp = F.element_at(mp, w.substr(pos - k + 1, F.lit(k)))
+            return F.when(
+                pos >= k,
+                (bp(pos - k) != low) & lp.isNotNull()
+                & (bp(pos - k) + lp * _UNI_NP_BASE - 1 == bp(pos)),
+            ).otherwise(F.lit(False))
+
+        k = F.when(ok(1), 1).when(ok(2), 2).when(ok(3), 3) \
+            .otherwise(4).cast("int")
+        piece = w.substr(pos - k + 1, k)
+        return F.when(pos <= 0, acc).otherwise(F.struct(
+            (pos - k).alias("pos"),
+            F.concat(acc["pieces"], F.array(piece)).alias("pieces")))
+
+    acc0 = F.struct(
+        n.cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("pieces"))
+    return F.aggregate(F.sequence(F.lit(1), n), acc0, step)["pieces"]
 
 
 def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2248,14 +2292,12 @@ def _unigram_prune_round(words: DataFrame, scored: DataFrame, *,
     return seg, metrics, pruned, next_scored
 
 
-def _unigram_ctes() -> str:
-    """Shared WITH-body of the unigram oracles: candidate/vocab/scored
-    CTEs, the Viterbi DP replayed as a recursive state walk (states are
-    (excluded-piece, word, pos, comb); max comb per final position == the
-    DP value, since comb is additive and the walk enumerates every
-    segmentation), per-variant corpus NLLs."""
-    return f"""
-    WITH RECURSIVE words AS (
+def _unigram_seed_ctes() -> str:
+    """Seed chain shared by EVERY unigram oracle (words → candidate
+    substrings → seed vocab → micro-nat scores) — one definition so the
+    trainer, prune, EM-schedule, and hard-EM oracles can never drift on
+    what the seed model is."""
+    return f"""words AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
         ) WHERE len(w) > 0 AND len(w) < {_UNI_MAX_WORD}
@@ -2281,7 +2323,17 @@ def _unigram_ctes() -> str:
                     / (SELECT sum(freq) FROM vocab)), 0) AS BIGINT)
                    AS logp_micro
         FROM vocab
-    ), variants AS (
+    )"""
+
+
+def _unigram_ctes() -> str:
+    """Shared WITH-body of the unigram oracles: the seed chain plus the
+    Viterbi DP replayed as a recursive state walk (states are
+    (excluded-piece, word, pos, comb); max comb per final position == the
+    DP value, since comb is additive and the walk enumerates every
+    segmentation), per-variant corpus NLLs."""
+    return f"""
+    WITH RECURSIVE {_unigram_seed_ctes()}, variants AS (
         SELECT '' AS excl
         UNION ALL
         SELECT piece FROM scored WHERE len(piece) > 1
@@ -2422,8 +2474,9 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive state walk.  Only segmentation VALUES are emitted (never a
     chosen path), so double-ties cannot desync the engines.  Full hard-
     EM (re-estimating scores from Viterbi counts) needs a deterministic
-    argmax PATH and is out of scope; the loss-delta prune is the
-    iteration step that is value-deterministic.
+    argmax PATH — supplied by ``q_unigram_hard_em``'s canonical
+    smallest-last-piece backtrack; the loss-delta prune remains the
+    value-only iteration step.
 
     Scale: the corpus shuffles ONCE into the weighted distinct-word
     table (the ``q_bpe_train_n`` trick — Zipf-bounded at any corpus
@@ -2689,3 +2742,188 @@ def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not final:
             vocab = next_vocab
     return out
+
+
+def _unigram_hard_em_oracle() -> str:
+    """DuckDB twin of ``q_unigram_hard_em``: full-model recursive walk →
+    per-position best values → a MATERIALIZED ``choice`` table holding
+    the canonical (smallest-k) backtrack step at every reachable
+    position → a recursive pointer walk collecting the path → weighted
+    piece counts → add-one re-estimated scores → a second walk for the
+    after-metrics."""
+    oks, pieces = [], []
+    for k in range(1, _UNI_MAXLEN + 1):
+        oks.append(
+            f"(b.pos >= {k} AND p{k}.comb IS NOT NULL AND "
+            f"s{k}.logp_micro IS NOT NULL AND "
+            f"p{k}.comb + s{k}.logp_micro * {_UNI_NP_BASE} - 1 = b.comb)")
+        pieces.append(f"WHEN {oks[-1]} THEN substr(b.w, b.pos - {k} + 1, {k})")
+    k_case = " ".join(
+        f"WHEN {ok} THEN {k}" for k, ok in enumerate(oks, start=1))
+    piece_case = " ".join(pieces)
+    joins = "\n        ".join(
+        f"LEFT JOIN best_pos p{k} ON p{k}.w = b.w AND p{k}.pos = b.pos - {k}\n"
+        f"        LEFT JOIN scored s{k} "
+        f"ON s{k}.piece = substr(b.w, b.pos - {k} + 1, {k})"
+        for k in range(1, _UNI_MAXLEN + 1))
+    return f"""
+    WITH RECURSIVE {_unigram_seed_ctes()}, walk AS (
+        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
+        UNION
+        SELECT wk.w, wk.pos + len(s.piece),
+               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk wk JOIN scored s
+          ON substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
+    ), best_pos AS MATERIALIZED (
+        SELECT w, pos, max(comb) AS comb FROM walk GROUP BY w, pos
+    ), choice AS MATERIALIZED (
+        SELECT b.w, b.pos,
+               CASE {k_case} END AS k,
+               CASE {piece_case} END AS piece
+        FROM best_pos b
+        {joins}
+        WHERE b.pos > 0
+    ), backtrack AS (
+        SELECT w, len(w) AS pos FROM words
+        UNION ALL
+        SELECT bt.w, bt.pos - c.k
+        FROM backtrack bt JOIN choice c ON c.w = bt.w AND c.pos = bt.pos
+    ), counts AS MATERIALIZED (
+        SELECT c.piece, CAST(sum(wd.c) AS BIGINT) AS vcount
+        FROM backtrack bt
+        JOIN choice c ON c.w = bt.w AND c.pos = bt.pos
+        JOIN words wd ON wd.w = bt.w
+        GROUP BY c.piece
+    ), freqs2 AS MATERIALIZED (
+        SELECT s.piece, coalesce(ct.vcount, 0) + 1 AS freq
+        FROM scored s LEFT JOIN counts ct ON ct.piece = s.piece
+    ), scored2 AS MATERIALIZED (
+        SELECT piece, freq,
+               CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
+                    / (SELECT sum(freq) FROM freqs2)), 0) AS BIGINT)
+                   AS logp_micro
+        FROM freqs2
+    ), before_metrics AS MATERIALIZED (
+        SELECT CAST(sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
+                    // {_UNI_NP_BASE}))) AS BIGINT) AS nll_before_micro,
+               CAST(sum(wd.c * ((-b.comb) % {_UNI_NP_BASE})) AS BIGINT)
+                   AS pieces_before
+        FROM best_pos b JOIN words wd ON wd.w = b.w
+        WHERE b.pos = len(b.w)
+    ), walk2 AS (
+        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
+        UNION
+        SELECT wk.w, wk.pos + len(s.piece),
+               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk2 wk JOIN scored2 s
+          ON substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
+    ), best2 AS MATERIALIZED (
+        SELECT w, max(comb) AS comb FROM walk2
+        WHERE pos = len(w) GROUP BY w
+    ), after_metrics AS MATERIALIZED (
+        SELECT CAST(sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
+                    // {_UNI_NP_BASE}))) AS BIGINT) AS nll_after_micro,
+               CAST(sum(wd.c * ((-b.comb) % {_UNI_NP_BASE})) AS BIGINT)
+                   AS pieces_after
+        FROM best2 b JOIN words wd ON wd.w = b.w
+    )
+    SELECT s.piece,
+           s.freq                              AS freq_seed,
+           CAST(coalesce(ct.vcount, 0) AS BIGINT) AS viterbi_count,
+           s.logp_micro                        AS logp_seed,
+           s2.logp_micro                       AS logp_em,
+           bm.nll_before_micro,
+           bm.pieces_before,
+           am.nll_after_micro,
+           am.pieces_after
+    FROM scored s
+    LEFT JOIN counts ct ON ct.piece = s.piece
+    JOIN scored2 s2 ON s2.piece = s.piece
+    CROSS JOIN before_metrics bm
+    CROSS JOIN after_metrics am
+    """
+
+
+@query("q_unigram_hard_em", oracle=_unigram_hard_em_oracle())
+def q_unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-EM step of the unigram trainer — the score-RE-ESTIMATING
+    iteration that the loss-delta prune family deliberately avoided
+    (q_unigram_train's docstring called the deterministic argmax PATH
+    the hard part; this key supplies it): the corpus is Viterbi-segmented
+    under the seed model with a CANONICAL backtrack (smallest-last-piece
+    tiebreak — a total, engine-neutral rule over exact integers, so the
+    chosen path, not just its value, replays bit-identically in DuckDB),
+    every piece's weighted occurrence count is collected (E-step, hard
+    assignments), counts are add-one smoothed and renormalized into new
+    micro-nat scores (M-step — smoothing keeps never-chosen pieces alive
+    with exact integer frequencies), and the corpus is re-segmented under
+    the re-estimated model.  One row per seed piece: seed frequency,
+    Viterbi count, seed and re-estimated scores, and the corpus
+    NLL/piece-count before and after the step.
+
+    Determinism: the DP best[] array, the backtrack equation
+    ``best[pos-k] + logp·64 − 1 == best[pos]`` (first k in 1..4 wins),
+    the counts, and both evaluations are exact int64 — the oracle
+    replays the backtrack as a materialized per-position choice table
+    plus a recursive pointer walk.
+
+    Scale: identical to the trainer family — ONE corpus shuffle into
+    weighted distinct words, then vocab-sized broadcast-composed JVM
+    folds per word (DP + backtrack are both ≤ len(w) fold steps); the
+    E-step counts are one explode + keyed aggregation over words, and
+    the M-step is vocab-sized.  The corpus is never rescanned.
+    """
+    words = _unigram_words(spark, sf_dir)
+    scored = _unigram_scored(words)
+    mp_row = scored.agg(F.map_from_entries(
+        F.collect_list(F.struct("piece", "logp_micro"))).alias("mp"))
+    low = F.lit(-(2 ** 61)).cast("long")
+    ann = (
+        words.crossJoin(F.broadcast(mp_row))
+        .select("w", "c", "mp",
+                _uni_dp_best(F.col("w"), F.col("mp"), low).alias("best"))
+        .select("w", "c", "best",
+                _uni_backtrack(F.col("w"), F.col("mp"),
+                               F.col("best"), low).alias("pieces"))
+        .localCheckpoint()  # before-metrics, counts both read the grid
+    )
+    comb = F.element_at("best", F.length("w") + 1)
+    np_ = F.pmod(-comb, F.lit(_UNI_NP_BASE))
+    score = (comb + np_) / _UNI_NP_BASE
+    before = ann.agg(
+        F.sum(F.col("c") * -score.cast("long")).cast("long")
+        .alias("nll_before_micro"),
+        F.sum(F.col("c") * np_).cast("long").alias("pieces_before"),
+    )
+    counts = (
+        ann.select(F.explode("pieces").alias("piece"), "c")
+        .groupBy("piece").agg(F.sum("c").cast("long").alias("vcount"))
+    )
+    freqs2 = (
+        scored.join(counts, "piece", "left")
+        .select("piece",
+                (F.coalesce(F.col("vcount"), F.lit(0)) + 1).alias("freq"))
+    )
+    scored2 = _unigram_normalize(freqs2)
+    none_excl = spark.range(1).select(F.lit("").alias("excl"))
+    after = _unigram_seg(words, scored2, none_excl).agg(
+        F.sum(F.col("c") * -F.col("score_micro")).cast("long")
+        .alias("nll_after_micro"),
+        F.sum(F.col("c") * F.col("np")).cast("long").alias("pieces_after"),
+    )
+    return (
+        scored.select(
+            "piece", F.col("freq").alias("freq_seed"),
+            F.col("logp_micro").alias("logp_seed"))
+        .join(counts, "piece", "left")
+        .withColumn("viterbi_count",
+                    F.coalesce(F.col("vcount"), F.lit(0)).cast("long"))
+        .join(scored2.select("piece",
+                             F.col("logp_micro").alias("logp_em")), "piece")
+        .crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select("piece", "freq_seed", "viterbi_count",
+                "logp_seed", "logp_em",
+                "nll_before_micro", "pieces_before",
+                "nll_after_micro", "pieces_after")
+    )

@@ -276,3 +276,121 @@ def test_cc_large_small_star_matches_min_label_and_union_find(spark):
     assert conv is True
     assert {r.label for r in labels.collect()} == {0}
     assert labels.count() == 65
+
+
+def test_unigram_hard_em_matches_python_reference(spark):
+    """q_unigram_hard_em vs an independent pure-Python reference of the
+    ENTIRE step: canonical Viterbi (best[] DP + smallest-last-piece
+    backtrack), weighted hard counts, add-one M-step renormalization,
+    and the re-segmented corpus NLL — pinning the deterministic-argmax
+    contract both engines must share (path, not just value)."""
+    import decimal
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from bossarrowstorageengine_spark.operators.curation import (
+        _UNI_KMULTI,
+        _UNI_MAXLEN,
+        _UNI_MAX_WORD,
+        _UNI_NP_BASE,
+    )
+
+    rows = QUERIES["q_unigram_hard_em"](spark, SF).collect()
+    assert rows
+    got = {r.piece: r for r in rows}
+    any_row = rows[0]
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    words = Counter()
+    for (t,) in texts:
+        for w in t.split(" "):
+            if 0 < len(w) < _UNI_MAX_WORD:
+                words[w] += 1
+    cand = Counter()
+    for w, c in words.items():
+        for s in range(len(w)):
+            for k in range(1, min(_UNI_MAXLEN, len(w) - s) + 1):
+                cand[w[s:s + k]] += c
+    vocab = {p: f for p, f in cand.items() if len(p) == 1}
+    vocab.update(dict(sorted(
+        ((p, f) for p, f in cand.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]))[:_UNI_KMULTI]))
+
+    def r0(x: float) -> int:
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    def normalize(freqs):
+        s = sum(freqs.values())
+        return {p: r0(1_000_000 * math.log(f / s)) for p, f in freqs.items()}
+
+    logp = normalize(vocab)
+
+    def best_array(w, lp):
+        best = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            b = None
+            for k in range(1, min(_UNI_MAXLEN, i) + 1):
+                p = w[i - k:i]
+                if p not in lp or best[i - k] is None:
+                    continue
+                v = best[i - k] + lp[p] * _UNI_NP_BASE - 1
+                b = v if b is None else max(b, v)
+            best[i] = b
+        return best
+
+    def canonical_path(w, lp, best):
+        pos, pieces = len(w), []
+        while pos > 0:
+            for k in range(1, min(_UNI_MAXLEN, pos) + 1):
+                p = w[pos - k:pos]
+                if (p in lp and best[pos - k] is not None
+                        and best[pos - k] + lp[p] * _UNI_NP_BASE - 1
+                        == best[pos]):
+                    pieces.append(p)
+                    pos -= k
+                    break
+            else:
+                raise AssertionError(f"no backtrack step at {w}:{pos}")
+        return pieces
+
+    # E-step: weighted hard counts + before metrics
+    ref_counts: Counter = Counter()
+    nll_before = pieces_before = 0
+    for w, c in words.items():
+        best = best_array(w, logp)
+        comb = best[len(w)]
+        np_ = (-comb) % _UNI_NP_BASE
+        nll_before += c * -((comb + np_) // _UNI_NP_BASE)
+        pieces_before += c * np_
+        for p in canonical_path(w, logp, best):
+            ref_counts[p] += c
+
+    assert any_row.nll_before_micro == nll_before
+    assert any_row.pieces_before == pieces_before
+    for p, r in got.items():
+        assert r.viterbi_count == ref_counts.get(p, 0), p
+    # counts conserve the corpus piece total
+    assert sum(r.viterbi_count for r in rows) == pieces_before
+    # the E-step must be non-trivial: some piece unused, some heavy
+    assert any(r.viterbi_count == 0 for r in rows)
+    assert any(r.viterbi_count > 0 for r in rows)
+
+    # M-step: add-one renormalize, re-segment
+    logp2 = normalize({p: ref_counts.get(p, 0) + 1 for p in vocab})
+    for p, r in got.items():
+        assert r.logp_em == logp2[p], p
+    nll_after = pieces_after = 0
+    for w, c in words.items():
+        best = best_array(w, logp2)
+        comb = best[len(w)]
+        np_ = (-comb) % _UNI_NP_BASE
+        nll_after += c * -((comb + np_) // _UNI_NP_BASE)
+        pieces_after += c * np_
+    assert any_row.nll_after_micro == nll_after
+    assert any_row.pieces_after == pieces_after

@@ -90,6 +90,7 @@ KEYS = [
     "q_dedup_chunk_apply",
     "q_win_session_gap",
     "q_changefeed_consume",
+    "q_unigram_hard_em",
 ]
 
 
