@@ -87,10 +87,13 @@ def _cc_large_small_star(
     (large, small) alternation — at that point every edge is
     (node, component-min), i.e. a star forest."""
     ca, cb = pairs.columns[:2]
-    e = (pairs.select(F.col(ca).alias("u"), F.col(cb).alias("v"))
-         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
-    nodes = (e.select("u").unionByName(e.select(F.col("v").alias("u")))
-             .distinct())
+    p = pairs.select(F.col(ca).alias("u"), F.col(cb).alias("v"))
+    # nodes from the UNFILTERED pairs: a node whose only incident edges
+    # are self-loops must still be labeled (contract parity with the
+    # min-label path, which keeps it via the undirected expansion)
+    nodes = (p.select("u").unionByName(p.select(F.col("v").alias("u")))
+             .distinct().localCheckpoint())
+    e = (p.filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
     converged = False
     n_edges = e.count()
     for _ in range(max_rounds):

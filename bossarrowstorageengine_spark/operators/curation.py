@@ -2146,10 +2146,17 @@ def _uni_backtrack(w, mp, best, low) -> "F.Column":
                 & (bp(pos - k) + lp * _UNI_NP_BASE - 1 == bp(pos)),
             ).otherwise(F.lit(False))
 
-        k = F.when(ok(1), 1).when(ok(2), 2).when(ok(3), 3) \
-            .otherwise(4).cast("int")
+        # parametric in _UNI_MAXLEN (the DP, the oracle, and the Python
+        # reference all are); every arm including the last is VALIDATED —
+        # an unreachable state no-ops (k=0), truncating the piece list,
+        # which the count-conservation property test and the oracle hash
+        # both catch, instead of silently consuming substring garbage.
+        chain = F.when(ok(1), 1)
+        for kk in range(2, _UNI_MAXLEN + 1):
+            chain = chain.when(ok(kk), kk)
+        k = chain.otherwise(0).cast("int")
         piece = w.substr(pos - k + 1, k)
-        return F.when(pos <= 0, acc).otherwise(F.struct(
+        return F.when((pos <= 0) | (k == 0), acc).otherwise(F.struct(
             (pos - k).alias("pos"),
             F.concat(acc["pieces"], F.array(piece)).alias("pieces")))
 

@@ -1179,12 +1179,21 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         return r.load(src)
 
     def _commit_changes(pre: DataFrame, post: DataFrame, seq: int) -> None:
+        # lang from WHICHEVER side has the row: an insert change has no
+        # pre-image, so a pre-only lang would write NULL and the insert
+        # would never join the consumer's per-lang state (this history
+        # has no inserts, but the consumer's insert arm must be real).
         changes = _classify_version_diff(
-            pre.select("doc_id", "lang", F.col("n_chars").alias("chars_pre")),
-            post.select("doc_id", F.col("n_chars").alias("chars_post")),
-        ).filter(F.col("change") != "same").withColumn(
-            "commit_seq", F.lit(seq).cast("long"))
-        (changes.select("doc_id", "lang", "change", "delta", "commit_seq")
+            pre.select("doc_id", F.col("lang").alias("lang_pre"),
+                       F.col("n_chars").alias("chars_pre")),
+            post.select("doc_id", F.col("lang").alias("lang_post"),
+                        F.col("n_chars").alias("chars_post")),
+        ).filter(F.col("change") != "same").select(
+            "doc_id",
+            F.coalesce("lang_pre", "lang_post").alias("lang"),
+            "change", "delta",
+            F.lit(seq).cast("long").alias("commit_seq"))
+        (changes
          .write.format("arrowipc").option("partitionBy", "commit_seq")
          .option("snapshots", "true").option("compression", "lz4")
          .mode("append").save(feed))
@@ -1202,8 +1211,6 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _snap("1").groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_base"),
         F.sum("n_chars").cast("long").alias("chars_base"))
-    feed_schema = ("doc_id long, lang string, change string, delta long, "
-                   "commit_seq long")
 
     def _increments(seq: int) -> DataFrame:
         rows = (spark.read.format("arrowipc")

@@ -182,7 +182,15 @@ def session_gap_annotate(events: DataFrame) -> DataFrame:
         out: dict[str, list] = {c: [] for c in (
             "event_id", "user_id", "gap_ms", "session_seq",
             "pos_in_session", "n_burst_5min")}
-        for pdf in pdf_iter:
+        # ONE frame per group, not per Arrow chunk: pdf_iter yields the
+        # group's rows in arbitrary chunk order (a key larger than
+        # arrow.maxRecordsPerBatch spans several pdfs), so sorting or
+        # tie-counting per chunk would mis-order events and undercount
+        # straddling tie groups — concatenate, then sort/count once.
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             # normalize to integer µs regardless of the Arrow unit, then
             # process in deterministic (ts, event_id) order
             ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")

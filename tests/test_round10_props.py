@@ -267,6 +267,15 @@ def test_cc_large_small_star_matches_min_label_and_union_find(spark):
 
     check()
 
+    # a node whose ONLY incident edges are self-loops must still be
+    # labeled (contract parity with min-label; code-review regression)
+    loop = spark.createDataFrame([(5, 5), (1, 2)], ["doc_a", "doc_b"])
+    for algo in ("min_label", "large_small_star"):
+        labels, conv = cc_min_label(loop, algorithm=algo)
+        assert conv is True
+        assert {r.node: r.label for r in labels.collect()} == \
+            {5: 5, 1: 1, 2: 1}, algo
+
     # 65-node chain: diameter 64 >> min-label's 20-round default, but
     # large/small-star star-collapses it within the same budget.
     chain = spark.createDataFrame(

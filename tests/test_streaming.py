@@ -870,9 +870,6 @@ def test_stream_session_gap_real_events_two_batches(spark):
         session_gap_annotate,
     )
 
-    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .limit(0))  # schema probe only; rows come via catalog below
     from bossarrowstorageengine_spark.catalog import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
@@ -908,3 +905,54 @@ def test_stream_session_gap_real_events_two_batches(spark):
         assert got == want
     finally:
         h.stop()
+
+
+@pytest.mark.slow
+def test_stream_session_gap_multi_chunk_group(spark):
+    """A user whose micro-batch rows span SEVERAL Arrow chunks (group
+    larger than arrow.maxRecordsPerBatch) must still be processed as one
+    sorted whole — per-chunk sorting/tie-counting was the code-review
+    regression: chunks arrive in arbitrary order, so a per-chunk pass
+    mis-orders gaps and undercounts straddling tie groups."""
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        session_gap_annotate,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # 40 events for ONE user: ties every 4th event, a session break
+        # in the middle — far more rows than one 7-row Arrow chunk
+        rows = []
+        base = 0
+        for i in range(1, 41):
+            if i == 21:
+                base += 3600  # > 30 min gap → second session
+            sec = base + (i // 4) * 60  # groups of ~4 share a timestamp
+            rows.append(_ev(i, f"2024-01-01 0{sec // 3600}:"
+                               f"{(sec % 3600) // 60:02d}:{sec % 60:02d}"))
+        h = FileStreamHarness(spark, session_gap_annotate, mode="update")
+        try:
+            import pandas as pd
+
+            h.push(rows)
+            streamed = h.step().toPandas()
+            assert sorted(streamed["event_id"]) == list(range(1, 41))
+            batch = spark.createDataFrame(
+                [(r["event_id"], r["user_id"], r["ts"]) for r in rows],
+                "event_id long, user_id long, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            want = {r.event_id: (r.gap_ms, r.session_seq, r.pos_in_session,
+                                 r.n_burst_5min)
+                    for r in session_gap_annotate(batch).collect()}
+            got = {int(r.event_id): (
+                       None if pd.isna(r.gap_ms) else int(r.gap_ms),
+                       int(r.session_seq), int(r.pos_in_session),
+                       int(r.n_burst_5min))
+                   for r in streamed.itertuples()}
+            assert got == want
+            assert max(s for _, s, _, _ in got.values()) == 2
+        finally:
+            h.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
