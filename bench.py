@@ -68,6 +68,18 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Load guard (VERDICT r10 item 6): two rounds of bench confusion were
+    # pure machine noise (r7's phantom 1.41×; r10's first run at load ~1.8
+    # showing uniform 1.5-3× elevation, worst on untouched cheap keys).
+    # Stamp the 1-minute load average before warmup and after the timed
+    # runs into the JSON so every consumer can judge whether the numbers
+    # are comparable, and warn loudly when the machine is already busy.
+    load_before = round(os.getloadavg()[0], 2)
+    if load_before > 0.5:
+        print(f"WARNING: 1-min load average {load_before} > 0.5 before "
+              "warmup - timings will be inflated by background load; "
+              "re-run idle for comparable numbers", file=sys.stderr)
+
     spark = build_session("bench", master=f"local[{CPUS}]")
     queries = entrymod.queries()
 
@@ -138,6 +150,11 @@ def main() -> None:
         # (post-warmup) — see the comment at the timing loop.
         "runs_per_key": 2,
         "per_key_agg": "min",
+        # 1-min load average before warmup / after the timed runs: >0.5
+        # before warmup means the numbers are contaminated by background
+        # load (see the guard at the top of main).
+        "loadavg_before": load_before,
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }))
 
 

@@ -118,6 +118,14 @@ def _cc_large_small_star(
                   nodes.select(F.col("u").alias("node"))
                   .join(children, "node", "left_anti")
                   .select("node", F.col("node").alias("label"))))
+    if not converged:
+        # Only reachable with strict=False.  Mid-convergence the edge set
+        # is not yet a star forest, so a node can still carry several
+        # parents; collapse to the minimum so flag-mode consumers get the
+        # same one-row-per-node ``(node, label)`` shape the min_label
+        # algorithm guarantees (a groupBy/count over multi-row labels
+        # would silently double-count nodes).
+        labels = labels.groupBy("node").agg(F.min("label").alias("label"))
     return labels, converged
 
 

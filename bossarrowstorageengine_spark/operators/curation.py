@@ -2083,6 +2083,13 @@ _UNI_KMULTI = 64
 #: Valid while every word is < 64 tokens of pieces, i.e. < 64 chars —
 #: enforced by the word-length filter below.
 _UNI_NP_BASE = 64
+#: log2 of the pack base: unpacking a ``comb`` uses an ARITHMETIC RIGHT
+#: SHIFT (exact integer division — (comb + np) is a negative multiple of
+#: the base, and floor == exact on multiples), so the NLL chain stays
+#: int64 end to end like the oracles' ``//`` (ADVICE r10: float ``/`` was
+#: exact only while |comb| < 2^53).
+_UNI_NP_SHIFT = _UNI_NP_BASE.bit_length() - 1
+assert 1 << _UNI_NP_SHIFT == _UNI_NP_BASE, "pack base must stay a power of 2"
 _UNI_MAX_WORD = 16
 #: multi-char pieces dropped per prune round (bottom-k by loss delta).
 _UNI_PRUNE_K = 16
@@ -2252,7 +2259,7 @@ def _unigram_seg(words: DataFrame, scored: DataFrame,
         .select("w", "c", "excl", comb.alias("comb"))
         .select(
             "w", "c", "excl",
-            ((F.col("comb") + np_) / _UNI_NP_BASE).cast("long")
+            F.shiftright(F.col("comb") + np_, _UNI_NP_SHIFT)
             .alias("score_micro"),
             np_.cast("long").alias("np"))
     )
@@ -2751,13 +2758,14 @@ def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _unigram_hard_em_oracle() -> str:
-    """DuckDB twin of ``q_unigram_hard_em``: full-model recursive walk →
-    per-position best values → a MATERIALIZED ``choice`` table holding
-    the canonical (smallest-k) backtrack step at every reachable
-    position → a recursive pointer walk collecting the path → weighted
-    piece counts → add-one re-estimated scores → a second walk for the
-    after-metrics."""
+def _hard_em_choice_sql(best: str, model: str, choice: str) -> str:
+    """CTE SQL for the canonical smallest-last-piece backtrack CHOICE
+    table over best-position table ``best`` under model ``model``: one
+    row per (word, reachable position > 0) holding the first k in
+    1..``_UNI_MAXLEN`` whose piece exactly closes the DP equation
+    ``best[pos-k] + logp*64 - 1 == best[pos]`` — shared by the single-
+    round and chained hard-EM oracles so the canonical-path rule can
+    never drift between them."""
     oks, pieces = [], []
     for k in range(1, _UNI_MAXLEN + 1):
         oks.append(
@@ -2769,86 +2777,152 @@ def _unigram_hard_em_oracle() -> str:
         f"WHEN {ok} THEN {k}" for k, ok in enumerate(oks, start=1))
     piece_case = " ".join(pieces)
     joins = "\n        ".join(
-        f"LEFT JOIN best_pos p{k} ON p{k}.w = b.w AND p{k}.pos = b.pos - {k}\n"
-        f"        LEFT JOIN scored s{k} "
+        f"LEFT JOIN {best} p{k} ON p{k}.w = b.w AND p{k}.pos = b.pos - {k}\n"
+        f"        LEFT JOIN {model} s{k} "
         f"ON s{k}.piece = substr(b.w, b.pos - {k} + 1, {k})"
         for k in range(1, _UNI_MAXLEN + 1))
-    return f"""
-    WITH RECURSIVE {_unigram_seed_ctes()}, walk AS (
-        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
-        UNION
-        SELECT wk.w, wk.pos + len(s.piece),
-               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
-        FROM walk wk JOIN scored s
-          ON substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
-    ), best_pos AS MATERIALIZED (
-        SELECT w, pos, max(comb) AS comb FROM walk GROUP BY w, pos
-    ), choice AS MATERIALIZED (
+    return f"""{choice} AS MATERIALIZED (
         SELECT b.w, b.pos,
                CASE {k_case} END AS k,
                CASE {piece_case} END AS piece
-        FROM best_pos b
+        FROM {best} b
         {joins}
         WHERE b.pos > 0
-    ), backtrack AS (
+    )"""
+
+
+def _hard_em_round_ctes(r: int, model: str, *, backtrack: bool = True,
+                        m_step: bool = True) -> str:
+    """CTE block for ONE hard-EM oracle round ``r`` under model CTE
+    ``model``: full-model recursive walk → per-position best values
+    (``best_h{r}``) → corpus metrics (``metrics_h{r}``), plus — with
+    ``backtrack`` — the canonical choice table, the recursive pointer
+    walk, and the weighted piece counts (``counts_h{r}``), and — with
+    ``m_step`` — the add-one re-estimated model ``scored_h{r+1}``.
+    Every model-sized CTE is MATERIALIZED (the round-10 DuckDB lesson:
+    non-materialized CTEs are inlined into every recursive iteration
+    step, making chained walks exponential)."""
+    s = f"_h{r}"
+    parts = f""", walk{s} AS (
+        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
+        UNION
+        SELECT wk.w, wk.pos + len(p.piece),
+               wk.comb + p.logp_micro * {_UNI_NP_BASE} - 1
+        FROM walk{s} wk JOIN {model} p
+          ON substr(wk.w, wk.pos + 1, len(p.piece)) = p.piece
+    ), best{s} AS MATERIALIZED (
+        SELECT w, pos, max(comb) AS comb FROM walk{s} GROUP BY w, pos
+    ), metrics{s} AS MATERIALIZED (
+        SELECT CAST(sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
+                    // {_UNI_NP_BASE}))) AS BIGINT) AS corpus_nll_micro,
+               CAST(sum(wd.c * ((-b.comb) % {_UNI_NP_BASE})) AS BIGINT)
+                   AS corpus_pieces
+        FROM best{s} b JOIN words wd ON wd.w = b.w
+        WHERE b.pos = len(b.w)
+    )"""
+    if backtrack:
+        parts += f""", {_hard_em_choice_sql(f"best{s}", model, f"choice{s}")},
+    backtrack{s} AS (
         SELECT w, len(w) AS pos FROM words
         UNION ALL
         SELECT bt.w, bt.pos - c.k
-        FROM backtrack bt JOIN choice c ON c.w = bt.w AND c.pos = bt.pos
-    ), counts AS MATERIALIZED (
+        FROM backtrack{s} bt
+        JOIN choice{s} c ON c.w = bt.w AND c.pos = bt.pos
+    ), counts{s} AS MATERIALIZED (
         SELECT c.piece, CAST(sum(wd.c) AS BIGINT) AS vcount
-        FROM backtrack bt
-        JOIN choice c ON c.w = bt.w AND c.pos = bt.pos
+        FROM backtrack{s} bt
+        JOIN choice{s} c ON c.w = bt.w AND c.pos = bt.pos
         JOIN words wd ON wd.w = bt.w
         GROUP BY c.piece
-    ), freqs2 AS MATERIALIZED (
+    )"""
+    if m_step:
+        assert backtrack, "the M-step re-estimates from the E-step counts"
+        parts += f""", freqs_h{r + 1} AS MATERIALIZED (
         SELECT s.piece, coalesce(ct.vcount, 0) + 1 AS freq
-        FROM scored s LEFT JOIN counts ct ON ct.piece = s.piece
-    ), scored2 AS MATERIALIZED (
+        FROM {model} s LEFT JOIN counts{s} ct ON ct.piece = s.piece
+    ), scored_h{r + 1} AS MATERIALIZED (
         SELECT piece, freq,
                CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
-                    / (SELECT sum(freq) FROM freqs2)), 0) AS BIGINT)
+                    / (SELECT sum(freq) FROM freqs_h{r + 1})), 0) AS BIGINT)
                    AS logp_micro
-        FROM freqs2
-    ), before_metrics AS MATERIALIZED (
-        SELECT CAST(sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
-                    // {_UNI_NP_BASE}))) AS BIGINT) AS nll_before_micro,
-               CAST(sum(wd.c * ((-b.comb) % {_UNI_NP_BASE})) AS BIGINT)
-                   AS pieces_before
-        FROM best_pos b JOIN words wd ON wd.w = b.w
-        WHERE b.pos = len(b.w)
-    ), walk2 AS (
-        SELECT w.w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words w
-        UNION
-        SELECT wk.w, wk.pos + len(s.piece),
-               wk.comb + s.logp_micro * {_UNI_NP_BASE} - 1
-        FROM walk2 wk JOIN scored2 s
-          ON substr(wk.w, wk.pos + 1, len(s.piece)) = s.piece
-    ), best2 AS MATERIALIZED (
-        SELECT w, max(comb) AS comb FROM walk2
-        WHERE pos = len(w) GROUP BY w
-    ), after_metrics AS MATERIALIZED (
-        SELECT CAST(sum(wd.c * (-((b.comb + ((-b.comb) % {_UNI_NP_BASE}))
-                    // {_UNI_NP_BASE}))) AS BIGINT) AS nll_after_micro,
-               CAST(sum(wd.c * ((-b.comb) % {_UNI_NP_BASE})) AS BIGINT)
-                   AS pieces_after
-        FROM best2 b JOIN words wd ON wd.w = b.w
-    )
+        FROM freqs_h{r + 1}
+    )"""
+    return parts
+
+
+def _unigram_hard_em_oracle() -> str:
+    """DuckDB twin of ``q_unigram_hard_em``: one full hard-EM round
+    (walk → best values → canonical choice table → recursive pointer
+    walk → weighted counts → add-one re-estimated scores) plus an
+    evaluation-only round under the re-estimated model for the
+    after-metrics — both from the shared round builder."""
+    return f"""
+    WITH RECURSIVE {_unigram_seed_ctes()}{_hard_em_round_ctes(0, "scored")}{
+        _hard_em_round_ctes(1, "scored_h1", backtrack=False, m_step=False)}
     SELECT s.piece,
            s.freq                              AS freq_seed,
            CAST(coalesce(ct.vcount, 0) AS BIGINT) AS viterbi_count,
            s.logp_micro                        AS logp_seed,
            s2.logp_micro                       AS logp_em,
-           bm.nll_before_micro,
-           bm.pieces_before,
-           am.nll_after_micro,
-           am.pieces_after
+           bm.corpus_nll_micro                 AS nll_before_micro,
+           bm.corpus_pieces                    AS pieces_before,
+           am.corpus_nll_micro                 AS nll_after_micro,
+           am.corpus_pieces                    AS pieces_after
     FROM scored s
-    LEFT JOIN counts ct ON ct.piece = s.piece
-    JOIN scored2 s2 ON s2.piece = s.piece
-    CROSS JOIN before_metrics bm
-    CROSS JOIN after_metrics am
+    LEFT JOIN counts_h0 ct ON ct.piece = s.piece
+    JOIN scored_h1 s2 ON s2.piece = s.piece
+    CROSS JOIN metrics_h0 bm
+    CROSS JOIN metrics_h1 am
     """
+
+
+def _hard_em_round(words: DataFrame, scored: DataFrame, *,
+                   m_step: bool = True):
+    """ONE hard-EM round over a weighted word table under model
+    ``scored``, shared by ``q_unigram_hard_em`` (single round with full
+    per-piece accounting) and ``q_unigram_hard_em_n`` (the chained
+    schedule) so the canonical-backtrack E-step and add-one M-step can
+    never drift between them.  Viterbi DP + canonical smallest-last-piece
+    backtrack per word (JVM folds on a broadcast piece→logp map, the
+    grid ``localCheckpoint``-ed because metrics and counts both read
+    it), weighted hard occurrence counts, and — with ``m_step`` — the
+    add-one renormalized next model.  Returns
+    ``(metrics, counts, scored2)``: a 1-row
+    ``(corpus_nll_micro, corpus_pieces)`` frame, the ``(piece, vcount)``
+    counts, and the re-estimated model (``None`` without ``m_step``)."""
+    mp_row = scored.agg(F.map_from_entries(
+        F.collect_list(F.struct("piece", "logp_micro"))).alias("mp"))
+    low = F.lit(-(2 ** 61)).cast("long")
+    ann = (
+        words.crossJoin(F.broadcast(mp_row))
+        .select("w", "c", "mp",
+                _uni_dp_best(F.col("w"), F.col("mp"), low).alias("best"))
+        .select("w", "c", "best",
+                _uni_backtrack(F.col("w"), F.col("mp"),
+                               F.col("best"), low).alias("pieces"))
+        .localCheckpoint()  # metrics and counts both read the grid
+    )
+    comb = F.element_at("best", F.length("w") + 1)
+    np_ = F.pmod(-comb, F.lit(_UNI_NP_BASE))
+    # arithmetic shift = exact integer division by the pack base (see
+    # _UNI_NP_SHIFT) — int64 end to end like the oracles' //.
+    score = F.shiftright(comb + np_, _UNI_NP_SHIFT)
+    metrics = ann.agg(
+        F.sum(F.col("c") * -score).cast("long").alias("corpus_nll_micro"),
+        F.sum(F.col("c") * np_).cast("long").alias("corpus_pieces"),
+    )
+    counts = (
+        ann.select(F.explode("pieces").alias("piece"), "c")
+        .groupBy("piece").agg(F.sum("c").cast("long").alias("vcount"))
+    )
+    if not m_step:
+        return metrics, counts, None
+    freqs2 = (
+        scored.join(counts, "piece", "left")
+        .select("piece",
+                (F.coalesce(F.col("vcount"), F.lit(0)) + 1).alias("freq"))
+    )
+    return metrics, counts, _unigram_normalize(freqs2)
 
 
 @query("q_unigram_hard_em", oracle=_unigram_hard_em_oracle())
@@ -2882,36 +2956,10 @@ def q_unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words = _unigram_words(spark, sf_dir)
     scored = _unigram_scored(words)
-    mp_row = scored.agg(F.map_from_entries(
-        F.collect_list(F.struct("piece", "logp_micro"))).alias("mp"))
-    low = F.lit(-(2 ** 61)).cast("long")
-    ann = (
-        words.crossJoin(F.broadcast(mp_row))
-        .select("w", "c", "mp",
-                _uni_dp_best(F.col("w"), F.col("mp"), low).alias("best"))
-        .select("w", "c", "best",
-                _uni_backtrack(F.col("w"), F.col("mp"),
-                               F.col("best"), low).alias("pieces"))
-        .localCheckpoint()  # before-metrics, counts both read the grid
-    )
-    comb = F.element_at("best", F.length("w") + 1)
-    np_ = F.pmod(-comb, F.lit(_UNI_NP_BASE))
-    score = (comb + np_) / _UNI_NP_BASE
-    before = ann.agg(
-        F.sum(F.col("c") * -score.cast("long")).cast("long")
-        .alias("nll_before_micro"),
-        F.sum(F.col("c") * np_).cast("long").alias("pieces_before"),
-    )
-    counts = (
-        ann.select(F.explode("pieces").alias("piece"), "c")
-        .groupBy("piece").agg(F.sum("c").cast("long").alias("vcount"))
-    )
-    freqs2 = (
-        scored.join(counts, "piece", "left")
-        .select("piece",
-                (F.coalesce(F.col("vcount"), F.lit(0)) + 1).alias("freq"))
-    )
-    scored2 = _unigram_normalize(freqs2)
+    metrics, counts, scored2 = _hard_em_round(words, scored)
+    before = metrics.select(
+        F.col("corpus_nll_micro").alias("nll_before_micro"),
+        F.col("corpus_pieces").alias("pieces_before"))
     none_excl = spark.range(1).select(F.lit("").alias("excl"))
     after = _unigram_seg(words, scored2, none_excl).agg(
         F.sum(F.col("c") * -F.col("score_micro")).cast("long")
@@ -2934,3 +2982,84 @@ def q_unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nll_before_micro", "pieces_before",
                 "nll_after_micro", "pieces_after")
     )
+
+
+#: Hard-EM schedule length: rounds that re-estimate (E + M); the trace
+#: carries one extra evaluation-only row for the final model.
+_UNI_HARD_EM_ROUNDS = 3
+
+
+def _unigram_hard_em_n_oracle(k: int = _UNI_HARD_EM_ROUNDS) -> str:
+    """DuckDB twin of ``q_unigram_hard_em_n``: ``k`` chained hard-EM
+    rounds from the shared round builder (each a full-model walk →
+    canonical choice table → pointer walk → counts → add-one
+    re-estimated model), a final evaluation round with its own backtrack
+    (for ``n_active``) but no M-step, and the trace unioned one row per
+    round."""
+    parts = [f"WITH RECURSIVE {_unigram_seed_ctes()}"]
+    selects = []
+    model = "scored"
+    for r in range(k + 1):
+        final = r == k
+        parts.append(_hard_em_round_ctes(r, model, m_step=not final))
+        selects.append(f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM {model}) AS n_pieces,
+           (SELECT CAST(count(*) AS BIGINT) FROM counts_h{r}) AS n_active,
+           corpus_nll_micro, corpus_pieces
+    FROM metrics_h{r}""")
+        model = f"scored_h{r + 1}"
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@query("q_unigram_hard_em_n", oracle=_unigram_hard_em_n_oracle())
+def q_unigram_hard_em_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED hard-EM schedule — ``_UNI_HARD_EM_ROUNDS`` rounds of
+    ``q_unigram_hard_em``'s canonical-path E-step + add-one M-step fed
+    back into each other (the ``q_unigram_em`` schedule pattern over the
+    score-re-estimating step; VERDICT r10 item 3), with a final
+    evaluation of the last model.  The output is the per-round trace a
+    hard-EM training run logs: vocabulary size (constant — hard-EM
+    re-weights, never prunes), ACTIVE piece count (pieces on at least
+    one canonical Viterbi path that round — the signal that collapses as
+    probability mass concentrates), corpus NLL, and corpus piece count,
+    each evaluated under that round's model BEFORE its M-step.  NLL
+    direction is a trace to read, not a one-sided invariant (add-one
+    smoothing redistributes mass to never-chosen pieces each round).
+
+    Determinism: every round is the exact-integer machinery of
+    ``q_unigram_hard_em`` — packed Viterbi longs, the smallest-last-
+    piece canonical backtrack, integer micro-nat rescoring — so the
+    whole schedule (paths included) replays bit-identically in DuckDB's
+    per-round choice tables + recursive pointer walks.
+
+    Scale: the corpus shuffles ONCE into the weighted distinct-word
+    table; each round is one vocab-map broadcast onto that table (DP +
+    backtrack as JVM folds, ``localCheckpoint``-ed so round r never
+    replays rounds < r), an explode + keyed aggregation for the counts,
+    and a vocab-sized renormalization.  Cost is linear in rounds; the
+    corpus is never rescanned."""
+    words = _unigram_words(spark, sf_dir)
+    vocab = _unigram_scored(words)
+    out = None
+    for r in range(_UNI_HARD_EM_ROUNDS + 1):
+        final = r == _UNI_HARD_EM_ROUNDS
+        metrics, counts, next_vocab = _hard_em_round(
+            words, vocab, m_step=not final)
+        meta = vocab.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"))
+        active = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"))
+        row = (
+            metrics.crossJoin(F.broadcast(meta))
+            .crossJoin(F.broadcast(active))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_pieces", "n_active",
+                "corpus_nll_micro", "corpus_pieces",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        if not final:
+            vocab = next_vocab
+    return out
