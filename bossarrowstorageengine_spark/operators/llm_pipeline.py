@@ -270,14 +270,18 @@ _MINHASH_P = 2_147_483_647
 #: an LSH bucket is one collect_list array in ONE task, and its pair
 #: expansion is quadratic — a boilerplate-heavy corpus (headers, legal
 #: footers, template pages) can put millions of docs behind one band
-#: signature at 100 TB.  Buckets above this many members are DROPPED
-#: from candidate generation (the standard production treatment: a
-#: bucket that hot is boilerplate, not near-duplication — the same
-#: rationale as the df_cap hot-shingle guard in _jaccard_pairs), and the
-#: cap is mirrored in every oracle CTE so the gate stays EXACT.  At the
-#: test SFs the largest real bucket is 9 docs, so 64 is behavior-
-#: preserving there while bounding the adversarial case; a production
-#: run would emit the dropped-bucket count as a metric.
+#: signature at 100 TB.  Buckets above this many members are STAR-SPLIT
+#: instead of expanded (VERDICT r10 item 4 — they used to be silently
+#: DROPPED): each member pairs with the bucket's minimum doc_id only,
+#: so candidate count is LINEAR in bucket size and the mega-cluster
+#: stays connected through its representative — exact-Jaccard verify
+#: plus connected components still collapse true boilerplate into one
+#: cluster, and nothing is silently excluded from dedup.  The split is
+#: mirrored in every oracle CTE so the gate stays EXACT.  At the test
+#: SFs the largest real bucket is 9 docs, so 64 is behavior-preserving
+#: there while bounding the adversarial case.  (The bucket's id array
+#: itself is one collect_list per signature — ~8 bytes/doc, so even a
+#: million-doc boilerplate bucket is an ~8 MB array in one task.)
 _LSH_BUCKET_CAP = 64
 
 
@@ -322,12 +326,23 @@ def _dedup_near_oracle(n_perm: int = 16) -> str:
     ), sigs AS ({sig_union}), sig_ok AS (
         SELECT sig FROM sigs GROUP BY sig
         HAVING count(*) > 1 AND count(*) <= {_LSH_BUCKET_CAP}
+    ), sig_hot AS (
+        -- star-split arm: hot buckets pair members with the bucket
+        -- minimum only (mirrors _lsh_candidate_pairs)
+        SELECT sig, min(doc_id) AS rep FROM sigs GROUP BY sig
+        HAVING count(*) > {_LSH_BUCKET_CAP}
     )
-    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
-                    CAST(b.doc_id AS BIGINT) AS doc_b
-    FROM sig_ok o
-    JOIN sigs a ON a.sig = o.sig
-    JOIN sigs b ON b.sig = o.sig AND a.doc_id < b.doc_id
+    SELECT DISTINCT CAST(doc_a AS BIGINT) AS doc_a,
+                    CAST(doc_b AS BIGINT) AS doc_b
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig_ok o
+        JOIN sigs a ON a.sig = o.sig
+        JOIN sigs b ON b.sig = o.sig AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT h.rep, s.doc_id
+        FROM sig_hot h JOIN sigs s ON s.sig = h.sig AND s.doc_id > h.rep
+    )
     """
 
 
@@ -367,23 +382,37 @@ def _lsh_candidate_pairs(bands_long: DataFrame) -> DataFrame:
     pairs with array HOFs — ONE pass over the signature pipeline and ONE
     shuffle (the groupBy), where a self-join would re-evaluate the
     scan+minhash stage for each side.  Buckets above ``_LSH_BUCKET_CAP``
-    members are DROPPED before expansion (hot-bucket guard — see the
-    constant's doc; the cap is mirrored in the q_dedup_near and
-    q_dedup_pipeline oracle CTEs).  Shared by ``q_dedup_near`` and
+    members are STAR-SPLIT instead of quadratically expanded (hot-bucket
+    guard — see the constant's doc): each member pairs with the bucket's
+    minimum doc_id only, linear in bucket size, so a boilerplate
+    mega-cluster still reaches the verify + connected-components stages
+    (the representative connects it) instead of silently vanishing from
+    dedup (VERDICT r10 item 4 — the old cap DROPPED such buckets with no
+    signal).  Both arms are mirrored in the q_dedup_near and
+    q_dedup_pipeline/apply oracle CTEs.  Shared by ``q_dedup_near`` and
     ``_pipeline_edges``; returns distinct ``(doc_a, doc_b)``."""
     buckets = (
         bands_long.groupBy("sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP))
+        .filter(F.size("ids") > 1)
     )
     ids = F.col("ids")
-    pair_structs = F.flatten(F.transform(
+    all_pairs = F.flatten(F.transform(
         ids,
         lambda x, i: F.transform(
             F.slice(ids, i + 2, F.size(ids)),
             lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
         ),
     ))
+    # ids is sorted, so element 1 is the bucket minimum and every star
+    # pair is already (doc_a < doc_b); size > 1 guards the element_at.
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"),
+                           y.alias("doc_b")),
+    )
+    pair_structs = F.when(
+        F.size(ids) <= _LSH_BUCKET_CAP, all_pairs).otherwise(star_pairs)
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"),
@@ -405,8 +434,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the sketch is EXACT-checkable (same md5 trick as
     ``q_dedup_simhash``).  At scale each stage is a bounded shuffle
     (doc_id or bucket key); no all-pairs step ever materializes, and
-    buckets hotter than ``_LSH_BUCKET_CAP`` are dropped before the
-    quadratic expansion (mirrored in the oracle).
+    buckets hotter than ``_LSH_BUCKET_CAP`` are star-split against their
+    minimum-id representative instead of quadratically expanded
+    (mirrored in the oracle).
     """
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
@@ -424,9 +454,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys instead of 2·n_bands re-evaluations of the minhash pipeline.
     bands_long = _band_signatures(mh, n_perm, n_bands)
     # Capped bucket expansion (shared helper): typical LSH buckets are a
-    # handful of docs, and the _LSH_BUCKET_CAP guard drops the
-    # boilerplate-hot outliers so the per-bucket quadratic expansion is
-    # bounded at corpus scale.
+    # handful of docs, and the _LSH_BUCKET_CAP guard star-splits the
+    # boilerplate-hot outliers so the per-bucket expansion stays bounded
+    # (linear) at corpus scale while mega-clusters remain connected.
     return _lsh_candidate_pairs(bands_long)
 
 
@@ -3027,11 +3057,22 @@ def _dedup_pipeline_ctes() -> str:
         SELECT sig FROM sigs GROUP BY sig
         HAVING count(*) > 1 AND count(*) <= {_LSH_BUCKET_CAP}
     ),
+    sig_hot AS (
+        -- star-split arm: hot buckets pair members with the bucket
+        -- minimum only (mirrors _lsh_candidate_pairs)
+        SELECT sig, min(doc_id) AS rep FROM sigs GROUP BY sig
+        HAVING count(*) > {_LSH_BUCKET_CAP}
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig_ok o
-        JOIN sigs a ON a.sig = o.sig
-        JOIN sigs b ON b.sig = o.sig AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig_ok o
+            JOIN sigs a ON a.sig = o.sig
+            JOIN sigs b ON b.sig = o.sig AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT h.rep, s.doc_id
+            FROM sig_hot h JOIN sigs s ON s.sig = h.sig AND s.doc_id > h.rep
+        )
     ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common

@@ -73,13 +73,14 @@ def test_dedup_pipeline_verify_rejects_lsh_false_positives(spark):
         "the ACTUAL edge count)")
 
 
-def test_lsh_hot_bucket_cap_drops_boilerplate_bucket(spark):
-    """Adversarial all-identical corpus (round-9 verdict finding 2): N
-    identical documents put every doc behind ONE band signature per
-    band; above _LSH_BUCKET_CAP that bucket must be DROPPED — quadratic
-    expansion of a boilerplate-hot bucket is the one place the dedup
-    pipeline used to trust data distribution.  Small duplicate groups
-    (under the cap) must still pair normally."""
+def test_lsh_hot_bucket_cap_star_splits_boilerplate_bucket(spark):
+    """Adversarial all-identical corpus (round-9 verdict finding 2,
+    round-10 verdict item 4): N identical documents put every doc behind
+    ONE band signature per band; above _LSH_BUCKET_CAP that bucket must
+    be STAR-SPLIT — every member pairs with the bucket minimum only
+    (linear, not quadratic), so the mega-cluster still reaches verify +
+    connected components instead of silently vanishing from dedup.
+    Small duplicate groups (under the cap) must still pair normally."""
     from pyspark.sql import functions as F
 
     from bossarrowstorageengine_spark.operators.llm_pipeline import (
@@ -99,11 +100,15 @@ def test_lsh_hot_bucket_cap_drops_boilerplate_bucket(spark):
         bl = _band_signatures(_minhash_table(docs, 16), 16, 4)
         return _lsh_candidate_pairs(bl)
 
-    assert cands(hot).count() == 0, (
-        "hot bucket above the cap must produce NO candidate pairs")
-    # the full pipeline front-end sees the same guard
+    got = {(r.doc_a, r.doc_b) for r in cands(hot).collect()}
+    assert got == {(0, i) for i in range(1, n_hot)}, (
+        "hot bucket above the cap must produce exactly the star pairs "
+        "(min-id representative × every other member)")
+    # the full pipeline front-end sees the same star pairs, verifies
+    # them (identical docs: Jaccard 1 >= tau), and CC collapses the
+    # whole mega-cluster into ONE component through the representative
     pc, pe = _pipeline_edges(hot)
-    assert pc.count() == 0 and pe.count() == 0
+    assert pc.count() == n_hot - 1 and pe.count() == n_hot - 1
 
     # a small duplicate group (below the cap) still pairs: recall intact
     small = spark.createDataFrame(
