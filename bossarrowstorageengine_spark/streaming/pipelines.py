@@ -154,9 +154,12 @@ def session_gap_annotate(events: DataFrame) -> DataFrame:
     tie group must land within one micro-batch (the batch RANGE frame
     counts the WHOLE tie group for every member, so a tie split across
     batches would be unknowable at emission time; micro-batch rows are
-    sorted internally).  An out-of-order deployment needs a
-    watermark+reorder buffer in front, the same contract as
-    ``q_dedup_incremental``'s index probe.
+    sorted internally).  The contract is ENFORCED, not assumed: a batch
+    opening at or before a key's last emitted timestamp raises a
+    ``ValueError`` naming the violation (tie-group split vs out-of-order)
+    instead of silently emitting diverging burst counts.  An
+    out-of-order deployment needs a watermark+reorder buffer in front,
+    the same contract as ``q_dedup_incremental``'s index probe.
 
     Batch mode delegates to the window implementation
     (``operators.event_time._session_gap_annotate``) — the equivalence
@@ -194,6 +197,24 @@ def session_gap_annotate(events: DataFrame) -> DataFrame:
             # normalize to integer µs regardless of the Arrow unit, then
             # process in deterministic (ts, event_id) order
             ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            # Contract ENFORCEMENT (VERDICT r10 item 5): the input
+            # contract below (per-user event-time order across batches,
+            # tie groups never split) used to be assumed — a violating
+            # source silently emitted burst counts diverging from the
+            # batch twin.  State already holds the last emitted ts, so a
+            # violation is one comparison: fail loudly instead.
+            mn = int(ts_us.min())
+            if last_ts is not None and mn <= last_ts:
+                kind = ("same-microsecond tie group split across "
+                        "micro-batches" if mn == last_ts else
+                        "out-of-order arrival across micro-batches")
+                raise ValueError(
+                    f"session_gap_annotate contract violation for "
+                    f"user_id={key[0]}: batch opens at ts_us={mn} <= "
+                    f"last emitted ts_us={last_ts} ({kind}); emitted "
+                    "gap/burst columns would silently diverge from the "
+                    "batch twin - add a watermark+reorder buffer "
+                    "upstream of this operator")
             order = sorted(range(len(pdf)),
                            key=lambda i: (ts_us[i], int(pdf["event_id"].iloc[i])))
             from collections import Counter

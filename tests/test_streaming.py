@@ -908,6 +908,38 @@ def test_stream_session_gap_real_events_two_batches(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("second_ts, kind", [
+    ("2024-01-01 00:04:00", "tie group split"),       # == last emitted ts
+    ("2024-01-01 00:03:00", "out-of-order arrival"),  # < last emitted ts
+])
+def test_stream_session_gap_contract_violation_fails_loudly(
+        spark, second_ts, kind):
+    """A source that splits a same-microsecond tie group across
+    micro-batches (or delivers out of order) must FAIL the query with a
+    violation naming the cause — not silently emit burst counts that
+    diverge from the batch twin (VERDICT r10 item 5: the contract used
+    to be documented but unenforced)."""
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        session_gap_annotate,
+    )
+
+    h = FileStreamHarness(spark, session_gap_annotate, mode="update")
+    try:
+        h.push([_ev(1, "2024-01-01 00:00:00", user=1),
+                _ev(2, "2024-01-01 00:04:00", user=1)])
+        out = h.step().toPandas()
+        assert sorted(out["event_id"]) == [1, 2]
+        h.push([_ev(3, second_ts, user=1)])
+        with pytest.raises(Exception) as ei:
+            h.step()
+            h.query.awaitTermination(30)
+        msg = str(ei.value)
+        assert "contract violation" in msg and kind in msg
+    finally:
+        h.stop()
+
+
+@pytest.mark.slow
 def test_stream_session_gap_multi_chunk_group(spark):
     """A user whose micro-batch rows span SEVERAL Arrow chunks (group
     larger than arrow.maxRecordsPerBatch) must still be processed as one
