@@ -1143,14 +1143,21 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, per lang (the maintenance invariant every materialized
     view / incremental pipeline contract rests on).
 
-    Feed layout: partitioned by ``commit_seq``, so a consumer applying
-    only the newest commit prunes to its directory at planning time —
-    the O(changes) consumption pattern that makes CDC cheaper than
+    Feed layout: partitioned by ``commit_seq``, so a consumer prunes to
+    exactly the commit directories it needs at planning time — the
+    O(changes) consumption pattern that makes CDC cheaper than
     re-aggregation at 100 TB (the source is scanned once for the base;
     each refresh reads only mutation-sized feed partitions).
 
-    Scale: diffs shuffle on the narrow key (the producer's shape); the
-    consumer side is feed-partition scans + per-lang aggregates +
+    Scale + local floor (VERDICT r10 item 2): the mutation history is
+    applied FIRST, then both commits' diffs land in ONE feed write job
+    (a union with per-diff ``commit_seq`` literals — same partition
+    directories as two appends, one job instead of two), the three
+    version snapshots are cached because each feeds two consumers (diff
+    side + base/verify aggregate), and the consumer reads the feed ONCE
+    with per-commit conditional aggregation instead of one pruned scan
+    per commit.  Diffs shuffle on the narrow key (the producer's shape);
+    the consumer side is feed-partition scans + per-lang aggregates +
     broadcast-sized join against the base state.  The oracle re-derives
     every intermediate state from the mutation predicates, so the hash
     pins the whole maintenance chain, not just the final counts."""
@@ -1169,6 +1176,12 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_arrowipc,
     )
 
+    update_arrowipc(spark, src, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"], schema=d.schema)
+    delete_arrowipc(spark, src, _TTDIFF_DELETE_PRED, compression="lz4",
+                    predicate_columns=["lang", "n_chars"], schema=d.schema)
+
     hist_schema = "doc_id long, lang string, n_chars long"
 
     def _snap(version: str | None) -> DataFrame:
@@ -1176,14 +1189,19 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "columns", "doc_id,lang,n_chars").schema(hist_schema)
         r = (r.option("version", version) if version
              else r.option("snapshots", "true"))
-        return r.load(src)
+        # each snapshot is read twice (diff side + base/verify
+        # aggregate); the cache materializes on first use inside the
+        # feed-write job and the consumer reuses it
+        return r.load(src).cache()
 
-    def _commit_changes(pre: DataFrame, post: DataFrame, seq: int) -> None:
+    v1, v2, v3 = _snap("1"), _snap("2"), _snap(None)
+
+    def _changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
         # lang from WHICHEVER side has the row: an insert change has no
         # pre-image, so a pre-only lang would write NULL and the insert
         # would never join the consumer's per-lang state (this history
         # has no inserts, but the consumer's insert arm must be real).
-        changes = _classify_version_diff(
+        return _classify_version_diff(
             pre.select("doc_id", F.col("lang").alias("lang_pre"),
                        F.col("n_chars").alias("chars_pre")),
             post.select("doc_id", F.col("lang").alias("lang_post"),
@@ -1193,42 +1211,39 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("lang_pre", "lang_post").alias("lang"),
             "change", "delta",
             F.lit(seq).cast("long").alias("commit_seq"))
-        (changes
-         .write.format("arrowipc").option("partitionBy", "commit_seq")
-         .option("snapshots", "true").option("compression", "lz4")
-         .mode("append").save(feed))
 
-    update_arrowipc(spark, src, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
-                    compression="lz4",
-                    predicate_columns=["lang", "n_chars"], schema=d.schema)
-    _commit_changes(_snap("1"), _snap("2"), 1)
-    delete_arrowipc(spark, src, _TTDIFF_DELETE_PRED, compression="lz4",
-                    predicate_columns=["lang", "n_chars"], schema=d.schema)
-    _commit_changes(_snap("2"), _snap(None), 2)
+    (_changes(v1, v2, 1).unionByName(_changes(v2, v3, 2))
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
 
-    # Consumer: base state once, then per-commit delta application.  The
-    # feed read prunes to one commit_seq directory at planning time.
-    base = _snap("1").groupBy("lang").agg(
+    # Consumer: base state once, then per-commit delta application from
+    # ONE partition-pruned feed scan (conditional per-commit sums).
+    base = v1.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_base"),
         F.sum("n_chars").cast("long").alias("chars_base"))
 
-    def _increments(seq: int) -> DataFrame:
-        rows = (spark.read.format("arrowipc")
-                .option("snapshots", "true")
-                .option("columns", "lang,change,delta,commit_seq")
-                .schema("lang string, change string, delta long, "
-                        "commit_seq long")
-                .load(feed).filter(F.col("commit_seq") == seq))
-        return rows.groupBy("lang").agg(
-            (F.sum((F.col("change") == "insert").cast("long"))
-             - F.sum((F.col("change") == "delete").cast("long")))
-            .cast("long").alias(f"docs_delta_c{seq}"),
-            F.sum("delta").cast("long").alias(f"chars_delta_c{seq}"))
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "lang,change,delta,commit_seq")
+                 .schema("lang string, change string, delta long, "
+                         "commit_seq long")
+                 .load(feed).filter(F.col("commit_seq").isin(1, 2)))
 
-    state = (base.join(_increments(1), "lang", "left")
-             .join(_increments(2), "lang", "left")
-             .na.fill(0))
-    direct = _snap(None).groupBy("lang").agg(
+    def _inc(seq: int) -> list:
+        on = F.col("commit_seq") == seq
+        return [
+            F.sum(F.when(on, (F.col("change") == "insert").cast("long")
+                         - (F.col("change") == "delete").cast("long"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias(f"docs_delta_c{seq}"),
+            F.sum(F.when(on, F.col("delta")).otherwise(F.lit(0)))
+            .cast("long").alias(f"chars_delta_c{seq}"),
+        ]
+
+    incs = feed_rows.groupBy("lang").agg(*_inc(1), *_inc(2))
+    state = base.join(incs, "lang", "left").na.fill(0)
+    direct = v3.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_direct"),
         F.sum("n_chars").cast("long").alias("chars_direct"))
     docs_final = (F.col("docs_base") + F.col("docs_delta_c1")
