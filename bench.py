@@ -60,6 +60,9 @@ HEADLINE = [
     "q_unigram_em",
     "q_dedup_chunk_apply",
     "q_win_session_gap",
+    # Round-11 flagship addition (the 25 keys above keep their order
+    # for comparability with BENCH_r01..r10).
+    "q_unigram_hard_em_n",
 ]
 
 
