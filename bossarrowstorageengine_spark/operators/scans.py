@@ -1133,7 +1133,9 @@ def q_storage_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CHANGEFEED CONSUMER — closes the CDC loop the feed
     producer (``q_storage_changefeed``) opened: the 3-version mutation
-    history lands as TWO feed commits on one snapshotted feed table
+    history lands as TWO logical feed commits — ``commit_seq`` partition
+    directories, batched into ONE write job (and therefore one feed
+    manifest version) since round 11 — on one snapshotted feed table
     (commit 1 = the v1→v2 UPDATE's changes, commit 2 = the v2→v3
     DELETE's), and a downstream per-lang aggregate is maintained
     INCREMENTALLY — base state from the v1 snapshot, then each commit's

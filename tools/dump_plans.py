@@ -97,7 +97,9 @@ def main() -> None:
              # round 10: unigram EM schedule, chunk-grain apply,
              # session-gap window
              "q_unigram_em", "q_dedup_chunk_apply", "q_win_session_gap",
-             "q_changefeed_consume", "q_unigram_hard_em"]
+             "q_changefeed_consume", "q_unigram_hard_em",
+             # round 11: chained hard-EM schedule
+             "q_unigram_hard_em_n"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

@@ -91,6 +91,8 @@ KEYS = [
     "q_win_session_gap",
     "q_changefeed_consume",
     "q_unigram_hard_em",
+    # Round-11 addition.
+    "q_unigram_hard_em_n",
 ]
 
 
