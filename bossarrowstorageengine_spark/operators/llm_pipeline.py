@@ -910,6 +910,104 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiprobe_buckets_sql(n_planes: int) -> str:
+    """DuckDB list literal of the multi-probe bucket sequence: the home
+    bucket plus every Hamming-distance-1 neighbor (one sign bit
+    flipped)."""
+    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes))
+    return f"[bucket, {flips}]"
+
+
+_ANN_LSH_MULTIPROBE_ORACLE = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql(8)}) AS bucket
+        FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
+        FROM sig WHERE vec_id IN (0, 1, 2)
+    ), pb AS (
+        SELECT probe_id, probe_emb,
+               unnest({_multiprobe_buckets_sql(8)}) AS bucket
+        FROM probes
+    ), scored AS (
+        SELECT p.probe_id, s.vec_id,
+               (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(p.probe_emb[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim
+        FROM sig s JOIN pb p ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(vec_id  AS BIGINT) AS vec_id,
+           round(cos_sim, 6)       AS cos_sim,
+           CAST(rn AS BIGINT)      AS rn
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("q_ann_lsh_multiprobe", oracle=_ANN_LSH_MULTIPROBE_ORACLE)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH approximate nearest neighbors (SURVEY §7 round-12
+    runway item 1): each probe scans its home bucket PLUS every bucket at
+    Hamming distance 1 in the 8-bit sign signature (one hyperplane sign
+    flipped — the buckets a near-neighbor most likely landed in when it
+    straddles one hyperplane).  The standard multi-probe trade: ~9× the
+    candidates of ``q_ann_lsh`` from ONE table, where classic recall
+    recovery needs ~9 independent hash tables (9× index storage and
+    build).  The probe sequence is deterministic (bit flips of an exact
+    integer signature), so the whole pipeline stays EXACT-checkable; the
+    candidate set is a strict superset of single-probe's, so recall@k
+    can only improve (behaviorally asserted vs brute-force cosine in
+    pytest).
+
+    Scale: bucket assignment is map-only (same signature fold as
+    ``q_ann_lsh``); the probe×bucket expansion is broadcast-sized
+    (|probes| × 9 rows); candidate scoring stays confined to 9/2^8 of
+    the corpus per probe instead of all-pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
+    probes = bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        "bucket",
+    )
+    # home + 8 single-bit flips: 9 DISTINCT bucket ids per probe, and
+    # every vector lives in exactly one bucket, so the join below yields
+    # each (probe, candidate) pair at most once — no dedup needed.
+    probe_buckets = probes.select(
+        "probe_id", "probe_emb",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+              for p in range(8)],
+        )).alias("bucket"),
+    )
+    cands = bucketed.join(F.broadcast(probe_buckets), "bucket").filter(
+        F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    return (
+        cands.withColumn(
+            "cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("probe_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 #: IVF parameters: k inverted lists, nprobe lists scanned per probe, Lloyd
 #: refinement passes.  _IVF_MICRO is the fixed-point scale: embeddings are
 #: quantized to integer micro-units so every training aggregation is an

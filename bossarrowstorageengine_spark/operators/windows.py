@@ -335,3 +335,83 @@ def q_win_ratio_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "q_win_salted",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT)  AS doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars)
+                AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+                AS BIGINT) AS drnk,
+           CAST((1000 * count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                // (count(*) OVER (PARTITION BY lang)) AS BIGINT)
+               AS cume_permille
+    FROM documents
+    """,
+)
+def q_win_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-SAFE windowed rank over a deliberately HOT partition key
+    (SURVEY §7 round-12 runway item 4): per-``lang`` rank / dense_rank /
+    cumulative-permille of every document by ``n_chars``.  ``lang`` has a
+    handful of distinct values, so the naive
+    ``Window.partitionBy("lang")`` serializes the whole corpus into a
+    handful of tasks — the windowed twin of the condition
+    ``q_agg_salted`` fixes for aggregation.
+
+    Decomposition: rank(v) = 1 + count of rows with a smaller value,
+    dense_rank(v) = ordinal of v among the key's DISTINCT values, and
+    cume(v) = running count through v's full tie group — all functions
+    of the per-(lang, value) COUNT TABLE, not of row order.  So phase 1
+    aggregates by (lang, n_chars) — the VALUE spreads the hot key across
+    the cluster, doing the job an explicit salt column does for
+    q_agg_salted but exactly (a literal per-salt local rank cannot be
+    offset-merged; per-value counts can) — phase 2 runs the window over
+    that value-cardinality-bounded table, and phase 3 broadcast-joins
+    the rank columns back to the corpus.  No task ever sees more than
+    one (lang, value) group's rows in phase 1, and the only window runs
+    over the distinct-value table.
+
+    cume is integer permille ((1000·running) div total) so the division
+    replays exactly in both engines (§8.8).
+
+    Scale: phase 1 is one map-side-combinable shuffle on (lang, value);
+    the window input is |distinct values per lang| rows (bounded by the
+    value domain, independent of corpus size); the join back is
+    broadcast.  The oracle is the NAIVE single-window SQL — same answer
+    by the rank/count identities above.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    counts = d.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wv = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    offs = counts.select(
+        "lang", "n_chars",
+        (F.coalesce(
+            F.sum("cnt").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)) + 1).cast("long").alias("rnk"),
+        F.row_number().over(wv).cast("long").alias("drnk"),
+        F.sum("cnt").over(
+            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running"),
+        F.sum("cnt").over(w_all).alias("total"),
+    ).withColumn(
+        "cume_permille",
+        F.expr("(1000 * running) div total").cast("long"),
+    ).drop("running", "total")
+    return (
+        d.join(F.broadcast(offs), ["lang", "n_chars"])
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "rnk", "drnk", "cume_permille",
+        )
+    )

@@ -119,6 +119,90 @@ def test_unigram_hard_em_n_matches_python_reference(spark):
     assert all(r.n_active <= r.n_pieces for r in rows.values())
 
 
+def test_ann_lsh_multiprobe_dominates_single_probe(spark):
+    """q_ann_lsh_multiprobe's candidate set is a strict superset of
+    q_ann_lsh's (home bucket + 8 Hamming-1 buckets vs home only), so per
+    (probe, rank) its rounded cosine can only be >= single-probe's, and
+    its recall@3 against the brute-force cosine ground truth can only be
+    >= — the oracle hash pins determinism, these assertions pin that
+    multi-probe actually BUYS something (the r6 lesson: oracle equality
+    is not algorithm sanity)."""
+    import duckdb
+    import numpy as np
+
+    single = {(r.probe_id, r.rn): (r.cos_sim, r.vec_id)
+              for r in QUERIES["q_ann_lsh"](spark, SF).collect()}
+    multi = {(r.probe_id, r.rn): (r.cos_sim, r.vec_id)
+             for r in QUERIES["q_ann_lsh_multiprobe"](spark, SF).collect()}
+
+    # superset => at every filled single-probe rank, multi-probe's score
+    # at that rank is at least as good, and the rank is filled
+    assert multi  # three probes exist in every SF
+    for key, (score, _vid) in single.items():
+        assert key in multi, key
+        assert multi[key][0] >= score, key
+    assert len(multi) >= len(single)
+
+    # brute-force rounded-cosine ground truth (same total order as the
+    # engines: round(cos, 6) DESC, vec_id ASC, self excluded)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding "
+        f"FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def brute_top3(pid):
+        sims = mat @ mat[ids.index(pid)]
+        order = sorted(
+            ((round(float(s), 6), i) for i, s in zip(ids, sims)
+             if i != pid),
+            key=lambda t: (-t[0], t[1]))
+        return {i for _s, i in order[:3]}
+
+    for pid in (0, 1, 2):
+        truth = brute_top3(pid)
+        got_s = {v for (p, _rn), (_s, v) in single.items() if p == pid}
+        got_m = {v for (p, _rn), (_s, v) in multi.items() if p == pid}
+        assert len(got_m & truth) >= len(got_s & truth), pid
+
+
+def test_win_salted_matches_naive_window(spark):
+    """q_win_salted's two-phase value-grain decomposition must equal the
+    naive single-window rank/dense_rank/cume on the same frame (the
+    identity the oracle also checks, asserted here engine-side so a
+    decomposition bug can't hide behind an oracle that replays it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.catalog import load_table
+
+    got = {r.doc_id: (r.rnk, r.drnk, r.cume_permille)
+           for r in QUERIES["q_win_salted"](spark, SF).collect()}
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    naive = d.select(
+        "doc_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.expr("1000 * count(*) OVER (PARTITION BY lang ORDER BY n_chars "
+               "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        .cast("long").alias("run1000"),
+        F.expr("count(*) OVER (PARTITION BY lang)").alias("tot"),
+    ).withColumn("cume_permille", F.expr("run1000 div tot").cast("long"))
+    want = {r.doc_id: (r.rnk, r.drnk, r.cume_permille)
+            for r in naive.collect()}
+    assert got == want
+    # and the plan must NOT window over the raw corpus: the only Window
+    # input is the value-grain aggregate (HashAggregate below Window)
+    plan = (QUERIES["q_win_salted"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+
+
 def test_lss_flag_mode_returns_one_row_per_node(spark):
     """_cc_large_small_star with strict=False and a round budget too
     small to converge must still honor the (node, label) one-row-per-node

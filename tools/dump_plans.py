@@ -98,8 +98,9 @@ def main() -> None:
              # session-gap window
              "q_unigram_em", "q_dedup_chunk_apply", "q_win_session_gap",
              "q_changefeed_consume", "q_unigram_hard_em",
-             # round 11: chained hard-EM schedule
-             "q_unigram_hard_em_n"]
+             # round 11: chained hard-EM schedule, multi-probe LSH,
+             # skew-safe hot-key window
+             "q_unigram_hard_em_n", "q_ann_lsh_multiprobe", "q_win_salted"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

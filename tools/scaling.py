@@ -91,8 +91,10 @@ KEYS = [
     "q_win_session_gap",
     "q_changefeed_consume",
     "q_unigram_hard_em",
-    # Round-11 addition.
+    # Round-11 additions.
     "q_unigram_hard_em_n",
+    "q_ann_lsh_multiprobe",
+    "q_win_salted",
 ]
 
 
