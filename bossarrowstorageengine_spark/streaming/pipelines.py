@@ -257,6 +257,128 @@ def session_gap_annotate(events: DataFrame) -> DataFrame:
     )
 
 
+#: State schema for the reordering face: the annotation state plus the
+#: per-user (ts_us, event_id) reorder buffer.
+_SGAP_REORDER_STATE_SCHEMA = (
+    "last_ts long, session_seq long, pos long, recent array<long>, "
+    "buf_ts array<long>, buf_id array<long>"
+)
+
+
+def session_gap_annotate_reordered(events: DataFrame,
+                                   delay_seconds: int = 600) -> DataFrame:
+    """``session_gap_annotate`` for UNORDERED sources (SURVEY §7
+    round-12 runway item 5): a watermark-bounded per-user reorder buffer
+    fused with the annotation state, so the ordering/tie-group contract
+    the bare operator ENFORCES is satisfied by construction.  Incoming
+    events buffer in state; once the event-time watermark
+    (``max event time − delay_seconds``) passes an event's timestamp, no
+    earlier row can still arrive, so every buffered row at or below the
+    watermark is released in ``(ts, event_id)`` order through the exact
+    annotation logic of the ordered face — and a same-µs tie group is
+    complete at release time for the same reason, restoring the RANGE
+    burst parity.  Events later than the watermark bound are dropped at
+    arrival (standard watermark semantics, the ``q_stream_late``
+    policy); emission therefore lags the source by up to
+    ``delay_seconds`` of event time — the classic latency-for-
+    completeness watermark trade.
+
+    Fused rather than chained: Spark restricts stateful-over-stateful
+    composition to append-mode pipelines, and the annotation face emits
+    in update mode, so the buffer and the annotator share ONE
+    ``applyInPandasWithState`` state row per user (buffer arrays +
+    annotation tuple).  An event-time timeout set to the earliest
+    buffered timestamp flushes users that stop receiving batches.
+
+    State per user stays bounded: the buffer holds at most
+    ``delay_seconds`` of that user's event time; the annotation tuple is
+    the ordered face's.  Batch mode delegates to the window
+    implementation (a batch sort IS the reorder buffer).
+    """
+    if not events.isStreaming:
+        from bossarrowstorageengine_spark.operators.event_time import (
+            _session_gap_annotate,
+        )
+
+        return _session_gap_annotate(
+            events.select("event_id", "user_id", "ts")).select(
+            "event_id", "user_id", "gap_ms", "session_seq",
+            "pos_in_session", "n_burst_5min")
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def annotate_reordered(key, pdf_iter, state: GroupState):
+        last_ts, seq, pos, recent, buf_ts, buf_id = (
+            state.get if state.exists else (None, 0, 0, [], [], []))
+        recent, buf = list(recent), list(zip(buf_ts, buf_id))
+        # ONE frame per group (Arrow chunk order is arbitrary — same
+        # rationale as the ordered face).
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            for t, eid in zip(ts_us, pdf["event_id"]):
+                t = int(t)
+                # later than the watermark bound (an earlier-or-equal
+                # row after its tie group was released): DROP, per
+                # watermark semantics — never silently mis-annotate.
+                if last_ts is not None and t <= last_ts:
+                    continue
+                buf.append((t, int(eid)))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        release = [b for b in buf if b[0] <= wm_us]
+        buf = [b for b in buf if b[0] > wm_us]
+        out: dict[str, list] = {c: [] for c in (
+            "event_id", "user_id", "gap_ms", "session_seq",
+            "pos_in_session", "n_burst_5min")}
+        from collections import Counter
+
+        tie_total = Counter(t for t, _ in release)
+        tie_seen: Counter = Counter()
+        for t, eid in release:
+            gap = None if last_ts is None else t - last_ts
+            if gap is None or gap > _SGAP_GAP_US:
+                seq += 1
+                pos = 1
+            else:
+                pos += 1
+            recent = [r for r in recent if r >= t - _SGAP_BURST_US]
+            recent.append(t)
+            tie_seen[t] += 1
+            out["event_id"].append(eid)
+            out["user_id"].append(key[0])
+            out["gap_ms"].append(None if gap is None else gap // 1000)
+            out["session_seq"].append(seq)
+            out["pos_in_session"].append(pos)
+            out["n_burst_5min"].append(
+                len(recent) + tie_total[t] - tie_seen[t])
+            last_ts = t
+        state.update((last_ts, seq, pos, recent,
+                      [t for t, _ in buf], [e for _, e in buf]))
+        if buf:
+            # flush even if this user never sees another batch: fire
+            # when the watermark passes the earliest buffered event
+            # (strictly above the current watermark, else it would have
+            # been released this invocation).
+            state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+        yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", f"{delay_seconds} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            annotate_reordered,
+            outputStructType=_SGAP_OUT_SCHEMA,
+            stateStructType=_SGAP_REORDER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 #: Output schema for ``user_event_profile`` (transformWithStateInPandas).
 _PROFILE_OUT_SCHEMA = (
     "user_id long, n_events long, total_value double, "

@@ -908,6 +908,72 @@ def test_stream_session_gap_real_events_two_batches(spark):
 
 
 @pytest.mark.slow
+def test_stream_session_gap_reordered_matches_batch_twin(spark):
+    """session_gap_annotate_reordered must produce the batch twin's exact
+    annotations from a stream delivered OUT of event-time order across
+    micro-batches (including a same-µs tie group split across batches) —
+    the delivery the bare operator correctly REJECTS.  The watermark
+    (120 s here — the disorder must stay within it, or Spark's own
+    late-row filter drops the event before the buffer sees it) bounds
+    the disorder; sentinel far-future events advance
+    it so every real event is released, and the sentinel user itself
+    stays buffered (never emitted)."""
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        session_gap_annotate_reordered,
+    )
+
+    real = [
+        _ev(1, "2024-01-01 00:00:00", user=1),
+        _ev(2, "2024-01-01 00:00:30", user=1),
+        # same-timestamp tie group, SPLIT across batches below
+        _ev(3, "2024-01-01 00:02:00", user=1),
+        _ev(4, "2024-01-01 00:02:00", user=1),
+        _ev(5, "2024-01-01 00:03:00", user=1),
+        _ev(6, "2024-01-01 00:00:10", user=2),
+    ]
+    h = FileStreamHarness(
+        spark, lambda df: session_gap_annotate_reordered(df, 120),
+        mode="update")
+    try:
+        import pandas as pd
+
+        # out-of-order delivery: a later event first, the tie group split
+        h.push([real[2], real[0]])
+        h.step()
+        h.push([real[1], real[3], real[5]])
+        h.step()
+        h.push([real[4]])
+        h.step()
+        # two sentinel batches: the first advances the watermark past
+        # every real event, the second triggers the event-time timeouts
+        # that flush users absent from it
+        h.push([_ev(100, "2024-01-01 00:10:00", user=999)])
+        h.step()
+        h.push([_ev(101, "2024-01-01 00:11:00", user=999)])
+        streamed = h.step().toPandas()
+        streamed = streamed[streamed["user_id"] != 999]
+        assert sorted(streamed["event_id"]) == [1, 2, 3, 4, 5, 6]
+
+        batch = spark.createDataFrame(
+            [(r["event_id"], r["user_id"], r["ts"]) for r in real],
+            "event_id long, user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        want = {r.event_id: (r.gap_ms, r.session_seq, r.pos_in_session,
+                             r.n_burst_5min)
+                for r in session_gap_annotate_reordered(batch).collect()}
+        got = {int(r.event_id): (
+                   None if pd.isna(r.gap_ms) else int(r.gap_ms),
+                   int(r.session_seq), int(r.pos_in_session),
+                   int(r.n_burst_5min))
+               for r in streamed.itertuples()}
+        assert got == want
+        # the split tie group sees the FULL group count on both members
+        assert got[3][3] == got[4][3]
+    finally:
+        h.stop()
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("second_ts, kind", [
     ("2024-01-01 00:04:00", "tie group split"),       # == last emitted ts
     ("2024-01-01 00:03:00", "out-of-order arrival"),  # < last emitted ts
