@@ -1008,6 +1008,153 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_report_oracle() -> str:
+    """DuckDB twin of ``q_ann_recall_report``: one CTE per method's
+    candidate set (the same sig/bucket arithmetic as the ANN keys),
+    brute-force top-3 as ground truth, per-(method, probe) candidate
+    count + hit count."""
+    cos = """
+               (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(p.probe_emb[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim"""
+    per_method = []
+    selects = []
+    for m, src in (("brute", "brute"), ("lsh", "lshc"),
+                   ("lsh_multiprobe", "multic")):
+        per_method.append(f""", {m}_top AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+            FROM {src}
+        ) WHERE rn <= 3
+    ), {m}_cnt AS (
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM {src} GROUP BY probe_id
+    ), {m}_hit AS (
+        SELECT t.probe_id, CAST(count(*) AS BIGINT) AS hits
+        FROM {m}_top t JOIN truth u USING (probe_id, vec_id)
+        GROUP BY t.probe_id
+    )""")
+        selects.append(f"""
+    SELECT '{m}' AS method, CAST(c.probe_id AS BIGINT) AS probe_id,
+           c.n_candidates, coalesce(h.hits, 0) AS hits
+    FROM {m}_cnt c LEFT JOIN {m}_hit h USING (probe_id)""")
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql(8)}) AS bucket
+        FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
+        FROM sig WHERE vec_id IN (0, 1, 2)
+    ), pb AS (
+        SELECT probe_id, probe_emb,
+               unnest({_multiprobe_buckets_sql(8)}) AS bucket
+        FROM probes
+    ), brute AS (
+        SELECT p.probe_id, s.vec_id,{cos}
+        FROM sig s CROSS JOIN probes p
+        WHERE s.vec_id <> p.probe_id
+    ), lshc AS (
+        SELECT p.probe_id, s.vec_id,{cos}
+        FROM sig s JOIN probes p
+          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), multic AS (
+        SELECT p.probe_id, s.vec_id,{cos}
+        FROM sig s JOIN pb p
+          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), truth AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+            FROM brute
+        ) WHERE rn <= 3
+    ){''.join(per_method)}
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@query("q_ann_recall_report", oracle=_ann_recall_report_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL-vs-COST REPORT (SURVEY §7 round-12 runway item 2,
+    scoped): for the fixed probe set, one row per (method, probe) with
+    the method's candidate-scan count (the cost proxy — what an index
+    actually buys is scanning fewer candidates) and its recall@3 hit
+    count against the brute-force rounded-cosine ground truth.  Methods:
+    ``brute`` (ground truth anchor, hits = 3 by construction), ``lsh``
+    (home bucket only), ``lsh_multiprobe`` (home + 8 Hamming-1 buckets)
+    — the accuracy/cost dial a 100 TB embedding store publishes when
+    choosing an index.  The trained quantizer methods (IVF / PQ /
+    IVF-PQ) publish their own EXACT-gated top-k keys; folding them into
+    this report needs their Lloyd CTE chains factored into composable
+    builders (noted in the §7 runway).
+
+    Every per-method candidate set, ranking rule (round(cos, 6) DESC,
+    vec_id), and count is exact/deterministic, so the whole trade-off
+    table is EXACT-gated — recall numbers in this report can never be
+    vibes.
+
+    Scale: candidate generation is the respective ANN key's plan
+    (map-only bucketing + broadcast probes); the report adds
+    probe-grained aggregates and a 9-row ground-truth join — free at any
+    corpus size next to the scans it measures.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
+    probes = bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        "bucket",
+    )
+    probe_buckets = probes.select(
+        "probe_id", "probe_emb",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+              for p in range(8)],
+        )).alias("bucket"),
+    )
+    not_self = F.col("vec_id") != F.col("probe_id")
+    methods = [
+        ("brute",
+         e.crossJoin(F.broadcast(probes.drop("bucket"))).filter(not_self)),
+        ("lsh",
+         bucketed.join(F.broadcast(probes), "bucket").filter(not_self)),
+        ("lsh_multiprobe",
+         bucketed.join(F.broadcast(probe_buckets), "bucket")
+         .filter(not_self)),
+    ]
+
+    def top3(cands: DataFrame) -> DataFrame:
+        scored = cands.withColumn(
+            "cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3).select("probe_id", "vec_id"))
+
+    # ground truth = brute top-3; checkpointed: three hit-joins read it
+    truth = top3(methods[0][1]).localCheckpoint()
+    out = None
+    for name, cands in methods:
+        cnt = cands.groupBy("probe_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        hits = (top3(cands).join(truth, ["probe_id", "vec_id"])
+                .groupBy("probe_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("hits")))
+        row = (cnt.join(hits, "probe_id", "left").na.fill(0)
+               .select(F.lit(name).alias("method"),
+                       F.col("probe_id").cast("long").alias("probe_id"),
+                       "n_candidates",
+                       F.col("hits").cast("long").alias("hits")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 #: IVF parameters: k inverted lists, nprobe lists scanned per probe, Lloyd
 #: refinement passes.  _IVF_MICRO is the fixed-point scale: embeddings are
 #: quantized to integer micro-units so every training aggregation is an

@@ -169,6 +169,27 @@ def test_ann_lsh_multiprobe_dominates_single_probe(spark):
         assert len(got_m & truth) >= len(got_s & truth), pid
 
 
+def test_ann_recall_report_orders_sanely(spark):
+    """The recall-vs-cost table must actually show the trade: brute
+    scans every candidate and hits 3/3 by construction; multi-probe
+    scans a superset of single-probe's bucket (>= candidates, >= hits);
+    nothing scans more than brute."""
+    rows = QUERIES["q_ann_recall_report"](spark, SF).collect()
+    by = {(r.method, r.probe_id): r for r in rows}
+    brute = {p: r for (m, p), r in by.items() if m == "brute"}
+    assert brute and all(r.hits == 3 for r in brute.values())
+    for (m, p), r in by.items():
+        assert r.n_candidates <= brute[p].n_candidates, (m, p)
+        assert 0 <= r.hits <= 3
+    for p in brute:
+        lsh = by.get(("lsh", p))
+        multi = by.get(("lsh_multiprobe", p))
+        assert multi is not None, p  # home bucket always probed
+        if lsh is not None:
+            assert multi.n_candidates >= lsh.n_candidates, p
+            assert multi.hits >= lsh.hits, p
+
+
 def test_win_salted_matches_naive_window(spark):
     """q_win_salted's two-phase value-grain decomposition must equal the
     naive single-window rank/dense_rank/cume on the same frame (the

@@ -100,7 +100,8 @@ def main() -> None:
              "q_changefeed_consume", "q_unigram_hard_em",
              # round 11: chained hard-EM schedule, multi-probe LSH,
              # skew-safe hot-key window
-             "q_unigram_hard_em_n", "q_ann_lsh_multiprobe", "q_win_salted"]
+             "q_unigram_hard_em_n", "q_ann_lsh_multiprobe", "q_win_salted",
+             "q_ann_recall_report"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

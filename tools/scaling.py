@@ -95,6 +95,7 @@ KEYS = [
     "q_unigram_hard_em_n",
     "q_ann_lsh_multiprobe",
     "q_win_salted",
+    "q_ann_recall_report",
 ]
 
 
