@@ -918,18 +918,54 @@ def _multiprobe_buckets_sql(n_planes: int) -> str:
     return f"[bucket, {flips}]"
 
 
-_ANN_LSH_MULTIPROBE_ORACLE = f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, ({_lsh_bucket_sql(8)}) AS bucket
+def _ann_sig_probe_ctes(n_planes: int = 8) -> str:
+    """Shared oracle preamble for the multi-probe ANN keys: signature
+    table, the fixed probe set (vec_id 0/1/2) with home buckets, and the
+    multi-probe bucket expansion ``pb`` — one definition so the probe
+    set can never drift between q_ann_lsh_multiprobe and the recall
+    report that measures it."""
+    return f"""sig AS (
+        SELECT vec_id, embedding, ({_lsh_bucket_sql(n_planes)}) AS bucket
         FROM embeddings
     ), probes AS (
         SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
         FROM sig WHERE vec_id IN (0, 1, 2)
     ), pb AS (
         SELECT probe_id, probe_emb,
-               unnest({_multiprobe_buckets_sql(8)}) AS bucket
+               unnest({_multiprobe_buckets_sql(n_planes)}) AS bucket
         FROM probes
-    ), scored AS (
+    )"""
+
+
+def _ann_probe_set(bucketed: DataFrame) -> DataFrame:
+    """Spark twin of the oracle ``probes`` CTE: the ANN family's fixed
+    probe set (vec_id 0/1/2) with home bucket — shared by
+    q_ann_lsh_multiprobe and q_ann_recall_report."""
+    return bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        "bucket",
+    )
+
+
+def _ann_probe_buckets(probes: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Spark twin of the oracle ``pb`` CTE: home bucket + the
+    ``n_planes`` Hamming-distance-1 sign-flip buckets per probe —
+    ``n_planes + 1`` DISTINCT bucket ids per probe, and every vector
+    lives in exactly one bucket, so a join against it yields each
+    (probe, candidate) pair at most once."""
+    return probes.select(
+        "probe_id", "probe_emb",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+              for p in range(n_planes)],
+        )).alias("bucket"),
+    )
+
+
+_ANN_LSH_MULTIPROBE_ORACLE = f"""
+    WITH {_ann_sig_probe_ctes(8)}, scored AS (
         SELECT p.probe_id, s.vec_id,
                (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
                 FROM generate_series(1, 64) AS g(i)) /
@@ -974,22 +1010,7 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
-    probes = bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_emb"),
-        "bucket",
-    )
-    # home + 8 single-bit flips: 9 DISTINCT bucket ids per probe, and
-    # every vector lives in exactly one bucket, so the join below yields
-    # each (probe, candidate) pair at most once — no dedup needed.
-    probe_buckets = probes.select(
-        "probe_id", "probe_emb",
-        F.explode(F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-              for p in range(8)],
-        )).alias("bucket"),
-    )
+    probe_buckets = _ann_probe_buckets(_ann_probe_set(bucketed), 8)
     cands = bucketed.join(F.broadcast(probe_buckets), "bucket").filter(
         F.col("vec_id") != F.col("probe_id"))
     w = Window.partitionBy("probe_id").orderBy(
@@ -1044,17 +1065,7 @@ def _ann_recall_report_oracle() -> str:
            c.n_candidates, coalesce(h.hits, 0) AS hits
     FROM {m}_cnt c LEFT JOIN {m}_hit h USING (probe_id)""")
     return f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, ({_lsh_bucket_sql(8)}) AS bucket
-        FROM embeddings
-    ), probes AS (
-        SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
-        FROM sig WHERE vec_id IN (0, 1, 2)
-    ), pb AS (
-        SELECT probe_id, probe_emb,
-               unnest({_multiprobe_buckets_sql(8)}) AS bucket
-        FROM probes
-    ), brute AS (
+    WITH {_ann_sig_probe_ctes(8)}, brute AS (
         SELECT p.probe_id, s.vec_id,{cos}
         FROM sig s CROSS JOIN probes p
         WHERE s.vec_id <> p.probe_id
@@ -1105,19 +1116,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
-    probes = bucketed.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_emb"),
-        "bucket",
-    )
-    probe_buckets = probes.select(
-        "probe_id", "probe_emb",
-        F.explode(F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-              for p in range(8)],
-        )).alias("bucket"),
-    )
+    probes = _ann_probe_set(bucketed)
+    probe_buckets = _ann_probe_buckets(probes, 8)
     not_self = F.col("vec_id") != F.col("probe_id")
     methods = [
         ("brute",
@@ -1137,13 +1137,16 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= 3).select("probe_id", "vec_id"))
 
-    # ground truth = brute top-3; checkpointed: three hit-joins read it
+    # ground truth = brute top-3; checkpointed: the hit-joins read it
     truth = top3(methods[0][1]).localCheckpoint()
     out = None
     for name, cands in methods:
         cnt = cands.groupBy("probe_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        hits = (top3(cands).join(truth, ["probe_id", "vec_id"])
+        # brute's top-3 IS the checkpointed truth — reuse it instead of
+        # re-running the corpus-wide scoring pass a second time
+        top = truth if name == "brute" else top3(cands)
+        hits = (top.join(truth, ["probe_id", "vec_id"])
                 .groupBy("probe_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("hits")))
         row = (cnt.join(hits, "probe_id", "left").na.fill(0)

@@ -296,14 +296,9 @@ def session_gap_annotate_reordered(events: DataFrame,
     implementation (a batch sort IS the reorder buffer).
     """
     if not events.isStreaming:
-        from bossarrowstorageengine_spark.operators.event_time import (
-            _session_gap_annotate,
-        )
-
-        return _session_gap_annotate(
-            events.select("event_id", "user_id", "ts")).select(
-            "event_id", "user_id", "gap_ms", "session_seq",
-            "pos_in_session", "n_burst_5min")
+        # a batch sort IS the reorder buffer — same delegation as the
+        # ordered face (one definition, see session_gap_annotate)
+        return session_gap_annotate(events)
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -329,8 +324,13 @@ def session_gap_annotate_reordered(events: DataFrame,
                 buf.append((t, int(eid)))
         wm_us = state.getCurrentWatermarkMs() * 1000
         buf.sort()
-        release = [b for b in buf if b[0] <= wm_us]
-        buf = [b for b in buf if b[0] > wm_us]
+        # release STRICTLY below the watermark: Spark's late-record
+        # filter only drops rows strictly below it, so a row AT the
+        # watermark can still legally arrive in a later batch — holding
+        # the boundary keeps its tie group intact (releasing at <= would
+        # emit the early member and silently drop the late one).
+        release = [b for b in buf if b[0] < wm_us]
+        buf = [b for b in buf if b[0] >= wm_us]
         out: dict[str, list] = {c: [] for c in (
             "event_id", "user_id", "gap_ms", "session_seq",
             "pos_in_session", "n_burst_5min")}
@@ -360,9 +360,10 @@ def session_gap_annotate_reordered(events: DataFrame,
                       [t for t, _ in buf], [e for _, e in buf]))
         if buf:
             # flush even if this user never sees another batch: fire
-            # when the watermark passes the earliest buffered event
-            # (strictly above the current watermark, else it would have
-            # been released this invocation).
+            # once the watermark moves past the earliest buffered event
+            # (>= the current watermark, else it would have been
+            # released this invocation; +1 ms keeps the timestamp
+            # strictly ahead of the watermark as the API requires).
             state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
         yield pd.DataFrame(out)
 

@@ -217,11 +217,25 @@ def test_win_salted_matches_naive_window(spark):
     want = {r.doc_id: (r.rnk, r.drnk, r.cume_permille)
             for r in naive.collect()}
     assert got == want
-    # and the plan must NOT window over the raw corpus: the only Window
-    # input is the value-grain aggregate (HashAggregate below Window)
+    # and the plan must NOT window over the raw corpus: EVERY Window
+    # operator's input chain must reach the value-grain HashAggregate
+    # before any parquet scan (a bare "Window in plan" check would pass
+    # even if the naive corpus window were reinstated)
     plan = (QUERIES["q_win_salted"](spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Window" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert win_idx, plan
+    for i in win_idx:
+        for ln in lines[i + 1:]:
+            if "HashAggregate" in ln:
+                break
+            assert "Scan" not in ln, (
+                "a Window consumes a raw scan, not the aggregate:\n"
+                + plan)
+        else:
+            raise AssertionError("Window with no aggregate below:\n" + plan)
 
 
 def test_lss_flag_mode_returns_one_row_per_node(spark):
