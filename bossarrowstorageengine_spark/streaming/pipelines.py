@@ -13,8 +13,12 @@ indefinitely on an unbounded 100 TB/day stream.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -258,11 +262,96 @@ def session_gap_annotate(events: DataFrame) -> DataFrame:
 
 
 #: State schema for the reordering face: the annotation state plus the
-#: per-user (ts_us, event_id) reorder buffer.
+#: per-user (ts_us, event_id) reorder buffer and a lifetime counter of
+#: rows dropped as too late (disorder beyond the watermark delay).
 _SGAP_REORDER_STATE_SCHEMA = (
     "last_ts long, session_seq long, pos long, recent array<long>, "
-    "buf_ts array<long>, buf_id array<long>"
+    "buf_ts array<long>, buf_id array<long>, n_dropped long"
 )
+
+
+def _sgap_annotate_reordered(key, pdf_iter, state):
+    """Per-group body of ``session_gap_annotate_reordered`` (module-level
+    so the drop-accounting path is unit-testable against a stub state —
+    a real stream cannot reach it: Spark's own late filter removes
+    ``ts < watermark`` rows before the buffer, and everything emitted is
+    strictly below the watermark, so the branch only fires if those two
+    thresholds ever diverge)."""
+    import pandas as pd
+
+    last_ts, seq, pos, recent, buf_ts, buf_id, dropped = (
+        state.get if state.exists else (None, 0, 0, [], [], [], 0))
+    recent, buf = list(recent), list(zip(buf_ts, buf_id))
+    new_drops = 0
+    # ONE frame per group (Arrow chunk order is arbitrary — same
+    # rationale as the ordered face).
+    chunks = [p for p in pdf_iter if len(p)]
+    if chunks:
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        for t, eid in zip(ts_us, pdf["event_id"]):
+            t = int(t)
+            # later than the watermark bound (an earlier-or-equal
+            # row after its tie group was released): DROP, per
+            # watermark semantics — never silently mis-annotate.
+            # COUNTED, not silent (ADVICE r11): a source whose
+            # disorder exceeds delay_seconds must be observable.
+            if last_ts is not None and t <= last_ts:
+                new_drops += 1
+                continue
+            buf.append((t, int(eid)))
+    if new_drops:
+        dropped += new_drops
+        _LOG.warning(
+            "session_gap_annotate_reordered: user %s dropped %d "
+            "too-late row(s) this batch (%d lifetime) — source "
+            "disorder exceeds the reorder delay", key[0], new_drops,
+            dropped)
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    # release STRICTLY below the watermark: Spark's late-record
+    # filter only drops rows strictly below it, so a row AT the
+    # watermark can still legally arrive in a later batch — holding
+    # the boundary keeps its tie group intact (releasing at <= would
+    # emit the early member and silently drop the late one).
+    release = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
+    out: dict[str, list] = {c: [] for c in (
+        "event_id", "user_id", "gap_ms", "session_seq",
+        "pos_in_session", "n_burst_5min")}
+    from collections import Counter
+
+    tie_total = Counter(t for t, _ in release)
+    tie_seen: Counter = Counter()
+    for t, eid in release:
+        gap = None if last_ts is None else t - last_ts
+        if gap is None or gap > _SGAP_GAP_US:
+            seq += 1
+            pos = 1
+        else:
+            pos += 1
+        recent = [r for r in recent if r >= t - _SGAP_BURST_US]
+        recent.append(t)
+        tie_seen[t] += 1
+        out["event_id"].append(eid)
+        out["user_id"].append(key[0])
+        out["gap_ms"].append(None if gap is None else gap // 1000)
+        out["session_seq"].append(seq)
+        out["pos_in_session"].append(pos)
+        out["n_burst_5min"].append(
+            len(recent) + tie_total[t] - tie_seen[t])
+        last_ts = t
+    state.update((last_ts, seq, pos, recent,
+                  [t for t, _ in buf], [e for _, e in buf], dropped))
+    if buf:
+        # flush even if this user never sees another batch: fire
+        # once the watermark moves past the earliest buffered event
+        # (>= the current watermark, else it would have been
+        # released this invocation; +1 ms keeps the timestamp
+        # strictly ahead of the watermark as the API requires).
+        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    yield pd.DataFrame(out)
 
 
 def session_gap_annotate_reordered(events: DataFrame,
@@ -300,78 +389,13 @@ def session_gap_annotate_reordered(events: DataFrame,
         # ordered face (one definition, see session_gap_annotate)
         return session_gap_annotate(events)
 
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def annotate_reordered(key, pdf_iter, state: GroupState):
-        last_ts, seq, pos, recent, buf_ts, buf_id = (
-            state.get if state.exists else (None, 0, 0, [], [], []))
-        recent, buf = list(recent), list(zip(buf_ts, buf_id))
-        # ONE frame per group (Arrow chunk order is arbitrary — same
-        # rationale as the ordered face).
-        chunks = [p for p in pdf_iter if len(p)]
-        if chunks:
-            pdf = (pd.concat(chunks, ignore_index=True)
-                   if len(chunks) > 1 else chunks[0])
-            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-            for t, eid in zip(ts_us, pdf["event_id"]):
-                t = int(t)
-                # later than the watermark bound (an earlier-or-equal
-                # row after its tie group was released): DROP, per
-                # watermark semantics — never silently mis-annotate.
-                if last_ts is not None and t <= last_ts:
-                    continue
-                buf.append((t, int(eid)))
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        buf.sort()
-        # release STRICTLY below the watermark: Spark's late-record
-        # filter only drops rows strictly below it, so a row AT the
-        # watermark can still legally arrive in a later batch — holding
-        # the boundary keeps its tie group intact (releasing at <= would
-        # emit the early member and silently drop the late one).
-        release = [b for b in buf if b[0] < wm_us]
-        buf = [b for b in buf if b[0] >= wm_us]
-        out: dict[str, list] = {c: [] for c in (
-            "event_id", "user_id", "gap_ms", "session_seq",
-            "pos_in_session", "n_burst_5min")}
-        from collections import Counter
-
-        tie_total = Counter(t for t, _ in release)
-        tie_seen: Counter = Counter()
-        for t, eid in release:
-            gap = None if last_ts is None else t - last_ts
-            if gap is None or gap > _SGAP_GAP_US:
-                seq += 1
-                pos = 1
-            else:
-                pos += 1
-            recent = [r for r in recent if r >= t - _SGAP_BURST_US]
-            recent.append(t)
-            tie_seen[t] += 1
-            out["event_id"].append(eid)
-            out["user_id"].append(key[0])
-            out["gap_ms"].append(None if gap is None else gap // 1000)
-            out["session_seq"].append(seq)
-            out["pos_in_session"].append(pos)
-            out["n_burst_5min"].append(
-                len(recent) + tie_total[t] - tie_seen[t])
-            last_ts = t
-        state.update((last_ts, seq, pos, recent,
-                      [t for t, _ in buf], [e for _, e in buf]))
-        if buf:
-            # flush even if this user never sees another batch: fire
-            # once the watermark moves past the earliest buffered event
-            # (>= the current watermark, else it would have been
-            # released this invocation; +1 ms keeps the timestamp
-            # strictly ahead of the watermark as the API requires).
-            state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
-        yield pd.DataFrame(out)
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
         events.withWatermark("ts", f"{delay_seconds} seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
-            annotate_reordered,
+            _sgap_annotate_reordered,
             outputStructType=_SGAP_OUT_SCHEMA,
             stateStructType=_SGAP_REORDER_STATE_SCHEMA,
             outputMode="update",

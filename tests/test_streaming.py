@@ -1054,3 +1054,80 @@ def test_stream_session_gap_multi_chunk_group(spark):
             h.stop()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_stream_session_gap_reordered_drop_accounting(caplog):
+    """The reorder buffer's too-late drop branch must COUNT and WARN, not
+    silently thin the stream (ADVICE r11): a source whose disorder
+    exceeds delay_seconds is observable via the per-user lifetime
+    counter in state and a warning naming the user and batch count.
+
+    Driven against a stub GroupState because a REAL stream cannot reach
+    the branch — Spark's late filter removes ts < watermark rows first
+    and everything emitted is strictly below the watermark; the branch
+    guards the two thresholds ever diverging."""
+    import logging
+
+    import pandas as pd
+
+    from bossarrowstorageengine_spark.streaming.pipelines import (
+        _sgap_annotate_reordered,
+    )
+
+    base_us = 1_700_000_000_000_000  # any fixed µs epoch
+
+    class _StubState:
+        exists = True
+        # last emitted ts = base; one prior session; empty buffer; 0 drops
+        get = (base_us, 1, 1, [base_us], [], [], 0)
+
+        def __init__(self):
+            self.updated = None
+
+        def getCurrentWatermarkMs(self):
+            # watermark well below everything buffered → nothing releases
+            return (base_us - 10_000_000) // 1000
+
+        def update(self, tup):
+            self.updated = tup
+
+        def setTimeoutTimestamp(self, ts_ms):
+            self.timeout_ms = ts_ms
+
+    # batch: one row AT the last emitted ts (dropped), one behind it
+    # (dropped), one ahead (buffered, not released — below watermark
+    # is required for release and wm sits behind it)
+    pdf = pd.DataFrame({
+        "event_id": [10, 11, 12],
+        "ts": pd.to_datetime(
+            [base_us, base_us - 5_000_000, base_us + 5_000_000], unit="us"),
+    })
+    state = _StubState()
+    with caplog.at_level(logging.WARNING,
+                         logger="bossarrowstorageengine_spark.streaming"
+                                ".pipelines"):
+        out = pd.concat(list(_sgap_annotate_reordered(
+            (7,), iter([pdf]), state)))
+    assert len(out) == 0  # nothing released
+    last_ts, seq, pos, recent, buf_ts, buf_id, dropped = state.updated
+    assert dropped == 2  # both too-late rows counted
+    assert buf_id == [12] and buf_ts == [base_us + 5_000_000]
+    assert (last_ts, seq, pos) == (base_us, 1, 1)  # annotation untouched
+    warn = [r for r in caplog.records if "dropped 2 too-late" in r.message]
+    assert warn and "user 7" in warn[0].message
+
+    # a second batch with no late rows must NOT warn again (lifetime
+    # counter persists; the warning is per-batch-with-new-drops)
+    caplog.clear()
+    state2 = _StubState()
+    state2.get = state.updated
+    pdf2 = pd.DataFrame({
+        "event_id": [13],
+        "ts": pd.to_datetime([base_us + 6_000_000], unit="us"),
+    })
+    with caplog.at_level(logging.WARNING,
+                         logger="bossarrowstorageengine_spark.streaming"
+                                ".pipelines"):
+        pd.concat(list(_sgap_annotate_reordered((7,), iter([pdf2]), state2)))
+    assert not [r for r in caplog.records if "too-late" in r.message]
+    assert state2.updated[-1] == 2  # lifetime counter carried forward
