@@ -941,6 +941,93 @@ def _classify_version_diff(pre: DataFrame, post: DataFrame) -> DataFrame:
     return j.withColumn("change", change).withColumn("delta", delta)
 
 
+#: Projected column set / schema both changefeed consumers read from the
+#: mutation history, and the feed's own read-back schema.
+_CF_HIST_SCHEMA = "doc_id long, lang string, n_chars long"
+_CF_FEED_SCHEMA = "lang string, change string, delta long, commit_seq long"
+
+
+def _mutation_snap(spark: SparkSession, src: str,
+                   version: str | None) -> DataFrame:
+    """One version snapshot of the mutation history at ``src`` — a
+    3-column pruned scan with an explicit schema (no inference round
+    trip).  Deliberately NOT cached (ADVICE r11): each snapshot is read
+    at most twice, the scans are cheap, and a ``.cache()`` here both
+    leaks blocks across a long session and — because the scratch path is
+    identical across runs — silently serves a same-session rerun from
+    the FIRST run's materialization after the directory was rmtree'd and
+    rewritten."""
+    r = (spark.read.format("arrowipc")
+         .option("columns", "doc_id,lang,n_chars").schema(_CF_HIST_SCHEMA))
+    r = (r.option("version", version) if version
+         else r.option("snapshots", "true"))
+    return r.load(src)
+
+
+def _mutation_feed(spark: SparkSession, sf_dir: str,
+                   base_dir: str) -> tuple[str, str]:
+    """Build the shared changefeed fixture both the consumer and the MV
+    maintainer start from: the 3-version mutation history at
+    ``base_dir/src`` and its TWO logical feed commits — ``commit_seq``
+    partition directories, batched into ONE write job (and therefore one
+    feed manifest version, the round-11 floor cut) — at
+    ``base_dir/feed``.  Returns ``(src, feed)``."""
+    src = os.path.join(base_dir, "src")
+    feed = os.path.join(base_dir, "feed")
+    _write_mutation_history(spark, sf_dir, src)
+    v1, v2, v3 = (_mutation_snap(spark, src, v) for v in ("1", "2", None))
+
+    def _changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
+        # lang from WHICHEVER side has the row: an insert change has no
+        # pre-image, so a pre-only lang would write NULL and the insert
+        # would never join the consumer's per-lang state (this history
+        # has no inserts, but the consumer's insert arm must be real).
+        return _classify_version_diff(
+            pre.select("doc_id", F.col("lang").alias("lang_pre"),
+                       F.col("n_chars").alias("chars_pre")),
+            post.select("doc_id", F.col("lang").alias("lang_post"),
+                        F.col("n_chars").alias("chars_post")),
+        ).filter(F.col("change") != "same").select(
+            "doc_id",
+            F.coalesce("lang_pre", "lang_post").alias("lang"),
+            "change", "delta",
+            F.lit(seq).cast("long").alias("commit_seq"))
+
+    (_changes(v1, v2, 1).unionByName(_changes(v2, v3, 2))
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+    return src, feed
+
+
+def _read_feed(spark: SparkSession, feed: str) -> DataFrame:
+    """The consumer-side feed scan: 4 columns, explicit schema, pruned to
+    the commit partitions being applied."""
+    return (spark.read.format("arrowipc")
+            .option("snapshots", "true")
+            .option("columns", "lang,change,delta,commit_seq")
+            .schema(_CF_FEED_SCHEMA)
+            .load(feed).filter(F.col("commit_seq").isin(1, 2)))
+
+
+def _feed_commit_deltas(feed_rows: DataFrame, seqs: list[int]) -> DataFrame:
+    """Per-lang (docs_delta_cN, chars_delta_cN) for every commit in
+    ``seqs`` from ONE feed scan — conditional per-commit sums instead of
+    one pruned scan per commit."""
+    aggs: list = []
+    for seq in seqs:
+        on = F.col("commit_seq") == seq
+        aggs.extend([
+            F.sum(F.when(on, (F.col("change") == "insert").cast("long")
+                         - (F.col("change") == "delete").cast("long"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias(f"docs_delta_c{seq}"),
+            F.sum(F.when(on, F.col("delta")).otherwise(F.lit(0)))
+            .cast("long").alias(f"chars_delta_c{seq}"),
+        ])
+    return feed_rows.groupBy("lang").agg(*aggs)
+
+
 @query(
     "q_storage_timetravel_diff",
     oracle="""
@@ -1168,89 +1255,15 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the whole maintenance chain, not just the final counts."""
     register_arrowipc(spark)
     base_dir = _scratch(sf_dir, "cf_consume")
-    src = os.path.join(base_dir, "src")
-    feed = os.path.join(base_dir, "feed")
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars")
-    (d.repartition(4).write.format("arrowipc")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(src))
-    from bossarrowstorageengine_spark.sources.maintenance import (
-        delete_arrowipc,
-        update_arrowipc,
-    )
-
-    update_arrowipc(spark, src, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
-                    compression="lz4",
-                    predicate_columns=["lang", "n_chars"], schema=d.schema)
-    delete_arrowipc(spark, src, _TTDIFF_DELETE_PRED, compression="lz4",
-                    predicate_columns=["lang", "n_chars"], schema=d.schema)
-
-    hist_schema = "doc_id long, lang string, n_chars long"
-
-    def _snap(version: str | None) -> DataFrame:
-        r = spark.read.format("arrowipc").option(
-            "columns", "doc_id,lang,n_chars").schema(hist_schema)
-        r = (r.option("version", version) if version
-             else r.option("snapshots", "true"))
-        # deliberately NOT cached (ADVICE r11): each snapshot is read at
-        # most twice (diff side + base/verify aggregate), the reads are
-        # 3-column pruned scans with explicit schemas, and a .cache()
-        # here both leaks blocks across a 271-key session and — because
-        # the scratch path is identical across runs — silently serves a
-        # rerun from the FIRST run's materialization after the directory
-        # was rmtree'd and rewritten.
-        return r.load(src)
-
-    v1, v2, v3 = _snap("1"), _snap("2"), _snap(None)
-
-    def _changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
-        # lang from WHICHEVER side has the row: an insert change has no
-        # pre-image, so a pre-only lang would write NULL and the insert
-        # would never join the consumer's per-lang state (this history
-        # has no inserts, but the consumer's insert arm must be real).
-        return _classify_version_diff(
-            pre.select("doc_id", F.col("lang").alias("lang_pre"),
-                       F.col("n_chars").alias("chars_pre")),
-            post.select("doc_id", F.col("lang").alias("lang_post"),
-                        F.col("n_chars").alias("chars_post")),
-        ).filter(F.col("change") != "same").select(
-            "doc_id",
-            F.coalesce("lang_pre", "lang_post").alias("lang"),
-            "change", "delta",
-            F.lit(seq).cast("long").alias("commit_seq"))
-
-    (_changes(v1, v2, 1).unionByName(_changes(v2, v3, 2))
-     .write.format("arrowipc").option("partitionBy", "commit_seq")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(feed))
+    src, feed = _mutation_feed(spark, sf_dir, base_dir)
+    v1, v3 = _mutation_snap(spark, src, "1"), _mutation_snap(spark, src, None)
 
     # Consumer: base state once, then per-commit delta application from
     # ONE partition-pruned feed scan (conditional per-commit sums).
     base = v1.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_base"),
         F.sum("n_chars").cast("long").alias("chars_base"))
-
-    feed_rows = (spark.read.format("arrowipc")
-                 .option("snapshots", "true")
-                 .option("columns", "lang,change,delta,commit_seq")
-                 .schema("lang string, change string, delta long, "
-                         "commit_seq long")
-                 .load(feed).filter(F.col("commit_seq").isin(1, 2)))
-
-    def _inc(seq: int) -> list:
-        on = F.col("commit_seq") == seq
-        return [
-            F.sum(F.when(on, (F.col("change") == "insert").cast("long")
-                         - (F.col("change") == "delete").cast("long"))
-                  .otherwise(F.lit(0)))
-            .cast("long").alias(f"docs_delta_c{seq}"),
-            F.sum(F.when(on, F.col("delta")).otherwise(F.lit(0)))
-            .cast("long").alias(f"chars_delta_c{seq}"),
-        ]
-
-    incs = feed_rows.groupBy("lang").agg(*_inc(1), *_inc(2))
+    incs = _feed_commit_deltas(_read_feed(spark, feed), [1, 2])
     state = base.join(incs, "lang", "left").na.fill(0)
     direct = v3.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_direct"),
@@ -1269,6 +1282,216 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((docs_final == F.col("docs_direct"))
              & (chars_final == F.col("chars_direct")))
             .alias("consistent"),
+        )
+    )
+
+
+@query(
+    "q_mv_maintain",
+    oracle="""
+    WITH base AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents GROUP BY lang
+    ), upd AS (
+        -- commit 1: the UPDATE's per-doc char delta is (2n+1) - n = n+1
+        SELECT lang, sum(n_chars + 1) AS chars_delta
+        FROM documents WHERE lang = 'de' AND n_chars < 800 GROUP BY lang
+    ), del AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE lang = 'en' AND n_chars < 500 GROUP BY lang
+    )
+    SELECT CAST(1 AS BIGINT)     AS mv_version, lang,
+           CAST(docs AS BIGINT)  AS docs,
+           CAST(chars AS BIGINT) AS chars,
+           TRUE                  AS consistent
+    FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), b.lang, CAST(b.docs AS BIGINT),
+           CAST(b.chars + coalesce(u.chars_delta, 0) AS BIGINT), TRUE
+    FROM base b LEFT JOIN upd u ON u.lang = b.lang
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), b.lang,
+           CAST(b.docs - coalesce(d.docs, 0) AS BIGINT),
+           CAST(b.chars + coalesce(u.chars_delta, 0)
+                - coalesce(d.chars, 0) AS BIGINT), TRUE
+    FROM base b LEFT JOIN upd u ON u.lang = b.lang
+                LEFT JOIN del d ON d.lang = b.lang
+    """,
+)
+def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW maintenance over the real changefeed (SURVEY §7
+    round-12 runway item 3, VERDICT r11 item 2): composes
+    ``q_incremental_agg``'s merge discipline (partial states are
+    algebraic — counts and sums add) with ``q_changefeed_consume``'s
+    feed.  A persisted per-lang aggregate table is maintained through
+    the feed's two commits — MV version 1 is the base aggregate of
+    source v1, version k+1 is version k PLUS commit k's deltas read from
+    the feed — so the MV's version history mirrors the source's, and NO
+    MV state after the base ever rescans a source snapshot (only the
+    audit arm does, see below).
+
+    Persistence mirrors the feed's own floor cut: all three MV versions
+    land in ONE ``mv_version``-partitioned write job (the r11 batched-
+    commit pattern — same partition directories as three sequential
+    appends, one job instead of three; VERDICT's "batch the writes or it
+    inherits the changefeed floor").  The output is derived from the MV
+    table READ BACK, so the oracle hash pins the persisted MV content,
+    not the in-flight frames.
+
+    Every version carries an engine-verified ``consistent`` flag — the
+    read-back MV state must equal a direct aggregate of the SAME-version
+    source snapshot, per lang (a stronger audit than the consumer's
+    final-state check: the invariant holds at every point of the
+    history; a lang whose docs hit zero must show 0/0, hence the
+    coalesce on the direct side).
+
+    Scale: refresh cost is O(|delta| + |MV|) per commit — the feed scan
+    is mutation-sized and the MV is group-cardinality-sized, so at
+    100 TB the refresh never touches the corpus; the verify arm is the
+    periodic audit you'd sample in production, not the refresh path.
+    The oracle re-derives every MV version from the mutation predicates,
+    so the hash pins the whole maintenance chain."""
+    register_arrowipc(spark)
+    base_dir = _scratch(sf_dir, "mv_maintain")
+    src, feed = _mutation_feed(spark, sf_dir, base_dir)
+    mv_path = os.path.join(base_dir, "mv")
+
+    base = _mutation_snap(spark, src, "1").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_base"),
+        F.sum("n_chars").cast("long").alias("chars_base"))
+    incs = _feed_commit_deltas(_read_feed(spark, feed), [1, 2])
+    st = base.join(incs, "lang", "left").na.fill(0)
+
+    def _mv_version(k: int, docs, chars) -> DataFrame:
+        return st.select(
+            F.lit(k).cast("long").alias("mv_version"), "lang",
+            docs.cast("long").alias("docs"),
+            chars.cast("long").alias("chars"))
+
+    mv1 = _mv_version(1, F.col("docs_base"), F.col("chars_base"))
+    mv2 = _mv_version(2, F.col("docs_base") + F.col("docs_delta_c1"),
+                      F.col("chars_base") + F.col("chars_delta_c1"))
+    mv3 = _mv_version(
+        3, F.col("docs_base") + F.col("docs_delta_c1")
+        + F.col("docs_delta_c2"),
+        F.col("chars_base") + F.col("chars_delta_c1")
+        + F.col("chars_delta_c2"))
+    (mv1.unionByName(mv2).unionByName(mv3)
+     .write.format("arrowipc").option("partitionBy", "mv_version")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(mv_path))
+
+    mv_back = (spark.read.format("arrowipc")
+               .option("snapshots", "true")
+               .option("columns", "lang,docs,chars,mv_version")
+               .schema("lang string, docs long, chars long, "
+                       "mv_version long")
+               .load(mv_path))
+    direct = None
+    for k, ver in ((1, "1"), (2, "2"), (3, None)):
+        d_k = _mutation_snap(spark, src, ver).groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("docs_direct"),
+            F.sum("n_chars").cast("long").alias("chars_direct"),
+        ).withColumn("mv_version", F.lit(k).cast("long"))
+        direct = d_k if direct is None else direct.unionByName(d_k)
+    return (
+        mv_back.join(direct, ["mv_version", "lang"], "left")
+        .select(
+            "mv_version", "lang", "docs", "chars",
+            ((F.col("docs") == F.coalesce("docs_direct", F.lit(0)))
+             & (F.col("chars") == F.coalesce("chars_direct", F.lit(0))))
+            .alias("consistent"),
+        )
+    )
+
+
+@query(
+    "q_changefeed_evolve",
+    oracle="""
+    WITH c1 AS (
+        SELECT doc_id, lang, n_chars + 1 AS delta,
+               'update' AS change, 1 AS commit_seq,
+               CAST(NULL AS VARCHAR) AS reason
+        FROM documents WHERE lang = 'de' AND n_chars < 800
+    ), c2 AS (
+        SELECT doc_id, lang, 0 - n_chars AS delta,
+               'delete' AS change, 2 AS commit_seq,
+               'short_doc_purge' AS reason
+        FROM documents WHERE lang = 'en' AND n_chars < 500
+    ), feed AS (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    )
+    SELECT CAST(commit_seq AS BIGINT)       AS commit_seq,
+           change,
+           coalesce(reason, 'unspecified')  AS reason,
+           lang,
+           CAST(count(*) AS BIGINT)         AS n_rows,
+           CAST(sum(doc_id) AS BIGINT)      AS id_checksum,
+           CAST(sum(delta) AS BIGINT)       AS chars_delta
+    FROM feed
+    GROUP BY commit_seq, change, reason, lang
+    """,
+)
+def q_changefeed_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed SCHEMA EVOLUTION (SURVEY §7 round-12 runway item 6,
+    VERDICT r11 item 4): the producer evolved between commits — commit 1
+    writes the original feed schema ``(doc_id, lang, delta, change,
+    commit_seq)``, commit 2 adds a ``reason`` column annotating why rows
+    changed — and the consumer reads the whole feed with the MERGED
+    schema, filling per-commit defaults (``coalesce(reason,
+    'unspecified')``) for pre-evolution commits: the
+    ``q_scan_merge_schema``/``q_schema_drift`` pattern applied to a CDC
+    feed, where schema drift is the NORM (producers upgrade while years
+    of old commits stay on disk).
+
+    The feed commits are derived relationally from the mutation
+    predicates (the same update/delete the storage family applies) —
+    this key's subject is the CONSUMER's evolution contract, so it
+    skips the copy-on-write machinery and its fixed floor; the oracle
+    replays the same derivation with a NULL-typed ``reason`` on the
+    pre-evolution commit, so the hash pins that old rows surface the
+    default and new rows their written value, per (commit, change,
+    reason, lang) with exact checksums.
+
+    The companion repo test (tests/test_round12_props.py) proves the
+    OLD-schema consumer keeps working after evolution: an explicit
+    pre-evolution column projection reads both commits — adding a
+    column never strands a deployed reader.
+
+    Scale: old files are never rewritten when the feed schema grows —
+    the merged-schema read aligns each file's batches to the union
+    schema in Arrow at scan time, so evolution is O(new commits), not
+    O(history)."""
+    register_arrowipc(spark)
+    feed = _scratch(sf_dir, "cf_evolve")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    c1 = d.filter(_TTDIFF_UPDATE_PRED).select(
+        "doc_id", "lang",
+        (F.col("n_chars") + 1).cast("long").alias("delta"),
+        F.lit("update").alias("change"),
+        F.lit(1).cast("long").alias("commit_seq"))
+    c2 = d.filter(_TTDIFF_DELETE_PRED).select(
+        "doc_id", "lang",
+        (-F.col("n_chars")).cast("long").alias("delta"),
+        F.lit("delete").alias("change"),
+        F.lit(2).cast("long").alias("commit_seq"),
+        F.lit("short_doc_purge").alias("reason"))
+    # two appends with DIFFERENT schemas — the evolution under test
+    c1.write.format("arrowipc").mode("append").save(feed)
+    c2.write.format("arrowipc").mode("append").save(feed)
+
+    back = (spark.read.format("arrowipc")
+            .option("mergeSchema", "true").load(feed))
+    return (
+        back.groupBy(
+            "commit_seq", "change",
+            F.coalesce("reason", F.lit("unspecified")).alias("reason"),
+            "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("delta").cast("long").alias("chars_delta"),
         )
     )
 

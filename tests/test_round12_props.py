@@ -1,0 +1,67 @@
+"""Round-12 behavioral tests: the MV maintainer's version-history
+invariants and the evolved feed's old-reader guarantee — the contracts
+an EXACT oracle replay cannot attest on its own terms."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+def test_mv_maintain_versions_consistent_and_nonvacuous(spark):
+    """Every persisted MV version must equal the direct aggregate of its
+    SAME-version source snapshot (consistent=True is engine-computed per
+    row — the maintenance invariant at every point of the history, not a
+    constant), and the history must be non-trivial: version 2 moves some
+    lang's chars (the update commit) and version 3 drops docs somewhere
+    (the delete commit)."""
+    rows = QUERIES["q_mv_maintain"](spark, SF).collect()
+    assert rows
+    assert all(r.consistent for r in rows)
+    by_ver = {k: {r.lang: r for r in rows if r.mv_version == k}
+              for k in (1, 2, 3)}
+    # the MV table carries exactly one row per (version, lang), with the
+    # same lang set at every version (deletes zero a lang, never drop it)
+    assert len(rows) == sum(len(v) for v in by_ver.values())
+    assert set(by_ver[1]) == set(by_ver[2]) == set(by_ver[3])
+    assert any(by_ver[2][lg].chars != by_ver[1][lg].chars
+               for lg in by_ver[1]), "no lang saw the update — vacuous"
+    assert any(by_ver[3][lg].docs < by_ver[2][lg].docs
+               for lg in by_ver[2]), "no lang saw the delete — vacuous"
+    # the update commit never changes doc counts
+    assert all(by_ver[2][lg].docs == by_ver[1][lg].docs
+               for lg in by_ver[1])
+
+
+def test_changefeed_evolve_old_schema_consumer_still_reads(spark):
+    """After the producer adds a column, a consumer deployed with the
+    PRE-evolution schema must keep reading the whole feed — both the old
+    commit and the new one (projecting the added column away) — with no
+    rewrite of either: adding a column never strands a deployed reader."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+
+    # materialize the evolved feed (the query rebuilds it from scratch;
+    # _scratch wipes on call, so derive the path instead of re-calling it)
+    rows = QUERIES["q_changefeed_evolve"](spark, SF).collect()
+    assert {r.reason for r in rows} == {"unspecified", "short_doc_purge"}
+    feed = os.path.join(_SCRATCH_ROOT, os.path.basename(SF), "cf_evolve")
+    old = (spark.read.format("arrowipc")
+           .option("columns", "doc_id,lang,delta,change,commit_seq")
+           .schema("doc_id long, lang string, delta long, change string, "
+                   "commit_seq long")
+           .load(feed))
+    assert old.columns == ["doc_id", "lang", "delta", "change",
+                           "commit_seq"]
+    got = {r.commit_seq: r.n for r in
+           old.groupBy("commit_seq").agg(
+               F.count(F.lit(1)).alias("n")).collect()}
+    want = {r.commit_seq: 0 for r in rows}
+    for r in rows:
+        want[r.commit_seq] += r.n_rows
+    assert got == want and set(got) == {1, 2}

@@ -101,7 +101,9 @@ def main() -> None:
              # round 11: chained hard-EM schedule, multi-probe LSH,
              # skew-safe hot-key window
              "q_unigram_hard_em_n", "q_ann_lsh_multiprobe", "q_win_salted",
-             "q_ann_recall_report"]
+             "q_ann_recall_report",
+             # round 12: MV maintenance + feed schema evolution
+             "q_mv_maintain", "q_changefeed_evolve"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

@@ -96,6 +96,9 @@ KEYS = [
     "q_ann_lsh_multiprobe",
     "q_win_salted",
     "q_ann_recall_report",
+    # Round-12 additions.
+    "q_mv_maintain",
+    "q_changefeed_evolve",
 ]
 
 
