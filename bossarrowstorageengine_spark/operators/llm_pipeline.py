@@ -1029,135 +1029,6 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_report_oracle() -> str:
-    """DuckDB twin of ``q_ann_recall_report``: one CTE per method's
-    candidate set (the same sig/bucket arithmetic as the ANN keys),
-    brute-force top-3 as ground truth, per-(method, probe) candidate
-    count + hit count."""
-    cos = """
-               (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
-                FROM generate_series(1, 64) AS g(i)) /
-               (sqrt((SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(p.probe_emb[i] AS DOUBLE))
-                      FROM generate_series(1, 64) AS g(i))) *
-                sqrt((SELECT sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
-                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim"""
-    per_method = []
-    selects = []
-    for m, src in (("brute", "brute"), ("lsh", "lshc"),
-                   ("lsh_multiprobe", "multic")):
-        per_method.append(f""", {m}_top AS (
-        SELECT probe_id, vec_id FROM (
-            SELECT probe_id, vec_id,
-                   row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
-            FROM {src}
-        ) WHERE rn <= 3
-    ), {m}_cnt AS (
-        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
-        FROM {src} GROUP BY probe_id
-    ), {m}_hit AS (
-        SELECT t.probe_id, CAST(count(*) AS BIGINT) AS hits
-        FROM {m}_top t JOIN truth u USING (probe_id, vec_id)
-        GROUP BY t.probe_id
-    )""")
-        selects.append(f"""
-    SELECT '{m}' AS method, CAST(c.probe_id AS BIGINT) AS probe_id,
-           c.n_candidates, coalesce(h.hits, 0) AS hits
-    FROM {m}_cnt c LEFT JOIN {m}_hit h USING (probe_id)""")
-    return f"""
-    WITH {_ann_sig_probe_ctes(8)}, brute AS (
-        SELECT p.probe_id, s.vec_id,{cos}
-        FROM sig s CROSS JOIN probes p
-        WHERE s.vec_id <> p.probe_id
-    ), lshc AS (
-        SELECT p.probe_id, s.vec_id,{cos}
-        FROM sig s JOIN probes p
-          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
-    ), multic AS (
-        SELECT p.probe_id, s.vec_id,{cos}
-        FROM sig s JOIN pb p
-          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
-    ), truth AS (
-        SELECT probe_id, vec_id FROM (
-            SELECT probe_id, vec_id,
-                   row_number() OVER (PARTITION BY probe_id
-                       ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
-            FROM brute
-        ) WHERE rn <= 3
-    ){''.join(per_method)}
-    {' UNION ALL '.join(selects)}
-    """
-
-
-@query("q_ann_recall_report", oracle=_ann_recall_report_oracle())
-def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN RECALL-vs-COST REPORT (SURVEY §7 round-12 runway item 2,
-    scoped): for the fixed probe set, one row per (method, probe) with
-    the method's candidate-scan count (the cost proxy — what an index
-    actually buys is scanning fewer candidates) and its recall@3 hit
-    count against the brute-force rounded-cosine ground truth.  Methods:
-    ``brute`` (ground truth anchor, hits = 3 by construction), ``lsh``
-    (home bucket only), ``lsh_multiprobe`` (home + 8 Hamming-1 buckets)
-    — the accuracy/cost dial a 100 TB embedding store publishes when
-    choosing an index.  The trained quantizer methods (IVF / PQ /
-    IVF-PQ) publish their own EXACT-gated top-k keys; folding them into
-    this report needs their Lloyd CTE chains factored into composable
-    builders (noted in the §7 runway).
-
-    Every per-method candidate set, ranking rule (round(cos, 6) DESC,
-    vec_id), and count is exact/deterministic, so the whole trade-off
-    table is EXACT-gated — recall numbers in this report can never be
-    vibes.
-
-    Scale: candidate generation is the respective ANN key's plan
-    (map-only bucketing + broadcast probes); the report adds
-    probe-grained aggregates and a 9-row ground-truth join — free at any
-    corpus size next to the scans it measures.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
-    probes = _ann_probe_set(bucketed)
-    probe_buckets = _ann_probe_buckets(probes, 8)
-    not_self = F.col("vec_id") != F.col("probe_id")
-    methods = [
-        ("brute",
-         e.crossJoin(F.broadcast(probes.drop("bucket"))).filter(not_self)),
-        ("lsh",
-         bucketed.join(F.broadcast(probes), "bucket").filter(not_self)),
-        ("lsh_multiprobe",
-         bucketed.join(F.broadcast(probe_buckets), "bucket")
-         .filter(not_self)),
-    ]
-
-    def top3(cands: DataFrame) -> DataFrame:
-        scored = cands.withColumn(
-            "cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
-        w = Window.partitionBy("probe_id").orderBy(
-            F.round("cos_sim", 6).desc(), F.asc("vec_id"))
-        return (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= 3).select("probe_id", "vec_id"))
-
-    # ground truth = brute top-3; checkpointed: the hit-joins read it
-    truth = top3(methods[0][1]).localCheckpoint()
-    out = None
-    for name, cands in methods:
-        cnt = cands.groupBy("probe_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        # brute's top-3 IS the checkpointed truth — reuse it instead of
-        # re-running the corpus-wide scoring pass a second time
-        top = truth if name == "brute" else top3(cands)
-        hits = (top.join(truth, ["probe_id", "vec_id"])
-                .groupBy("probe_id")
-                .agg(F.count(F.lit(1)).cast("long").alias("hits")))
-        row = (cnt.join(hits, "probe_id", "left").na.fill(0)
-               .select(F.lit(name).alias("method"),
-                       F.col("probe_id").cast("long").alias("probe_id"),
-                       "n_candidates",
-                       F.col("hits").cast("long").alias("hits")))
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
 #: IVF parameters: k inverted lists, nprobe lists scanned per probe, Lloyd
 #: refinement passes.  _IVF_MICRO is the fixed-point scale: embeddings are
 #: quantized to integer micro-units so every training aggregation is an
@@ -1192,69 +1063,92 @@ def _ivf_cos(a: "F.Column", b: "F.Column") -> "F.Column":
         * F.sqrt(_ivf_int_dot(b, b).cast("double")))
 
 
-def _ivf_oracle() -> str:
-    """DuckDB twin of the full IVF pipeline (seed → Lloyd×2 → lists →
-    probe → top-3).  Integer sums make every aggregate order-independent;
-    cosines are doubles computed from exact integers, so the two engines
-    rank identically without any tolerance."""
-    def dot(a: str, b: str) -> str:
-        return (f"list_reduce(list_transform(range(1, 65), "
-                f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+def _ivf_dot_sql(a: str, b: str) -> str:
+    """DuckDB exact integer dot product of two 64-dim BIGINT lists."""
+    return (f"list_reduce(list_transform(range(1, 65), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
 
-    def cos(a: str, b: str) -> str:
-        return (f"(CAST({dot(a, b)} AS DOUBLE) / "
-                f"(sqrt(CAST({dot(a, a)} AS DOUBLE)) * "
-                f"sqrt(CAST({dot(b, b)} AS DOUBLE))))")
+
+def _ivf_cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_ivf_cos` — double cosine from exact
+    integer dots/norms."""
+    d = _ivf_dot_sql
+    return (f"(CAST({d(a, b)} AS DOUBLE) / "
+            f"(sqrt(CAST({d(a, a)} AS DOUBLE)) * "
+            f"sqrt(CAST({d(b, b)} AS DOUBLE))))")
+
+
+def _ivf_ctes(p: str = "") -> str:
+    """Composable CTE chain of the IVF pipeline up to candidate
+    generation (seed → Lloyd×``_IVF_ITERS`` → ``{p}lists`` +
+    ``{p}probe_lists``), every CTE name prefixed with ``p`` so the
+    recall report can graft the chain next to the LSH/PQ chains without
+    name collisions (VERDICT r11 item 3 — the `_ann_sig_probe_ctes`
+    pattern applied to the trained methods).  The trained centroid
+    table and the inverted lists are MATERIALIZED: DuckDB inlines plain
+    CTEs into every consumer, and both are read 2+ times downstream
+    (the r10 unigram-oracle lesson).  Integer sums make every aggregate
+    order-independent; cosines are doubles computed from exact
+    integers, so the two engines rank identically without tolerance."""
+    cos = _ivf_cos_sql
 
     # One assign + recompute block per Lloyd pass.
     blocks = []
     for j in range(1, _IVF_ITERS + 1):
+        mat = " MATERIALIZED" if j == _IVF_ITERS else ""
         blocks.append(f"""
-    assign{j} AS (
+    {p}assign{j} AS (
         SELECT vec_id, iemb, centroid_id FROM (
             SELECT v.vec_id, v.iemb, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {cos('v.iemb', 'c.cent')} DESC, c.centroid_id) AS rn
-            FROM iv v CROSS JOIN cent{j - 1} c
+            FROM {p}iv v CROSS JOIN {p}cent{j - 1} c
         ) WHERE rn = 1
-    ), cent{j} AS (
+    ), {p}cent{j} AS{mat} (
         SELECT centroid_id, list(m ORDER BY d) AS cent FROM (
             SELECT centroid_id, g.d AS d,
                    CAST(round(CAST(sum(iemb[g.d + 1]) AS DOUBLE) / count(*), 0)
                         AS BIGINT) AS m
-            FROM assign{j} CROSS JOIN generate_series(0, 63) AS g(d)
+            FROM {p}assign{j} CROSS JOIN generate_series(0, 63) AS g(d)
             GROUP BY centroid_id, g.d
         ) GROUP BY centroid_id
     )""")
-    return f"""
-    WITH iv AS (
+    return f"""{p}iv AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * {_IVF_MICRO}, 0) AS BIGINT)) AS iemb
         FROM embeddings
-    ), cent0 AS (
+    ), {p}cent0 AS (
         SELECT centroid_id, cent FROM (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
                    iemb AS cent
-            FROM iv
+            FROM {p}iv
         ) WHERE centroid_id < {_IVF_K}
     ),{','.join(blocks)}
-    , lists AS (
+    , {p}lists AS MATERIALIZED (
         SELECT vec_id, iemb, centroid_id FROM (
             SELECT v.vec_id, v.iemb, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {cos('v.iemb', 'c.cent')} DESC, c.centroid_id) AS rn
-            FROM iv v CROSS JOIN cent{_IVF_ITERS} c
+            FROM {p}iv v CROSS JOIN {p}cent{_IVF_ITERS} c
         ) WHERE rn = 1
-    ), probe_lists AS (
+    ), {p}probe_lists AS (
         SELECT probe_id, piemb, centroid_id FROM (
             SELECT v.vec_id AS probe_id, v.iemb AS piemb, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {cos('v.iemb', 'c.cent')} DESC, c.centroid_id) AS rn
-            FROM iv v CROSS JOIN cent{_IVF_ITERS} c
+            FROM {p}iv v CROSS JOIN {p}cent{_IVF_ITERS} c
             WHERE v.vec_id IN (0, 1, 2)
         ) WHERE rn <= {_IVF_NPROBE}
-    ), ranked AS (
+    )"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the full IVF pipeline (seed → Lloyd×2 → lists →
+    probe → top-3): the composable chain plus q_ann_ivf's ranking."""
+    cos = _ivf_cos_sql
+    return f"""
+    WITH {_ivf_ctes()}, ranked AS (
         SELECT p.probe_id, l.vec_id,
                {cos('p.piemb', 'l.iemb')} AS cos_sim,
                row_number() OVER (PARTITION BY p.probe_id
@@ -1292,27 +1186,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans its nprobe=2 nearest lists only, so the candidate set is
     ~nprobe/k of the data (vs all of it for brute force).
     """
+    iv, cents = _ivf_train(spark, sf_dir)
+    return _ivf_topk(_ivf_candidates(iv, cents))
+
+
+def _ivf_nearest(vecs: DataFrame, cents: DataFrame, n: int,
+                 vec_col: str) -> DataFrame:
+    """Each vector's ``n`` nearest centroids by exact-integer cosine
+    (tie → lower centroid_id) — the assignment step shared by training,
+    list building, and probing."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _ivf_cos(F.col(vec_col), F.col("cent")))
+    w = Window.partitionBy(vecs.columns[0]).orderBy(
+        F.col("sim").desc(), F.asc("centroid_id"))
+    return scored.withColumn("crn", F.row_number().over(w)) \
+        .filter(F.col("crn") <= n).drop("crn", "sim")
+
+
+def _ivf_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
+                                                          DataFrame]:
+    """Micro-unit integer vectors + the trained coarse quantizer
+    (seed → ``_IVF_ITERS`` exact-integer Lloyd passes).  Returns
+    ``(iv, cents)`` — factored so the recall report composes the SAME
+    training chain as ``q_ann_ivf`` (the `_ann_sig_probe_ctes`
+    discipline: one definition, no drift)."""
     iv = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
-
-    def nearest(vecs: DataFrame, cents: DataFrame, n: int,
-                vec_col: str) -> DataFrame:
-        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", _ivf_cos(F.col(vec_col), F.col("cent")))
-        w = Window.partitionBy(vecs.columns[0]).orderBy(
-            F.col("sim").desc(), F.asc("centroid_id"))
-        return scored.withColumn("crn", F.row_number().over(w)) \
-            .filter(F.col("crn") <= n).drop("crn", "sim")
-
     # Seed: the k lowest vec_ids (TakeOrdered — no global-window shuffle),
     # numbered by a window over just those k rows.
     seeds = iv.orderBy("vec_id").limit(_IVF_K)
     cents = seeds.select(
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("centroid_id"),
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("centroid_id"),
         F.col("iemb").alias("cent"),
     )
     for _ in range(_IVF_ITERS):
-        assigned = nearest(iv, cents, 1, "iemb")
+        assigned = _ivf_nearest(iv, cents, 1, "iemb")
         cents = (
             assigned.select("centroid_id",
                             F.posexplode("iemb").alias("dim", "x"))
@@ -1324,14 +1233,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
                 lambda s: s.m).alias("cent"))
         )
+    return iv, cents
 
-    lists = nearest(iv, cents, 1, "iemb").select("vec_id", "iemb", "centroid_id")
+
+def _ivf_candidates(iv: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF candidate generation: every vector lands in exactly one
+    inverted list; each probe's candidates are the members of its
+    ``_IVF_NPROBE`` nearest lists (minus itself).  Returns
+    ``(centroid_id, vec_id, iemb, probe_id, piemb)``."""
+    lists = _ivf_nearest(iv, cents, 1, "iemb").select(
+        "vec_id", "iemb", "centroid_id")
     probes = iv.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("probe_id"), F.col("iemb").alias("piemb"))
-    probe_lists = nearest(probes, cents, _IVF_NPROBE, "piemb").select(
+    probe_lists = _ivf_nearest(probes, cents, _IVF_NPROBE, "piemb").select(
         "probe_id", "piemb", "centroid_id")
-    cands = lists.join(F.broadcast(probe_lists), "centroid_id").filter(
+    return lists.join(F.broadcast(probe_lists), "centroid_id").filter(
         F.col("vec_id") != F.col("probe_id"))
+
+
+def _ivf_topk(cands: DataFrame) -> DataFrame:
+    """Top-3 per probe by exact-integer cosine (rounded only on output),
+    tie → lower vec_id — ``q_ann_ivf``'s ranking rule."""
     cos = _ivf_cos(F.col("piemb"), F.col("iemb"))
     w = Window.partitionBy("probe_id").orderBy(cos.desc(), F.asc("vec_id"))
     return (
@@ -2608,11 +2530,13 @@ def _pq_lloyd(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_report(spark: SparkSession, sf_dir: str,
-               lloyd_passes: int) -> DataFrame:
-    """PQ occupancy/distortion report with a configurable number of
-    Lloyd passes over the seed codebook (0 = raw seeding — kept callable
-    so the property test can show training reduces distortion)."""
+def _pq_trained_codebook(spark: SparkSession, sf_dir: str,
+                         lloyd_passes: int) -> tuple[DataFrame, DataFrame]:
+    """Dim-exploded sub-vectors + the whole-vector PQ codebook (seeded
+    from vec_id < 4, then ``lloyd_passes`` exact-integer refinements) —
+    factored from the occupancy report so the recall report searches
+    with the SAME trained codebook ``q_ann_pq`` publishes.  Returns
+    ``(sub, cb)``; ``cb`` is localCheckpoint'd when trained."""
     sub = _pq_subvectors(spark, sf_dir)
     cb = (sub.filter(F.col("vec_id") < 4)
           .select(F.col("vec_id").alias("code"),
@@ -2627,6 +2551,15 @@ def _pq_report(spark: SparkSession, sf_dir: str,
         # whole training chain (cost linear in pass count; VERDICT r8).
         # Same eager-checkpoint pattern as q_bpe_train_n's rule table.
         cb = cb.localCheckpoint()
+    return sub, cb
+
+
+def _pq_report(spark: SparkSession, sf_dir: str,
+               lloyd_passes: int) -> DataFrame:
+    """PQ occupancy/distortion report with a configurable number of
+    Lloyd passes over the seed codebook (0 = raw seeding — kept callable
+    so the property test can show training reduces distortion)."""
+    sub, cb = _pq_trained_codebook(spark, sf_dir, lloyd_passes)
     best = _pq_assign(sub, cb)
     return best.groupBy(
         F.col("s").alias("subspace"), F.col("code").cast("long").alias("code")
@@ -2636,68 +2569,83 @@ def _pq_report(spark: SparkSession, sf_dir: str,
     )
 
 
-def _pq_oracle() -> str:
-    """DuckDB twin of ``q_ann_pq`` with the Lloyd-training CTE chain
-    GENERATED from ``_PQ_LLOYD_PASSES`` (one assign + rounded-mean block
-    per pass), the same way :func:`_ivfpq_oracle` builds its residual
-    training chain — bumping the constant keeps both engines in lockstep
-    instead of silently desyncing a hardcoded one-pass literal
-    (ADVICE r8)."""
+def _pq_ctes(p: str = "") -> str:
+    """Composable CTE chain of the whole-vector PQ pipeline with the
+    Lloyd-training chain GENERATED from ``_PQ_LLOYD_PASSES`` (one assign
+    + rounded-mean block per pass — ADVICE r8: bumping the constant
+    keeps both engines in lockstep), every CTE name prefixed with ``p``
+    (VERDICT r11 item 3).  Ends at ``{p}penc`` — the corpus's nearest
+    trained code per (vec_id, subspace) with its quantization error —
+    which both the occupancy report and the recall report's ADC search
+    consume.  The trained codebook ``{p}cbf`` and ``{p}penc`` are
+    MATERIALIZED (multi-consumer CTEs re-inline otherwise)."""
     train = ""
     for i in range(_PQ_LLOYD_PASSES):
-        prev = f"cb{i}"
-        nxt = "cbf" if i == _PQ_LLOYD_PASSES - 1 else f"cb{i + 1}"
-        train += f"""dist{i} AS (
+        prev = f"{p}cb{i}"
+        nxt = (f"{p}cbf AS MATERIALIZED" if i == _PQ_LLOYD_PASSES - 1
+               else f"{p}cb{i + 1} AS")
+        train += f"""{p}dist{i} AS (
         SELECT a.vec_id, a.s, c.code,
                CAST(sum((a.x - c.x) * (a.x - c.x)) AS BIGINT) AS d2
-        FROM sub a JOIN {prev} c ON c.s = a.s AND c.dim = a.dim
+        FROM {p}sub a JOIN {prev} c ON c.s = a.s AND c.dim = a.dim
         GROUP BY a.vec_id, a.s, c.code
     ),
-    best{i} AS (
+    {p}best{i} AS (
         SELECT vec_id, s, code FROM (
             SELECT vec_id, s, code,
                    row_number() OVER (PARTITION BY vec_id, s
                                       ORDER BY d2, code) AS rn
-            FROM dist{i}
+            FROM {p}dist{i}
         ) WHERE rn = 1
     ),
-    {nxt} AS (
+    {nxt} (
         SELECT b.code, a.s, a.dim,
                CAST(round(CAST(sum(a.x) AS DOUBLE) / count(*), 0)
                     AS BIGINT) AS x
-        FROM sub a JOIN best{i} b ON b.vec_id = a.vec_id AND b.s = a.s
+        FROM {p}sub a JOIN {p}best{i} b
+          ON b.vec_id = a.vec_id AND b.s = a.s
         GROUP BY b.code, a.s, a.dim
     ),
     """
     if _PQ_LLOYD_PASSES == 0:
-        train = "cbf AS (SELECT code, s, dim, x FROM cb0),\n    "
-    return f"""
-    WITH ex AS (
+        train = (f"{p}cbf AS MATERIALIZED "
+                 f"(SELECT code, s, dim, x FROM {p}cb0),\n    ")
+    return f"""{p}ex AS (
         SELECT vec_id,
                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
                     AS BIGINT) AS x
         FROM embeddings
     ),
-    sub AS (SELECT vec_id, dim // 16 AS s, dim, x FROM ex),
-    cb0 AS (SELECT vec_id AS code, s, dim, x FROM sub WHERE vec_id < 4),
-    {train}dist AS (
+    {p}sub AS (SELECT vec_id, dim // 16 AS s, dim, x FROM {p}ex),
+    {p}cb0 AS (SELECT vec_id AS code, s, dim, x FROM {p}sub
+               WHERE vec_id < 4),
+    {train}{p}dist AS (
         SELECT a.vec_id, a.s, c.code,
                CAST(sum((a.x - c.x) * (a.x - c.x)) AS BIGINT) AS d2
-        FROM sub a JOIN cbf c ON c.s = a.s AND c.dim = a.dim
+        FROM {p}sub a JOIN {p}cbf c ON c.s = a.s AND c.dim = a.dim
         GROUP BY a.vec_id, a.s, c.code
     ),
-    best AS (
-        SELECT vec_id, s, code, d2,
-               row_number() OVER (PARTITION BY vec_id, s
-                                  ORDER BY d2, code) AS rn
-        FROM dist
-    )
+    {p}penc AS MATERIALIZED (
+        SELECT vec_id, s, code, d2 FROM (
+            SELECT vec_id, s, code, d2,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rn
+            FROM {p}dist
+        ) WHERE rn = 1
+    )"""
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of ``q_ann_pq``: the composable PQ chain plus the
+    per-(subspace, code) occupancy/distortion rollup."""
+    return f"""
+    WITH {_pq_ctes()}
     SELECT CAST(s AS INT)             AS subspace,
            CAST(code AS BIGINT)       AS code,
            CAST(count(*) AS BIGINT)   AS n_assigned,
            CAST(sum(d2) AS BIGINT)    AS distortion_sum
-    FROM best WHERE rn = 1
+    FROM penc
     GROUP BY s, code
     """
 
@@ -2758,129 +2706,144 @@ def _il2(a: "F.Column", b: "F.Column") -> "F.Column":
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def _ivfpq_oracle() -> str:
-    """DuckDB twin of the full IVF-PQ pipeline.  Milli-unit integer
-    vectors make every distance an exact BIGINT, so assignment argmins,
-    ADC ranking, and the exact rerank are bit-identical across engines."""
-    def l2(a: str, b: str, n: int) -> str:
-        return (f"list_reduce(list_transform(range(1, {n + 1}), "
-                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
-                f"(x, y) -> x + y)")
+def _ivfpq_l2_sql(a: str, b: str, n: int) -> str:
+    """DuckDB exact integer squared L2 of two ``n``-dim BIGINT lists."""
+    return (f"list_reduce(list_transform(range(1, {n + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(x, y) -> x + y)")
 
+
+def _ivfpq_ctes(p: str = "") -> str:
+    """Composable CTE chain of the full IVF-PQ pipeline up to the exact
+    rerank input ``{p}rer`` (coarse train → residual encode → probe →
+    ADC → shortlist), every CTE name prefixed with ``p`` (VERDICT r11
+    item 3).  Milli-unit integer vectors make every distance an exact
+    BIGINT, so assignment argmins, ADC ranking, and the exact rerank are
+    bit-identical across engines.  Multi-consumer CTEs (trained
+    centroids, residual sub-vectors, trained codebook, ADC table) are
+    MATERIALIZED — DuckDB re-inlines plain CTEs per consumer."""
+    l2 = _ivfpq_l2_sql
     sub = _IVFPQ_SUBDIM
     # Lloyd-training CTE chain for the residual PQ codebooks (one
     # assign + rounded-integer-mean block per pass, mirroring the Spark
-    # loop); the final pass is named plain `codebook`, which the enc/adc
-    # CTEs below consume unchanged.
+    # loop); the final pass is named plain `{p}codebook`, which the
+    # enc/adc CTEs below consume unchanged.
     pq_train = ""
     for i in range(_PQ_LLOYD_PASSES):
-        prev = f"codebook{i}"
-        nxt = ("codebook" if i == _PQ_LLOYD_PASSES - 1
-               else f"codebook{i + 1}")
-        pq_train += f"""asg{i} AS (
+        prev = f"{p}codebook{i}"
+        nxt = (f"{p}codebook AS MATERIALIZED"
+               if i == _PQ_LLOYD_PASSES - 1
+               else f"{p}codebook{i + 1} AS")
+        pq_train += f"""{p}asg{i} AS (
         SELECT s, code, rsub FROM (
             SELECT a.s, c.code, a.rsub,
                    row_number() OVER (PARTITION BY a.vec_id, a.s
                        ORDER BY {l2('a.rsub', 'c.cvec', sub)}, c.code) AS rn
-            FROM cand_sub a JOIN {prev} c ON c.s = a.s
+            FROM {p}cand_sub a JOIN {prev} c ON c.s = a.s
         ) WHERE rn = 1
-    ), {nxt} AS (
+    ), {nxt} (
         SELECT s, code, list(m ORDER BY d) AS cvec FROM (
             SELECT s, code, g.d AS d,
                    CAST(round(CAST(sum(rsub[g.d + 1]) AS DOUBLE)
                               / count(*), 0) AS BIGINT) AS m
-            FROM asg{i} CROSS JOIN generate_series(0, {sub - 1}) AS g(d)
+            FROM {p}asg{i} CROSS JOIN generate_series(0, {sub - 1}) AS g(d)
             GROUP BY s, code, g.d
         ) GROUP BY s, code
     ), """
     if _PQ_LLOYD_PASSES == 0:
-        pq_train = """codebook AS (
-        SELECT s, code, cvec FROM codebook0
+        pq_train = f"""{p}codebook AS MATERIALIZED (
+        SELECT s, code, cvec FROM {p}codebook0
     ), """
-    return f"""
-    WITH iv AS (
+    return f"""{p}iv AS (
         SELECT vec_id, list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS iemb
         FROM embeddings
-    ), cents0 AS (
-        SELECT vec_id AS centroid_id, iemb AS cent FROM iv
+    ), {p}cents0 AS (
+        SELECT vec_id AS centroid_id, iemb AS cent FROM {p}iv
         WHERE vec_id < {_IVFPQ_K}
-    ), assign0 AS (
+    ), {p}assign0 AS (
         SELECT vec_id, iemb, centroid_id FROM (
             SELECT v.vec_id, v.iemb, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {l2('v.iemb', 'c.cent', 64)}, c.centroid_id) AS rn
-            FROM iv v CROSS JOIN cents0 c
+            FROM {p}iv v CROSS JOIN {p}cents0 c
         ) WHERE rn = 1
-    ), cents AS (
+    ), {p}cents AS MATERIALIZED (
         SELECT centroid_id, list(m ORDER BY d) AS cent FROM (
             SELECT centroid_id, g.d AS d,
                    CAST(round(CAST(sum(iemb[g.d + 1]) AS DOUBLE) / count(*), 0)
                         AS BIGINT) AS m
-            FROM assign0 CROSS JOIN generate_series(0, 63) AS g(d)
+            FROM {p}assign0 CROSS JOIN generate_series(0, 63) AS g(d)
             GROUP BY centroid_id, g.d
         ) GROUP BY centroid_id
-    ), lists AS (
+    ), {p}lists AS (
         SELECT vec_id, iemb, centroid_id,
                list_transform(range(1, 65), i -> iemb[i] - cent[i]) AS res
         FROM (
             SELECT v.vec_id, v.iemb, c.centroid_id, c.cent,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {l2('v.iemb', 'c.cent', 64)}, c.centroid_id) AS rn
-            FROM iv v CROSS JOIN cents c
+            FROM {p}iv v CROSS JOIN {p}cents c
         ) WHERE rn = 1
-    ), cand_sub AS (
+    ), {p}cand_sub AS MATERIALIZED (
         SELECT vec_id, centroid_id, g.s AS s,
                list_slice(res, g.s * {sub} + 1, g.s * {sub} + {sub}) AS rsub
-        FROM lists CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
-    ), codebook0 AS (
+        FROM {p}lists CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
+    ), {p}codebook0 AS (
         SELECT vec_id - {_IVFPQ_CODE_LO} AS code, s, rsub AS cvec
-        FROM cand_sub
+        FROM {p}cand_sub
         WHERE vec_id >= {_IVFPQ_CODE_LO} AND vec_id < {_IVFPQ_CODE_HI}
-    ), {pq_train} enc AS (
+    ), {pq_train} {p}enc AS (
         SELECT vec_id, centroid_id, s, code FROM (
             SELECT a.vec_id, a.centroid_id, a.s, c.code,
                    row_number() OVER (PARTITION BY a.vec_id, a.s
                        ORDER BY {l2('a.rsub', 'c.cvec', sub)}, c.code) AS rn
-            FROM cand_sub a JOIN codebook c ON c.s = a.s
+            FROM {p}cand_sub a JOIN {p}codebook c ON c.s = a.s
         ) WHERE rn = 1
-    ), probes AS (
-        SELECT vec_id AS probe_id, iemb AS piemb FROM iv
+    ), {p}probes AS (
+        SELECT vec_id AS probe_id, iemb AS piemb FROM {p}iv
         WHERE vec_id IN (0, 1, 2)
-    ), probed AS (
+    ), {p}probed AS (
         SELECT probe_id, centroid_id, piemb, cent FROM (
-            SELECT p.probe_id, c.centroid_id, p.piemb, c.cent,
-                   row_number() OVER (PARTITION BY p.probe_id
-                       ORDER BY {l2('p.piemb', 'c.cent', 64)}, c.centroid_id) AS rn
-            FROM probes p CROSS JOIN cents c
+            SELECT pr.probe_id, c.centroid_id, pr.piemb, c.cent,
+                   row_number() OVER (PARTITION BY pr.probe_id
+                       ORDER BY {l2('pr.piemb', 'c.cent', 64)}, c.centroid_id) AS rn
+            FROM {p}probes pr CROSS JOIN {p}cents c
         ) WHERE rn <= {_IVFPQ_NPROBE}
-    ), probe_sub AS (
+    ), {p}probe_sub AS (
         SELECT probe_id, centroid_id, g.s AS s,
                list_slice(list_transform(range(1, 65), i -> piemb[i] - cent[i]),
                           g.s * {sub} + 1, g.s * {sub} + {sub}) AS prsub
-        FROM probed CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
-    ), adc AS (
+        FROM {p}probed CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
+    ), {p}adc AS MATERIALIZED (
         SELECT ps.probe_id, e.vec_id,
                CAST(sum({l2('ps.prsub', 'cb.cvec', sub)}) AS BIGINT) AS approx_d2
-        FROM enc e
-        JOIN probe_sub ps ON ps.centroid_id = e.centroid_id AND ps.s = e.s
-        JOIN codebook cb ON cb.s = e.s AND cb.code = e.code
+        FROM {p}enc e
+        JOIN {p}probe_sub ps ON ps.centroid_id = e.centroid_id AND ps.s = e.s
+        JOIN {p}codebook cb ON cb.s = e.s AND cb.code = e.code
         WHERE e.vec_id <> ps.probe_id
         GROUP BY ps.probe_id, e.vec_id
-    ), short AS (
+    ), {p}short AS (
         SELECT probe_id, vec_id, approx_d2 FROM (
             SELECT probe_id, vec_id, approx_d2,
                    row_number() OVER (PARTITION BY probe_id
                        ORDER BY approx_d2, vec_id) AS srn
-            FROM adc
+            FROM {p}adc
         ) WHERE srn <= {_IVFPQ_SHORT}
-    ), rer AS (
-        SELECT s.probe_id, s.vec_id, s.approx_d2,
-               {l2('v.iemb', 'p.piemb', 64)} AS exact_d2
-        FROM short s
-        JOIN iv v ON v.vec_id = s.vec_id
-        JOIN probes p ON p.probe_id = s.probe_id
-    )
+    ), {p}rer AS (
+        SELECT sh.probe_id, sh.vec_id, sh.approx_d2,
+               {l2('v.iemb', 'pr.piemb', 64)} AS exact_d2
+        FROM {p}short sh
+        JOIN {p}iv v ON v.vec_id = sh.vec_id
+        JOIN {p}probes pr ON pr.probe_id = sh.probe_id
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of the full IVF-PQ pipeline: the composable chain
+    plus q_ann_ivfpq's exact-rerank top-k."""
+    return f"""
+    WITH {_ivfpq_ctes()}
     SELECT CAST(probe_id AS BIGINT)  AS probe_id,
            CAST(vec_id AS BIGINT)    AS vec_id,
            CAST(approx_d2 AS BIGINT) AS approx_d2,
@@ -2941,6 +2904,217 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv, cents, cand_sub, codebook, enc = _ivfpq_encode(
         spark, sf_dir, _PQ_LLOYD_PASSES)
     return _ivfpq_search(spark, iv, cents, codebook, enc.drop("cd2"))
+
+
+def _ann_recall_report_oracle() -> str:
+    """DuckDB twin of ``q_ann_recall_report``: one CTE chain per
+    method's candidate set — the LSH family from
+    :func:`_ann_sig_probe_ctes`, the trained methods grafted in via the
+    prefixed composable builders (:func:`_ivf_ctes` / :func:`_pq_ctes` /
+    :func:`_ivfpq_ctes` — VERDICT r11 item 3) — brute-force top-3 as
+    ground truth, per-(method, probe) candidate count + hit count."""
+    cos = """
+               (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(p.probe_emb[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim"""
+    per_method = []
+    selects = []
+    # (method, candidate CTE, per-method ranking rule for its top-3)
+    methods = (
+        ("brute", "brute", "round(cos_sim, 6) DESC, vec_id"),
+        ("lsh", "lshc", "round(cos_sim, 6) DESC, vec_id"),
+        ("lsh_multiprobe", "multic", "round(cos_sim, 6) DESC, vec_id"),
+        ("ivf", "ivfc", "sim DESC, vec_id"),
+        ("pq", "pqadc", "approx_d2, vec_id"),
+        ("ivfpq", "iqreri", "exact_d2, vec_id"),
+    )
+    for m, src, order in methods:
+        per_method.append(f""", {m}_top AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY {order}) AS rn
+            FROM {src}
+        ) WHERE rn <= 3
+    ), {m}_cnt AS (
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM {'iq_adc' if m == 'ivfpq' else src} GROUP BY probe_id
+    ), {m}_hit AS (
+        SELECT t.probe_id, CAST(count(*) AS BIGINT) AS hits
+        FROM {m}_top t JOIN truth u USING (probe_id, vec_id)
+        GROUP BY t.probe_id
+    )""")
+        selects.append(f"""
+    SELECT '{m}' AS method, CAST(c.probe_id AS BIGINT) AS probe_id,
+           c.n_candidates, coalesce(h.hits, 0) AS hits
+    FROM {m}_cnt c LEFT JOIN {m}_hit h USING (probe_id)""")
+    return f"""
+    WITH {_ann_sig_probe_ctes(8)}, brute AS (
+        SELECT p.probe_id, s.vec_id,{cos}
+        FROM sig s CROSS JOIN probes p
+        WHERE s.vec_id <> p.probe_id
+    ), lshc AS (
+        SELECT p.probe_id, s.vec_id,{cos}
+        FROM sig s JOIN probes p
+          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), multic AS (
+        SELECT p.probe_id, s.vec_id,{cos}
+        FROM sig s JOIN pb p
+          ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), truth AS MATERIALIZED (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+            FROM brute
+        ) WHERE rn <= 3
+    ), {_ivf_ctes('ivf_')}, ivfc AS MATERIALIZED (
+        SELECT pl.probe_id, l.vec_id,
+               {_ivf_cos_sql('pl.piemb', 'l.iemb')} AS sim
+        FROM ivf_probe_lists pl
+        JOIN ivf_lists l ON pl.centroid_id = l.centroid_id
+                        AND l.vec_id <> pl.probe_id
+    ), {_pq_ctes('pq_')}, pq_lut AS (
+        SELECT q.vec_id AS probe_id, c.s, c.code,
+               CAST(sum((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS pd2
+        FROM pq_sub q JOIN pq_cbf c ON c.s = q.s AND c.dim = q.dim
+        WHERE q.vec_id IN (0, 1, 2)
+        GROUP BY q.vec_id, c.s, c.code
+    ), pqadc AS MATERIALIZED (
+        SELECT l.probe_id, e.vec_id,
+               CAST(sum(l.pd2) AS BIGINT) AS approx_d2
+        FROM pq_penc e JOIN pq_lut l ON l.s = e.s AND l.code = e.code
+        WHERE e.vec_id <> l.probe_id
+        GROUP BY l.probe_id, e.vec_id
+    ), {_ivfpq_ctes('iq_')}, iqreri AS (
+        SELECT probe_id, vec_id, exact_d2 FROM iq_rer
+    ){''.join(per_method)}
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@query("q_ann_recall_report", oracle=_ann_recall_report_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL-vs-COST REPORT over all SIX index families (SURVEY §7
+    round-12 runway item 2, completed by VERDICT r11 item 3): for the
+    fixed probe set, one row per (method, probe) with the method's
+    candidate-scan count (the cost proxy — what an index actually buys
+    is scanning fewer candidates) and its recall@3 hit count against the
+    brute-force rounded-cosine ground truth.  Methods: ``brute`` (ground
+    truth anchor, hits = 3 by construction), ``lsh`` (home bucket only),
+    ``lsh_multiprobe`` (home + 8 Hamming-1 buckets), ``ivf`` (trained
+    coarse quantizer, nprobe lists), ``pq`` (whole-corpus ADC scan with
+    the trained product codebook — every vector scanned but COMPRESSED:
+    the per-candidate cost is a 4-entry LUT sum, the classic
+    memory-bound PQ trade), ``ivfpq`` (coarse lists → residual-code ADC
+    → exact rerank) — the accuracy/cost dial a 100 TB embedding store
+    publishes when choosing an index.  Each trained method's candidates
+    and ranking come from the SAME factored helpers its own EXACT key
+    runs (`_ivf_train`/`_ivf_candidates`/`_ivf_topk`,
+    `_pq_trained_codebook`, `_ivfpq_encode`/`_ivfpq_adc`/
+    `_ivfpq_rerank`), so report and key can never drift.
+
+    Every per-method candidate set, ranking rule, and count is
+    exact/deterministic (the trained methods rank in exact integer
+    space), so the whole trade-off table is EXACT-gated — recall numbers
+    in this report can never be vibes.
+
+    Scale: candidate generation is the respective ANN key's plan
+    (map-only bucketing + broadcast probes / broadcast centroid and
+    codebook tables); the PQ ADC is an equi-join against a ≤48-row
+    broadcast LUT; the report adds probe-grained aggregates and a 9-row
+    ground-truth join — free at any corpus size next to the scans it
+    measures.  The per-method candidate frames are localCheckpoint'd:
+    each is tiny (probe-grained) but carries a training lineage that
+    would otherwise replay once for the count and once for the top-3.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", _lsh_bucket_col(8))
+    probes = _ann_probe_set(bucketed)
+    probe_buckets = _ann_probe_buckets(probes, 8)
+    not_self = F.col("vec_id") != F.col("probe_id")
+
+    def top3_cos(cands: DataFrame) -> DataFrame:
+        scored = cands.withColumn(
+            "cos_sim", V.cosine(F.col("probe_emb"), F.col("embedding")))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3).select("probe_id", "vec_id"))
+
+    brute_cands = (e.crossJoin(F.broadcast(probes.drop("bucket")))
+                   .filter(not_self))
+    # ground truth = brute top-3; checkpointed: every hit-join reads it
+    truth = top3_cos(brute_cands).localCheckpoint()
+
+    # IVF: the trained quantizer + candidate/ranking chain of q_ann_ivf.
+    iv, cents = _ivf_train(spark, sf_dir)
+    ivf_cands = _ivf_candidates(iv, cents).localCheckpoint()
+    ivf_top = _ivf_topk(ivf_cands).select("probe_id", "vec_id")
+
+    # PQ: whole-corpus ADC search with q_ann_pq's trained codebook —
+    # per-probe LUT (exact integer d² to every code, ≤48 rows) joined to
+    # the corpus codes, summed over subspaces.
+    sub, cb = _pq_trained_codebook(spark, sf_dir, _PQ_LLOYD_PASSES)
+    enc = _pq_assign(sub, cb).select("vec_id", "s", "code")
+    psub = sub.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"), "s", "dim", "x")
+    lut = (psub.join(F.broadcast(cb),
+                     (F.col("cs") == F.col("s"))
+                     & (F.col("cdim") == F.col("dim")))
+           .groupBy("probe_id", "s", "code")
+           .agg(F.sum((F.col("x") - F.col("cx"))
+                      * (F.col("x") - F.col("cx")))
+                .cast("long").alias("pd2")))
+    pq_adc = (enc.join(F.broadcast(lut), ["s", "code"]).filter(not_self)
+              .groupBy("probe_id", "vec_id")
+              .agg(F.sum("pd2").cast("long").alias("approx_d2"))
+              .localCheckpoint())
+    wpq = Window.partitionBy("probe_id").orderBy("approx_d2", "vec_id")
+    pq_top = (pq_adc.withColumn("rn", F.row_number().over(wpq))
+              .filter(F.col("rn") <= 3).select("probe_id", "vec_id"))
+
+    # IVF-PQ: q_ann_ivfpq's encode → ADC (the counted candidate set) →
+    # exact rerank top-3.
+    iv2, cents2, _, codebook2, enc2 = _ivfpq_encode(
+        spark, sf_dir, _PQ_LLOYD_PASSES)
+    probes2, iq_adc = _ivfpq_adc(iv2, cents2, codebook2, enc2.drop("cd2"))
+    iq_adc = iq_adc.localCheckpoint()
+    iq_top = _ivfpq_rerank(iq_adc, iv2, probes2).select(
+        "probe_id", "vec_id")
+
+    lsh_cands = bucketed.join(F.broadcast(probes), "bucket").filter(
+        not_self)
+    multi_cands = bucketed.join(
+        F.broadcast(probe_buckets), "bucket").filter(not_self)
+    # (method, counted candidate set, top-3; None = rank by float cosine)
+    methods = [
+        ("brute", brute_cands, truth),
+        ("lsh", lsh_cands, None),
+        ("lsh_multiprobe", multi_cands, None),
+        ("ivf", ivf_cands, ivf_top),
+        ("pq", pq_adc, pq_top),
+        ("ivfpq", iq_adc, iq_top),
+    ]
+    out = None
+    for name, cands, top in methods:
+        cnt = cands.groupBy("probe_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        top = top3_cos(cands) if top is None else top
+        hits = (top.join(truth, ["probe_id", "vec_id"])
+                .groupBy("probe_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("hits")))
+        row = (cnt.join(hits, "probe_id", "left").na.fill(0)
+               .select(F.lit(name).alias("method"),
+                       F.col("probe_id").cast("long").alias("probe_id"),
+                       "n_candidates",
+                       F.col("hits").cast("long").alias("hits")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
 
 
 def _subspaces(col: str) -> "F.Column":
@@ -3064,7 +3238,16 @@ def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
                   codebook: DataFrame, enc: DataFrame) -> DataFrame:
     """Stages (3)-(4) of :func:`q_ann_ivfpq`: nprobe list probing, ADC
     ranking against the code vectors, exact top-k rerank."""
-    # (3) probe the nprobe nearest lists; ADC against code vectors.
+    probes, adc = _ivfpq_adc(iv, cents, codebook, enc)
+    return _ivfpq_rerank(adc, iv, probes)
+
+
+def _ivfpq_adc(iv: DataFrame, cents: DataFrame, codebook: DataFrame,
+               enc: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stage (3) of :func:`q_ann_ivfpq` — nprobe list probing + ADC
+    scoring — factored so the recall report can count the ADC candidate
+    set (the method's scan cost) before the shortlist cuts it.  Returns
+    ``(probes, adc)``."""
     probes = iv.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("probe_id"), F.col("iemb").alias("piemb"))
     wp = Window.partitionBy("probe_id").orderBy("d2", "centroid_id")
@@ -3095,8 +3278,13 @@ def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
         .agg(F.sum(_il2(F.col("prsub"), F.col("cvec")))
              .cast("long").alias("approx_d2"))
     )
+    return probes, adc
 
-    # (4) ADC shortlist -> exact rerank.
+
+def _ivfpq_rerank(adc: DataFrame, iv: DataFrame,
+                  probes: DataFrame) -> DataFrame:
+    """Stage (4) of :func:`q_ann_ivfpq`: ADC shortlist → exact rerank,
+    top-``_IVFPQ_TOPK`` with both distances."""
     ws = Window.partitionBy("probe_id").orderBy("approx_d2", "vec_id")
     short = adc.withColumn("srn", F.row_number().over(ws)).filter(
         F.col("srn") <= _IVFPQ_SHORT).drop("srn")

@@ -65,3 +65,39 @@ def test_changefeed_evolve_old_schema_consumer_still_reads(spark):
     for r in rows:
         want[r.commit_seq] += r.n_rows
     assert got == want and set(got) == {1, 2}
+
+
+def test_ann_recall_report_trained_methods(spark):
+    """The folded-in trained methods (VERDICT r11 item 3) must show the
+    index trade honestly: every trained method's total recall@3 is at
+    least single-probe LSH's (the bar the VERDICT set); IVF actually
+    PRUNES (scans a strict subset of brute's candidates) while beating
+    both LSH variants here; PQ scans every candidate (its saving is
+    compression, not pruning — the count must equal brute's); IVF-PQ's
+    ADC set is bounded by nprobe/K of the corpus plus the probed lists'
+    skew, strictly under brute."""
+    rows = QUERIES["q_ann_recall_report"](spark, SF).collect()
+    by = {(r.method, r.probe_id): r for r in rows}
+    methods = {m for m, _ in by}
+    assert methods == {"brute", "lsh", "lsh_multiprobe",
+                       "ivf", "pq", "ivfpq"}
+    brute = {p: r for (m, p), r in by.items() if m == "brute"}
+
+    def total(m):
+        return sum(r.hits for (mm, _), r in by.items() if mm == m)
+
+    lsh_total = total("lsh")
+    for m in ("ivf", "pq", "ivfpq"):
+        # every trained method reports all three probes (no empty sets)
+        assert {p for (mm, p) in by if mm == m} == set(brute), m
+        assert total(m) >= lsh_total, m
+    # the coarse quantizer prunes AND wins on this corpus
+    assert all(by[("ivf", p)].n_candidates < brute[p].n_candidates
+               for p in brute)
+    assert total("ivf") >= total("lsh_multiprobe")
+    # PQ is compression, not pruning: full scan, cheap per candidate
+    assert all(by[("pq", p)].n_candidates == brute[p].n_candidates
+               for p in brute)
+    # IVF-PQ's ADC candidate set stays under the full scan
+    assert all(by[("ivfpq", p)].n_candidates < brute[p].n_candidates
+               for p in brute)
