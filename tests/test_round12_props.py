@@ -101,3 +101,18 @@ def test_ann_recall_report_trained_methods(spark):
     # IVF-PQ's ADC candidate set stays under the full scan
     assert all(by[("ivfpq", p)].n_candidates < brute[p].n_candidates
                for p in brute)
+
+
+def test_survey_total_line_matches_registry():
+    """SURVEY.md's 'Total declared surface' line must equal the live
+    registry count (ADVICE r11: the line sat stale at 252 for six
+    rounds; now it cannot drift)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parents[1] / "SURVEY.md").read_text()
+    m = re.search(r"Total declared surface: (\d+) queries", text)
+    assert m, "SURVEY.md total-surface line missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"SURVEY.md says {m.group(1)} queries; registry has "
+        f"{len(QUERIES)} — update the §2 total line")
