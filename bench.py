@@ -63,6 +63,13 @@ HEADLINE = [
     # Round-11 flagship addition (the 25 keys above keep their order
     # for comparability with BENCH_r01..r10).
     "q_unigram_hard_em_n",
+    # Round-12 flagship addition (the 26 keys above keep their order for
+    # comparability with BENCH_r01..r11): the six-family ANN trade-off
+    # table — the round's headline capability.  The two CDC keys
+    # (q_mv_maintain, q_changefeed_evolve) stay out like
+    # q_changefeed_consume: Python-datasource fixed floor, tracked in
+    # SCALING.md instead.
+    "q_ann_recall_report",
 ]
 
 

@@ -976,28 +976,31 @@ def _mutation_feed(spark: SparkSession, sf_dir: str,
     feed = os.path.join(base_dir, "feed")
     _write_mutation_history(spark, sf_dir, src)
     v1, v2, v3 = (_mutation_snap(spark, src, v) for v in ("1", "2", None))
-
-    def _changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
-        # lang from WHICHEVER side has the row: an insert change has no
-        # pre-image, so a pre-only lang would write NULL and the insert
-        # would never join the consumer's per-lang state (this history
-        # has no inserts, but the consumer's insert arm must be real).
-        return _classify_version_diff(
-            pre.select("doc_id", F.col("lang").alias("lang_pre"),
-                       F.col("n_chars").alias("chars_pre")),
-            post.select("doc_id", F.col("lang").alias("lang_post"),
-                        F.col("n_chars").alias("chars_post")),
-        ).filter(F.col("change") != "same").select(
-            "doc_id",
-            F.coalesce("lang_pre", "lang_post").alias("lang"),
-            "change", "delta",
-            F.lit(seq).cast("long").alias("commit_seq"))
-
-    (_changes(v1, v2, 1).unionByName(_changes(v2, v3, 2))
+    (_commit_changes(v1, v2, 1).unionByName(_commit_changes(v2, v3, 2))
      .write.format("arrowipc").option("partitionBy", "commit_seq")
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(feed))
     return src, feed
+
+
+def _commit_changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
+    """One feed commit: the keyed diff of two history snapshots as
+    change rows stamped with ``commit_seq``.  lang comes from WHICHEVER
+    side has the row: an insert change has no pre-image, so a pre-only
+    lang would write NULL and the insert would never join the consumer's
+    per-lang state (this history has no inserts, but the consumer's
+    insert arm must be real).  Module-level so the streaming MV
+    maintainer's fixture can write one commit per manifest version."""
+    return _classify_version_diff(
+        pre.select("doc_id", F.col("lang").alias("lang_pre"),
+                   F.col("n_chars").alias("chars_pre")),
+        post.select("doc_id", F.col("lang").alias("lang_post"),
+                    F.col("n_chars").alias("chars_post")),
+    ).filter(F.col("change") != "same").select(
+        "doc_id",
+        F.coalesce("lang_pre", "lang_post").alias("lang"),
+        "change", "delta",
+        F.lit(seq).cast("long").alias("commit_seq"))
 
 
 def _read_feed(spark: SparkSession, feed: str) -> DataFrame:

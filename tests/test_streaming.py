@@ -1131,3 +1131,82 @@ def test_stream_session_gap_reordered_drop_accounting(caplog):
         pd.concat(list(_sgap_annotate_reordered((7,), iter([pdf2]), state2)))
     assert not [r for r in caplog.records if "too-late" in r.message]
     assert state2.updated[-1] == 2  # lifetime counter carried forward
+
+
+@pytest.mark.slow
+def test_stream_mv_maintain_matches_batch_twin(spark):
+    """The streaming MV maintainer must roll the persisted aggregate
+    through the feed's commits to EXACTLY the batch key's version table
+    (q_mv_maintain is oracle-gated; this differential pins the stream to
+    it): one micro-batch per feed commit via manifest-version offsets,
+    one MV version per batch, commit 2 arriving while the stream runs.
+    Then the crash window: re-applying an already-absorbed batch id must
+    be a no-op (the MV ledger's src_batch provenance, no markers)."""
+    import uuid as _uuid
+
+    import __spark_entry__ as entrymod
+    from bossarrowstorageengine_spark.operators.scans import (
+        _commit_changes,
+        _mutation_snap,
+        _write_mutation_history,
+    )
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        FEED_SCHEMA,
+        MV_SCHEMA,
+        apply_feed_batch,
+        mv_maintain_stream,
+        seed_mv,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    src, feed, mv, ckpt = (f"{base}/{d}" for d in
+                           ("src", "feed", "mv", "ckpt"))
+    _write_mutation_history(spark, sf, src)
+    v1, v2, v3 = (_mutation_snap(spark, src, v) for v in ("1", "2", None))
+
+    def _commit(pre, post, seq):
+        (_commit_changes(pre, post, seq)
+         .write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+
+    seed_mv(spark, mv, v1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars")))
+    _commit(v1, v2, 1)  # lands before the stream starts -> batch 0
+    q = mv_maintain_stream(spark, feed, mv, ckpt)
+    try:
+        q.processAllAvailable()
+        _commit(v2, v3, 2)  # arrives live -> batch 1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    mv_rows = (spark.read.format("arrowipc").option("snapshots", "true")
+               .schema(MV_SCHEMA).load(mv)).collect()
+    got = {(r.mv_version, r.lang): (r.docs, r.chars) for r in mv_rows}
+    batch_twin = entrymod.queries()["q_mv_maintain"](spark, sf).collect()
+    want = {(r.mv_version, r.lang): (r.docs, r.chars) for r in batch_twin}
+    assert got == want
+    assert all(r.consistent for r in batch_twin)
+    # one version per commit, provenance stamped
+    assert {r.mv_version for r in mv_rows} == {1, 2, 3}
+    assert {r.src_batch for r in mv_rows} == {-1, 0, 1}
+
+    # crash-window replay: the checkpoint commit for batch 1 is lost and
+    # foreachBatch redelivers it — the ledger absorbs the no-op
+    batch2 = (spark.read.format("arrowipc").option("snapshots", "true")
+              .option("columns", "lang,change,delta,commit_seq")
+              .schema(FEED_SCHEMA).load(feed)
+              .filter(F.col("commit_seq") == 2))
+    apply_feed_batch(batch2, 1, mv)
+    replayed = (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema(MV_SCHEMA).load(mv)).collect()
+    assert {(r.mv_version, r.lang): (r.docs, r.chars)
+            for r in replayed} == want
+    # ...and an empty NEW batch bumps nothing either
+    apply_feed_batch(batch2.filter(F.lit(False)), 2, mv)
+    assert (spark.read.format("arrowipc").option("snapshots", "true")
+            .schema(MV_SCHEMA).load(mv).count()) == len(replayed)
