@@ -2903,7 +2903,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     iv, cents, cand_sub, codebook, enc = _ivfpq_encode(
         spark, sf_dir, _PQ_LLOYD_PASSES)
-    return _ivfpq_search(spark, iv, cents, codebook, enc.drop("cd2"))
+    return _ivfpq_search(iv, cents, codebook, enc.drop("cd2"))
 
 
 def _ann_recall_report_oracle() -> str:
@@ -3234,7 +3234,7 @@ def _ivfpq_encode(spark: SparkSession, sf_dir: str,
     return iv, cents, cand_sub, codebook, enc
 
 
-def _ivfpq_search(spark: SparkSession, iv: DataFrame, cents: DataFrame,
+def _ivfpq_search(iv: DataFrame, cents: DataFrame,
                   codebook: DataFrame, enc: DataFrame) -> DataFrame:
     """Stages (3)-(4) of :func:`q_ann_ivfpq`: nprobe list probing, ADC
     ranking against the code vectors, exact top-k rerank."""

@@ -1003,14 +1003,17 @@ def _commit_changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
         F.lit(seq).cast("long").alias("commit_seq"))
 
 
-def _read_feed(spark: SparkSession, feed: str) -> DataFrame:
-    """The consumer-side feed scan: 4 columns, explicit schema, pruned to
-    the commit partitions being applied."""
+def _read_feed(spark: SparkSession, feed: str,
+               seqs: list[int]) -> DataFrame:
+    """The consumer-side feed scan: 4 columns, explicit schema, pruned
+    to exactly the commit partitions being applied (``seqs`` — the same
+    list the caller hands ``_feed_commit_deltas``, so the filter and the
+    per-commit aggregation can never drift apart)."""
     return (spark.read.format("arrowipc")
             .option("snapshots", "true")
             .option("columns", "lang,change,delta,commit_seq")
             .schema(_CF_FEED_SCHEMA)
-            .load(feed).filter(F.col("commit_seq").isin(1, 2)))
+            .load(feed).filter(F.col("commit_seq").isin(*seqs)))
 
 
 def _feed_commit_deltas(feed_rows: DataFrame, seqs: list[int]) -> DataFrame:
@@ -1266,7 +1269,7 @@ def q_changefeed_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = v1.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_base"),
         F.sum("n_chars").cast("long").alias("chars_base"))
-    incs = _feed_commit_deltas(_read_feed(spark, feed), [1, 2])
+    incs = _feed_commit_deltas(_read_feed(spark, feed, [1, 2]), [1, 2])
     state = base.join(incs, "lang", "left").na.fill(0)
     direct = v3.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_direct"),
@@ -1362,7 +1365,7 @@ def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _mutation_snap(spark, src, "1").groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("docs_base"),
         F.sum("n_chars").cast("long").alias("chars_base"))
-    incs = _feed_commit_deltas(_read_feed(spark, feed), [1, 2])
+    incs = _feed_commit_deltas(_read_feed(spark, feed, [1, 2]), [1, 2])
     st = base.join(incs, "lang", "left").na.fill(0)
 
     def _mv_version(k: int, docs, chars) -> DataFrame:
@@ -1481,8 +1484,11 @@ def q_changefeed_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("commit_seq"),
         F.lit("short_doc_purge").alias("reason"))
     # two appends with DIFFERENT schemas — the evolution under test
-    c1.write.format("arrowipc").mode("append").save(feed)
-    c2.write.format("arrowipc").mode("append").save(feed)
+    # (lz4 on the scratch path, per the _write_mutation_history note)
+    (c1.write.format("arrowipc").option("compression", "lz4")
+     .mode("append").save(feed))
+    (c2.write.format("arrowipc").option("compression", "lz4")
+     .mode("append").save(feed))
 
     back = (spark.read.format("arrowipc")
             .option("mergeSchema", "true").load(feed))

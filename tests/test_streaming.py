@@ -1173,8 +1173,9 @@ def test_stream_mv_maintain_matches_batch_twin(spark):
          .option("snapshots", "true").option("compression", "lz4")
          .mode("append").save(feed))
 
-    seed_mv(spark, mv, v1.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars")))
+    base_agg = v1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    seed_mv(mv, base_agg)
     _commit(v1, v2, 1)  # lands before the stream starts -> batch 0
     q = mv_maintain_stream(spark, feed, mv, ckpt)
     try:
@@ -1184,29 +1185,46 @@ def test_stream_mv_maintain_matches_batch_twin(spark):
     finally:
         q.stop()
 
-    mv_rows = (spark.read.format("arrowipc").option("snapshots", "true")
-               .schema(MV_SCHEMA).load(mv)).collect()
+    def _mv_rows(path):
+        return (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema(MV_SCHEMA).load(path)).collect()
+
+    mv_rows = _mv_rows(mv)
     got = {(r.mv_version, r.lang): (r.docs, r.chars) for r in mv_rows}
     batch_twin = entrymod.queries()["q_mv_maintain"](spark, sf).collect()
     want = {(r.mv_version, r.lang): (r.docs, r.chars) for r in batch_twin}
     assert got == want
     assert all(r.consistent for r in batch_twin)
-    # one version per commit, provenance stamped
+    # one version per commit, feed-position provenance stamped
     assert {r.mv_version for r in mv_rows} == {1, 2, 3}
-    assert {r.src_batch for r in mv_rows} == {-1, 0, 1}
+    assert {r.src_commit for r in mv_rows} == {0, 1, 2}
 
-    # crash-window replay: the checkpoint commit for batch 1 is lost and
-    # foreachBatch redelivers it — the ledger absorbs the no-op
-    batch2 = (spark.read.format("arrowipc").option("snapshots", "true")
-              .option("columns", "lang,change,delta,commit_seq")
-              .schema(FEED_SCHEMA).load(feed)
-              .filter(F.col("commit_seq") == 2))
-    apply_feed_batch(batch2, 1, mv)
-    replayed = (spark.read.format("arrowipc").option("snapshots", "true")
-                .schema(MV_SCHEMA).load(mv)).collect()
+    # crash-window replay: commit 2 is redelivered — under a FRESH
+    # checkpoint-scoped batch id (99), which must not matter: the ledger
+    # keys on feed position, so the already-absorbed commit is a no-op.
+    # A fresh load() per action, per the engine's documented rule
+    # (arrowipc.pushFilters: the JVM plan cache on a shared Python
+    # data-source relation makes mixed filtered/unfiltered reuse of one
+    # load() result unsafe).
+    def _feed_df():
+        return (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("columns", "lang,change,delta,commit_seq")
+                .schema(FEED_SCHEMA).load(feed))
+
+    apply_feed_batch(_feed_df().filter(F.col("commit_seq") == 2), 99, mv)
     assert {(r.mv_version, r.lang): (r.docs, r.chars)
-            for r in replayed} == want
-    # ...and an empty NEW batch bumps nothing either
-    apply_feed_batch(batch2.filter(F.lit(False)), 2, mv)
-    assert (spark.read.format("arrowipc").option("snapshots", "true")
-            .schema(MV_SCHEMA).load(mv).count()) == len(replayed)
+            for r in _mv_rows(mv)} == want
+    # ...and an empty new batch bumps nothing either
+    apply_feed_batch(_feed_df().filter(F.lit(False)), 100, mv)
+    assert len(_mv_rows(mv)) == len(mv_rows)
+
+    # fresh-checkpoint backlog: a restarted maintainer's FIRST batch
+    # spans the whole feed (latestOffset jumps to the newest manifest
+    # version) — one batch, both commits, still one MV version PER
+    # COMMIT, identical to the per-commit delivery above
+    mv2 = f"{base}/mv2"
+    seed_mv(mv2, base_agg)
+    apply_feed_batch(_feed_df(), 0, mv2)
+    assert {(r.mv_version, r.lang): (r.docs, r.chars)
+            for r in _mv_rows(mv2)} == want
