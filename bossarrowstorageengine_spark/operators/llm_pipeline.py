@@ -3116,6 +3116,165 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Mutation scenario for the persisted-index key: every vec_id ≡ 3
+#: (mod 7) gets its embedding NEGATED (exact in IEEE floats on both
+#: engines, and it flips every hyperplane projection's sign, so every
+#: updated vector provably re-buckets), then every vec_id ≡ 0 (mod 5)
+#: is deleted.  The predicates overlap (vec_id ≡ 10 mod 35), so some
+#: vectors re-bucket in commit 1 AND die in commit 2 — the last-wins
+#: application path is exercised, not just disjoint changes.
+_ANN_IDX_UPDATE_PRED = "vec_id % 7 = 3"
+_ANN_IDX_UPDATE_SET = {"embedding": "transform(embedding, x -> -x)"}
+_ANN_IDX_DELETE_PRED = "vec_id % 5 = 0"
+
+
+@query(
+    "q_ann_index_maintain",
+    oracle=f"""
+    WITH mut AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), b AS (
+        SELECT vec_id, ({_lsh_bucket_sql(8)}) AS bucket FROM mut
+    )
+    SELECT CAST(bucket AS INT)          AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT)  AS id_checksum,
+           TRUE                         AS consistent
+    FROM b GROUP BY bucket
+    """,
+)
+def q_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTENANCE UNDER MUTATIONS (SURVEY §7 round-13 runway
+    item 2, pulled forward): the LSH signature table — the index
+    ``q_ann_lsh`` searches — is PERSISTED as an arrowipc snapshot table
+    and maintained INCREMENTALLY while the embedding corpus mutates
+    beneath it: a copy-on-write UPDATE negates some vectors (commit 1)
+    and a DELETE removes others (commit 2); the index consumes a
+    bucket-grain changefeed (re-bucket / insert / delete rows derived
+    from the version diffs — an update that would not move a vector's
+    bucket is index-noise and never enters the feed), applies each
+    vector's LAST change, and the result is engine-verified per bucket
+    against a from-scratch re-bucketing of the final corpus
+    (``consistent``).
+
+    This is the vector-store lifecycle piece the search keys assume
+    away: at 100 TB an embedding index is never rebuilt per mutation —
+    maintenance cost here is O(index + changed rows) (one anti-join of
+    the persisted index against the touched-vector set + the feed's
+    surviving rows), while the verify arm is the periodic audit, not
+    the refresh path.  The negation mutation is chosen to be EXACT in
+    IEEE arithmetic on both engines AND to flip every projection sign,
+    so updated vectors always re-bucket and the oracle replays the
+    whole maintained state from the mutation predicates alone.
+
+    Scale: the index table is (vec_id, bucket) — bucketable on vec_id
+    for a co-located anti-join at any size; the feed is mutation-sized;
+    the only corpus-sized passes are the initial build and the audit."""
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    import os
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "ann_idx")
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "idx")
+    feed = os.path.join(base, "feed")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    (e.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(src))
+    update_arrowipc(spark, src, _ANN_IDX_UPDATE_PRED, _ANN_IDX_UPDATE_SET,
+                    compression="lz4", predicate_columns=["vec_id"],
+                    schema=e.schema)
+    delete_arrowipc(spark, src, _ANN_IDX_DELETE_PRED, compression="lz4",
+                    predicate_columns=["vec_id"], schema=e.schema)
+
+    def snap(ver: str | None) -> DataFrame:
+        r = (spark.read.format("arrowipc")
+             .schema("vec_id long, embedding array<float>"))
+        r = (r.option("version", ver) if ver
+             else r.option("snapshots", "true"))
+        return r.load(src)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select("vec_id", _lsh_bucket_col(8).alias("bucket"))
+
+    b1, b2, b3 = (bucketed(snap(v)) for v in ("1", "2", None))
+    # the ONE corpus-sized build: index v1 persisted
+    (b1.write.format("arrowipc").option("snapshots", "true")
+     .option("compression", "lz4").mode("append").save(idx))
+
+    def idx_changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
+        j = (pre.select("vec_id", F.col("bucket").alias("b_pre"))
+             .join(post.select("vec_id", F.col("bucket").alias("b_post")),
+                   "vec_id", "full_outer"))
+        change = (
+            F.when(F.col("b_post").isNull(), F.lit("delete"))
+            .when(F.col("b_pre").isNull(), F.lit("insert"))
+            .when(F.col("b_pre") != F.col("b_post"), F.lit("rebucket"))
+            .otherwise(F.lit("same")))
+        return (j.withColumn("change", change)
+                .filter(F.col("change") != "same")
+                .select("vec_id", F.col("b_post").alias("bucket"),
+                        "change",
+                        F.lit(seq).cast("long").alias("commit_seq")))
+
+    (idx_changes(b1, b2, 1).unionByName(idx_changes(b2, b3, 2))
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "vec_id,bucket,change,commit_seq")
+                 .schema("vec_id long, bucket int, change string, "
+                         "commit_seq long")
+                 .load(feed))
+    # a vector touched by BOTH commits resolves to its LAST change
+    wv = Window.partitionBy("vec_id").orderBy(F.col("commit_seq").desc())
+    last = (feed_rows.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1))
+    idx_back = (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .schema("vec_id long, bucket int").load(idx))
+    maintained = (
+        idx_back.join(feed_rows.select("vec_id").distinct(),
+                      "vec_id", "left_anti")
+        .unionByName(last.filter(F.col("change") != "delete")
+                     .select("vec_id", "bucket")))
+
+    got = maintained.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("id_checksum"))
+    direct = b3.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.sum("vec_id").cast("long").alias("sum_direct"))
+    return (
+        got.join(direct, "bucket", "full_outer")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.coalesce("id_checksum", F.lit(0)).cast("long")
+            .alias("id_checksum"),
+            ((F.coalesce("n_vecs", F.lit(0))
+              == F.coalesce("n_direct", F.lit(0)))
+             & (F.coalesce("id_checksum", F.lit(0))
+                == F.coalesce("sum_direct", F.lit(0))))
+            .alias("consistent"),
+        )
+    )
+
 
 def _subspaces(col: str) -> "F.Column":
     """Split a 64-dim integer vector column into the ``_IVFPQ_NSUB``

@@ -116,3 +116,25 @@ def test_survey_total_line_matches_registry():
     assert int(m.group(1)) == len(QUERIES), (
         f"SURVEY.md says {m.group(1)} queries; registry has "
         f"{len(QUERIES)} — update the §2 total line")
+
+
+def test_ann_index_maintain_consistent_and_nonvacuous(spark):
+    """The incrementally maintained LSH index must equal the from-scratch
+    re-bucketing on EVERY bucket (consistent is engine-computed), and the
+    scenario must be non-trivial: the negation update re-buckets every
+    updated vector (all 8 projection signs flip), the delete removes
+    rows, and the predicates overlap so some vectors re-bucket at commit
+    1 AND die at commit 2 (the last-wins application path)."""
+    from bossarrowstorageengine_spark.catalog import load_table
+
+    rows = QUERIES["q_ann_index_maintain"](spark, SF).collect()
+    assert rows
+    assert all(r.consistent for r in rows)
+    n_total = sum(r.n_vecs for r in rows)
+    e = load_table(spark, SF, "embeddings")
+    n_corpus = e.count()
+    n_deleted = e.filter("vec_id % 5 = 0").count()
+    assert n_total == n_corpus - n_deleted  # deletes really left the index
+    assert n_deleted > 0
+    # overlap: at least one vector matched BOTH mutation predicates
+    assert e.filter("vec_id % 7 = 3 AND vec_id % 5 = 0").count() > 0

@@ -102,8 +102,10 @@ def main() -> None:
              # skew-safe hot-key window
              "q_unigram_hard_em_n", "q_ann_lsh_multiprobe", "q_win_salted",
              "q_ann_recall_report",
-             # round 12: MV maintenance + feed schema evolution
-             "q_mv_maintain", "q_changefeed_evolve"]
+             # round 12: MV maintenance, feed schema evolution, persisted
+             # ANN index maintained under mutations
+             "q_mv_maintain", "q_changefeed_evolve",
+             "q_ann_index_maintain"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

@@ -99,6 +99,7 @@ KEYS = [
     # Round-12 additions.
     "q_mv_maintain",
     "q_changefeed_evolve",
+    "q_ann_index_maintain",
 ]
 
 
