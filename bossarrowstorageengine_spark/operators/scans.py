@@ -1809,3 +1809,318 @@ def q_storage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(on_disk == visible).alias("disk_matches_manifest"),
         "n_rows", "id_checksum", "sum_chars",
     )
+
+
+@query(
+    "q_feed_compact",
+    oracle="""
+    WITH c1 AS (
+        SELECT lang, sum(n_chars + 1) AS chars_delta
+        FROM documents WHERE lang = 'de' AND n_chars < 800 GROUP BY lang
+    ), c2 AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE lang = 'en' AND n_chars < 500 GROUP BY lang
+    ), c3 AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE lang = 'fr' AND n_chars < 300 GROUP BY lang
+    ), langs AS (
+        SELECT DISTINCT lang FROM (
+            SELECT lang FROM c1 UNION ALL SELECT lang FROM c2
+            UNION ALL SELECT lang FROM c3
+        )
+    )
+    SELECT l.lang,
+           CAST(0 AS BIGINT)                          AS docs_delta_c1,
+           CAST(coalesce(c1.chars_delta, 0) AS BIGINT) AS chars_delta_c1,
+           CAST(0 - coalesce(c2.docs, 0) AS BIGINT)   AS docs_delta_c2,
+           CAST(0 - coalesce(c2.chars, 0) AS BIGINT)  AS chars_delta_c2,
+           CAST(0 - coalesce(c3.docs, 0) AS BIGINT)   AS docs_delta_c3,
+           CAST(0 - coalesce(c3.chars, 0) AS BIGINT)  AS chars_delta_c3,
+           TRUE                                       AS content_unchanged,
+           TRUE                                       AS layout_collapsed
+    FROM langs l
+    LEFT JOIN c1 ON c1.lang = l.lang
+    LEFT JOIN c2 ON c2.lang = l.lang
+    LEFT JOIN c3 ON c3.lang = l.lang
+    """,
+)
+def q_feed_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit FEED COMPACTION (SURVEY §7 round-13 runway item 3): a
+    CDC feed accumulates one tiny ``commit_seq=k`` partition per source
+    commit, and a from-scratch consumer pays listing + per-file task
+    overhead PER COMMIT — at 100 TB with thousands of commits the
+    bookkeeping dominates the change volume.  ``compact_feed_thru``
+    (sources/feed_maintain.py) rewrites commits ``1..thru`` into ONE
+    checkpoint part set under ``compacted_thru=<thru>/`` — commit_seq
+    survives as a data column (the writer stores partition columns
+    physically), rows are sorted by feed position so the checkpoint's
+    min/max stats record the commit range it covers, commits beyond
+    ``thru`` stay untouched, and the swap is a logical manifest commit
+    (history stays time-travelable until vacuum).
+
+    The fixture writes THREE relational feed commits as three separate
+    appends (the small-commit accumulation compaction exists for):
+    commit 1 = the de-update's deltas, commit 2 = the en-delete's,
+    commit 3 = the fr-delete's.  Compaction runs thru=2 — behind the
+    feed head, the production pattern (maintenance trails the producer).
+    The consumer's per-commit conditional sums are computed BEFORE
+    (materialized via localCheckpoint so the read really happens on the
+    pre-compaction layout) and AFTER, and ``content_unchanged`` is their
+    engine-verified equality — the compaction contract: consumers keep
+    reading the same logical rows.  ``layout_collapsed`` asserts files
+    actually dropped; raw file counts stay out of the output (they
+    couple to writer partitioning — the ADVICE r5 rule).
+
+    Scale: the rewrite is a Spark job over mutation-sized data (never
+    the corpus); the swap is O(changed files) manifest arithmetic; a
+    later compaction with larger ``thru`` re-absorbs earlier checkpoints,
+    so the feed converges to one checkpoint + a short tail no matter how
+    often maintenance runs.  The oracle re-derives every commit's deltas
+    from the mutation predicates, so the hash pins the post-compaction
+    feed content exactly."""
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+
+    register_arrowipc(spark)
+    feed = _scratch(sf_dir, "feed_compact")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    commits = [
+        d.filter(_TTDIFF_UPDATE_PRED).select(
+            "doc_id", "lang",
+            (F.col("n_chars") + 1).cast("long").alias("delta"),
+            F.lit("update").alias("change"),
+            F.lit(1).cast("long").alias("commit_seq")),
+        d.filter(_TTDIFF_DELETE_PRED).select(
+            "doc_id", "lang",
+            (-F.col("n_chars")).cast("long").alias("delta"),
+            F.lit("delete").alias("change"),
+            F.lit(2).cast("long").alias("commit_seq")),
+        d.filter("lang = 'fr' AND n_chars < 300").select(
+            "doc_id", "lang",
+            (-F.col("n_chars")).cast("long").alias("delta"),
+            F.lit("delete").alias("change"),
+            F.lit(3).cast("long").alias("commit_seq")),
+    ]
+    for c in commits:  # three appends = the per-commit accumulation
+        (c.repartition(3).write.format("arrowipc")
+         .option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+
+    seqs = [1, 2, 3]
+    # Materialize the pre-compaction read NOW: a lazy frame would plan
+    # against the post-compaction manifest and the equality check below
+    # would be vacuous.  Group-cardinality-sized, so the checkpoint is
+    # a handful of rows.
+    pre = _feed_commit_deltas(_read_feed(spark, feed, seqs),
+                              seqs).localCheckpoint()
+    res = compact_feed_thru(spark, feed, thru=2)
+    if res["compacted"] == 0:
+        raise RuntimeError(
+            "feed compaction found nothing in scope — the fixture wrote "
+            "commit partitions 1..3, so thru=2 must rewrite commits 1-2")
+    post = _feed_commit_deltas(_read_feed(spark, feed, seqs), seqs)
+    unchanged = (pre.exceptAll(post).count() == 0
+                 and post.exceptAll(pre).count() == 0)
+    return post.select(
+        "lang",
+        "docs_delta_c1", "chars_delta_c1",
+        "docs_delta_c2", "chars_delta_c2",
+        "docs_delta_c3", "chars_delta_c3",
+        F.lit(unchanged).alias("content_unchanged"),
+        F.lit(res["files_after"] < res["files_before"])
+        .alias("layout_collapsed"),
+    )
+
+
+@query(
+    "q_mv_restore",
+    oracle="""
+    WITH base AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents GROUP BY lang
+    ), upd AS (
+        SELECT lang, sum(n_chars + 1) AS chars_delta
+        FROM documents WHERE lang = 'de' AND n_chars < 800 GROUP BY lang
+    ), del AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE lang = 'en' AND n_chars < 500 GROUP BY lang
+    )
+    SELECT CAST(1 AS BIGINT)     AS mv_version,
+           CAST(0 AS BIGINT)     AS src_commit, lang,
+           CAST(docs AS BIGINT)  AS docs,
+           CAST(chars AS BIGINT) AS chars,
+           TRUE                  AS consistent
+    FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), b.lang,
+           CAST(b.docs AS BIGINT),
+           CAST(b.chars + coalesce(u.chars_delta, 0) AS BIGINT), TRUE
+    FROM base b LEFT JOIN upd u ON u.lang = b.lang
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), b.lang,
+           CAST(b.docs - coalesce(d.docs, 0) AS BIGINT),
+           CAST(b.chars + coalesce(u.chars_delta, 0)
+                - coalesce(d.chars, 0) AS BIGINT), TRUE
+    FROM base b LEFT JOIN upd u ON u.lang = b.lang
+                LEFT JOIN del d ON d.lang = b.lang
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), CAST(0 AS BIGINT), lang,
+           CAST(docs AS BIGINT), CAST(chars AS BIGINT), TRUE
+    FROM base
+    """,
+)
+def q_mv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV RESTORE ALIGNMENT (SURVEY §7 round-13 runway item 5) — the
+    lineage-consistency story production MV systems need: the SOURCE
+    table is rolled back (``restore_arrowipc`` to v1 — someone reverts a
+    bad batch), and the MV maintainer must NOT keep serving an aggregate
+    of a state that no longer exists.  The maintainer here (a) DETECTS
+    the restore — the source history's head commit is a self-contained
+    ``full`` replace while the feed has no commits beyond the MV
+    ledger's high-water (an ordinary new commit would have shipped feed
+    rows), and the MV head genuinely disagrees with the current source
+    aggregate — then (b) finds WHICH persisted MV version matches the
+    restored source state (relational audit: per-version equality counts
+    against the current per-lang aggregate, group-cardinality-sized),
+    and (c) rolls the MV back by publishing that version's content as a
+    NEW MV version (``src_commit`` reset to the matched version's feed
+    position) — history preserved on both tables, exactly like the
+    source-side RESTORE itself.
+
+    Both detection arms are ENFORCED (the r11 streaming-contract
+    pattern): the query raises if the head is not a replace commit, if
+    unconsumed feed commits exist (that is ordinary catch-up, not
+    reconciliation), or if the MV head still matches (nothing to roll
+    back) — a reconciler that silently no-ops would hide divergence.
+
+    Scale: detection is O(manifest) metadata + one group-cardinality
+    audit aggregate per candidate version (never a corpus rescan); the
+    rollback write is MV-sized.  The oracle replays all four MV versions
+    from the mutation predicates — v4 must equal v1's content with feed
+    position 0 — and every version's ``consistent`` flag is
+    engine-verified against its own-lineage source snapshot."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        history_arrowipc,
+        restore_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    base_dir = _scratch(sf_dir, "mv_restore")
+    src, feed = _mutation_feed(spark, sf_dir, base_dir)
+    mv_path = os.path.join(base_dir, "mv")
+    _MV_SCHEMA = ("lang string, docs long, chars long, mv_version long, "
+                  "src_commit long")
+
+    # Maintain the MV through both feed commits (q_mv_maintain's merge
+    # discipline), versions stamped with the feed position they absorbed.
+    base = _mutation_snap(spark, src, "1").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_base"),
+        F.sum("n_chars").cast("long").alias("chars_base"))
+    incs = _feed_commit_deltas(_read_feed(spark, feed, [1, 2]), [1, 2])
+    st = base.join(incs, "lang", "left").na.fill(0)
+
+    def _mv_version(k: int, commit: int, docs, chars) -> DataFrame:
+        return st.select(
+            "lang", docs.cast("long").alias("docs"),
+            chars.cast("long").alias("chars"),
+            F.lit(k).cast("long").alias("mv_version"),
+            F.lit(commit).cast("long").alias("src_commit"))
+
+    mv1 = _mv_version(1, 0, F.col("docs_base"), F.col("chars_base"))
+    mv2 = _mv_version(2, 1, F.col("docs_base") + F.col("docs_delta_c1"),
+                      F.col("chars_base") + F.col("chars_delta_c1"))
+    mv3 = _mv_version(
+        3, 2,
+        F.col("docs_base") + F.col("docs_delta_c1")
+        + F.col("docs_delta_c2"),
+        F.col("chars_base") + F.col("chars_delta_c1")
+        + F.col("chars_delta_c2"))
+    (mv1.unionByName(mv2).unionByName(mv3)
+     .write.format("arrowipc").option("partitionBy", "mv_version")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(mv_path))
+
+    # The mistake is reverted upstream: source rolls back to v1.
+    restore_arrowipc(src, version=1)
+
+    def _mv_read() -> DataFrame:
+        # Fresh load() per use — the Spark ≤4.1 pushdown plan-cache
+        # hazard (arrowipc.pushFilters) forbids mixing filtered and
+        # unfiltered actions on one load result.
+        return (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema(_MV_SCHEMA).load(mv_path))
+
+    # -- (a) detect the restore (all three arms enforced) ----------------
+    head_kind = history_arrowipc(src)[-1]["kind"]
+    if head_kind != "full":
+        raise RuntimeError(
+            "mv_restore reconciler: source head is an ordinary delta "
+            "commit — nothing was restored; refusing to roll back the MV")
+    ledger = _mv_read().agg(
+        F.max("src_commit").alias("thru"),
+        F.max("mv_version").alias("head_v")).collect()[0]
+    thru, head_v = int(ledger["thru"]), int(ledger["head_v"])
+    feed_head = int(_read_feed(spark, feed, [1, 2])
+                    .agg(F.max("commit_seq")).collect()[0][0])
+    if feed_head > thru:
+        raise RuntimeError(
+            f"mv_restore reconciler: feed has unconsumed commits "
+            f"(> {thru}) — run ordinary catch-up, not reconciliation")
+    cur = _mutation_snap(spark, src, None).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_cur"),
+        F.sum("n_chars").cast("long").alias("chars_cur"))
+    n_cur = cur.count()
+    eq = (F.col("docs") == F.col("docs_cur")) & (
+        F.col("chars") == F.col("chars_cur"))
+    audit = {
+        int(r["mv_version"]): (int(r["n"]), int(r["n_eq"]))
+        for r in (_mv_read().join(cur, "lang").groupBy("mv_version")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(eq.cast("long")).alias("n_eq"))
+                  .collect())
+    }
+    if audit[head_v][0] == audit[head_v][1] == n_cur:
+        raise RuntimeError(
+            "mv_restore reconciler: MV head still matches the source — "
+            "nothing to roll back")
+
+    # -- (b) the newest version matching the restored state --------------
+    matched = [v for v, (n, n_eq) in audit.items() if n == n_eq == n_cur]
+    if not matched:
+        raise RuntimeError(
+            "mv_restore reconciler: no persisted MV version matches the "
+            "restored source — the MV must be re-seeded from scratch")
+    target = max(matched)
+
+    # -- (c) roll back: publish the matched content as a NEW version -----
+    rollback_pos = _mv_read().filter(
+        F.col("mv_version") == target).agg(
+        F.max("src_commit")).collect()[0][0]
+    (_mv_read().filter(F.col("mv_version") == target)
+     .select("lang", "docs", "chars",
+             F.lit(head_v + 1).cast("long").alias("mv_version"),
+             F.lit(int(rollback_pos)).cast("long").alias("src_commit"))
+     .write.format("arrowipc").option("partitionBy", "mv_version")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(mv_path))
+
+    # -- output: every MV version audited against its own lineage --------
+    direct = None
+    for k, ver in ((1, "1"), (2, "2"), (3, "3"), (4, None)):
+        d_k = _mutation_snap(spark, src, ver).groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("docs_direct"),
+            F.sum("n_chars").cast("long").alias("chars_direct"),
+        ).withColumn("mv_version", F.lit(k).cast("long"))
+        direct = d_k if direct is None else direct.unionByName(d_k)
+    return (
+        _mv_read().join(direct, ["mv_version", "lang"], "left")
+        .select(
+            "mv_version", "src_commit", "lang", "docs", "chars",
+            ((F.col("docs") == F.coalesce("docs_direct", F.lit(0)))
+             & (F.col("chars") == F.coalesce("chars_direct", F.lit(0))))
+            .alias("consistent"),
+        )
+    )

@@ -152,6 +152,7 @@ def test_shared_module_deps_cover_direct_references():
     markers = {
         "sources/arrowipc.py": ("register_arrowipc", 'format("arrowipc")'),
         "sources/maintenance.py": ("sources.maintenance import",),
+        "sources/feed_maintain.py": ("sources.feed_maintain import",),
         "streaming/pipelines.py": ("streaming.pipelines import",),
         "functions/components.py": ("functions.components import",),
     }

@@ -138,3 +138,108 @@ def test_ann_index_maintain_consistent_and_nonvacuous(spark):
     assert n_deleted > 0
     # overlap: at least one vector matched BOTH mutation predicates
     assert e.filter("vec_id % 7 = 3 AND vec_id % 5 = 0").count() > 0
+
+
+def test_feed_compact_behind_head_then_absorb_and_time_travel(spark):
+    """compact_feed_thru semantics the oracle replay cannot attest:
+    (a) thru=2 rewrites only commits 1-2 — commit 3's partition files
+    survive untouched; (b) pre-compaction versions stay time-travelable
+    with identical content; (c) a later thru=3 run RE-ABSORBS the first
+    checkpoint (converges to one checkpoint), still changing nothing a
+    consumer reads; (d) a thru below every feed position is a no-op that
+    publishes no manifest version."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import (
+        _SCRATCH_ROOT,
+        _feed_commit_deltas,
+        _read_feed,
+    )
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions,
+    )
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+
+    rows = QUERIES["q_feed_compact"](spark, SF).collect()
+    assert rows and all(r.content_unchanged and r.layout_collapsed
+                        for r in rows)
+    feed = os.path.join(_SCRATCH_ROOT, os.path.basename(SF),
+                        "feed_compact")
+    # (a) the tail partition survived as directory-partitioned files
+    tail = [dp for dp, _dirs, names in os.walk(feed)
+            if "commit_seq=3" in dp and any(n.endswith(".arrows")
+                                            for n in names)]
+    assert tail, "commit 3 (beyond thru) must keep its partition files"
+    ck1 = [dp for dp, _dirs, names in os.walk(feed)
+           if "compacted_thru=2" in dp and any(n.endswith(".arrows")
+                                               for n in names)]
+    assert ck1, "checkpoint parts must land under compacted_thru=2/"
+
+    def deltas(version=None):
+        r = (spark.read.format("arrowipc")
+             .option("columns", "lang,change,delta,commit_seq")
+             .schema("lang string, change string, delta long, "
+                     "commit_seq long"))
+        r = (r.option("version", str(version)) if version
+             else r.option("snapshots", "true"))
+        df = r.load(feed).filter("commit_seq IN (1, 2, 3)")
+        return sorted(map(tuple, _feed_commit_deltas(df, [1, 2, 3])
+                          .collect()))
+
+    head = deltas()
+    # (b) time travel: version 3 (the last pre-compaction append) reads
+    # the same logical rows the compacted head does
+    assert deltas(version=3) == head
+    # (c) thru=3 re-absorbs the thru=2 checkpoint AND the commit-3 tail
+    res = compact_feed_thru(spark, feed, thru=3)
+    assert res["compacted"] >= 2  # checkpoint + tail parts
+    assert deltas() == head
+    ck2 = [dp for dp, _dirs, names in os.walk(feed)
+           if "compacted_thru=3" in dp and any(n.endswith(".arrows")
+                                               for n in names)]
+    assert ck2, "second checkpoint must land under compacted_thru=3/"
+    # (d) nothing below feed position 1 → no-op, no new manifest version
+    v_before = _manifest_versions(feed)[-1]
+    res2 = compact_feed_thru(spark, feed, thru=0)
+    assert res2["compacted"] == 0
+    assert _manifest_versions(feed)[-1] == v_before
+
+
+def test_feed_compact_requires_snapshots(spark, tmp_path):
+    """A plain (manifest-less) directory cannot be checkpoint-compacted —
+    there is no log to swap readers atomically — and the error must say
+    so rather than silently rewriting files."""
+    import pytest
+
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+
+    p = str(tmp_path / "plain_feed")
+    (spark.range(10).selectExpr("id", "id % 2 AS commit_seq")
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .mode("append").save(p))
+    with pytest.raises(ValueError, match="snapshot"):
+        compact_feed_thru(spark, p, thru=1)
+
+
+def test_mv_restore_rolls_back_and_enforces_detection(spark):
+    """The reconciler's value is the detection + version bookkeeping:
+    (a) the rollback version (4) equals the seed (1) lang-for-lang with
+    src_commit reset to 0; (b) the rolled-back history is non-vacuous
+    (version 3 genuinely differed from the restored state); (c) every
+    version is consistent with its own-lineage snapshot."""
+    rows = QUERIES["q_mv_restore"](spark, SF).collect()
+    assert rows and all(r.consistent for r in rows)
+    by_ver = {k: {r.lang: r for r in rows if r.mv_version == k}
+              for k in (1, 2, 3, 4)}
+    assert set(by_ver[4]) == set(by_ver[1])
+    assert all(by_ver[4][lg].docs == by_ver[1][lg].docs
+               and by_ver[4][lg].chars == by_ver[1][lg].chars
+               for lg in by_ver[1])
+    assert all(r.src_commit == 0 for r in rows if r.mv_version == 4)
+    assert any(by_ver[3][lg].docs != by_ver[1][lg].docs
+               or by_ver[3][lg].chars != by_ver[1][lg].chars
+               for lg in by_ver[1]), "pre-restore head matched — vacuous"

@@ -1228,3 +1228,116 @@ def test_stream_mv_maintain_matches_batch_twin(spark):
     apply_feed_batch(_feed_df(), 0, mv2)
     assert {(r.mv_version, r.lang): (r.docs, r.chars)
             for r in _mv_rows(mv2)} == want
+
+
+@pytest.mark.slow
+def test_stream_vocab_refresh_matches_batch_trainer(spark):
+    """The vocab refresher's final refresh must equal the oracle-gated
+    batch trainer's seed vocabulary on the union corpus (q_unigram_train
+    rows projected to (piece, freq, logp_micro)); the drift report must
+    attribute entering/leaving pieces to the refresh that caused them;
+    and a replayed micro-batch — with AND without its fast-path marker —
+    must leave both state tables bit-identical (overwrite semantics, not
+    append)."""
+    import os as _os
+    import uuid as _uuid
+
+    import __spark_entry__ as entrymod
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.vocab_refresh import (
+        accumulated_words,
+        apply_doc_batch,
+        read_vocab,
+        vocab_drift,
+        vocab_refresh_stream,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    docs, words, vocab, ckpt = (f"{base}/{d}" for d in
+                                ("docs", "words", "vocab", "ckpt"))
+    _os.makedirs(words), _os.makedirs(vocab)
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+
+    def _commit(df):
+        (df.select("doc_id", "text").write.format("arrowipc")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(docs))
+
+    # batch 0 = English only, batch 1 = the rest (incl. zh) — guarantees
+    # the second refresh sees pieces the first could not (non-vacuous
+    # drift: zh chars are absent from an en-only corpus).
+    _commit(d.filter("lang = 'en'"))
+    q = vocab_refresh_stream(spark, docs, words, vocab, ckpt,
+                             refresh_every=1)
+    try:
+        q.processAllAvailable()
+        _commit(d.filter("lang <> 'en'"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.piece, r.freq, r.logp_micro)
+           for r in read_vocab(spark, vocab).collect()}
+    want = {(r.piece, r.freq, r.logp_micro)
+            for r in entrymod.queries()["q_unigram_train"](spark, sf)
+            .collect()}
+    assert got == want and got
+
+    drift = {r.refresh_id: (r.n_entering, r.n_leaving, r.n_kept)
+             for r in vocab_drift(spark, vocab).collect()}
+    assert set(drift) == {1}  # one adjacent pair: refresh 0 -> refresh 1
+    entering, leaving, kept = drift[1]
+    assert entering > 0, "zh chars must enter at refresh 1 — vacuous drift"
+    assert kept > 0
+    v0 = read_vocab(spark, vocab, refresh_id=0)
+    assert read_vocab(spark, vocab, refresh_id=1).count() \
+        == v0.count() - leaving + entering
+
+    # -- replay idempotence ------------------------------------------------
+    def _state():
+        wc = sorted(map(tuple, accumulated_words(spark, words).collect()))
+        vc = sorted(map(tuple, read_vocab(spark, vocab).collect()))
+        return wc, vc
+
+    before = _state()
+    # commit 2's DELTA (a manifest version is the cumulative snapshot,
+    # so replay the batch from the same relational split that wrote it)
+    batch1 = d.filter("lang <> 'en'").select("text")
+    # marker present: cheap no-op
+    apply_doc_batch(batch1, 1, words, vocab, refresh_every=1)
+    assert _state() == before
+    # marker lost (crash between publish and marker): the overwrite
+    # semantics make the recomputation land on identical state
+    _os.remove(_os.path.join(words, "_batch-1.done"))
+    apply_doc_batch(batch1, 1, words, vocab, refresh_every=1)
+    assert _state() == before
+
+
+@pytest.mark.slow
+def test_stream_vocab_refresh_stride(spark):
+    """refresh_every=2 must skip the intermediate refresh: two applied
+    batches produce exactly ONE vocab version, keyed by the triggering
+    (second) batch id."""
+    import os as _os
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.streaming.vocab_refresh import (
+        _refresh_ids,
+        apply_doc_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    words, vocab = f"{base}/words", f"{base}/vocab"
+    _os.makedirs(words), _os.makedirs(vocab)
+    d = load_table(spark, sf, "documents").select("text", "lang")
+    apply_doc_batch(d.filter("lang = 'en'"), 0, words, vocab,
+                    refresh_every=2)
+    assert _refresh_ids(vocab) == []  # stride not complete yet
+    apply_doc_batch(d.filter("lang <> 'en'"), 1, words, vocab,
+                    refresh_every=2)
+    assert _refresh_ids(vocab) == [1]
