@@ -1996,9 +1996,15 @@ def q_mv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciliation), or if the MV head still matches (nothing to roll
     back) — a reconciler that silently no-ops would hide divergence.
 
-    Scale: detection is O(manifest) metadata + one group-cardinality
-    audit aggregate per candidate version (never a corpus rescan); the
-    rollback write is MV-sized.  The oracle replays all four MV versions
+    Scale: detection is O(manifest) metadata + ONE mv-side pass serving
+    the ledger high-water, head version, per-version audit, and every
+    candidate's feed position (never a corpus rescan; the current-source
+    aggregate is checkpointed once and reused); the rollback write is
+    MV-sized.  Local wall time is write-action-floor-dominated — the
+    fixture's 3-version CoW history + feed + two MV writes are eight
+    storage actions at the documented ~0.2-0.5s Python-datasource floor
+    each, so growth across SFs is ~flat.  The oracle replays all four MV
+    versions
     from the mutation predicates — v4 must equal v1's content with feed
     position 0 — and every version's ``consistent`` flag is
     engine-verified against its own-lineage source snapshot."""
@@ -2059,36 +2065,46 @@ def q_mv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "mv_restore reconciler: source head is an ordinary delta "
             "commit — nothing was restored; refusing to roll back the MV")
-    ledger = _mv_read().agg(
-        F.max("src_commit").alias("thru"),
-        F.max("mv_version").alias("head_v")).collect()[0]
-    thru, head_v = int(ledger["thru"]), int(ledger["head_v"])
+    # Current source aggregate, materialized ONCE (group-cardinality
+    # rows) — it feeds the audit and the row-count arm; an uncheckpointed
+    # frame would rescan the source per action (the per-action Python-
+    # datasource floor this key otherwise pays ~3× over).
+    cur = _mutation_snap(spark, src, None).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_cur"),
+        F.sum("n_chars").cast("long").alias("chars_cur")).localCheckpoint()
+    n_cur = cur.count()
+    # ONE mv-side pass serves the ledger high-water, the head version,
+    # the per-version audit, and every candidate's feed position (left
+    # join keeps MV-only langs: an extra or missing lang on either side
+    # breaks the n == n_eq == n_cur equality, so the match test is total).
+    eq = (F.col("docs_cur").isNotNull()
+          & (F.col("docs") == F.col("docs_cur"))
+          & (F.col("chars") == F.col("chars_cur")))
+    stats = {
+        int(r["mv_version"]): (int(r["n"]), int(r["n_eq"]), int(r["pos"]))
+        for r in (_mv_read().join(cur, "lang", "left")
+                  .groupBy("mv_version")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(eq.cast("long")).alias("n_eq"),
+                       F.max("src_commit").alias("pos"))
+                  .collect())
+    }
+    head_v = max(stats)
+    thru = max(pos for _n, _e, pos in stats.values())
     feed_head = int(_read_feed(spark, feed, [1, 2])
                     .agg(F.max("commit_seq")).collect()[0][0])
     if feed_head > thru:
         raise RuntimeError(
             f"mv_restore reconciler: feed has unconsumed commits "
             f"(> {thru}) — run ordinary catch-up, not reconciliation")
-    cur = _mutation_snap(spark, src, None).groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("docs_cur"),
-        F.sum("n_chars").cast("long").alias("chars_cur"))
-    n_cur = cur.count()
-    eq = (F.col("docs") == F.col("docs_cur")) & (
-        F.col("chars") == F.col("chars_cur"))
-    audit = {
-        int(r["mv_version"]): (int(r["n"]), int(r["n_eq"]))
-        for r in (_mv_read().join(cur, "lang").groupBy("mv_version")
-                  .agg(F.count(F.lit(1)).alias("n"),
-                       F.sum(eq.cast("long")).alias("n_eq"))
-                  .collect())
-    }
-    if audit[head_v][0] == audit[head_v][1] == n_cur:
+    if stats[head_v][0] == stats[head_v][1] == n_cur:
         raise RuntimeError(
             "mv_restore reconciler: MV head still matches the source — "
             "nothing to roll back")
 
     # -- (b) the newest version matching the restored state --------------
-    matched = [v for v, (n, n_eq) in audit.items() if n == n_eq == n_cur]
+    matched = [v for v, (n, n_eq, _pos) in stats.items()
+               if n == n_eq == n_cur]
     if not matched:
         raise RuntimeError(
             "mv_restore reconciler: no persisted MV version matches the "
@@ -2096,9 +2112,7 @@ def q_mv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = max(matched)
 
     # -- (c) roll back: publish the matched content as a NEW version -----
-    rollback_pos = _mv_read().filter(
-        F.col("mv_version") == target).agg(
-        F.max("src_commit")).collect()[0][0]
+    rollback_pos = stats[target][2]
     (_mv_read().filter(F.col("mv_version") == target)
      .select("lang", "docs", "chars",
              F.lit(head_v + 1).cast("long").alias("mv_version"),
