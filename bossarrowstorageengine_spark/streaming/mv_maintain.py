@@ -144,16 +144,39 @@ def apply_feed_batch(batch_df: DataFrame, batch_id: int,
 
 
 def mv_maintain_stream(spark: SparkSession, feed_dir: str, mv_dir: str,
-                       checkpoint_dir: str):
+                       checkpoint_dir: str, ignore_changes: bool = False):
     """Start the maintainer: tail ``feed_dir`` and roll ``mv_dir``
     forward one version per feed commit.  Returns the
-    ``StreamingQuery``."""
+    ``StreamingQuery``.
+
+    ``ignore_changes=True`` lets the tail stream THROUGH feed
+    maintenance commits (``compact_feed_thru`` checkpoints rewrite
+    already-emitted commit partitions, so the stream source refuses
+    them by default): the checkpoint's re-delivered rows carry their
+    original ``commit_seq``, and the ledger's feed-position filter in
+    ``apply_feed_batch`` makes already-absorbed commits a no-op.
+
+    CONTRACT (the Kafka log-compaction rule): compaction may only cover
+    commits this consumer has ALREADY absorbed (``thru`` <= the MV
+    ledger's high-water).  The ledger dedupes re-delivery ACROSS
+    batches, not within one: a consumer tailing from offset zero over a
+    feed compacted mid-backlog receives a commit's original partition
+    AND its checkpoint copy in the SAME micro-batch and would
+    double-apply.  A fresh consumer over a compacted feed must
+    therefore bootstrap with one BATCH apply of the feed's head read
+    (each logical row exactly once by manifest construction — the
+    fresh-checkpoint backlog pattern) rather than replaying the
+    manifest log.  Consumers without a feed-position ledger must leave
+    the default (fail loudly) and restart from a fresh checkpoint."""
     from bossarrowstorageengine_spark.sources import register_arrowipc
 
     register_arrowipc(spark)
-    feed = (spark.readStream.format("arrowipc")
-            .option("columns", "lang,change,delta,commit_seq")
-            .schema(FEED_SCHEMA).load(feed_dir))
+    reader = (spark.readStream.format("arrowipc")
+              .option("columns", "lang,change,delta,commit_seq")
+              .schema(FEED_SCHEMA))
+    if ignore_changes:
+        reader = reader.option("ignoreChanges", "true")
+    feed = reader.load(feed_dir)
     return (feed.writeStream
             .foreachBatch(lambda df, bid: apply_feed_batch(df, bid, mv_dir))
             .option("checkpointLocation", checkpoint_dir)

@@ -1341,3 +1341,108 @@ def test_stream_vocab_refresh_stride(spark):
     apply_doc_batch(d.filter("lang <> 'en'"), 1, words, vocab,
                     refresh_every=2)
     assert _refresh_ids(vocab) == [1]
+
+
+@pytest.mark.slow
+def test_stream_mv_maintain_through_feed_compaction(spark):
+    """Feed compaction racing a live tailing consumer — the composition
+    q_feed_compact + streaming.mv_maintain must already be safe:
+
+    (a) DEFAULT consumer: the compaction commit removes part files, so
+        the stream FAILS LOUDLY (rewritten rows would re-deliver);
+    (b) ledgered consumer (ignore_changes=True): the checkpoint's
+        re-delivered rows carry their original commit_seq, so the MV
+        ledger filters absorbed commits to a NO-OP (no spurious version)
+        while the next real commit still rolls the MV forward;
+    (c) a FRESH consumer over the compacted feed bootstraps with one
+        BATCH apply of the head read (each logical row exactly once by
+        manifest construction) and derives the identical version
+        history — NOT by tailing the manifest log from zero, which
+        would deliver a commit's original partition and its checkpoint
+        copy in the same micro-batch (the documented intra-batch
+        double-delivery hazard the ledger cannot dedupe)."""
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.operators.scans import (
+        _commit_changes,
+        _mutation_snap,
+        _write_mutation_history,
+    )
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        MV_SCHEMA,
+        mv_maintain_stream,
+        seed_mv,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    src, feed, mv, mv2 = (f"{base}/{d}" for d in
+                          ("src", "feed", "mv", "mv2"))
+    _write_mutation_history(spark, sf, src)
+    v1, v2, v3 = (_mutation_snap(spark, src, v) for v in ("1", "2", None))
+
+    def _commit(pre, post, seq):
+        (_commit_changes(pre, post, seq)
+         .write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+
+    def _mv_rows(path):
+        return (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema(MV_SCHEMA).load(path)).collect()
+
+    base_agg = v1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    seed_mv(mv, base_agg)
+    _commit(v1, v2, 1)
+
+    # (a) default consumer dies at the compaction commit, naming it
+    q = mv_maintain_stream(spark, feed, mv, f"{base}/ckpt_a")
+    q.processAllAvailable()  # absorbs commit 1 -> MV version 2
+    after_c1 = {(r.mv_version, r.lang): (r.docs, r.chars)
+                for r in _mv_rows(mv)}
+    assert {v for v, _ in after_c1} == {1, 2}
+    compact_feed_thru(spark, feed, thru=1)
+    with pytest.raises(Exception, match="removes|ignoreChanges"):
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()
+
+    # (b) the ledgered consumer streams through the rewrite: no spurious
+    # MV version from the re-delivered commit-1 rows...
+    q2 = mv_maintain_stream(spark, feed, mv, f"{base}/ckpt_b",
+                            ignore_changes=True)
+    try:
+        q2.processAllAvailable()
+        assert {(r.mv_version, r.lang): (r.docs, r.chars)
+                for r in _mv_rows(mv)} == after_c1
+        # ...while the next real commit still rolls the MV forward
+        _commit(v2, v3, 2)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    want = {(r.mv_version, r.lang): (r.docs, r.chars)
+            for r in _mv_rows(mv)}
+    assert {v for v, _ in want} == {1, 2, 3}
+
+    # (c) fresh consumer: bootstrap from the HEAD read (checkpoint +
+    # tail, each commit exactly once), the fresh-checkpoint backlog
+    # pattern — identical history, proving compaction changed nothing
+    # any correctly-bootstrapped consumer derives
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        FEED_SCHEMA,
+        apply_feed_batch,
+    )
+
+    seed_mv(mv2, base_agg)
+    head = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("columns", "lang,change,delta,commit_seq")
+            .schema(FEED_SCHEMA).load(feed))
+    apply_feed_batch(head, 0, mv2)
+    assert {(r.mv_version, r.lang): (r.docs, r.chars)
+            for r in _mv_rows(mv2)} == want
