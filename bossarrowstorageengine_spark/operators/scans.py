@@ -2091,8 +2091,12 @@ def q_mv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     head_v = max(stats)
     thru = max(pos for _n, _e, pos in stats.values())
-    feed_head = int(_read_feed(spark, feed, [1, 2])
-                    .agg(F.max("commit_seq")).collect()[0][0])
+    # Whole-feed head position (NOT pruned to known commits — the check
+    # must see a commit the ledger has never heard of).
+    feed_head = int(
+        spark.read.format("arrowipc").option("snapshots", "true")
+        .option("columns", "commit_seq").schema("commit_seq long")
+        .load(feed).agg(F.max("commit_seq")).collect()[0][0])
     if feed_head > thru:
         raise RuntimeError(
             f"mv_restore reconciler: feed has unconsumed commits "

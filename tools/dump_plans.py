@@ -105,7 +105,9 @@ def main() -> None:
              # round 12: MV maintenance, feed schema evolution, persisted
              # ANN index maintained under mutations
              "q_mv_maintain", "q_changefeed_evolve",
-             "q_ann_index_maintain"]
+             "q_ann_index_maintain",
+             # round 12 late: feed checkpoint compaction, MV restore
+             "q_feed_compact", "q_mv_restore"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",
