@@ -263,3 +263,71 @@ def test_partitioned_cow_update_equals_projection_and_placement(
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    n_commits=st.integers(min_value=1, max_value=5),
+)
+def test_feed_compact_content_invariant_arbitrary_histories(
+        spark, data, n_commits):
+    """compact_feed_thru is content-invariant for ARBITRARY commit
+    histories and thru positions: whatever rows each commit carries,
+    however commits were batched into write jobs, and wherever ``thru``
+    falls (including past the head and before the tail), the visible
+    (commit_seq, payload) multiset after any CHAIN of compactions equals
+    the original — and re-absorption keeps at most one checkpoint plus
+    the uncompacted tail."""
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+
+    register_arrowipc(spark)
+    rows = []
+    for seq in range(1, n_commits + 1):
+        n = data.draw(st.integers(min_value=1, max_value=6),
+                      label=f"rows_c{seq}")
+        for i in range(n):
+            rows.append((seq * 1000 + i, data.draw(
+                st.integers(min_value=-10**9, max_value=10**9),
+                label=f"payload_c{seq}_{i}"), seq))
+    thrus = data.draw(
+        st.lists(st.integers(min_value=0, max_value=n_commits + 1),
+                 min_size=1, max_size=3), label="thrus")
+
+    feed = f"/tmp/spark_graft_test/feedprop_{uuid.uuid4().hex}"
+    df = spark.createDataFrame(rows, "row_id long, payload long, "
+                                     "commit_seq long")
+    # arbitrary batching: each commit its own append (many manifest
+    # versions) or everything in one job — both layouts must compact
+    if data.draw(st.booleans(), label="batched"):
+        (df.repartition(2).write.format("arrowipc")
+         .option("partitionBy", "commit_seq")
+         .option("snapshots", "true").mode("append").save(feed))
+    else:
+        for seq in range(1, n_commits + 1):
+            (df.filter(f"commit_seq = {seq}").repartition(2)
+             .write.format("arrowipc").option("partitionBy", "commit_seq")
+             .option("snapshots", "true").mode("append").save(feed))
+
+    def visible():
+        back = (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema("row_id long, payload long, commit_seq long")
+                .load(feed))
+        return sorted(map(tuple, back.collect()))
+
+    want = visible()
+    for thru in thrus:
+        res = compact_feed_thru(spark, feed, thru=thru)
+        assert visible() == want, f"content drifted at thru={thru}"
+        assert res["files_after"] <= res["files_before"]
+        if res["compacted"]:
+            # everything <= thru now sits in exactly one checkpoint file
+            import os
+
+            cks = [dp for dp, _d, names in os.walk(feed)
+                   if f"compacted_thru={thru}" in dp
+                   and any(n.endswith(".arrows") for n in names)]
+            assert cks, f"no checkpoint dir for thru={thru}"

@@ -100,6 +100,8 @@ KEYS = [
     "q_mv_maintain",
     "q_changefeed_evolve",
     "q_ann_index_maintain",
+    "q_feed_compact",
+    "q_mv_restore",
 ]
 
 
