@@ -710,3 +710,37 @@ def test_unigram_train_stays_jvm_with_broadcast_variants(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_feed_compact_consumer_single_exchange_no_python(spark):
+    """The post-compaction consumer read (one feed scan, per-commit
+    conditional sums) must partial-aggregate map-side and shuffle ONCE
+    on lang — however the feed's physical layout was rewritten, the
+    consumer's plan shape is layout-independent: scan -> partial
+    HashAggregate -> one Exchange -> final HashAggregate, no Python
+    eval, no sort."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import (
+        _SCRATCH_ROOT,
+        _feed_commit_deltas,
+        _read_feed,
+    )
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+
+    register_arrowipc(spark)
+    import __spark_entry__ as entrymod
+
+    entrymod.queries()["q_feed_compact"](spark, SF).collect()
+    feed = os.path.join(_SCRATCH_ROOT, os.path.basename(SF),
+                        "feed_compact")
+    compact_feed_thru(spark, feed, thru=3)  # fully checkpointed layout
+    consumer = _feed_commit_deltas(_read_feed(spark, feed, [1, 2, 3]),
+                                   [1, 2, 3])
+    plan = _plan(consumer)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Sort" not in plan
