@@ -3128,6 +3128,77 @@ _ANN_IDX_UPDATE_SET = {"embedding": "transform(embedding, x -> -x)"}
 _ANN_IDX_DELETE_PRED = "vec_id % 5 = 0"
 
 
+def _ann_snap(spark: SparkSession, src: str, ver: str | None) -> DataFrame:
+    """One version snapshot of the mutating embedding table."""
+    r = (spark.read.format("arrowipc")
+         .schema("vec_id long, embedding array<float>"))
+    r = r.option("version", ver) if ver else r.option("snapshots", "true")
+    return r.load(src)
+
+
+def _ann_bucketed(df: DataFrame) -> DataFrame:
+    """(vec_id, bucket) — the LSH index rows for one corpus state."""
+    return df.select("vec_id", _lsh_bucket_col(8).alias("bucket"))
+
+
+def _ann_idx_changes(pre: DataFrame, post: DataFrame,
+                     seq: int) -> DataFrame:
+    """One bucket-grain feed commit: the keyed diff of two index states
+    (re-bucket / insert / delete; bucket-preserving updates are
+    index-noise and never enter the feed)."""
+    j = (pre.select("vec_id", F.col("bucket").alias("b_pre"))
+         .join(post.select("vec_id", F.col("bucket").alias("b_post")),
+               "vec_id", "full_outer"))
+    change = (
+        F.when(F.col("b_post").isNull(), F.lit("delete"))
+        .when(F.col("b_pre").isNull(), F.lit("insert"))
+        .when(F.col("b_pre") != F.col("b_post"), F.lit("rebucket"))
+        .otherwise(F.lit("same")))
+    return (j.withColumn("change", change)
+            .filter(F.col("change") != "same")
+            .select("vec_id", F.col("b_post").alias("bucket"),
+                    "change",
+                    F.lit(seq).cast("long").alias("commit_seq")))
+
+
+def _ann_mutation_feed(spark: SparkSession, sf_dir: str,
+                       base: str) -> tuple[str, str]:
+    """The shared index-maintenance fixture (batch key + streaming
+    maintainer): the embedding table at ``base/src`` mutated through the
+    declared UPDATE (vector negation — exact in IEEE floats, flips every
+    projection sign so updates provably re-bucket) and DELETE, and its
+    TWO bucket-grain feed commits at ``base/feed`` (one write job).
+    Returns ``(src, feed)``."""
+    import os
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    src = os.path.join(base, "src")
+    feed = os.path.join(base, "feed")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    (e.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(src))
+    update_arrowipc(spark, src, _ANN_IDX_UPDATE_PRED, _ANN_IDX_UPDATE_SET,
+                    compression="lz4", predicate_columns=["vec_id"],
+                    schema=e.schema)
+    delete_arrowipc(spark, src, _ANN_IDX_DELETE_PRED, compression="lz4",
+                    predicate_columns=["vec_id"], schema=e.schema)
+    b1, b2, b3 = (_ann_bucketed(_ann_snap(spark, src, v))
+                  for v in ("1", "2", None))
+    (_ann_idx_changes(b1, b2, 1).unionByName(_ann_idx_changes(b2, b3, 2))
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+    return src, feed
+
+
 @query(
     "q_ann_index_maintain",
     oracle=f"""
@@ -3175,65 +3246,20 @@ def q_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the index table is (vec_id, bucket) — bucketable on vec_id
     for a co-located anti-join at any size; the feed is mutation-sized;
     the only corpus-sized passes are the initial build and the audit."""
+    import os
+
     from bossarrowstorageengine_spark.operators.scans import _scratch
     from bossarrowstorageengine_spark.sources import register_arrowipc
-    from bossarrowstorageengine_spark.sources.maintenance import (
-        delete_arrowipc,
-        update_arrowipc,
-    )
-
-    import os
 
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_idx")
-    src = os.path.join(base, "src")
     idx = os.path.join(base, "idx")
-    feed = os.path.join(base, "feed")
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding")
-    (e.repartition(4).write.format("arrowipc")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(src))
-    update_arrowipc(spark, src, _ANN_IDX_UPDATE_PRED, _ANN_IDX_UPDATE_SET,
-                    compression="lz4", predicate_columns=["vec_id"],
-                    schema=e.schema)
-    delete_arrowipc(spark, src, _ANN_IDX_DELETE_PRED, compression="lz4",
-                    predicate_columns=["vec_id"], schema=e.schema)
-
-    def snap(ver: str | None) -> DataFrame:
-        r = (spark.read.format("arrowipc")
-             .schema("vec_id long, embedding array<float>"))
-        r = (r.option("version", ver) if ver
-             else r.option("snapshots", "true"))
-        return r.load(src)
-
-    def bucketed(df: DataFrame) -> DataFrame:
-        return df.select("vec_id", _lsh_bucket_col(8).alias("bucket"))
-
-    b1, b2, b3 = (bucketed(snap(v)) for v in ("1", "2", None))
+    src, feed = _ann_mutation_feed(spark, sf_dir, base)
+    b1, b3 = (_ann_bucketed(_ann_snap(spark, src, v))
+              for v in ("1", None))
     # the ONE corpus-sized build: index v1 persisted
     (b1.write.format("arrowipc").option("snapshots", "true")
      .option("compression", "lz4").mode("append").save(idx))
-
-    def idx_changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
-        j = (pre.select("vec_id", F.col("bucket").alias("b_pre"))
-             .join(post.select("vec_id", F.col("bucket").alias("b_post")),
-                   "vec_id", "full_outer"))
-        change = (
-            F.when(F.col("b_post").isNull(), F.lit("delete"))
-            .when(F.col("b_pre").isNull(), F.lit("insert"))
-            .when(F.col("b_pre") != F.col("b_post"), F.lit("rebucket"))
-            .otherwise(F.lit("same")))
-        return (j.withColumn("change", change)
-                .filter(F.col("change") != "same")
-                .select("vec_id", F.col("b_post").alias("bucket"),
-                        "change",
-                        F.lit(seq).cast("long").alias("commit_seq")))
-
-    (idx_changes(b1, b2, 1).unionByName(idx_changes(b2, b3, 2))
-     .write.format("arrowipc").option("partitionBy", "commit_seq")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(feed))
 
     feed_rows = (spark.read.format("arrowipc")
                  .option("snapshots", "true")

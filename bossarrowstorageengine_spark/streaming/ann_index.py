@@ -1,0 +1,244 @@
+"""Streaming ANN INDEX maintainer — the streaming face of
+``q_ann_index_maintain`` (the round-13 runway's index-maintenance story
+continued): a ``foreachBatch`` consumer tails the bucket-grain changefeed
+(the batch key's `_ann_idx_changes` layout: re-bucket / insert / delete
+rows per source commit) and maintains the persisted LSH signature index
+as an LSM-shaped arrowipc table:
+
+- the index = a base segment (``seg=0``, the one corpus-sized build)
+  plus ONE mutation-sized delta segment per absorbed feed commit
+  (``seg=<commit_seq>``: upsert rows carry the new bucket, deletes a
+  tombstone) — applying a commit writes O(Δ) rows, never touching the
+  corpus-sized base (the point of index maintenance at 100 TB);
+- reads are merge-on-read: last-wins per ``vec_id`` by segment number,
+  tombstones dropped (``read_index``) — at scale the index table is
+  bucketed on ``vec_id`` so the last-wins window is co-located, and
+  ``compact_index`` (LSM major compaction) bounds read amplification by
+  folding segments ``<= thru`` into one merged segment with tombstones
+  physically removed;
+- idempotence keys on FEED POSITION with no markers: a segment is
+  applied iff its number is <= the head manifest's high-water segment
+  (one write job per commit = one atomic manifest commit, and segments
+  apply in ascending order, so the high-water survives compaction's
+  directory collapse) — a redelivered batch, a crash between the
+  segment write and the stream checkpoint, or a fresh-checkpoint
+  restart over a backlog all re-apply nothing.
+
+The batch face is oracle-gated; the differential test pins
+``read_index`` after the stream to a from-scratch re-bucketing of the
+final corpus (the batch key's own audit) and to the batch key's
+maintained rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Persisted index-segment row layout.
+INDEX_SCHEMA = "vec_id long, bucket int, tombstone boolean, seg long"
+
+#: Column set the maintainer reads back from the bucket-grain feed.
+FEED_SCHEMA = "vec_id long, bucket int, change string, commit_seq long"
+
+
+def seed_index(idx_dir: str, bucketed: DataFrame) -> None:
+    """Publish the base segment (``seg=0``) — the one corpus-sized
+    build.  ``bucketed`` must carry ``(vec_id, bucket)``."""
+    (bucketed.select(
+        "vec_id", F.col("bucket").cast("int"),
+        F.lit(False).alias("tombstone"),
+        F.lit(0).cast("long").alias("seg"))
+     .write.format("arrowipc").option("partitionBy", "seg")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(idx_dir))
+
+
+def _seg_high_water(idx_dir: str) -> int:
+    """Highest segment number visible in the head manifest — metadata
+    only (manifest read + directory-segment parse; no data file opened).
+    Survives compaction: folded segments collapse into the fold's
+    ``seg=<thru>`` directory, and commits apply in ascending order, so
+    ``k <= high-water`` ⇔ commit k was absorbed."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions,
+        _read_manifest,
+    )
+
+    versions = _manifest_versions(idx_dir)
+    if not versions:
+        raise ValueError(
+            f"index table {idx_dir!r} is not seeded — write the base "
+            "segment with seed_index(idx_dir, bucketed) first (the one "
+            "corpus-sized pass)")
+    hw = -1
+    for f in _read_manifest(idx_dir, versions[-1]):
+        rel = os.path.relpath(os.path.dirname(f), idx_dir)
+        for part in rel.split(os.sep):
+            if part.startswith("seg="):
+                try:
+                    hw = max(hw, int(part.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    return hw
+
+
+def apply_index_batch(batch_df: DataFrame, batch_id: int,
+                      idx_dir: str) -> None:
+    """Apply one feed micro-batch: one delta segment per DISTINCT feed
+    commit beyond the index's high-water segment, ascending.  Replay-
+    safe by feed position — ``batch_id`` is checkpoint-scoped and only
+    appears because foreachBatch supplies it."""
+    if len(batch_df.take(1)) == 0:
+        return
+    # One materialization before the mixed filtered actions below (the
+    # documented arrowipc pushdown plan-cache hazard), and each commit
+    # re-reads it anyway.
+    batch = batch_df.localCheckpoint()
+    hw = _seg_high_water(idx_dir)
+    commits = sorted(
+        int(r["commit_seq"])
+        for r in batch.select("commit_seq").distinct().collect()
+        if int(r["commit_seq"]) > hw)
+    for seq in commits:
+        rows = batch.filter(F.col("commit_seq") == seq)
+        seg_rows = rows.select(
+            "vec_id",
+            F.when(F.col("change") != "delete", F.col("bucket"))
+            .cast("int").alias("bucket"),
+            (F.col("change") == "delete").alias("tombstone"),
+            F.lit(seq).cast("long").alias("seg"))
+        # one write job per commit = one atomic manifest commit: the
+        # segment is the ledger entry, no marker files
+        (seg_rows.write.format("arrowipc").option("partitionBy", "seg")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(idx_dir))
+
+
+def read_index(spark: SparkSession, idx_dir: str) -> DataFrame:
+    """The index's current logical state ``(vec_id, bucket)`` —
+    merge-on-read: last-wins per vec_id by segment number, tombstones
+    dropped.  One vec_id-keyed exchange; bucket the table on vec_id at
+    scale to co-locate it, and run ``compact_index`` periodically to
+    bound the merged segment count."""
+    rows = (spark.read.format("arrowipc").option("snapshots", "true")
+            .schema(INDEX_SCHEMA).load(idx_dir))
+    w = Window.partitionBy("vec_id").orderBy(F.col("seg").desc())
+    return (rows.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
+            .select("vec_id", "bucket"))
+
+
+def compact_index(spark: SparkSession, idx_dir: str, thru: int) -> dict:
+    """LSM major compaction: fold every segment ``<= thru`` into ONE
+    merged segment at ``seg=<thru>`` — last-wins applied, tombstones
+    physically removed (any later segment still wins over the fold, so
+    dropping them is safe) — published as a logical add/remove manifest
+    commit; segments beyond ``thru`` and the pre-compaction history stay
+    untouched.  Returns ``{"files_before", "files_after", "rows"}``."""
+    import shutil
+    import uuid
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConcurrentWriteConflict,
+        _manifest_versions,
+        _read_manifest,
+        _write_manifest,
+        stats_path,
+    )
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        _staged_rows,
+        _walk_staged_parts,
+    )
+
+    versions = _manifest_versions(idx_dir)
+    if not versions:
+        raise ValueError(f"index table {idx_dir!r} has no manifest log")
+    before = _read_manifest(idx_dir, versions[-1])
+
+    def seg_of(f: str) -> int | None:
+        rel = os.path.relpath(os.path.dirname(f), idx_dir)
+        for part in rel.split(os.sep):
+            if part.startswith("seg="):
+                try:
+                    return int(part.split("=", 1)[1])
+                except ValueError:
+                    return None
+        return None
+
+    in_scope = sorted(f for f in before
+                      if (s := seg_of(f)) is not None and s <= thru)
+    if not in_scope:
+        return {"files_before": len(before), "files_after": len(before),
+                "rows": 0}
+    snapshot = os.path.join(idx_dir, f".idxcompact-src-{uuid.uuid4().hex}")
+    staging = os.path.join(idx_dir, f".idxcompact-{uuid.uuid4().hex}")
+    os.makedirs(snapshot, exist_ok=True)
+    try:
+        for old in in_scope:
+            for s in (old, stats_path(old)):
+                if not os.path.exists(s):
+                    continue
+                dst = os.path.join(snapshot, os.path.relpath(s, idx_dir))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(s, dst)
+                except OSError:
+                    shutil.copy2(s, dst)
+        scoped = (spark.read.format("arrowipc").schema(INDEX_SCHEMA)
+                  .load(snapshot))
+        w = Window.partitionBy("vec_id").orderBy(F.col("seg").desc())
+        merged = (scoped.withColumn("_rn", F.row_number().over(w))
+                  .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
+                  .select("vec_id", "bucket", "tombstone",
+                          F.lit(thru).cast("long").alias("seg")))
+        (merged.repartition(1).write.format("arrowipc")
+         .option("compression", "lz4").mode("append")
+         .save(os.path.join(staging, f"seg={thru}")))
+        rows = _staged_rows(staging)
+        promoted: list[str] = []
+        for s, _ in _walk_staged_parts(staging):
+            dst = os.path.join(idx_dir, os.path.relpath(s, staging))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(s, dst)
+            sp = stats_path(s)
+            if os.path.exists(sp):
+                os.replace(sp, stats_path(dst))
+            promoted.append(dst)
+        try:
+            _write_manifest(idx_dir, promoted, replace=False,
+                            remove=in_scope)
+        except ConcurrentWriteConflict:
+            for p in promoted:
+                for victim in (p, stats_path(p)):
+                    try:
+                        os.remove(victim)
+                    except FileNotFoundError:
+                        pass
+            raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(snapshot, ignore_errors=True)
+    return {"files_before": len(before),
+            "files_after": len(before) - len(in_scope) + len(promoted),
+            "rows": rows}
+
+
+def ann_index_stream(spark: SparkSession, feed_dir: str, idx_dir: str,
+                     checkpoint_dir: str):
+    """Start the maintainer: tail the bucket-grain changefeed and roll
+    the persisted index one segment per feed commit.  Returns the
+    ``StreamingQuery``."""
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    feed = (spark.readStream.format("arrowipc")
+            .option("columns", "vec_id,bucket,change,commit_seq")
+            .schema(FEED_SCHEMA).load(feed_dir))
+    return (feed.writeStream
+            .foreachBatch(lambda df, bid: apply_index_batch(
+                df, bid, idx_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

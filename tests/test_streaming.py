@@ -1446,3 +1446,114 @@ def test_stream_mv_maintain_through_feed_compaction(spark):
     apply_feed_batch(head, 0, mv2)
     assert {(r.mv_version, r.lang): (r.docs, r.chars)
             for r in _mv_rows(mv2)} == want
+
+
+@pytest.mark.slow
+def test_stream_ann_index_maintain_matches_rebuild(spark):
+    """The streaming index maintainer must converge to EXACTLY the
+    from-scratch re-bucketing of the final corpus (the batch key's own
+    audit basis): one delta segment per feed commit, commit 2 arriving
+    live; replay (redelivered batch under a fresh batch id) is a no-op
+    by segment high-water; LSM compaction physically removes tombstones
+    and folds segments without changing the logical index."""
+    import os as _os
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _ann_bucketed,
+        _ann_idx_changes,
+        _ann_snap,
+    )
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        INDEX_SCHEMA,
+        ann_index_stream,
+        apply_index_batch,
+        compact_index,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    src, feed, idx = (f"{base}/{d}" for d in ("src", "feed", "idx"))
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _ANN_IDX_DELETE_PRED,
+        _ANN_IDX_UPDATE_PRED,
+        _ANN_IDX_UPDATE_SET,
+    )
+
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    (e.repartition(4).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(src))
+    update_arrowipc(spark, src, _ANN_IDX_UPDATE_PRED, _ANN_IDX_UPDATE_SET,
+                    compression="lz4", predicate_columns=["vec_id"],
+                    schema=e.schema)
+    delete_arrowipc(spark, src, _ANN_IDX_DELETE_PRED, compression="lz4",
+                    predicate_columns=["vec_id"], schema=e.schema)
+    b1, b2, b3 = (_ann_bucketed(_ann_snap(spark, src, v))
+                  for v in ("1", "2", None))
+
+    def _commit(pre, post, seq):
+        (_ann_idx_changes(pre, post, seq)
+         .write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+
+    seed_index(idx, b1)
+    _commit(b1, b2, 1)  # lands before the stream starts
+    q = ann_index_stream(spark, feed, idx, f"{base}/ckpt")
+    try:
+        q.processAllAvailable()
+        _commit(b2, b3, 2)  # arrives live
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def idx_state():
+        return sorted(map(tuple, read_index(spark, idx).collect()))
+
+    want = sorted(map(tuple, b3.collect()))
+    got = idx_state()
+    assert got == want and got
+
+    def raw():
+        return (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema(INDEX_SCHEMA).load(idx))
+
+    assert {r.seg for r in raw().select("seg").distinct().collect()} \
+        == {0, 1, 2}
+    n_tomb = raw().filter("tombstone").count()
+    assert n_tomb > 0, "the delete commit must write tombstones — vacuous"
+
+    # replay: the whole feed redelivered under a fresh batch id — the
+    # segment high-water makes it a no-op (fresh load per the plan-cache
+    # rule)
+    replay = (spark.read.format("arrowipc").option("snapshots", "true")
+              .option("columns", "vec_id,bucket,change,commit_seq")
+              .schema("vec_id long, bucket int, change string, "
+                      "commit_seq long").load(feed))
+    apply_index_batch(replay, 99, idx)
+    assert idx_state() == got
+    assert {r.seg for r in raw().select("seg").distinct().collect()} \
+        == {0, 1, 2}
+
+    # LSM major compaction: logical state unchanged, tombstones gone,
+    # segments folded, files reclaimed from the manifest
+    res = compact_index(spark, idx, thru=2)
+    assert res["files_after"] < res["files_before"]
+    assert idx_state() == got
+    assert raw().filter("tombstone").count() == 0
+    assert {r.seg for r in raw().select("seg").distinct().collect()} \
+        == {2}
+    # the high-water survives the fold: replaying the feed again after
+    # compaction still applies nothing
+    apply_index_batch(replay, 100, idx)
+    assert idx_state() == got
