@@ -153,6 +153,16 @@ def compact_index(spark: SparkSession, idx_dir: str, thru: int) -> dict:
         _walk_staged_parts,
     )
 
+    hw = _seg_high_water(idx_dir)
+    if thru > hw:
+        # The fold's output is stamped ``seg=<thru>`` and the apply
+        # ledger IS the segment high-water: folding past it would mark
+        # never-seen commits as absorbed and the maintainer would
+        # silently skip them.
+        raise ValueError(
+            f"compact_index thru={thru} exceeds the absorbed high-water "
+            f"segment {hw} — compaction may only fold segments that "
+            "exist")
     versions = _manifest_versions(idx_dir)
     if not versions:
         raise ValueError(f"index table {idx_dir!r} has no manifest log")

@@ -1557,3 +1557,23 @@ def test_stream_ann_index_maintain_matches_rebuild(spark):
     # compaction still applies nothing
     apply_index_batch(replay, 100, idx)
     assert idx_state() == got
+
+
+def test_ann_index_compact_refuses_future_segments(spark, tmp_path):
+    """Folding past the absorbed high-water would stamp the merged
+    segment above commits that never arrived, and the high-water ledger
+    would silently skip them — the compactor must refuse."""
+    import pytest
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        compact_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    idx = str(tmp_path / "idx")
+    seed_index(idx, spark.range(5).selectExpr(
+        "id AS vec_id", "CAST(id % 3 AS INT) AS bucket"))
+    with pytest.raises(ValueError, match="high-water"):
+        compact_index(spark, idx, thru=7)
