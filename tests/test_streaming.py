@@ -1577,3 +1577,76 @@ def test_ann_index_compact_refuses_future_segments(spark, tmp_path):
         "id AS vec_id", "CAST(id % 3 AS INT) AS bucket"))
     with pytest.raises(ValueError, match="high-water"):
         compact_index(spark, idx, thru=7)
+
+
+@pytest.mark.slow
+def test_stream_drift_monitor_matches_batch_key(spark):
+    """The streamed drift report must agree with the oracle-gated batch
+    key on the same split (reference = even vec_ids, live = odd vec_ids
+    streamed in two micro-batches): identical half sizes, and the L2
+    centroid shift within 1e-6 of the batch key's (SURVEY §8 rule 1 —
+    double sums are association-order-dependent; the report rounds to
+    4dp exactly like the key).  Replay of a batch — marker present and
+    marker lost — leaves the accumulated partials bit-identical."""
+    import os as _os
+    import uuid as _uuid
+
+    import __spark_entry__ as entrymod
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.drift_monitor import (
+        apply_embedding_batch,
+        drift_monitor_stream,
+        drift_report,
+        seed_reference,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    emb_dir, stats, ref = (f"{base}/{d}" for d in ("emb", "stats", "ref"))
+    _os.makedirs(stats)
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding")
+    seed_reference(ref, e.filter("vec_id % 2 = 0"))
+    live = e.filter("vec_id % 2 = 1")
+
+    def _commit(df):
+        (df.select("label", "embedding").write.format("arrowipc")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(emb_dir))
+
+    _commit(live.filter("vec_id % 4 = 1"))  # batch 0
+    q = drift_monitor_stream(spark, emb_dir, stats, f"{base}/ckpt")
+    try:
+        q.processAllAvailable()
+        _commit(live.filter("vec_id % 4 = 3"))  # batch 1, live
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.label: r for r in drift_report(spark, stats, ref).collect()}
+    want = {r.label: r
+            for r in entrymod.queries()["q_embedding_drift"](spark, sf)
+            .collect()}
+    assert set(got) == set(want) and got
+    for lbl, w in want.items():
+        g = got[lbl]
+        assert (g.n_ref, g.n_live) == (w.n_half0, w.n_half1)
+        assert abs(g.centroid_shift - w.centroid_shift) < 1e-6, lbl
+
+    # replay idempotence, with and without the fast-path marker
+    def _partials():
+        return sorted(map(tuple, (
+            spark.read.option("basePath", stats)
+            .schema("label int, dim int, sum_x double, n long, "
+                    "batch long")
+            .parquet(stats).collect())))
+
+    before = _partials()
+    batch1 = live.filter("vec_id % 4 = 3").select("label", "embedding")
+    apply_embedding_batch(batch1, 1, stats)
+    assert _partials() == before
+    _os.remove(_os.path.join(stats, "_batch-1.done"))
+    apply_embedding_batch(batch1, 1, stats)
+    assert _partials() == before
