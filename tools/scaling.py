@@ -105,6 +105,33 @@ KEYS = [
 ]
 
 
+#: Why the expensive storage/CDC keys cost what they cost — rendered as a
+#: footer so the per-round plan audit reads the explanation next to the
+#: numbers.  Keep entries in sync with the query docstrings.
+FLOOR_NOTES = {
+    "q_storage_timetravel_diff": (
+        "3-action CoW history (write, update, delete) + 2 version reads."),
+    "q_storage_changefeed": (
+        "3-action history + 1 partitioned feed write + pruned read-back."),
+    "q_changefeed_consume": (
+        "3-action history + 1 batched feed write + base/direct snapshot "
+        "reads + ONE conditional-sum feed scan."),
+    "q_mv_maintain": (
+        "3-action history + feed write + 1 mv_version-partitioned MV "
+        "write + read-back audited against 3 direct snapshot reads."),
+    "q_mv_restore": (
+        "q_mv_maintain's chain + RESTORE (metadata) + ONE folded mv-side "
+        "stats pass + rollback write + 4-version lineage audit — 8 "
+        "storage actions total, the family's deepest composition."),
+    "q_feed_compact": (
+        "3 separate feed-commit appends + 1 checkpoint rewrite job + "
+        "before/after conditional-sum reads (equality engine-verified)."),
+    "q_ann_index_maintain": (
+        "embedding write + 2 CoW mutations + index build write + feed "
+        "write + maintained/direct bucket audit."),
+}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from bossarrowstorageengine_spark.session import build_session
@@ -146,6 +173,21 @@ def main() -> None:
             f"| {k} | " + " | ".join(
                 f"{r.get(sf, float('nan')):.2f}s" for sf in SFS)
             + f" | {growth:.1f}× |")
+    lines.extend([
+        "",
+        "## Floor-dominated keys",
+        "",
+        "The storage/CDC family's wall time is dominated by a fixed "
+        "per-storage-action cost, not data volume — each arrowipc write, "
+        "CoW mutation, or explicit-schema read pays a ~0.2-0.5s Python-"
+        "datasource setup floor on local mode (profiled round 8), so "
+        "keys composed of many actions sit at seconds with near-flat "
+        "growth.  Action counts:",
+        "",
+    ])
+    for key, note in FLOOR_NOTES.items():
+        if key in KEYS:
+            lines.append(f"- `{key}` — {note}")
     lines.append("")
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print("\n".join(lines))
