@@ -76,12 +76,18 @@ def compact_feed_thru(
     path: str,
     thru: int,
     compression: str = "zstd",
+    target_files: int = 1,
 ) -> dict:
     """Collapse the feed's commit partitions ``1..thru`` (and any earlier
     checkpoints they subsume) into one checkpoint part set under
-    ``compacted_thru=<thru>/``.  Returns ``{"files_before", "files_after",
-    "compacted", "rows", "version", "thru"}``; no-op (no manifest commit)
-    when nothing is in scope."""
+    ``compacted_thru=<thru>/``.  ``target_files`` bounds the rewrite
+    width: at test scale one file is right, but a checkpoint of
+    thousands of commits on a real feed wants several — the range
+    repartition keeps each output file a CONTIGUOUS ``commit_seq``
+    span, so per-file min/max stats still prune commit-range reads.
+    Returns ``{"files_before", "files_after", "compacted", "rows",
+    "version", "thru"}``; no-op (no manifest commit) when nothing is in
+    scope."""
     register_arrowipc(spark)
     versions = _manifest_versions(path)
     if not versions:
@@ -117,13 +123,15 @@ def compact_feed_thru(
                 except OSError:
                     shutil.copy2(src, dst)
 
-        # One checkpoint file, rows sorted by feed position so the file's
-        # min/max stats record the exact commit range it covers (readers
-        # pruning past `thru` skip it at plan time).  commit_seq rides
-        # along as a data column — it was stored physically by the
-        # partitioned write, so the collapse loses nothing.
+        # Checkpoint files range-keyed and sorted by feed position, so
+        # each file's min/max stats record the exact commit span it
+        # covers (readers pruning past `thru` skip them at plan time).
+        # commit_seq rides along as a data column — it was stored
+        # physically by the partitioned write, so the collapse loses
+        # nothing.
         (spark.read.format("arrowipc").load(snapshot)
-         .repartition(1).sortWithinPartitions("commit_seq")
+         .repartitionByRange(max(1, target_files), "commit_seq")
+         .sortWithinPartitions("commit_seq")
          .write.format("arrowipc").option("compression", compression)
          .mode("append")
          .save(os.path.join(staging, f"compacted_thru={thru}")))

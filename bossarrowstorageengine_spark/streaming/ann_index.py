@@ -131,13 +131,17 @@ def read_index(spark: SparkSession, idx_dir: str) -> DataFrame:
             .select("vec_id", "bucket"))
 
 
-def compact_index(spark: SparkSession, idx_dir: str, thru: int) -> dict:
+def compact_index(spark: SparkSession, idx_dir: str, thru: int,
+                  target_files: int = 1) -> dict:
     """LSM major compaction: fold every segment ``<= thru`` into ONE
     merged segment at ``seg=<thru>`` — last-wins applied, tombstones
     physically removed (any later segment still wins over the fold, so
     dropping them is safe) — published as a logical add/remove manifest
     commit; segments beyond ``thru`` and the pre-compaction history stay
-    untouched.  Returns ``{"files_before", "files_after", "rows"}``."""
+    untouched.  ``target_files`` bounds the rewrite width for a
+    corpus-sized fold (each output file a contiguous ``vec_id`` range,
+    so the merged base keeps stats-prunable point lookups).  Returns
+    ``{"files_before", "files_after", "rows"}``."""
     import shutil
     import uuid
 
@@ -204,7 +208,9 @@ def compact_index(spark: SparkSession, idx_dir: str, thru: int) -> dict:
                   .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
                   .select("vec_id", "bucket", "tombstone",
                           F.lit(thru).cast("long").alias("seg")))
-        (merged.repartition(1).write.format("arrowipc")
+        (merged.repartitionByRange(max(1, target_files), "vec_id")
+         .sortWithinPartitions("vec_id")
+         .write.format("arrowipc")
          .option("compression", "lz4").mode("append")
          .save(os.path.join(staging, f"seg={thru}")))
         rows = _staged_rows(staging)
