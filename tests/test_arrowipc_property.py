@@ -331,3 +331,62 @@ def test_feed_compact_content_invariant_arbitrary_histories(
                    if f"compacted_thru={thru}" in dp
                    and any(n.endswith(".arrows") for n in names)]
             assert cks, f"no checkpoint dir for thru={thru}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_ann_index_lsm_matches_dict_replay(spark, data):
+    """The LSM index (streaming.ann_index) must equal a plain dict
+    replay of the same mutation stream for ARBITRARY upsert/delete
+    sequences — including deletes of absent keys, re-inserts after
+    delete, and repeated rebucketing — with major compactions
+    interleaved at arbitrary absorbed positions."""
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        apply_index_batch,
+        compact_index,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    n_base = data.draw(st.integers(min_value=1, max_value=8), label="base")
+    n_commits = data.draw(st.integers(min_value=1, max_value=4),
+                          label="commits")
+    idx = f"/tmp/spark_graft_test/lsmprop_{uuid.uuid4().hex}"
+
+    model = {v: v % 3 for v in range(n_base)}
+    seed_index(idx, spark.createDataFrame(
+        [(v, b) for v, b in model.items()], "vec_id long, bucket int"))
+
+    applied = 0
+    for seq in range(1, n_commits + 1):
+        n_ops = data.draw(st.integers(min_value=1, max_value=5),
+                          label=f"ops_c{seq}")
+        seen: set[int] = set()
+        rows = []
+        for i in range(n_ops):
+            vec = data.draw(st.integers(min_value=0, max_value=11),
+                            label=f"vec_c{seq}_{i}")
+            if vec in seen:  # one change per vec per commit (feed shape)
+                continue
+            seen.add(vec)
+            if data.draw(st.booleans(), label=f"del_c{seq}_{i}"):
+                rows.append((vec, None, "delete", seq))
+                model.pop(vec, None)
+            else:
+                b = data.draw(st.integers(min_value=0, max_value=9),
+                              label=f"b_c{seq}_{i}")
+                rows.append((vec, b, "insert", seq))
+                model[vec] = b
+        batch = spark.createDataFrame(
+            rows, "vec_id long, bucket int, change string, "
+                  "commit_seq long")
+        apply_index_batch(batch, seq, idx)
+        applied = seq
+        if data.draw(st.booleans(), label=f"compact_after_{seq}"):
+            compact_index(spark, idx, thru=data.draw(
+                st.integers(min_value=0, max_value=applied),
+                label=f"thru_{seq}"))
+        got = dict(read_index(spark, idx).collect())
+        assert got == model, f"diverged after commit {seq}"
