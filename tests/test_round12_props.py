@@ -243,3 +243,58 @@ def test_mv_restore_rolls_back_and_enforces_detection(spark):
     assert any(by_ver[3][lg].docs != by_ver[1][lg].docs
                or by_ver[3][lg].chars != by_ver[1][lg].chars
                for lg in by_ver[1]), "pre-restore head matched — vacuous"
+
+
+def test_feed_compact_then_vacuum_reclaims_history(spark, tmp_path):
+    """Compaction + retention vacuum compose (the round-13 q_feed_vacuum
+    story, de-risked): after a thru=2 checkpoint, vacuum to
+    keep_versions=1 physically reclaims the rewritten commit partitions,
+    the head read is byte-identical to the pre-vacuum head, time travel
+    to a reclaimed version fails (loudly, not wrongly), and disk exactly
+    matches the retained manifest — no orphans, no lost survivors."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _list_ipc_files,
+        _manifest_versions,
+        _read_manifest,
+    )
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        vacuum_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    feed = str(tmp_path / "feed")
+    rows = spark.range(60).selectExpr(
+        "id AS row_id", "id * 7 AS payload", "1 + id % 3 AS commit_seq")
+    for seq in (1, 2, 3):
+        (rows.filter(F.col("commit_seq") == seq).repartition(2)
+         .write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").mode("append").save(feed))
+    compact_feed_thru(spark, feed, thru=2)
+
+    def head():
+        return sorted(map(tuple, (
+            spark.read.format("arrowipc").option("snapshots", "true")
+            .schema("row_id long, payload long, commit_seq long")
+            .load(feed).collect())))
+
+    before = head()
+    info = vacuum_arrowipc(feed, keep_versions=1)
+    assert info["removed_files"] > 0, "nothing reclaimed — vacuous"
+    assert head() == before
+    # disk == retained manifest exactly
+    visible = set(_read_manifest(feed, _manifest_versions(feed)[-1]))
+    assert set(_list_ipc_files(feed)) == visible
+    # the reclaimed pre-compaction version is gone — loudly
+    with pytest.raises(Exception):
+        (spark.read.format("arrowipc").option("version", "3")
+         .schema("row_id long, payload long, commit_seq long")
+         .load(feed).collect())
