@@ -758,6 +758,41 @@ def _file_arrow_schema(path: str) -> pa.Schema:
             f"corrupt or non-Arrow part file {path}: {exc}") from exc
 
 
+def _validate_declared_schema(declared: StructType, file_schema: pa.Schema,
+                              path: str,
+                              columns: Sequence[str] | None = None) -> None:
+    """Fail loudly (naming the column) when a declared read schema's type
+    disagrees with a part file's Arrow schema.  Without this, the mismatch
+    surfaces as an opaque JVM vector-accessor error (``getUTF8String`` on
+    an int32 vector) deep inside the scan.  Comparison is at the SPARK
+    type level via ``from_arrow_schema`` — so benign physical differences
+    (string vs large_string, dictionary encoding, timestamp unit) don't
+    false-positive — and ignores nullability (``simpleString``).  Columns
+    the file lacks are fine (schema evolution null-fills); Arrow types
+    with no Spark mapping are skipped rather than failed (planning-only
+    check, must degrade)."""
+    want = {f.name: f.dataType.simpleString() for f in declared.fields}
+    if columns:
+        keep = set(columns)
+        want = {n: t for n, t in want.items() if n in keep}
+    plain = pa.schema([_plain_field(f) for f in file_schema])
+    for fld in plain:
+        expect = want.get(fld.name)
+        if expect is None:
+            continue
+        try:
+            got = from_arrow_schema(pa.schema([fld]))[0].dataType.simpleString()
+        except Exception:
+            continue
+        if got != expect:
+            raise ValueError(
+                f"arrowipc stream over {os.path.dirname(path)}: declared "
+                f"schema types column '{fld.name}' as {expect} but part "
+                f"file {os.path.basename(path)} stores it as {got} "
+                f"(arrow {fld.type}) — fix the declared schema or rewrite "
+                "the table; the reader does not silently cast.")
+
+
 def _plain_field(fld: pa.Field, nullable: bool | None = None) -> pa.Field:
     """Dictionary types are a storage detail — expose the value type."""
     typ = fld.type.value_type if pa.types.is_dictionary(fld.type) else fld.type
@@ -1422,7 +1457,14 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
     the stream by default — its additions are rewrites of rows already
     emitted; pass ``ignoreChanges=true`` (Delta's option) to keep
     streaming through such commits, accepting that their added files
-    re-deliver rewritten rows.
+    re-deliver rewritten rows, or ``skipChangeCommits=true`` (Delta's
+    successor option) to skip such commits ENTIRELY — no re-delivery,
+    correct whenever rewrite commits add no logical rows (checkpoint
+    compaction, small-file compaction).  ``startingVersion=N`` starts
+    the tail at manifest version N inclusive (``latest`` = only commits
+    after stream start), enabling the snapshot-then-follow consumer
+    pattern: batch-bootstrap from the head at version V, then tail with
+    ``startingVersion=V+1`` — no backlog re-delivery.
 
     **Listing mode** (no manifests): lexicographic high-water mark over
     file names (``{"last": "<name>"}``); a micro-batch covers every
@@ -1438,12 +1480,41 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
         self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc stream reader requires a path")
+        self._schema = schema
         cols = options.get("columns")
         self._columns = [c.strip() for c in cols.split(",")] if cols else None
         self._ignore_changes = str(options.get(
             "ignorechanges", options.get("ignoreChanges", "false"))
         ).lower() == "true"
+        self._skip_change_commits = str(options.get(
+            "skipchangecommits", options.get("skipChangeCommits", "false"))
+        ).lower() == "true"
+        if self._ignore_changes and self._skip_change_commits:
+            raise ValueError(
+                "arrowipc stream reader: ignoreChanges and "
+                "skipChangeCommits are mutually exclusive — ignoreChanges "
+                "re-delivers a rewrite commit's added files, "
+                "skipChangeCommits drops the commit entirely; pick one.")
         self._manifest_mode = bool(_manifest_versions(self._path))
+        sv = options.get("startingversion", options.get("startingVersion"))
+        self._starting_version: int | str | None = None
+        if sv is not None:
+            if not self._manifest_mode:
+                raise ValueError(
+                    "arrowipc stream reader: startingVersion requires a "
+                    f"snapshotted table (no manifests under {self._path}) "
+                    "— offsets on a plain directory are file names, not "
+                    "versions")
+            if str(sv).lower() == "latest":
+                self._starting_version = "latest"
+            else:
+                n = int(sv)
+                if n < 1:
+                    raise ValueError(
+                        f"arrowipc stream reader: startingVersion={n} — "
+                        "manifest versions start at 1 (omit the option to "
+                        "read from the beginning)")
+                self._starting_version = n
 
     def _names(self) -> list[str]:
         try:
@@ -1455,7 +1526,17 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
             return []  # nothing arrived yet — empty stream, not an error
 
     def initialOffset(self) -> dict:
-        return {"v": 0} if self._manifest_mode else {"last": ""}
+        if not self._manifest_mode:
+            return {"last": ""}
+        if self._starting_version == "latest":
+            vs = _manifest_versions(self._path)
+            return {"v": vs[-1] if vs else 0}
+        if self._starting_version is not None:
+            # First micro-batch covers versions >= startingVersion
+            # (Delta's inclusive contract): the exclusive low bound is
+            # the preceding version.
+            return {"v": int(self._starting_version) - 1}
+        return {"v": 0}
 
     def latestOffset(self) -> dict:
         if self._manifest_mode:
@@ -1482,6 +1563,13 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                        | {os.path.join(self._path, r)
                           for r in doc.get("add", [])})
             removed = prev - cur
+            if removed and self._skip_change_commits:
+                # The commit rewrites rows already emitted and (per the
+                # option's contract) adds no logical rows — skip it
+                # ENTIRELY so nothing is re-delivered; later versions
+                # still diff against its file set.
+                prev = cur
+                continue
             if removed and not self._ignore_changes:
                 raise ValueError(
                     f"arrowipc stream over {self._path}: version {v} "
@@ -1489,7 +1577,8 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                     "CoW mutation) — its additions rewrite rows already "
                     "emitted. Set ignoreChanges=true to stream through "
                     "such commits (rewritten rows will be re-delivered), "
-                    "or restart from a fresh checkpoint.")
+                    "skipChangeCommits=true to skip them entirely, or "
+                    "restart from a fresh checkpoint.")
             out.extend(sorted(cur - prev))
             prev = cur
         return out
@@ -1516,6 +1605,9 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
     def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
         if not partition.path:
             return
+        _validate_declared_schema(
+            self._schema, _file_arrow_schema(partition.path),
+            partition.path, self._columns)
         yield from _read_ipc_batches(partition.path, None, self._columns)
 
     def commit(self, end: dict) -> None:

@@ -1650,3 +1650,277 @@ def test_stream_drift_monitor_matches_batch_key(spark):
     _os.remove(_os.path.join(stats, "_batch-1.done"))
     apply_embedding_batch(batch1, 1, stats)
     assert _partials() == before
+
+
+# ---------------------------------------------------------------------------
+# round 13: snapshot-then-follow tailing (startingVersion / skipChangeCommits)
+# and declared-schema validation on the stream read path (SURVEY §7 runway 1)
+# ---------------------------------------------------------------------------
+
+
+def _snap_append(spark, table, lo, hi):
+    df = spark.range(lo, hi).select(
+        "id", (F.col("id") % 2).cast("string").alias("grp"))
+    (df.coalesce(1).write.format("arrowipc")
+     .option("snapshots", "true").mode("append").save(table))
+
+
+@pytest.mark.slow
+def test_stream_bootstrap_then_tail_after_backlog(spark):
+    """The standard CDC consumer pattern the r12 coexistence test left
+    open: batch-bootstrap from the head at version V, then tail with
+    startingVersion=V+1 — the tail delivers ONLY post-bootstrap commits,
+    and bootstrap ∪ tail == the table at every point."""
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions)
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    _snap_append(spark, table, 0, 5)          # v1
+    _snap_append(spark, table, 5, 8)          # v2  (backlog)
+
+    head = spark.read.format("arrowipc").load(table)
+    boot = sorted(r.id for r in head.collect())
+    v = _manifest_versions(table)[-1]
+    assert boot == list(range(8)) and v == 2
+
+    name = f"tail_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc")
+         .option("startingVersion", str(v + 1)).load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0   # backlog NOT re-delivered
+
+        _snap_append(spark, table, 8, 11)       # v3 — post-bootstrap
+        q.processAllAvailable()
+        tail = sorted(r.id for r in spark.table(name).collect())
+        assert tail == [8, 9, 10]
+        assert sorted(boot + tail) == list(range(11))
+    finally:
+        q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_skip_change_commits(spark):
+    """skipChangeCommits=true drops a rewrite commit ENTIRELY (no
+    re-delivery), and the stream keeps tailing appends after it — the
+    right contract for checkpoint/small-file compaction commits, which
+    add no logical rows."""
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc)
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    _snap_append(spark, table, 0, 5)          # v1
+    _snap_append(spark, table, 5, 8)          # v2
+
+    name = f"scc_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc")
+         .option("skipChangeCommits", "true").load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(name).collect()) == \
+            list(range(8))
+
+        compact_arrowipc(spark, table, target_files=1)   # v3: rewrite
+        q.processAllAvailable()
+        # the rewrite commit contributed NOTHING (vs ignoreChanges'
+        # duplicate re-delivery)
+        assert sorted(r.id for r in spark.table(name).collect()) == \
+            list(range(8))
+
+        _snap_append(spark, table, 8, 10)     # v4 — appends still flow
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(name).collect()) == \
+            list(range(10))
+    finally:
+        q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_bootstrap_after_compaction_then_tail(spark):
+    """Snapshot-then-follow ACROSS maintenance: bootstrap from a
+    compacted head, tail with startingVersion=head+1 AND
+    skipChangeCommits=true — later compactions don't poison the tail and
+    nothing is double-counted."""
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions)
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc)
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    _snap_append(spark, table, 0, 5)                     # v1
+    _snap_append(spark, table, 5, 8)                     # v2
+    compact_arrowipc(spark, table, target_files=1)       # v3: rewrite
+
+    boot = sorted(r.id for r in
+                  spark.read.format("arrowipc").load(table).collect())
+    v = _manifest_versions(table)[-1]
+    assert boot == list(range(8)) and v == 3
+
+    name = f"bct_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc")
+         .option("startingVersion", str(v + 1))
+         .option("skipChangeCommits", "true").load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0
+        _snap_append(spark, table, 8, 12)                # v4
+        compact_arrowipc(spark, table, target_files=1)   # v5: rewrite
+        _snap_append(spark, table, 12, 14)               # v6
+        q.processAllAvailable()
+        tail = sorted(r.id for r in spark.table(name).collect())
+        assert tail == list(range(8, 14))    # v4+v6 once, v5 skipped
+        assert sorted(boot + tail) == list(range(14))
+    finally:
+        q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_starting_version_latest(spark):
+    """startingVersion=latest: only commits made AFTER stream start."""
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    _snap_append(spark, table, 0, 6)          # v1 — pre-existing backlog
+
+    name = f"lat_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc")
+         .option("startingVersion", "latest").load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0
+        _snap_append(spark, table, 6, 9)      # v2
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(name).collect()) == [6, 7, 8]
+    finally:
+        q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_reader_option_validation(spark, tmp_path):
+    """Option contract errors fire at reader construction with actionable
+    messages: ignoreChanges+skipChangeCommits are mutually exclusive;
+    startingVersion needs a snapshotted table; version 0 is rejected."""
+    import pyarrow as pa
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader)
+    from pyspark.sql.types import StructType
+
+    snap = str(tmp_path / "snap")
+    df = spark.range(3).toDF("id")
+    (df.write.format("arrowipc").option("snapshots", "true")
+     .mode("append").save(snap))
+    plain = str(tmp_path / "plain")
+    df.write.format("arrowipc").mode("append").save(plain)
+
+    schema = StructType.fromDDL("id bigint")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ArrowIPCStreamReader(schema, {
+            "path": snap, "ignoreChanges": "true",
+            "skipChangeCommits": "true"})
+    with pytest.raises(ValueError, match="snapshotted"):
+        ArrowIPCStreamReader(schema, {"path": plain, "startingVersion": "2"})
+    with pytest.raises(ValueError, match="start at 1"):
+        ArrowIPCStreamReader(schema, {"path": snap, "startingVersion": "0"})
+    # valid spellings construct fine
+    r = ArrowIPCStreamReader(schema, {"path": snap, "startingversion": "2"})
+    assert r.initialOffset() == {"v": 1}
+    r = ArrowIPCStreamReader(schema, {"path": snap,
+                                      "startingVersion": "latest"})
+    assert r.initialOffset() == {"v": 1}   # table head is v1
+
+
+@pytest.mark.slow
+def test_stream_declared_schema_mismatch_names_column(spark):
+    """A declared stream schema whose type disagrees with the file's
+    Arrow schema fails NAMING THE COLUMN — not the opaque JVM
+    getUTF8String accessor error (SURVEY §7 runway 1, hit first-hand
+    building the drift monitor)."""
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    df = spark.range(4).select("id", (F.col("id") % 3)
+                               .cast("int").alias("label"))
+    df.coalesce(1).write.format("arrowipc").mode("append").save(table)
+
+    name = f"bad_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc")
+         .schema("id bigint, label string").load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        with pytest.raises(Exception) as exc:
+            q.processAllAvailable()
+        msg = str(exc.value)
+        assert "label" in msg and "string" in msg and "int" in msg
+        assert "getUTF8String" not in msg
+    finally:
+        q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_validate_declared_schema_unit():
+    """Unit contract of the validator: dictionary/large_string physical
+    encodings don't false-positive; missing columns pass (evolution
+    null-fills); unmapped arrow types degrade to skipped; a genuine
+    mismatch names the column."""
+    import pyarrow as pa
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _validate_declared_schema)
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromDDL("id bigint, label string, score double")
+    ok = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("label", pa.dictionary(pa.int32(), pa.large_string())),
+        # score absent: evolution null-fills
+    ])
+    _validate_declared_schema(declared, ok, "/t/part-0.arrows")
+
+    bad = pa.schema([pa.field("id", pa.int64()),
+                     pa.field("label", pa.int32())])
+    with pytest.raises(ValueError, match="'label'.*string.*int"):
+        _validate_declared_schema(declared, bad, "/t/part-0.arrows")
+    # projection excludes the bad column -> passes
+    _validate_declared_schema(declared, bad, "/t/part-0.arrows",
+                              columns=["id"])
