@@ -3302,6 +3302,124 @@ def q_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_LSH_MAINTAINED_ORACLE = f"""
+    WITH mut AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), sig AS (
+        SELECT vec_id, embedding, ({{bucket_sql}}) AS bucket FROM mut
+    ), probes AS (
+        SELECT vec_id AS probe_id, embedding AS probe_emb, bucket
+        FROM sig WHERE vec_id IN (1, 2, 3)
+    ), scored AS (
+        SELECT p.probe_id, s.vec_id,
+               (SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum(CAST(p.probe_emb[i] AS DOUBLE) * CAST(p.probe_emb[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum(CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_sim
+        FROM sig s JOIN probes p ON s.bucket = p.bucket AND s.vec_id <> p.probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY round(cos_sim, 6) DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(vec_id  AS BIGINT) AS vec_id,
+           round(cos_sim, 6)       AS cos_sim,
+           CAST(rn AS BIGINT)      AS rn
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("q_ann_lsh_maintained",
+       oracle=_ANN_LSH_MAINTAINED_ORACLE.replace(
+           "{bucket_sql}", _lsh_bucket_sql(8)))
+def q_ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH SEARCH OVER THE MAINTAINED LSM INDEX (SURVEY §7 round-13
+    runway item 6): ``q_ann_lsh``'s probe chain run against the
+    PERSISTED index state ``streaming.ann_index.read_index`` returns —
+    base segment + per-commit delta segments merged last-wins with
+    tombstones dropped — instead of an inline re-bucketing.  This is
+    the composition that proves the LSM index (seeded with
+    ``seed_index``, advanced by ``apply_index_batch`` consuming the
+    bucket-grain changefeed under the CoW UPDATE + DELETE mutations) is
+    the index the search keys actually use: bucket assignments come
+    ONLY from the index table, embeddings for scoring come from the
+    mutated corpus head, and the EXACT oracle replays the whole search
+    from the mutation predicates — identical answers to an inline
+    variant by construction, so any index drift (a missed tombstone, a
+    stale bucket) breaks the hash.
+
+    Probes are corpus members 1/2/3 (1 and 2 untouched, 3 negated by
+    the UPDATE — so one probe's home bucket provably moved through
+    index maintenance; probe 0 would be deleted).  Their buckets are
+    looked up IN the index — the known-vector search path; a fresh
+    query vector would hash with the same fixed hyperplanes.
+
+    Scale: read_index is one vec_id-keyed window over base+deltas
+    (bucket on vec_id to co-locate; ``compact_index`` bounds the merged
+    segment count); the search itself is the q_ann_lsh shape — bucket
+    equi-join against 3 broadcast probes, never all-pairs."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        apply_index_batch,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "ann_lsh_maint")
+    idx = os.path.join(base, "idx")
+    src, feed = _ann_mutation_feed(spark, sf_dir, base)
+    # the ONE corpus-sized build (index of v1), then O(Δ) delta segments
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "vec_id,bucket,change,commit_seq")
+                 .schema("vec_id long, bucket int, change string, "
+                         "commit_seq long")
+                 .load(feed))
+    apply_index_batch(feed_rows, 0, idx)
+
+    # Fresh load() per branch (FORMAT.md §8: the upstream Python-
+    # datasource plan cache means the probe branch's vec_id pushdown
+    # would otherwise poison the candidate branch's shared scan).
+    probes = (_ann_snap(spark, src, None)
+              .join(read_index(spark, idx), "vec_id")
+              .filter(F.col("vec_id").isin(1, 2, 3))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_emb"),
+                      "bucket"))
+    indexed = (_ann_snap(spark, src, None)       # mutated head: embeddings
+               .join(read_index(spark, idx), "vec_id"))  # bucket: index ONLY
+    cands = indexed.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round("cos_sim", 6).desc(), F.asc("vec_id"))
+    return (
+        cands.withColumn("cos_sim",
+                         V.cosine(F.col("probe_emb"), F.col("embedding")))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("probe_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
 def _subspaces(col: str) -> "F.Column":
     """Split a 64-dim integer vector column into the ``_IVFPQ_NSUB``
     16-dim subspace structs (shared by the encode and search stages)."""
