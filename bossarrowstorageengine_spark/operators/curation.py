@@ -2173,12 +2173,18 @@ def _uni_backtrack(w, mp, best, low) -> "F.Column":
     return F.aggregate(F.sequence(F.lit(1), n), acc0, step)["pieces"]
 
 
-def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _unigram_words(spark: SparkSession, sf_dir: str,
+                   pred: str | None = None) -> DataFrame:
     """Weighted distinct-word table — the trainer family's ONLY
     corpus-sized pass (eagerly checkpointed; everything downstream is
-    vocab-sized)."""
+    vocab-sized).  ``pred`` restricts the corpus to a subset (the
+    vocab-drift key trains one seed per subset); None = whole corpus,
+    byte-identical to the historical behavior."""
+    docs = load_table(spark, sf_dir, "documents")
+    if pred is not None:
+        docs = docs.filter(pred)
     toks = (
-        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        fan_out(docs, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("w"))
         .filter((F.length("w") > 0) & (F.length("w") < _UNI_MAX_WORD))
     )
@@ -2306,37 +2312,43 @@ def _unigram_prune_round(words: DataFrame, scored: DataFrame, *,
     return seg, metrics, pruned, next_scored
 
 
-def _unigram_seed_ctes() -> str:
+def _unigram_seed_ctes(pred: str | None = None, prefix: str = "") -> str:
     """Seed chain shared by EVERY unigram oracle (words → candidate
     substrings → seed vocab → micro-nat scores) — one definition so the
     trainer, prune, EM-schedule, and hard-EM oracles can never drift on
-    what the seed model is."""
-    return f"""words AS (
+    what the seed model is.  ``pred`` restricts the corpus to a subset
+    and ``prefix`` namespaces the CTEs, so the vocab-drift oracle can
+    instantiate the chain twice in one statement; the defaults emit the
+    historical SQL byte-for-byte."""
+    p = prefix
+    src = ("documents" if pred is None
+           else f"(SELECT * FROM documents WHERE {pred})")
+    return f"""{p}words AS (
         SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
-            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            SELECT unnest(string_split(text, ' ')) AS w FROM {src}
         ) WHERE len(w) > 0 AND len(w) < {_UNI_MAX_WORD}
         GROUP BY w
-    ), cand AS (
+    ), {p}cand AS (
         SELECT substr(w, s, k) AS piece, CAST(sum(c) AS BIGINT) AS freq
-        FROM words,
+        FROM {p}words,
              unnest(range(1, len(w) + 1)) AS us(s),
              unnest(range(1, {_UNI_MAXLEN} + 1)) AS uk(k)
         WHERE s + k - 1 <= len(w)
         GROUP BY substr(w, s, k)
-    ), vocab AS (
-        SELECT piece, freq FROM cand WHERE len(piece) = 1
+    ), {p}vocab AS (
+        SELECT piece, freq FROM {p}cand WHERE len(piece) = 1
         UNION ALL
         SELECT piece, freq FROM (
             SELECT piece, freq,
                    row_number() OVER (ORDER BY freq DESC, piece) AS rn
-            FROM cand WHERE len(piece) > 1
+            FROM {p}cand WHERE len(piece) > 1
         ) WHERE rn <= {_UNI_KMULTI}
-    ), scored AS MATERIALIZED (
+    ), {p}scored AS MATERIALIZED (
         SELECT piece, freq,
                CAST(round(1000000 * ln(CAST(freq AS DOUBLE)
-                    / (SELECT sum(freq) FROM vocab)), 0) AS BIGINT)
+                    / (SELECT sum(freq) FROM {p}vocab)), 0) AS BIGINT)
                    AS logp_micro
-        FROM vocab
+        FROM {p}vocab
     )"""
 
 
@@ -3063,3 +3075,69 @@ def q_unigram_hard_em_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not final:
             vocab = next_vocab
     return out
+
+
+_VOCAB_DRIFT_PRED = "doc_id % 2 = 0"
+
+
+@query(
+    "q_vocab_drift",
+    oracle=f"""
+    WITH {_unigram_seed_ctes(pred=_VOCAB_DRIFT_PRED, prefix="a_")},
+         {_unigram_seed_ctes(prefix="b_")}
+    SELECT coalesce(a.piece, b.piece)            AS piece,
+           CASE WHEN a.piece IS NULL THEN 'entering'
+                WHEN b.piece IS NULL THEN 'leaving'
+                ELSE 'kept' END                  AS status,
+           CAST(coalesce(a.freq, 0) AS BIGINT)   AS freq_prev,
+           CAST(coalesce(b.freq, 0) AS BIGINT)   AS freq_next,
+           CAST(coalesce(a.logp_micro, 0) AS BIGINT) AS logp_prev,
+           CAST(coalesce(b.logp_micro, 0) AS BIGINT) AS logp_next
+    FROM a_scored a FULL OUTER JOIN b_scored b ON a.piece = b.piece
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCAB DRIFT REPORT, batch face (SURVEY §7 round-13 runway item 5;
+    the streaming face ``streaming/vocab_refresh.vocab_drift`` shipped
+    round 12 harness-only): two seed vocabularies — refresh 1 trained on
+    the even-doc subset, refresh 2 on the full corpus (the accumulation
+    step a streaming refresh performs) — are diffed RELATIONALLY at the
+    piece level: ``entering`` (in the next top set only), ``leaving``
+    (fell out of the top set as fuller counts re-ranked it), ``kept``,
+    each with both refreshes' exact weighted frequencies and micro-nat
+    scores.  The drift a production tokenizer-refresh pipeline audits
+    before swapping vocab versions.
+
+    The oracle instantiates the SHARED ``_unigram_seed_ctes`` builder
+    twice (parameterized by subset predicate + CTE prefix — the same
+    chain every unigram trainer oracle replays, so the drift report and
+    the trainers can never disagree on what a seed vocab is) and
+    full-outer joins the two ``scored`` tables — EXACT end to end, no
+    tolerance.
+
+    Scale: each seed is the trainer family's corpus pass (shuffle
+    carries distinct words/substrings, never raw text); the diff itself
+    is vocab-sized (a few hundred rows at any corpus size — the top-K
+    multi set plus single chars)."""
+    a = _unigram_scored(_unigram_words(spark, sf_dir,
+                                       pred=_VOCAB_DRIFT_PRED))
+    b = _unigram_scored(_unigram_words(spark, sf_dir))
+    a = a.select(F.col("piece").alias("p_a"),
+                 F.col("freq").alias("freq_a"),
+                 F.col("logp_micro").alias("logp_a"))
+    b = b.select(F.col("piece").alias("p_b"),
+                 F.col("freq").alias("freq_b"),
+                 F.col("logp_micro").alias("logp_b"))
+    j = a.join(b, a["p_a"] == b["p_b"], "full_outer")
+    status = (
+        F.when(F.col("p_a").isNull(), F.lit("entering"))
+        .when(F.col("p_b").isNull(), F.lit("leaving"))
+        .otherwise(F.lit("kept")))
+    return j.select(
+        F.coalesce("p_a", "p_b").alias("piece"),
+        status.alias("status"),
+        F.coalesce("freq_a", F.lit(0)).cast("long").alias("freq_prev"),
+        F.coalesce("freq_b", F.lit(0)).cast("long").alias("freq_next"),
+        F.coalesce("logp_a", F.lit(0)).cast("long").alias("logp_prev"),
+        F.coalesce("logp_b", F.lit(0)).cast("long").alias("logp_next"),
+    )

@@ -3420,6 +3420,201 @@ def q_ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_purge_propagate",
+    oracle=f"""
+    WITH mut AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), b AS (
+        SELECT vec_id, ({_lsh_bucket_sql(8)}) AS bucket FROM mut
+    )
+    SELECT CAST(bucket AS INT)          AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT)  AS id_checksum,
+           TRUE                         AS source_purged,
+           TRUE                         AS feed_tombstoned,
+           TRUE                         AS index_purged,
+           TRUE                         AS mv_consistent,
+           CAST(3 AS BIGINT)            AS src_purge_version,
+           CAST(2 AS BIGINT)            AS feed_purge_commit,
+           CAST(2 AS BIGINT)            AS index_purge_seg,
+           CAST(3 AS BIGINT)            AS mv_purge_version
+    FROM b GROUP BY bucket
+    """,
+)
+def q_purge_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURGE PROPAGATION — right-to-be-forgotten across the whole derived
+    surface (SURVEY §7 round-13 runway item 3): ONE DELETE predicate
+    (``vec_id % 5 = 0``) flows source → changefeed commit → MV version →
+    persisted LSH index, and every derived table is ENGINE-VERIFIED to
+    hold zero purged rows, each tagged with the version at which it
+    purged them.  The composition a 100 TB training pipeline must prove:
+    deleting from the source table is not enough — every downstream
+    artifact (feed, aggregate MV, vector index) must converge, and the
+    convergence must be auditable per artifact.
+
+    The chain (all machinery from the existing keys, composed):
+    - SOURCE: the CoW mutation fixture (UPDATE commit then the purge
+      DELETE) — head version 3 holds zero purged rows, version 2 still
+      held them (non-vacuity enforced);
+    - FEED: the bucket-grain changefeed — every purged vector alive at
+      commit 1's index state gets a ``delete`` row in commit 2
+      (``feed_tombstoned``: tombstone count == purged-alive count);
+    - INDEX: the LSM maintainer absorbs the feed; merge-on-read state
+      holds zero purged vec_ids (``index_purged``), the tombstones
+      landing in segment 2;
+    - MV: a per-bucket (n_vecs, id_checksum) ledger rolled forward one
+      version per commit WITHOUT rescanning the corpus — commit k's
+      delta joins the feed rows against the index state at k-1 for old
+      buckets (O(Δ) probe of a vec_id-keyed table), all three versions
+      in ONE partitioned write job; version 3 read back must equal a
+      direct aggregate of the purged corpus (``mv_consistent``).
+
+    The EXACT oracle replays the final per-bucket state from the
+    mutation predicates, so the hash pins every derived value; the
+    booleans pin the purge audit.  Scale: every refresh arm is
+    O(Δ + |MV|); the only corpus-sized passes are the seed build and
+    the final audit — the production sampling arm."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions,
+    )
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        INDEX_SCHEMA,
+        apply_index_batch,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "purge_prop")
+    idx = os.path.join(base, "idx")
+    mv_path = os.path.join(base, "mv")
+    src, feed = _ann_mutation_feed(spark, sf_dir, base)
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    feed_schema = ("vec_id long, bucket int, change string, "
+                   "commit_seq long")
+
+    def _feed_rows():
+        # fresh load() per consumer (FORMAT.md §8 plan-cache hazard)
+        return (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("columns", "vec_id,bucket,change,commit_seq")
+                .schema(feed_schema).load(feed))
+
+    apply_index_batch(_feed_rows(), 0, idx)
+
+    # --- MV ledger: one version per commit, deltas only ---------------
+    def _mv_delta(k: int) -> DataFrame:
+        touched = _feed_rows().filter(F.col("commit_seq") == k)
+        old = (read_index(spark, idx, thru=k - 1)
+               .join(touched.select("vec_id"), "vec_id")
+               .select("bucket", F.lit(-1).alias("dn"),
+                       (-F.col("vec_id")).alias("did")))
+        new = (touched.filter(F.col("change") != "delete")
+               .select("bucket", F.lit(1).alias("dn"),
+                       F.col("vec_id").alias("did")))
+        return (old.unionByName(new).groupBy("bucket")
+                .agg(F.sum("dn").alias("dn"), F.sum("did").alias("did")))
+
+    mv1 = read_index(spark, idx, thru=0).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("id_checksum"))
+
+    def _roll(prev: DataFrame, k: int) -> DataFrame:
+        d = _mv_delta(k)
+        return (prev.join(d, "bucket", "full_outer")
+                .select("bucket",
+                        (F.coalesce("n_vecs", F.lit(0))
+                         + F.coalesce("dn", F.lit(0)))
+                        .cast("long").alias("n_vecs"),
+                        (F.coalesce("id_checksum", F.lit(0))
+                         + F.coalesce("did", F.lit(0)))
+                        .cast("long").alias("id_checksum"))
+                .filter(F.col("n_vecs") > 0))
+
+    mv2 = _roll(mv1, 1)
+    mv3 = _roll(mv2, 2)
+    ledger = None
+    for k, frame in ((1, mv1), (2, mv2), (3, mv3)):
+        tagged = frame.select(
+            F.lit(k).cast("long").alias("mv_version"), "*")
+        ledger = tagged if ledger is None else ledger.unionByName(tagged)
+    (ledger.write.format("arrowipc").option("partitionBy", "mv_version")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(mv_path))
+
+    # --- purge audit (fresh load per probe) ----------------------------
+    purged = "vec_id % 5 = 0"
+    head_v = _manifest_versions(src)[-1]
+    n_head = _ann_snap(spark, src, None).filter(purged).count()
+    n_prev = _ann_snap(spark, src, str(head_v - 1)).filter(purged).count()
+    source_purged = n_head == 0 and n_prev > 0
+
+    n_alive_pre = (read_index(spark, idx, thru=1)
+                   .filter(purged).count())
+    n_tombstoned = (_feed_rows()
+                    .filter((F.col("change") == "delete")
+                            & F.expr(purged)).count())
+    feed_purge_commit = (_feed_rows()
+                         .filter((F.col("change") == "delete")
+                                 & F.expr(purged))
+                         .agg(F.max("commit_seq")).collect()[0][0] or 0)
+    feed_tombstoned = n_tombstoned == n_alive_pre and n_tombstoned > 0
+
+    index_purged = read_index(spark, idx).filter(purged).count() == 0
+    index_purge_seg = ((spark.read.format("arrowipc")
+                        .option("snapshots", "true")
+                        .schema(INDEX_SCHEMA).load(idx)
+                        .filter(F.col("tombstone") & F.expr(purged))
+                        .agg(F.max("seg")).collect()[0][0]) or 0)
+
+    def _mv_back(ver: int) -> DataFrame:
+        return (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("columns", "bucket,n_vecs,id_checksum,mv_version")
+                .schema("bucket int, n_vecs long, id_checksum long, "
+                        "mv_version long").load(mv_path)
+                .filter(F.col("mv_version") == ver)
+                .select("bucket", "n_vecs", "id_checksum"))
+
+    direct = (_ann_bucketed(_ann_snap(spark, src, None))
+              .groupBy("bucket").agg(
+                  F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                  F.sum("vec_id").cast("long").alias("id_checksum")))
+    mv_final = _mv_back(3)
+    mv_consistent = (mv_final.exceptAll(direct).count() == 0
+                     and direct.exceptAll(mv_final).count() == 0)
+    mv_purge_version = ((spark.read.format("arrowipc")
+                         .option("snapshots", "true")
+                         .option("columns", "mv_version")
+                         .schema("mv_version long").load(mv_path)
+                         .agg(F.max("mv_version")).collect()[0][0]) or 0)
+
+    return _mv_back(3).select(
+        F.col("bucket").cast("int"),
+        "n_vecs", "id_checksum",
+        F.lit(source_purged).alias("source_purged"),
+        F.lit(feed_tombstoned).alias("feed_tombstoned"),
+        F.lit(index_purged).alias("index_purged"),
+        F.lit(mv_consistent).alias("mv_consistent"),
+        F.lit(int(head_v)).cast("long").alias("src_purge_version"),
+        F.lit(int(feed_purge_commit)).cast("long")
+        .alias("feed_purge_commit"),
+        F.lit(int(index_purge_seg)).cast("long").alias("index_purge_seg"),
+        F.lit(int(mv_purge_version)).cast("long")
+        .alias("mv_purge_version"),
+    )
+
+
 def _subspaces(col: str) -> "F.Column":
     """Split a 64-dim integer vector column into the ``_IVFPQ_NSUB``
     16-dim subspace structs (shared by the encode and search stages)."""

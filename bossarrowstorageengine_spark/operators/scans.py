@@ -1412,6 +1412,231 @@ def q_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mv_fanout",
+    oracle="""
+    WITH base2 AS (
+        SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents GROUP BY lang, source
+    ), upd2 AS (
+        SELECT lang, source, sum(n_chars + 1) AS cd
+        FROM documents WHERE lang = 'de' AND n_chars < 800
+        GROUP BY lang, source
+    ), del2 AS (
+        SELECT lang, source, count(*) AS dd, sum(n_chars) AS cd
+        FROM documents WHERE lang = 'en' AND n_chars < 500
+        GROUP BY lang, source
+    ), v AS (
+        SELECT 1 AS mv_version, lang, source, docs, chars FROM base2
+        UNION ALL
+        SELECT 2, b.lang, b.source, b.docs,
+               b.chars + coalesce(u.cd, 0)
+        FROM base2 b LEFT JOIN upd2 u USING (lang, source)
+        UNION ALL
+        SELECT 3, b.lang, b.source,
+               b.docs - coalesce(d.dd, 0),
+               b.chars + coalesce(u.cd, 0) - coalesce(d.cd, 0)
+        FROM base2 b LEFT JOIN upd2 u USING (lang, source)
+                     LEFT JOIN del2 d USING (lang, source)
+    ), vl AS (
+        SELECT mv_version, lang, sum(docs) AS docs, sum(chars) AS chars
+        FROM v GROUP BY mv_version, lang
+    )
+    SELECT 'lang' AS grain, CAST(mv_version AS BIGINT) AS mv_version,
+           lang, '*' AS source,
+           CAST(docs AS BIGINT) AS docs, CAST(chars AS BIGINT) AS chars,
+           TRUE AS consistent
+    FROM vl
+    UNION ALL
+    SELECT 'lang_source', CAST(mv_version AS BIGINT), lang, source,
+           CAST(docs AS BIGINT), CAST(chars AS BIGINT), TRUE
+    FROM v
+    """,
+)
+def q_mv_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-MV FANOUT (SURVEY §7 round-13 runway item 4): ONE feed scan
+    maintains TWO materialized views at different grains — per-lang and
+    per-(lang, source) — so the refresh cost is O(Δ + ΣMV) with the feed
+    scan AMORTIZED across consumers (the production shape: one CDC
+    stream, many downstream aggregates; scanning the feed once per MV
+    multiplies the dominant cost by the consumer count for nothing).
+
+    Mechanics: its own 3-version mutation history carrying ``source``
+    (same predicates as the shared fixture), a feed whose change rows
+    carry both grouping columns, ONE feed read localCheckpoint'd
+    (mutation-sized), per-commit conditional sums computed ONCE at the
+    FINE grain — the coarse grain's deltas are a rollup of the fine
+    grain's, never a second feed pass — and two persisted ledgers (one
+    ``mv_version``-partitioned write job each).  A group the delete
+    empties stays in the MV at 0/0 (the ``q_mv_maintain`` rule: deletes
+    zero a group, never drop it).  Every (grain, version) row is
+    engine-verified against a direct aggregate of the SAME-version
+    source snapshot (``consistent`` — fresh load per probe, FORMAT.md
+    §8); the EXACT oracle replays both ledgers' full version history
+    from the mutation predicates.
+
+    Scale: deltas are mutation-sized, ledgers are group-cardinality-
+    sized; the only corpus-sized passes are the v1 base aggregates and
+    the audit arm.  Adding a third MV grain costs one more rollup of
+    the shared fine-grain deltas — not another feed scan."""
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc,
+        update_arrowipc,
+    )
+
+    register_arrowipc(spark)
+    base_dir = _scratch(sf_dir, "mv_fanout")
+    src = os.path.join(base_dir, "src")
+    feed = os.path.join(base_dir, "feed")
+    mv_a = os.path.join(base_dir, "mv_lang")
+    mv_b = os.path.join(base_dir, "mv_lang_source")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    (d.repartition(2).write.format("arrowipc")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(src))
+    update_arrowipc(spark, src, _TTDIFF_UPDATE_PRED, _TTDIFF_UPDATE_SET,
+                    compression="lz4",
+                    predicate_columns=["lang", "n_chars"], schema=d.schema)
+    delete_arrowipc(spark, src, _TTDIFF_DELETE_PRED, compression="lz4",
+                    predicate_columns=["lang", "n_chars"], schema=d.schema)
+
+    hist_schema = ("doc_id long, lang string, source string, "
+                   "n_chars long")
+
+    def _snap(ver: str | None) -> DataFrame:
+        r = (spark.read.format("arrowipc")
+             .option("columns", "doc_id,lang,source,n_chars")
+             .schema(hist_schema))
+        r = (r.option("version", ver) if ver
+             else r.option("snapshots", "true"))
+        return r.load(src)
+
+    def _commit(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
+        j = (pre.select("doc_id", F.col("lang").alias("lang_pre"),
+                        F.col("source").alias("source_pre"),
+                        F.col("n_chars").alias("chars_pre"))
+             .join(post.select("doc_id", F.col("lang").alias("lang_post"),
+                               F.col("source").alias("source_post"),
+                               F.col("n_chars").alias("chars_post")),
+                   "doc_id", "full_outer"))
+        change = (
+            F.when(F.col("chars_post").isNull(), F.lit("delete"))
+            .when(F.col("chars_pre").isNull(), F.lit("insert"))
+            .when(F.col("chars_pre") != F.col("chars_post"),
+                  F.lit("update"))
+            .otherwise(F.lit("same")))
+        return (j.withColumn("change", change)
+                .filter(F.col("change") != "same")
+                .select(
+                    "doc_id",
+                    F.coalesce("lang_pre", "lang_post").alias("lang"),
+                    F.coalesce("source_pre", "source_post").alias("source"),
+                    (F.coalesce("chars_post", F.lit(0))
+                     - F.coalesce("chars_pre", F.lit(0)))
+                    .cast("long").alias("delta"),
+                    "change",
+                    F.lit(seq).cast("long").alias("commit_seq")))
+
+    v1, v2, v3 = (_snap(v) for v in ("1", "2", None))
+    (_commit(v1, v2, 1).unionByName(_commit(v2, v3, 2))
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+
+    # --- ONE feed scan, shared across both MV grains -------------------
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "lang,source,change,delta,commit_seq")
+                 .schema("lang string, source string, change string, "
+                         "delta long, commit_seq long")
+                 .load(feed).localCheckpoint())   # mutation-sized
+    aggs = []
+    for seq in (1, 2):
+        on = F.col("commit_seq") == seq
+        aggs.extend([
+            F.sum(F.when(on, (F.col("change") == "insert").cast("long")
+                         - (F.col("change") == "delete").cast("long"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias(f"dd_c{seq}"),
+            F.sum(F.when(on, F.col("delta")).otherwise(F.lit(0)))
+            .cast("long").alias(f"cd_c{seq}"),
+        ])
+    deltas_fine = feed_rows.groupBy("lang", "source").agg(*aggs)
+    # coarse grain = rollup of the FINE deltas — not a second feed pass
+    deltas_coarse = deltas_fine.groupBy("lang").agg(
+        *[F.sum(c).cast("long").alias(c)
+          for c in ("dd_c1", "cd_c1", "dd_c2", "cd_c2")])
+
+    def _ledger(base: DataFrame, deltas: DataFrame,
+                keys: list[str]) -> DataFrame:
+        st = base.join(deltas, keys, "left").na.fill(0)
+        out = None
+        for k, dd, cd in (
+            (1, F.lit(0), F.lit(0)),
+            (2, F.col("dd_c1"), F.col("cd_c1")),
+            (3, F.col("dd_c1") + F.col("dd_c2"),
+             F.col("cd_c1") + F.col("cd_c2")),
+        ):
+            frame = st.select(
+                F.lit(k).cast("long").alias("mv_version"), *keys,
+                (F.col("docs_base") + dd).cast("long").alias("docs"),
+                (F.col("chars_base") + cd).cast("long").alias("chars"))
+            out = frame if out is None else out.unionByName(frame)
+        return out
+
+    base_fine = _snap("1").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_base"),
+        F.sum("n_chars").cast("long").alias("chars_base"))
+    base_coarse = _snap("1").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_base"),
+        F.sum("n_chars").cast("long").alias("chars_base"))
+    (_ledger(base_coarse, deltas_coarse, ["lang"])
+     .write.format("arrowipc").option("partitionBy", "mv_version")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(mv_a))
+    (_ledger(base_fine, deltas_fine, ["lang", "source"])
+     .write.format("arrowipc").option("partitionBy", "mv_version")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(mv_b))
+
+    # --- read back + per-version audit (fresh load per probe) ----------
+    def _direct(ver: str | None, k: int, keys: list[str]) -> DataFrame:
+        return (_snap(ver).groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("docs_direct"),
+            F.sum("n_chars").cast("long").alias("chars_direct"))
+            .withColumn("mv_version", F.lit(k).cast("long")))
+
+    def _verified(mv_path: str, keys: list[str], grain: str) -> DataFrame:
+        cols = ",".join(keys + ["docs", "chars", "mv_version"])
+        ddl = (", ".join(f"{k} string" for k in keys)
+               + ", docs long, chars long, mv_version long")
+        back = (spark.read.format("arrowipc")
+                .option("snapshots", "true").option("columns", cols)
+                .schema(ddl).load(mv_path))
+        direct = None
+        for k, ver in ((1, "1"), (2, "2"), (3, None)):
+            d_k = _direct(ver, k, keys)
+            direct = d_k if direct is None else direct.unionByName(d_k)
+        return (back.join(direct, ["mv_version"] + keys, "left")
+                .select(
+                    F.lit(grain).alias("grain"), "mv_version", *keys,
+                    "docs", "chars",
+                    ((F.col("docs")
+                      == F.coalesce("docs_direct", F.lit(0)))
+                     & (F.col("chars")
+                        == F.coalesce("chars_direct", F.lit(0))))
+                    .alias("consistent")))
+
+    out_a = _verified(mv_a, ["lang"], "lang").withColumn(
+        "source", F.lit("*"))
+    out_b = _verified(mv_b, ["lang", "source"], "lang_source")
+    cols = ["grain", "mv_version", "lang", "source", "docs", "chars",
+            "consistent"]
+    return out_a.select(*cols).unionByName(out_b.select(*cols))
+
+
+@query(
     "q_changefeed_evolve",
     oracle="""
     WITH c1 AS (

@@ -117,14 +117,19 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
          .mode("append").save(idx_dir))
 
 
-def read_index(spark: SparkSession, idx_dir: str) -> DataFrame:
-    """The index's current logical state ``(vec_id, bucket)`` —
-    merge-on-read: last-wins per vec_id by segment number, tombstones
-    dropped.  One vec_id-keyed exchange; bucket the table on vec_id at
-    scale to co-locate it, and run ``compact_index`` periodically to
-    bound the merged segment count."""
+def read_index(spark: SparkSession, idx_dir: str,
+               thru: int | None = None) -> DataFrame:
+    """The index's logical state ``(vec_id, bucket)`` — merge-on-read:
+    last-wins per vec_id by segment number, tombstones dropped.  ``thru``
+    limits the merge to segments ``<= thru`` (the state as of that feed
+    commit — segment-grain time travel; None = current).  One
+    vec_id-keyed exchange; bucket the table on vec_id at scale to
+    co-locate it, and run ``compact_index`` periodically to bound the
+    merged segment count."""
     rows = (spark.read.format("arrowipc").option("snapshots", "true")
             .schema(INDEX_SCHEMA).load(idx_dir))
+    if thru is not None:
+        rows = rows.filter(F.col("seg") <= thru)
     w = Window.partitionBy("vec_id").orderBy(F.col("seg").desc())
     return (rows.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & ~F.col("tombstone"))

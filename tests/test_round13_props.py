@@ -146,3 +146,70 @@ def test_ann_lsh_maintained_probe3_rebucketed(spark, tmp_path):
         "projection sign")
     # and a deleted vector is really gone from the merged state
     assert read_index(spark, idx).filter("vec_id = 5").count() == 0
+
+
+def test_purge_propagate_flags_versions_nonvacuous(spark):
+    """Every derived artifact attests its purge (booleans engine-computed),
+    the purge versions line up with the fixture (source v3 = the DELETE
+    commit, feed commit 2, index segment 2, MV version 3), and the purge
+    actually removed mass (some bucket's membership shrank vs the seed)."""
+    rows = QUERIES["q_purge_propagate"](spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.source_purged and r0.feed_tombstoned
+    assert r0.index_purged and r0.mv_consistent
+    assert (r0.src_purge_version, r0.feed_purge_commit,
+            r0.index_purge_seg, r0.mv_purge_version) == (3, 2, 2, 3)
+    # non-vacuity: the purged corpus holds fewer vectors than the base
+    from bossarrowstorageengine_spark.catalog import load_table
+    n_corpus = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) < n_corpus
+
+
+def test_mv_fanout_grains_consistent_and_rollup(spark):
+    """Both ledgers verify against their own-version snapshots
+    (consistent everywhere), the coarse grain is EXACTLY the rollup of
+    the fine grain at every version (the shared-delta claim), and the
+    delete leaves at least one emptied fine-grain group at 0/0 rather
+    than dropping it."""
+    rows = QUERIES["q_mv_fanout"](spark, SF).collect()
+    assert rows and all(r.consistent for r in rows)
+    coarse = {(r.mv_version, r.lang): (r.docs, r.chars)
+              for r in rows if r.grain == "lang"}
+    fine = [r for r in rows if r.grain == "lang_source"]
+    roll: dict = {}
+    for r in fine:
+        k = (r.mv_version, r.lang)
+        d, c = roll.get(k, (0, 0))
+        roll[k] = (d + r.docs, c + r.chars)
+    assert roll == coarse
+    # v1 and v3 carry the same fine-grain group set (deletes zero, never drop)
+    g1 = {(r.lang, r.source) for r in fine if r.mv_version == 1}
+    g3 = {(r.lang, r.source) for r in fine if r.mv_version == 3}
+    assert g1 == g3
+    assert any(r.mv_version == 3 and r.docs < next(
+        x.docs for x in fine if x.mv_version == 1
+        and (x.lang, x.source) == (r.lang, r.source))
+        for r in fine), "no fine-grain group saw the delete — vacuous"
+
+
+def test_vocab_drift_piece_semantics(spark):
+    """Drift-report invariants the oracle hash can't articulate: the
+    full corpus is a superset of the even-doc subset, so every kept
+    piece's weighted frequency is monotone non-decreasing, single-char
+    pieces never LEAVE (the coverage floor only grows), and the report
+    is non-trivial (some pieces enter, most are kept)."""
+    rows = QUERIES["q_vocab_drift"](spark, SF).collect()
+    assert rows
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r)
+    assert by_status.get("entering"), "nothing entered — vacuous"
+    assert len(by_status.get("kept", [])) > len(
+        by_status.get("leaving", []))
+    for r in by_status.get("kept", []):
+        assert r.freq_next >= r.freq_prev, r.piece
+    for r in by_status.get("leaving", []):
+        assert len(r.piece) > 1, (
+            f"single-char piece {r.piece!r} left the vocab — the "
+            "coverage floor shrank")
