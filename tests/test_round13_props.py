@@ -213,3 +213,31 @@ def test_vocab_drift_piece_semantics(spark):
         assert len(r.piece) > 1, (
             f"single-char piece {r.piece!r} left the vocab — the "
             "coverage floor shrank")
+
+
+def test_linkage_edges_half_tail_blocking_equals_coarse(spark):
+    """The refined pair generator (half-tail blocking + block-keyed
+    repartition) must produce EXACTLY the coarse generator's edge set —
+    the provable-refinement claim behind the round-13 rework.  Also
+    pins duplicate-freedom (the two half-key legs are disjoint by the
+    h1-differs inequality, so no distinct() shuffle is needed)."""
+    from bossarrowstorageengine_spark.catalog import load_table
+    from bossarrowstorageengine_spark.operators.graph import (
+        _linkage_edges,
+    )
+
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("id"), "c_name",
+        F.substring("c_name", 1, 16).alias("block"))
+    a, b = c.alias("a"), c.alias("b")
+    coarse = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(F.col("a.id").alias("u"), F.col("b.id").alias("v")))
+    refined = _linkage_edges(spark, SF)
+    assert refined.exceptAll(coarse).count() == 0
+    assert coarse.exceptAll(refined).count() == 0
+    n = refined.count()
+    assert n == refined.distinct().count(), "duplicate edges emitted"
+    assert n > 0, "empty edge set — vacuous"
