@@ -107,7 +107,12 @@ def main() -> None:
              "q_mv_maintain", "q_changefeed_evolve",
              "q_ann_index_maintain",
              # round 12 late: feed checkpoint compaction, MV restore
-             "q_feed_compact", "q_mv_restore"]
+             "q_feed_compact", "q_mv_restore",
+             # round 13: feed retention vacuum, search over the maintained
+             # LSM index, purge propagation, multi-MV fanout, vocab drift,
+             # reworked linkage pair generator
+             "q_feed_vacuum", "q_ann_lsh_maintained", "q_purge_propagate",
+             "q_mv_fanout", "q_vocab_drift", "q_entity_components"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",
