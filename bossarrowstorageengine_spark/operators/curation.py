@@ -3141,3 +3141,86 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("logp_a", F.lit(0)).cast("long").alias("logp_prev"),
         F.coalesce("logp_b", F.lit(0)).cast("long").alias("logp_next"),
     )
+
+
+_VOCAB_DRIFT_PREDS = ["doc_id % 4 = 0", "doc_id % 2 = 0", None]
+
+
+def _vocab_drift_pair_sql(pa_: str, pb: str, rid: int) -> str:
+    """One adjacent-refresh diff face of the chained drift oracle:
+    full-outer join of two prefixed ``scored`` tables, labeled with the
+    SUCCESSOR's refresh id (the streaming face's attribution rule)."""
+    return f"""
+    SELECT CAST({rid} AS BIGINT)                  AS refresh_id,
+           coalesce(a.piece, b.piece)             AS piece,
+           CASE WHEN a.piece IS NULL THEN 'entering'
+                WHEN b.piece IS NULL THEN 'leaving'
+                ELSE 'kept' END                   AS status,
+           CAST(coalesce(a.freq, 0) AS BIGINT)    AS freq_prev,
+           CAST(coalesce(b.freq, 0) AS BIGINT)    AS freq_next,
+           CAST(coalesce(a.logp_micro, 0) AS BIGINT) AS logp_prev,
+           CAST(coalesce(b.logp_micro, 0) AS BIGINT) AS logp_next
+    FROM {pa_}scored a FULL OUTER JOIN {pb}scored b ON a.piece = b.piece"""
+
+
+@query(
+    "q_vocab_drift_n",
+    oracle=f"""
+    WITH {_unigram_seed_ctes(pred=_VOCAB_DRIFT_PREDS[0], prefix="r1_")},
+         {_unigram_seed_ctes(pred=_VOCAB_DRIFT_PREDS[1], prefix="r2_")},
+         {_unigram_seed_ctes(prefix="r3_")}
+    {_vocab_drift_pair_sql("r1_", "r2_", 2)}
+    UNION ALL
+    {_vocab_drift_pair_sql("r2_", "r3_", 3)}
+    """,
+)
+def q_vocab_drift_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED VOCAB DRIFT (round-14 runway item 2, pulled forward):
+    THREE refreshes on a growing corpus (quarter → half → full, the
+    shape a periodic tokenizer refresh sees as data accumulates), each
+    adjacent pair diffed at the piece level and attributed to the
+    SUCCESSOR refresh — ``q_vocab_drift``'s single diff generalized to
+    the refresh *schedule*, so a vocab-governance dashboard can read
+    churn per refresh from one table.
+
+    The oracle instantiates the shared parameterized seed chain THREE
+    times (r1_/r2_/r3_ prefixes — the r13 parameterization makes the
+    chain length mechanical) and unions the two adjacent diffs; EXACT
+    end to end.  Spark side mirrors it: one seed per subset (each seed
+    is the trainer family's corpus pass), diffs are vocab-sized
+    full-outer joins.
+
+    Scale: refresh cost is one corpus pass per refresh by construction
+    (the batch key replays each refresh independently — the STREAMING
+    face ``streaming/vocab_refresh`` is the accumulation path that
+    never rescans); the drift table itself is O(refreshes × vocab),
+    a few hundred rows at any corpus size."""
+    scored = [
+        _unigram_scored(_unigram_words(spark, sf_dir, pred=p))
+        for p in _VOCAB_DRIFT_PREDS
+    ]
+
+    def _pair(a: DataFrame, b: DataFrame, rid: int) -> DataFrame:
+        a = a.select(F.col("piece").alias("p_a"),
+                     F.col("freq").alias("freq_a"),
+                     F.col("logp_micro").alias("logp_a"))
+        b = b.select(F.col("piece").alias("p_b"),
+                     F.col("freq").alias("freq_b"),
+                     F.col("logp_micro").alias("logp_b"))
+        j = a.join(b, a["p_a"] == b["p_b"], "full_outer")
+        status = (
+            F.when(F.col("p_a").isNull(), F.lit("entering"))
+            .when(F.col("p_b").isNull(), F.lit("leaving"))
+            .otherwise(F.lit("kept")))
+        return j.select(
+            F.lit(rid).cast("long").alias("refresh_id"),
+            F.coalesce("p_a", "p_b").alias("piece"),
+            status.alias("status"),
+            F.coalesce("freq_a", F.lit(0)).cast("long").alias("freq_prev"),
+            F.coalesce("freq_b", F.lit(0)).cast("long").alias("freq_next"),
+            F.coalesce("logp_a", F.lit(0)).cast("long").alias("logp_prev"),
+            F.coalesce("logp_b", F.lit(0)).cast("long").alias("logp_next"),
+        )
+
+    return _pair(scored[0], scored[1], 2).unionByName(
+        _pair(scored[1], scored[2], 3))

@@ -241,3 +241,27 @@ def test_linkage_edges_half_tail_blocking_equals_coarse(spark):
     n = refined.count()
     assert n == refined.distinct().count(), "duplicate edges emitted"
     assert n > 0, "empty edge set — vacuous"
+
+
+def test_vocab_drift_n_chain_semantics(spark):
+    """Chained-drift invariants: refresh 2's diff face must EQUAL the
+    single-diff key's semantics applied to (quarter, half), corpora are
+    nested so kept frequencies are monotone per face, and the final
+    face's next-side vocab is exactly q_vocab_drift's next-side vocab
+    (both are the full corpus seed)."""
+    rows = QUERIES["q_vocab_drift_n"](spark, SF).collect()
+    assert rows
+    faces = {r.refresh_id for r in rows}
+    assert faces == {2, 3}
+    for r in rows:
+        if r.status == "kept":
+            assert r.freq_next >= r.freq_prev, (r.refresh_id, r.piece)
+        if r.status == "leaving":
+            assert len(r.piece) > 1, (r.refresh_id, r.piece)
+    # face 3's next-side == q_vocab_drift's next-side (full-corpus seed)
+    single = QUERIES["q_vocab_drift"](spark, SF).collect()
+    next3 = {(r.piece, r.freq_next, r.logp_next) for r in rows
+             if r.refresh_id == 3 and r.status != "leaving"}
+    next_single = {(r.piece, r.freq_next, r.logp_next) for r in single
+                   if r.status != "leaving"}
+    assert next3 == next_single
