@@ -3615,6 +3615,163 @@ def q_purge_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_purge_restore_guard",
+    oracle=f"""
+    WITH mut AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, ({_lsh_bucket_sql(8)}) AS bucket FROM mut
+    )
+    SELECT CAST(bucket AS INT)          AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT)  AS id_checksum,
+           TRUE                         AS guard_fired,
+           TRUE                         AS purged_until_unpurge,
+           TRUE                         AS ledger_cleared,
+           TRUE                         AS state_consistent,
+           CAST(4 AS BIGINT)            AS src_restore_version,
+           CAST(2 AS BIGINT)            AS purge_commit,
+           CAST(3 AS BIGINT)            AS resurrect_commit
+    FROM b GROUP BY bucket
+    """,
+)
+def q_purge_restore_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURGE × RESTORE interaction (round-14 runway item 3, pulled
+    forward): a source RESTORE to a PRE-PURGE version must not silently
+    resurrect purged rows into derived tables.  The purge chain records
+    its keys in a PURGE LEDGER at delete time; when the restore's diff
+    commit tries to re-insert those keys, the guarded index maintainer
+    (``streaming.ann_index.apply_index_batch_guarded``) REFUSES with
+    :class:`PurgeViolation` — the index provably still holds zero
+    purged rows after the refusal — and only an explicit
+    ``allow_unpurge=True`` override (which removes the keys from the
+    ledger in an audited overwrite commit) lets the re-insert through.
+    This is the missing arm of the right-to-be-forgotten story: purge
+    propagation (``q_purge_propagate``) makes derived tables forget;
+    this key makes them STAY forgotten across the one maintenance
+    operation that legitimately rewinds the source.
+
+    Sequencing pinned by the engine-derived version columns: the purge
+    is feed commit 2, the RESTORE publishes source head version 4
+    (v2's content re-published), and the resurrection attempt is feed
+    commit 3.  The backlog apply also proves the ledger comparison is
+    POSITIONAL (``commit_seq > purged_at``): commit 1 re-buckets some
+    keys that are purged LATER at commit 2, and those must not trip the
+    guard.  The EXACT oracle replays the final per-bucket state (the
+    restored, update-only corpus) from the mutation predicates.
+
+    Scale: the ledger is purge-sized; the guard is one equi-join of the
+    mutation-sized batch against it — O(Δ + purges) per commit."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions,
+    )
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        restore_arrowipc,
+    )
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        PurgeViolation,
+        apply_index_batch_guarded,
+        read_index,
+        read_purge_ledger,
+        record_purge,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "purge_guard")
+    idx = os.path.join(base, "idx")
+    ledger = os.path.join(base, "purge_ledger")
+    src, feed = _ann_mutation_feed(spark, sf_dir, base)
+    purged_pred = _ANN_IDX_DELETE_PRED                  # vec_id % 5 = 0
+
+    # purge ledger written at delete time (feed commit 2)
+    record_purge(_ann_snap(spark, src, "2").filter(purged_pred)
+                 .select("vec_id"), ledger, purged_at=2)
+
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    feed_schema = ("vec_id long, bucket int, change string, "
+                   "commit_seq long")
+
+    def _feed_rows():
+        return (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("columns", "vec_id,bucket,change,commit_seq")
+                .schema(feed_schema).load(feed))
+
+    # backlog (commits 1-2): commit 1 re-buckets keys purged LATER —
+    # the positional guard must NOT fire on them
+    apply_index_batch_guarded(_feed_rows(), 0, idx, ledger)
+
+    # RESTORE the source past the purge, publish the resurrection diff
+    res = restore_arrowipc(src, version=2)
+    b3 = _ann_bucketed(_ann_snap(spark, src, "3"))
+    b4 = _ann_bucketed(_ann_snap(spark, src, None))
+    (_ann_idx_changes(b3, b4, 3)
+     .write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+
+    try:
+        apply_index_batch_guarded(
+            _feed_rows().filter(F.col("commit_seq") == 3), 1, idx, ledger)
+        guard_fired = False
+    except PurgeViolation:
+        guard_fired = True
+    still_purged = (read_index(spark, idx)
+                    .filter(purged_pred).count() == 0)
+
+    # the audited override: un-purge + apply
+    info = apply_index_batch_guarded(
+        _feed_rows().filter(F.col("commit_seq") == 3), 2, idx, ledger,
+        allow_unpurge=True)
+    ledger_cleared = (info["n_unpurged"] > 0
+                      and read_purge_ledger(spark, ledger).count() == 0)
+
+    state = read_index(spark, idx)
+    direct = _ann_bucketed(_ann_snap(spark, src, None))
+    consistent = (state.select("vec_id", "bucket")
+                  .exceptAll(direct).count() == 0
+                  and direct.exceptAll(
+                      state.select("vec_id", "bucket")).count() == 0)
+    # versions derived, not asserted: the purge position from the
+    # PRE-override ledger (time travel — the un-purge overwrite kept it),
+    # the resurrection position from the feed itself
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        LEDGER_SCHEMA,
+    )
+    purge_commit = (spark.read.format("arrowipc").option("version", "1")
+                    .schema(LEDGER_SCHEMA).load(ledger)
+                    .agg(F.max("purged_at")).collect()[0][0])
+    resurrect_commit = (_feed_rows().agg(F.max("commit_seq"))
+                        .collect()[0][0])
+
+    return (read_index(spark, idx).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("id_checksum"))
+        .select(
+            F.col("bucket").cast("int"),
+            "n_vecs", "id_checksum",
+            F.lit(guard_fired).alias("guard_fired"),
+            F.lit(still_purged).alias("purged_until_unpurge"),
+            F.lit(ledger_cleared).alias("ledger_cleared"),
+            F.lit(consistent).alias("state_consistent"),
+            F.lit(int(res["version"])).cast("long")
+            .alias("src_restore_version"),
+            F.lit(int(purge_commit)).cast("long").alias("purge_commit"),
+            F.lit(int(resurrect_commit)).cast("long")
+            .alias("resurrect_commit"),
+        ))
+
+
 def _subspaces(col: str) -> "F.Column":
     """Split a 64-dim integer vector column into the ``_IVFPQ_NSUB``
     16-dim subspace structs (shared by the encode and search stages)."""

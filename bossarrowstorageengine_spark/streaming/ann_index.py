@@ -263,3 +263,78 @@ def ann_index_stream(spark: SparkSession, feed_dir: str, idx_dir: str,
                 df, bid, idx_dir))
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+class PurgeViolation(RuntimeError):
+    """A feed batch would re-insert keys recorded in the purge ledger
+    (right-to-be-forgotten): e.g. the SOURCE was RESTOREd to a pre-purge
+    version, so the next diff commit re-inserts the purged rows.  The
+    maintainer refuses rather than silently resurrecting them; pass
+    ``allow_unpurge=True`` to record an explicit un-purge (the ledger
+    entries are removed in the same step, so the override is itself
+    audited)."""
+
+
+#: Purge-ledger row layout: key + the feed commit whose DELETE purged it.
+LEDGER_SCHEMA = "vec_id long, purged_at long"
+
+
+def record_purge(keys_df: DataFrame, ledger_dir: str,
+                 purged_at: int) -> None:
+    """Append purged keys to the ledger (one snapshotted commit).  Call
+    at purge time — the same transaction boundary as the source DELETE's
+    feed commit, so ``purged_at`` is the feed position consumers compare
+    against."""
+    (keys_df.select(F.col("vec_id").cast("long"),
+                    F.lit(purged_at).cast("long").alias("purged_at"))
+     .write.format("arrowipc").option("snapshots", "true")
+     .option("compression", "lz4").mode("append").save(ledger_dir))
+
+
+def read_purge_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    """Current ledger state; empty frame when no purge was ever
+    recorded (a missing ledger is the common case, not an error)."""
+    if not os.path.isdir(ledger_dir):
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+    return (spark.read.format("arrowipc").option("snapshots", "true")
+            .schema(LEDGER_SCHEMA).load(ledger_dir))
+
+
+def apply_index_batch_guarded(batch_df: DataFrame, batch_id: int,
+                              idx_dir: str, ledger_dir: str,
+                              allow_unpurge: bool = False) -> dict:
+    """``apply_index_batch`` behind the right-to-be-forgotten guard: a
+    batch row that would (re-)insert a ledgered key at a feed position
+    AFTER its purge raises :class:`PurgeViolation` — the restore-after-
+    purge resurrection path fails loudly instead of silently undoing the
+    purge.  With ``allow_unpurge=True`` the offending keys are removed
+    from the ledger (a snapshotted overwrite commit — the override is
+    itself a ledger version, auditable via time travel) and the batch
+    applies normally.  Returns ``{"n_unpurged": k}``.
+
+    Scale: the ledger is purge-sized; the check is one equi-join of the
+    mutation-sized batch against it — O(Δ + purges), never the corpus."""
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint()
+    ledger = read_purge_ledger(spark, ledger_dir)
+    viol = (batch.filter(F.col("change") != "delete")
+            .join(ledger, "vec_id")
+            .filter(F.col("commit_seq") > F.col("purged_at"))
+            .localCheckpoint())
+    n_viol = viol.count()
+    if n_viol and not allow_unpurge:
+        raise PurgeViolation(
+            f"feed batch {batch_id} would re-insert {n_viol} purged "
+            f"key(s) into {idx_dir} (ledger {ledger_dir}) — a source "
+            "RESTORE past a purge resurrects forgotten rows.  Either "
+            "restore to a post-purge version, or re-run with "
+            "allow_unpurge=True to record an explicit audited un-purge.")
+    if n_viol:
+        # un-purge: new ledger version WITHOUT the overridden keys
+        # (overwrite commit — pre-override ledger stays time-travelable)
+        remaining = ledger.join(viol.select("vec_id").distinct(),
+                                "vec_id", "left_anti").localCheckpoint()
+        (remaining.write.format("arrowipc").option("snapshots", "true")
+         .option("compression", "lz4").mode("overwrite").save(ledger_dir))
+    apply_index_batch(batch, batch_id, idx_dir)
+    return {"n_unpurged": n_viol}

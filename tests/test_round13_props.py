@@ -265,3 +265,78 @@ def test_vocab_drift_n_chain_semantics(spark):
     next_single = {(r.piece, r.freq_next, r.logp_next) for r in single
                    if r.status != "leaving"}
     assert next3 == next_single
+
+
+def test_purge_restore_guard_flags_and_positional(spark):
+    """Full-key flags hold at once (guard fired on the restore diff,
+    index stayed purged until the audited un-purge, ledger cleared,
+    final state consistent) and the version columns are the engine-
+    derived fixture positions."""
+    rows = QUERIES["q_purge_restore_guard"](spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.guard_fired and r0.purged_until_unpurge
+    assert r0.ledger_cleared and r0.state_consistent
+    assert (r0.src_restore_version, r0.purge_commit,
+            r0.resurrect_commit) == (4, 2, 3)
+    # post-restore state is the update-only corpus: full cardinality
+    from bossarrowstorageengine_spark.catalog import load_table
+    n_corpus = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+
+
+def test_purge_guard_unit_positional_and_missing_ledger(spark, tmp_path):
+    """Unit contract of the guard: a missing ledger is an empty ledger
+    (no error); a batch touching a ledgered key at commit <= purged_at
+    passes (positional rule); the violation message names the count;
+    an un-purge leaves other ledger entries intact."""
+    import os
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        PurgeViolation,
+        apply_index_batch_guarded,
+        read_index,
+        read_purge_ledger,
+        record_purge,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    idx = str(tmp_path / "idx")
+    ledger = str(tmp_path / "ledger")
+    seed_index(idx, spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "vec_id long, bucket int"))
+
+    batch = spark.createDataFrame(
+        [(1, 11, "rebucket", 1)],
+        "vec_id long, bucket int, change string, commit_seq long")
+    # missing ledger -> empty -> applies
+    apply_index_batch_guarded(batch, 0, idx, ledger)
+    assert {r.vec_id: r.bucket for r in
+            read_index(spark, idx).collect()}[1] == 11
+
+    record_purge(spark.createDataFrame([(2,), (3,)], "vec_id long"),
+                 ledger, purged_at=2)
+    # commit 2 == purged_at: the purge's OWN delete commit passes
+    deletes = spark.createDataFrame(
+        [(2, None, "delete", 2), (3, None, "delete", 2)],
+        "vec_id long, bucket int, change string, commit_seq long")
+    apply_index_batch_guarded(deletes, 1, idx, ledger)
+    assert read_index(spark, idx).filter("vec_id in (2,3)").count() == 0
+
+    # commit 3 > purged_at: re-insert refused, index unchanged
+    resurrect = spark.createDataFrame(
+        [(2, 21, "insert", 3)],
+        "vec_id long, bucket int, change string, commit_seq long")
+    with pytest.raises(PurgeViolation, match="1 purged"):
+        apply_index_batch_guarded(resurrect, 2, idx, ledger)
+    assert read_index(spark, idx).filter("vec_id = 2").count() == 0
+
+    # un-purge removes ONLY the overridden key
+    info = apply_index_batch_guarded(resurrect, 3, idx, ledger,
+                                     allow_unpurge=True)
+    assert info["n_unpurged"] == 1
+    left = {r.vec_id for r in read_purge_ledger(spark, ledger).collect()}
+    assert left == {3}
+    assert read_index(spark, idx).filter("vec_id = 2").count() == 1
