@@ -2045,3 +2045,61 @@ def test_stream_native_maintained_index_tails_feed(spark):
         q2.stop()
     assert sorted(map(tuple, read_index(spark, idx).collect())) == before
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_guarded_index_fails_loudly_on_resurrection(spark):
+    """Streaming face of the purge guard: a foreachBatch index tail
+    wrapped in apply_index_batch_guarded KILLS the stream query with
+    PurgeViolation when a resurrection commit arrives — the purge is
+    enforced at the consumer, not just in the batch key — and the index
+    state is untouched by the refused batch."""
+    import shutil
+    import uuid as _uuid
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        FEED_SCHEMA,
+        apply_index_batch_guarded,
+        read_index,
+        record_purge,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    feed, idx, ledger = f"{base}/feed", f"{base}/idx", f"{base}/ledger"
+
+    seed_index(idx, spark.createDataFrame(
+        [(1, 10), (2, 20)], "vec_id long, bucket int"))
+    record_purge(spark.createDataFrame([(2,)], "vec_id long"),
+                 ledger, purged_at=1)
+
+    def _push(rows, seq):
+        (spark.createDataFrame(rows, FEED_SCHEMA)
+         .coalesce(1).write.format("arrowipc")
+         .option("partitionBy", "commit_seq")
+         .option("snapshots", "true").mode("append").save(feed))
+
+    _push([(2, None, "delete", 1)], 1)   # the purge's own delete commit
+
+    q = (spark.readStream.format("arrowipc")
+         .option("columns", "vec_id,bucket,change,commit_seq")
+         .schema(FEED_SCHEMA).load(feed)
+         .writeStream.foreachBatch(
+             lambda df, bid: apply_index_batch_guarded(
+                 df, bid, idx, ledger))
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()          # delete commit passes the guard
+        assert read_index(spark, idx).filter("vec_id = 2").count() == 0
+
+        _push([(2, 21, "insert", 2)], 2)  # resurrection
+        with pytest.raises(Exception, match="purged"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # refused batch left no segment behind
+    assert read_index(spark, idx).filter("vec_id = 2").count() == 0
+    assert sorted(r.vec_id for r in read_index(spark, idx).collect()) == [1]
+    shutil.rmtree(base, ignore_errors=True)

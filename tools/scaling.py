@@ -102,6 +102,14 @@ KEYS = [
     "q_ann_index_maintain",
     "q_feed_compact",
     "q_mv_restore",
+    # Round-13 additions.
+    "q_feed_vacuum",
+    "q_ann_lsh_maintained",
+    "q_purge_propagate",
+    "q_purge_restore_guard",
+    "q_mv_fanout",
+    "q_vocab_drift",
+    "q_vocab_drift_n",
 ]
 
 
@@ -129,6 +137,24 @@ FLOOR_NOTES = {
     "q_ann_index_maintain": (
         "embedding write + 2 CoW mutations + index build write + feed "
         "write + maintained/direct bucket audit."),
+    "q_feed_vacuum": (
+        "3 separate feed-commit appends + checkpoint rewrite + vacuum "
+        "(metadata) + pre/post conditional-sum equality + loud-travel "
+        "probe."),
+    "q_ann_lsh_maintained": (
+        "embedding write + 2 CoW mutations + feed write + index seed + "
+        "2 delta segments + merge-on-read probe search."),
+    "q_purge_propagate": (
+        "the q_ann_lsh_maintained chain + 3-version MV ledger write + "
+        "4 purge-audit probes (source/feed/index/MV) — the family's "
+        "widest audit surface."),
+    "q_purge_restore_guard": (
+        "the purge chain + ledger write + RESTORE + resurrection diff + "
+        "refused apply + audited un-purge apply + ledger time travel."),
+    "q_mv_fanout": (
+        "3-action history + feed write + TWO mv_version-partitioned "
+        "ledger writes + 6 direct-aggregate audit reads (2 grains x 3 "
+        "versions)."),
 }
 
 
