@@ -70,6 +70,12 @@ HEADLINE = [
     # q_changefeed_consume: Python-datasource fixed floor, tracked in
     # SCALING.md instead.
     "q_ann_recall_report",
+    # Round-13 flagship addition (the 27 keys above keep their order for
+    # comparability with BENCH_r01..r12): the piece-level vocab drift
+    # report — two trainer-grade seed passes + a vocab-sized diff.  The
+    # round's CDC/purge keys stay out like the rest of the storage
+    # family: Python-datasource fixed floor, tracked in SCALING.md.
+    "q_vocab_drift",
 ]
 
 
