@@ -771,7 +771,14 @@ def _validate_declared_schema(declared: StructType, file_schema: pa.Schema,
     the file lacks are fine (schema evolution null-fills); Arrow types
     with no Spark mapping are skipped rather than failed (planning-only
     check, must degrade)."""
-    want = {f.name: f.dataType.simpleString() for f in declared.fields}
+    def _canon(simple: str) -> str:
+        # timestamp vs timestamp_ntz is a session-semantics choice, not a
+        # storage mismatch (arrow tz-naive maps to either depending on
+        # prefer_timestamp_ntz) — never fail on the flavor.
+        return simple.replace("timestamp_ntz", "timestamp")
+
+    want = {f.name: _canon(f.dataType.simpleString())
+            for f in declared.fields}
     if columns:
         keep = set(columns)
         want = {n: t for n, t in want.items() if n in keep}
@@ -781,12 +788,14 @@ def _validate_declared_schema(declared: StructType, file_schema: pa.Schema,
         if expect is None:
             continue
         try:
-            got = from_arrow_schema(pa.schema([fld]))[0].dataType.simpleString()
+            got = _canon(
+                from_arrow_schema(pa.schema([fld]))[0].dataType
+                .simpleString())
         except Exception:
             continue
         if got != expect:
             raise ValueError(
-                f"arrowipc stream over {os.path.dirname(path)}: declared "
+                f"arrowipc read over {os.path.dirname(path)}: declared "
                 f"schema types column '{fld.name}' as {expect} but part "
                 f"file {os.path.basename(path)} stores it as {got} "
                 f"(arrow {fld.type}) — fix the declared schema or rewrite "
@@ -835,6 +844,7 @@ class ArrowIPCPartition(InputPartition):
 class ArrowIPCReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._options = options
+        self._schema = schema
         self._path = _local_path(options.get("path"))
         if not self._path:
             raise ValueError("arrowipc reader requires a path")
@@ -1029,6 +1039,17 @@ class ArrowIPCReader(DataSourceReader):
         target = None
         if partition.schema_ser is not None:
             target = pa.ipc.read_schema(pa.py_buffer(partition.schema_ser))
+        else:
+            # Same contract as the stream reader (round 13): outside
+            # mergeSchema (whose union target alignment casts), batches
+            # reach the JVM in the FILE's schema, so a declared-schema
+            # type mismatch must fail here naming the column — not as an
+            # opaque vector-accessor error inside the scan.  The declared
+            # schema may carry the filenameColumn the reader itself
+            # appends; the validator skips columns the file lacks.
+            _validate_declared_schema(
+                self._schema, _file_arrow_schema(partition.path),
+                partition.path, self._columns)
         if partition.stream_seek is not None:
             off, lo, hi = partition.stream_seek
             batches = _read_stream_range(

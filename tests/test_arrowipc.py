@@ -2297,3 +2297,27 @@ def test_stream_offsets_ignored_on_file_bytes_mismatch(spark):
     n_match = df.filter(F.col("o_orderkey") == lo).count()
     assert back.filter(F.col("o_orderkey") == lo).count() == n_match
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_batch_declared_schema_mismatch_names_column(spark):
+    """Batch-path parity with the round-13 stream validation: an
+    explicit read schema whose type disagrees with the file's Arrow
+    schema fails NAMING THE COLUMN, not as a JVM accessor error; the
+    matching declaration still reads fine, and mergeSchema (which casts
+    to the union target) stays exempt."""
+    path = _tmpdir()
+    d = load_table(spark, SF, "nation").select(
+        "n_nationkey", (F.col("n_regionkey") % 3).cast("int").alias("label"))
+    d.coalesce(1).write.format("arrowipc").mode("append").save(path)
+
+    ok = (spark.read.format("arrowipc")
+          .schema("n_nationkey int, label int").load(path))
+    assert ok.count() == 25
+
+    bad = (spark.read.format("arrowipc")
+           .schema("n_nationkey int, label string").load(path))
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    msg = str(exc.value)
+    assert "label" in msg and "string" in msg and "int" in msg
+    assert "getUTF8String" not in msg
