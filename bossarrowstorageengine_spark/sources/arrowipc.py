@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Sequence
@@ -188,6 +189,38 @@ def _manifest_versions(path: str) -> list[int]:
 #: versions in between are O(Δ) deltas.  Reconstruction cost is bounded by
 #: one checkpoint read + at most this many delta reads.
 _CHECKPOINT_EVERY = 16
+
+
+def _commit_ts(path: str, version: int) -> float:
+    """Commit wall-clock of a manifest version: the ``ts`` the commit
+    recorded (round 13+), else the manifest file's mtime (pre-existing
+    tables) — the ``startingTimestamp`` resolution anchor."""
+    doc = _load_manifest_doc(path, version)
+    ts = doc.get("ts")
+    if ts is not None:
+        return float(ts)
+    return os.path.getmtime(_manifest_file(path, version))
+
+
+def _parse_ts_option(raw: str) -> float:
+    """``startingTimestamp`` value → epoch seconds: a number is epoch
+    seconds as-is; otherwise ISO-8601 (naive = UTC, the cross-machine-
+    safe reading for a stored anchor)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"arrowipc stream reader: startingTimestamp={raw!r} is "
+            "neither epoch seconds nor ISO-8601") from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
 
 
 def _load_manifest_doc(path: str, version: int) -> dict:
@@ -421,6 +454,11 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
         else:
             doc = {"version": next_v, "add": rels, "remove": rm,
                    "stats": new_stats}
+        # Commit wall-clock (epoch seconds): the startingTimestamp anchor
+        # for stream tailing.  Metadata only — never part of equality or
+        # conflict checks; pre-existing manifests without it fall back to
+        # the manifest file's mtime at resolution time.
+        doc["ts"] = round(time.time(), 3)
         target = _manifest_file(path, next_v)
         if _COMMIT_BACKEND.put_if_absent(target, json.dumps(doc).encode()):
             return next_v
@@ -1518,6 +1556,33 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                 "skipChangeCommits drops the commit entirely; pick one.")
         self._manifest_mode = bool(_manifest_versions(self._path))
         sv = options.get("startingversion", options.get("startingVersion"))
+        st = options.get("startingtimestamp",
+                         options.get("startingTimestamp"))
+        if sv is not None and st is not None:
+            raise ValueError(
+                "arrowipc stream reader: startingVersion and "
+                "startingTimestamp are mutually exclusive — both pin the "
+                "tail's first commit; pick one anchor.")
+        if st is not None:
+            if not self._manifest_mode:
+                raise ValueError(
+                    "arrowipc stream reader: startingTimestamp requires a "
+                    f"snapshotted table (no manifests under {self._path})")
+            want = _parse_ts_option(str(st))
+            # smallest version whose commit time is at or after the
+            # anchor (manifest versions commit in order, so commit times
+            # are non-decreasing up to clock skew — scan ascending)
+            sv = None
+            for v in _manifest_versions(self._path):
+                if _commit_ts(self._path, v) >= want:
+                    sv = str(v)
+                    break
+            if sv is None:
+                raise ValueError(
+                    f"arrowipc stream reader: startingTimestamp={st} is "
+                    "after the latest commit — nothing to start from; "
+                    "use startingVersion=latest to tail only future "
+                    "commits")
         self._starting_version: int | str | None = None
         if sv is not None:
             if not self._manifest_mode:

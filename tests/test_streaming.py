@@ -2103,3 +2103,70 @@ def test_stream_guarded_index_fails_loudly_on_resurrection(spark):
     assert read_index(spark, idx).filter("vec_id = 2").count() == 0
     assert sorted(r.vec_id for r in read_index(spark, idx).collect()) == [1]
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_starting_timestamp(spark):
+    """startingTimestamp resolves to the first commit at-or-after the
+    anchor (Delta's other tailing anchor): a tail anchored between v1
+    and v2 delivers v2 onward only; an anchor past the head fails
+    actionably; both anchors together are rejected; epoch and ISO forms
+    parse.  New manifests carry the commit ts in the doc; resolution
+    falls back to manifest mtime for pre-existing tables."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader,
+        _commit_ts,
+    )
+    from pyspark.sql.types import StructType
+
+    register_arrowipc(spark)
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    table = f"{base}/table"
+    _snap_append(spark, table, 0, 5)          # v1
+    _time.sleep(0.3)
+    between = _time.time()
+    _time.sleep(0.3)
+    _snap_append(spark, table, 5, 8)          # v2
+    assert _commit_ts(table, 1) < between < _commit_ts(table, 2)
+
+    name = f"tst_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("arrowipc")
+         .option("startingTimestamp", str(between)).load(table)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{base}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(name).collect()) == \
+            [5, 6, 7]                          # v1 excluded, v2 included
+        _snap_append(spark, table, 8, 10)      # v3 keeps flowing
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.table(name).collect()) == \
+            list(range(5, 10))
+    finally:
+        q.stop()
+
+    schema = StructType.fromDDL("id bigint, grp string")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        ArrowIPCStreamReader(schema, {
+            "path": table, "startingVersion": "2",
+            "startingTimestamp": str(between)})
+    with _pytest.raises(ValueError, match="after the latest commit"):
+        ArrowIPCStreamReader(schema, {
+            "path": table, "startingTimestamp": str(_time.time() + 3600)})
+    with _pytest.raises(ValueError, match="neither epoch"):
+        ArrowIPCStreamReader(schema, {
+            "path": table, "startingTimestamp": "not-a-time"})
+    # ISO form resolves like the epoch form
+    from datetime import datetime, timezone
+    iso = datetime.fromtimestamp(between, tz=timezone.utc).isoformat()
+    r = ArrowIPCStreamReader(schema, {"path": table,
+                                      "startingTimestamp": iso})
+    assert r.initialOffset() == {"v": 1}       # first batch = v2 onward
+    shutil.rmtree(base, ignore_errors=True)
