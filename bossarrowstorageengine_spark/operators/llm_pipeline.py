@@ -4551,3 +4551,98 @@ def q_dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("action") != "keep", F.col("dup_tokens"))
               .otherwise(0)).cast("long").alias("tokens_reclaimed"),
     )
+
+
+_PURGE_TEXT_PRED = "doc_id % 3 = 0"
+
+
+def _purge_text_oracle() -> str:
+    """DuckDB twin of the document-space purge: the shared pipeline CTE
+    chain to ``members``, then survivors, per-cluster keeper handoff
+    (the pre-purge keeper IS ``cluster_id`` — min member id), and the
+    constant-TRUE engine-check flags."""
+    return f"""{_dedup_pipeline_ctes()}, purged AS (
+        SELECT doc_id FROM documents WHERE {_PURGE_TEXT_PRED}
+    ), surv AS (
+        SELECT m.doc_id, m.cluster_id FROM members m
+        WHERE m.doc_id NOT IN (SELECT doc_id FROM purged)
+    ), clusters AS (
+        SELECT cluster_id,
+               min(doc_id) AS new_keeper,
+               count(*)    AS n_survivors
+        FROM surv GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_id AS BIGINT)   AS cluster_id,
+           CAST(new_keeper AS BIGINT)   AS new_keeper,
+           CAST(n_survivors AS BIGINT)  AS n_survivors,
+           cluster_id IN (SELECT doc_id FROM purged) AS keeper_changed,
+           TRUE                         AS df_incremental_matches,
+           TRUE                         AS no_purged_members
+    FROM clusters"""
+
+
+@query("q_purge_text", oracle=_purge_text_oracle())
+def q_purge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURGE IN DOCUMENT SPACE (round-14 runway item 1, pulled forward):
+    the right-to-be-forgotten chain through the TEXT pipeline's derived
+    artifacts, composing the proven near-dup machinery — where
+    ``q_purge_propagate`` walked the vector side (feed → MV → ANN
+    index), this walks the curation side:
+
+    - **Dedup keeper handoff**: clusters come from the decision
+      pipeline's own stages (LSH candidates → exact-Jaccard verify →
+      connected components — ``_pipeline_edges`` + the shared CC core);
+      the pre-purge keeper of a cluster IS its ``cluster_id`` (min
+      member).  Purging a keeper hands the cluster to the minimum
+      SURVIVING member (``new_keeper``, ``keeper_changed``); fully
+      purged clusters disappear.  The EXACT oracle replays candidates,
+      verification, components, and the handoff relationally.
+    - **Document-frequency maintenance**: token df is updated
+      INCREMENTALLY — df(all) minus the purged docs' per-token doc
+      counts, an O(purged-docs) delta, never a corpus rescan — and
+      engine-verified equal to a from-scratch df over the survivors
+      (``df_incremental_matches``).
+    - **Membership audit**: no purged doc_id survives in the cluster
+      table (``no_purged_members``).
+
+    Scale: the cluster stages are the attested bounded-bucket shapes;
+    the df delta joins purged-doc tokens only; the audits are the
+    periodic sampling arm.  Purge predicate ``{_PURGE_TEXT_PRED}`` —
+    uniform over doc ids, so keeper handoffs provably occur (pytest
+    asserts non-vacuity)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    _, edges = _pipeline_edges(d)
+    members = _cc_min_label(edges).localCheckpoint()
+
+    purged_ids = d.filter(_PURGE_TEXT_PRED).select("doc_id")
+    surv = members.join(purged_ids, "doc_id", "left_anti")
+    clusters = surv.groupBy("cluster_id").agg(
+        F.min("doc_id").cast("long").alias("new_keeper"),
+        F.count(F.lit(1)).cast("long").alias("n_survivors"))
+
+    # --- incremental df vs direct df (engine check) --------------------
+    toks = d.select("doc_id", F.explode(F.array_distinct(
+        F.split("text", " "))).alias("tok")).filter(F.length("tok") > 0)
+    df_all = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    df_delta = (toks.join(purged_ids, "doc_id")
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("d")))
+    df_inc = (df_all.join(df_delta, "tok", "left").na.fill(0)
+              .select("tok", (F.col("df") - F.col("d")).alias("df"))
+              .filter(F.col("df") > 0))
+    df_direct = (toks.join(purged_ids, "doc_id", "left_anti")
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    df_ok = (df_inc.exceptAll(df_direct).count() == 0
+             and df_direct.exceptAll(df_inc).count() == 0)
+
+    no_purged = surv.join(purged_ids, "doc_id").count() == 0
+
+    return clusters.join(
+        purged_ids.select(F.col("doc_id").alias("cluster_id"))
+        .withColumn("_p", F.lit(True)), "cluster_id", "left"
+    ).select(
+        F.col("cluster_id").cast("long"),
+        "new_keeper", "n_survivors",
+        F.coalesce("_p", F.lit(False)).alias("keeper_changed"),
+        F.lit(df_ok).alias("df_incremental_matches"),
+        F.lit(no_purged).alias("no_purged_members"),
+    )

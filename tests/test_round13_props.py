@@ -340,3 +340,25 @@ def test_purge_guard_unit_positional_and_missing_ledger(spark, tmp_path):
     left = {r.vec_id for r in read_purge_ledger(spark, ledger).collect()}
     assert left == {3}
     assert read_index(spark, idx).filter("vec_id = 2").count() == 1
+
+
+def test_purge_text_handoff_nonvacuous_and_consistent(spark):
+    """Document-space purge invariants: at least one cluster's keeper
+    actually changed hands (non-vacuity of the handoff path), every new
+    keeper is a surviving member > the purged old keeper when changed,
+    fully purged clusters are absent, and both engine-check flags
+    held."""
+    rows = QUERIES["q_purge_text"](spark, SF).collect()
+    assert rows, "no surviving clusters — vacuous fixture"
+    assert all(r.df_incremental_matches and r.no_purged_members
+               for r in rows)
+    changed = [r for r in rows if r.keeper_changed]
+    assert changed, "no keeper handoff occurred — vacuous"
+    for r in rows:
+        assert r.n_survivors >= 1
+        assert r.new_keeper % 3 != 0          # a purged id never keeps
+        if r.keeper_changed:
+            assert r.cluster_id % 3 == 0      # old keeper was purged
+            assert r.new_keeper > r.cluster_id
+        else:
+            assert r.new_keeper == r.cluster_id
