@@ -112,7 +112,10 @@ def main() -> None:
              # LSM index, purge propagation, multi-MV fanout, vocab drift,
              # reworked linkage pair generator
              "q_feed_vacuum", "q_ann_lsh_maintained", "q_purge_propagate",
-             "q_mv_fanout", "q_vocab_drift", "q_entity_components"]
+             "q_mv_fanout", "q_vocab_drift", "q_entity_components",
+             # round 13 late: purge x restore guard, chained drift,
+             # document-space purge
+             "q_purge_restore_guard", "q_vocab_drift_n", "q_purge_text"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",
