@@ -4646,3 +4646,151 @@ def q_purge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(df_ok).alias("df_incremental_matches"),
         F.lit(no_purged).alias("no_purged_members"),
     )
+
+
+@query(
+    "q_feed_index_cocompact",
+    oracle=f"""
+    WITH mut AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), b AS (
+        SELECT vec_id, ({_lsh_bucket_sql(8)}) AS bucket FROM mut
+    )
+    SELECT CAST(bucket AS INT)          AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT)  AS id_checksum,
+           TRUE                         AS feed_content_unchanged,
+           TRUE                         AS index_state_unchanged,
+           TRUE                         AS highwater_preserved,
+           TRUE                         AS replay_noop,
+           TRUE                         AS both_reclaimed,
+           TRUE                         AS both_clean
+    FROM b GROUP BY bucket
+    """,
+)
+def q_feed_index_cocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-COMPACTION SCHEDULE (round-14 runway item 3, pulled forward):
+    ONE maintenance pass retires the same feed positions on BOTH sides
+    of the CDC pair — ``compact_feed_thru(feed, thru=K)`` collapses the
+    commit partitions and ``compact_index(idx, thru=K)`` folds the LSM
+    segments those commits produced — so the pair shares one retention
+    story: at 100 TB you schedule maintenance by FEED POSITION, not per
+    artifact, and vacuum reclaims both tables in the same window.
+
+    Engine-verified, all on fresh loads:
+    - ``feed_content_unchanged``: per-(commit, change) row counts +
+      vec_id checksums identical before/after the pass (pre side
+      localCheckpoint'd);
+    - ``index_state_unchanged``: ``read_index`` merge-on-read state
+      identical before/after (the fold is last-wins + tombstone
+      removal, provably a no-op on the logical state);
+    - ``highwater_preserved``: the segment high-water still reads K
+      after the fold (the apply ledger survives the directory
+      collapse);
+    - ``replay_noop``: re-applying the whole feed after the pass
+      publishes NO new index version (idempotence under the compacted
+      layout);
+    - ``both_reclaimed`` / ``both_clean``: ``vacuum_arrowipc`` on both
+      tables reclaims rewritten parts and leaves disk == retained
+      manifest on each.
+
+    The EXACT oracle replays the final per-bucket state from the
+    mutation predicates — identical to ``q_ann_index_maintain``'s
+    contract, now attested THROUGH the co-compaction + vacuum."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _list_ipc_files,
+        _manifest_versions,
+        _read_manifest,
+    )
+    from bossarrowstorageengine_spark.sources.feed_maintain import (
+        compact_feed_thru,
+    )
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        vacuum_arrowipc,
+    )
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        _seg_high_water,
+        apply_index_batch,
+        compact_index,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "cocompact")
+    idx = os.path.join(base, "idx")
+    src, feed = _ann_mutation_feed(spark, sf_dir, base)
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    feed_schema = ("vec_id long, bucket int, change string, "
+                   "commit_seq long")
+
+    def _feed_rows():
+        return (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("columns", "vec_id,bucket,change,commit_seq")
+                .schema(feed_schema).load(feed))
+
+    apply_index_batch(_feed_rows(), 0, idx)
+
+    def _feed_face():
+        return (_feed_rows().groupBy("commit_seq", "change").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("ck")))
+
+    pre_feed = _feed_face().localCheckpoint()
+    pre_state = read_index(spark, idx).localCheckpoint()
+
+    # --- the co-compaction pass: one retention position, both tables --
+    K = 2
+    res_f = compact_feed_thru(spark, feed, thru=K)
+    res_i = compact_index(spark, idx, thru=K)
+    if res_f["compacted"] == 0 or res_i["files_after"] >= res_i["files_before"]:
+        raise RuntimeError(
+            "co-compaction was vacuous — the fixture writes feed commits "
+            "1..2 and index segments 0..2, so thru=2 must rewrite both")
+
+    post_feed = _feed_face()
+    feed_ok = (pre_feed.exceptAll(post_feed).count() == 0
+               and post_feed.exceptAll(pre_feed).count() == 0)
+    post_state = read_index(spark, idx)
+    state_ok = (pre_state.exceptAll(post_state).count() == 0
+                and post_state.exceptAll(pre_state).count() == 0)
+    hw_ok = _seg_high_water(idx) == K
+
+    n_ver = len(_manifest_versions(idx))
+    apply_index_batch(_feed_rows(), 1, idx)      # replay the whole feed
+    replay_ok = len(_manifest_versions(idx)) == n_ver
+
+    rec_f = vacuum_arrowipc(feed, keep_versions=1)
+    rec_i = vacuum_arrowipc(idx, keep_versions=1)
+    both_reclaimed = (rec_f["removed_files"] > 0
+                      and rec_i["removed_files"] > 0)
+
+    def _clean(path: str) -> bool:
+        vis = set(_read_manifest(path, _manifest_versions(path)[-1]))
+        return set(_list_ipc_files(path)) == vis
+
+    both_clean = _clean(feed) and _clean(idx)
+
+    return (read_index(spark, idx).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("id_checksum"))
+        .select(
+            F.col("bucket").cast("int"),
+            "n_vecs", "id_checksum",
+            F.lit(feed_ok).alias("feed_content_unchanged"),
+            F.lit(state_ok).alias("index_state_unchanged"),
+            F.lit(hw_ok).alias("highwater_preserved"),
+            F.lit(replay_ok).alias("replay_noop"),
+            F.lit(both_reclaimed).alias("both_reclaimed"),
+            F.lit(both_clean).alias("both_clean"),
+        ))

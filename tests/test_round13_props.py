@@ -362,3 +362,20 @@ def test_purge_text_handoff_nonvacuous_and_consistent(spark):
             assert r.new_keeper > r.cluster_id
         else:
             assert r.new_keeper == r.cluster_id
+
+
+def test_cocompact_flags_and_state_cardinality(spark):
+    """Co-compaction attests all six contracts at once, and the final
+    index state's cardinality equals the purged+updated corpus (the
+    fold dropped tombstones physically without touching the logical
+    state)."""
+    rows = QUERIES["q_feed_index_cocompact"](spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.feed_content_unchanged and r0.index_state_unchanged
+    assert r0.highwater_preserved and r0.replay_noop
+    assert r0.both_reclaimed and r0.both_clean
+    from bossarrowstorageengine_spark.catalog import load_table
+    e = load_table(spark, SF, "embeddings")
+    n_expected = e.filter("vec_id % 5 != 0").count()
+    assert sum(r.n_vecs for r in rows) == n_expected
