@@ -391,7 +391,8 @@ def set_commit_backend(backend: ConditionalPut) -> ConditionalPut:
 
 
 def _write_manifest(path: str, new_files: list[str], replace: bool,
-                    remove: Sequence[str] = ()) -> int:
+                    remove: Sequence[str] = (),
+                    adds_new_rows: bool | None = None) -> int:
     """Publish the next snapshot version: (previous visible set − ``remove``)
     ∪ new files (or just the new files when ``replace``).  Optimistic-
     concurrency loop over the ConditionalPut primitive: read latest version,
@@ -407,7 +408,17 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
     Commit cost is O(changed files): ordinary commits publish a DELTA
     (``add``/``remove`` lists); every ``_CHECKPOINT_EVERY``-th version —
     and every ``replace`` commit, which is self-contained by nature —
-    publishes a full-file-list CHECKPOINT that bounds reconstruction."""
+    publishes a full-file-list CHECKPOINT that bounds reconstruction.
+
+    ``adds_new_rows`` (the Delta ``dataChange`` idiom, ADVICE r13): a
+    rewriting commit (non-empty ``remove``) records whether its added
+    files carry NEW logical rows beyond rewrites of rows it removed —
+    ``False`` for compaction/UPDATE/DELETE (pure rewrites), ``True``
+    for a MERGE whose not-matched arm inserted rows.  Stream readers
+    running ``skipChangeCommits`` use the hint to skip pure rewrites
+    silently but FAIL on mixed commits instead of silently dropping the
+    inserted rows; manifests without the hint (pre-round-14 tables or
+    foreign writers) keep the documented skip-entirely behavior."""
     rel_abs = {os.path.relpath(p, path): p for p in new_files}
     rels = sorted(rel_abs)
     rm = sorted(os.path.relpath(p, path) for p in remove)
@@ -459,6 +470,12 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
         # conflict checks; pre-existing manifests without it fall back to
         # the manifest file's mtime at resolution time.
         doc["ts"] = round(time.time(), 3)
+        if adds_new_rows is not None and rm:
+            # Metadata-only, like ts: consumed solely by the stream
+            # reader's skipChangeCommits guard.  Recorded only on
+            # rewriting commits — on a pure append the question does
+            # not arise (nothing was removed, nothing can be skipped).
+            doc["adds_new_rows"] = bool(adds_new_rows)
         target = _manifest_file(path, next_v)
         if _COMMIT_BACKEND.put_if_absent(target, json.dumps(doc).encode()):
             return next_v
@@ -1519,7 +1536,13 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
     re-deliver rewritten rows, or ``skipChangeCommits=true`` (Delta's
     successor option) to skip such commits ENTIRELY — no re-delivery,
     correct whenever rewrite commits add no logical rows (checkpoint
-    compaction, small-file compaction).  ``startingVersion=N`` starts
+    compaction, small-file compaction).  This engine's writers record an
+    ``adds_new_rows`` hint on every rewriting commit (Delta's
+    ``dataChange`` idiom), and skip honors it: a MIXED commit — one that
+    removes files AND inserted new logical rows, e.g. a MERGE with a
+    not-matched arm — fails the stream instead of silently dropping the
+    inserts; hint-less manifests (foreign writers, pre-hint tables)
+    keep the skip-entirely contract.  ``startingVersion=N`` starts
     the tail at manifest version N inclusive (``latest`` = only commits
     after stream start), enabling the snapshot-then-follow consumer
     pattern: batch-bootstrap from the head at version V, then tail with
@@ -1569,12 +1592,19 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                     "arrowipc stream reader: startingTimestamp requires a "
                     f"snapshotted table (no manifests under {self._path})")
             want = _parse_ts_option(str(st))
-            # smallest version whose commit time is at or after the
-            # anchor (manifest versions commit in order, so commit times
-            # are non-decreasing up to clock skew — scan ascending)
+            # Smallest version whose commit time is at or after the
+            # anchor.  Commit times are non-decreasing in the common
+            # case, but mixing the recorded ``ts`` with the mtime
+            # fallback (or clock skew between committers) can dip the
+            # sequence — so canonicalize monotonicity with a running
+            # max (the Delta rule: effective_ts = max(prev, ts)).  The
+            # anchor then resolves to the EARLIEST qualifying commit
+            # and a later dip can never skip one (ADVICE r13).
             sv = None
+            eff = float("-inf")
             for v in _manifest_versions(self._path):
-                if _commit_ts(self._path, v) >= want:
+                eff = max(eff, _commit_ts(self._path, v))
+                if eff >= want:
                     sv = str(v)
                     break
             if sv is None:
@@ -1600,6 +1630,28 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                         f"arrowipc stream reader: startingVersion={n} — "
                         "manifest versions start at 1 (omit the option to "
                         "read from the beginning)")
+                # The first micro-batch diffs against the baseline
+                # manifest n-1, so it must exist (n-1 == 0 means "no
+                # baseline" and is always fine).  Validate HERE rather
+                # than letting the first planned batch fail inside
+                # _added_files with a missing-manifest error that names
+                # neither the option nor the head (ADVICE r13).
+                vs = _manifest_versions(self._path)
+                head = vs[-1] if vs else 0
+                if n > head + 1:
+                    raise ValueError(
+                        f"arrowipc stream reader: startingVersion={n} is "
+                        f"past the table head (latest manifest version "
+                        f"{head}) — the largest valid anchor is "
+                        f"{head + 1} (tail only future commits), or use "
+                        "startingVersion=latest")
+                if n > 1 and (n - 1) not in vs:
+                    raise ValueError(
+                        f"arrowipc stream reader: startingVersion={n} "
+                        f"needs baseline manifest version {n - 1}, which "
+                        f"no longer exists (oldest retained: {vs[0]}) — "
+                        "it was vacuumed; anchor at or after version "
+                        f"{vs[0] + 1}")
                 self._starting_version = n
 
     def _names(self) -> list[str]:
@@ -1650,6 +1702,22 @@ class ArrowIPCStreamReader(DataSourceStreamReader):
                           for r in doc.get("add", [])})
             removed = prev - cur
             if removed and self._skip_change_commits:
+                if doc.get("adds_new_rows") is True:
+                    # Mixed commit (e.g. MERGE with inserts): skipping
+                    # it would silently drop logical rows no other
+                    # commit carries — fail loudly instead (ADVICE
+                    # r13).  Manifests WITHOUT the hint (pre-round-14
+                    # tables, foreign writers) keep the documented
+                    # skip-entirely contract below.
+                    raise ValueError(
+                        f"arrowipc stream over {self._path}: version {v} "
+                        f"removes {len(removed)} part file(s) AND its "
+                        "manifest records adds_new_rows=true (a rewrite "
+                        "commit that also inserted logical rows, e.g. a "
+                        "MERGE) — skipChangeCommits would silently drop "
+                        "the inserted rows. Use ignoreChanges=true "
+                        "(accepting re-delivery of the rewritten rows) "
+                        "or restart from a fresh checkpoint.")
                 # The commit rewrites rows already emitted and (per the
                 # option's contract) adds no logical rows — skip it
                 # ENTIRELY so nothing is re-delivered; later versions

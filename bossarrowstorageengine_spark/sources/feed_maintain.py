@@ -151,7 +151,8 @@ def compact_feed_thru(
         # for time travel until vacuum.
         try:
             version = _write_manifest(path, promoted, replace=False,
-                                      remove=in_scope)
+                                      remove=in_scope,
+                                      adds_new_rows=False)
         except ConcurrentWriteConflict:
             # Same orphan rule as compact_arrowipc: an unpublished
             # checkpoint is invisible and must not linger on disk.

@@ -195,7 +195,8 @@ def compact_arrowipc(
     if snapshotted:
         try:
             out["version"] = _write_manifest(
-                path, promoted_paths, replace=False, remove=before)
+                path, promoted_paths, replace=False, remove=before,
+                adds_new_rows=False)
         except ConcurrentWriteConflict:
             # Same orphan-cleanup rule as the CoW rewrite: an unpublished
             # compaction output is invisible and must not linger.
@@ -556,8 +557,12 @@ def _cow_rewrite(
            "rows_appended": n_extra}
     if snapshotted and (promoted or affected_orig):
         try:
+            # dataChange hint for skipChangeCommits consumers: DELETE /
+            # UPDATE rewrites carry no new logical rows; a MERGE whose
+            # not-matched arm inserted rows does (n_extra > 0).
             out["version"] = _write_manifest(
-                path, promoted, replace=False, remove=affected_orig)
+                path, promoted, replace=False, remove=affected_orig,
+                adds_new_rows=n_extra > 0)
         except ConcurrentWriteConflict:
             # Our commit lost a write-write race: the promoted files were
             # never published, so no reader can reference them — remove

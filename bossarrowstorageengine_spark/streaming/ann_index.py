@@ -230,7 +230,7 @@ def compact_index(spark: SparkSession, idx_dir: str, thru: int,
             promoted.append(dst)
         try:
             _write_manifest(idx_dir, promoted, replace=False,
-                            remove=in_scope)
+                            remove=in_scope, adds_new_rows=False)
         except ConcurrentWriteConflict:
             for p in promoted:
                 for victim in (p, stats_path(p)):

@@ -27,3 +27,181 @@ def test_readme_query_count_matches_registry():
         f"README.md says {m.group(1)} queries; registry has "
         f"{len(QUERIES)} — update the README operators/ line"
     )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13: arrowipc stream-reader hardening
+# ---------------------------------------------------------------------------
+
+
+def _snap_ids(spark, table, lo, hi):
+    import pyspark.sql.functions as F
+
+    df = spark.range(lo, hi).select(
+        "id", (F.col("id") % 2).cast("string").alias("grp"))
+    (df.coalesce(1).write.format("arrowipc")
+     .option("snapshots", "true").mode("append").save(table))
+
+
+def test_starting_version_past_head_rejected(spark, tmp_path):
+    """startingVersion beyond head+1 fails at reader construction with an
+    error naming the option and the head — not inside the first planned
+    batch with a missing-manifest message (ADVICE r13)."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 4)   # head = v1
+    schema = StructType.fromDDL("id bigint, grp string")
+    with pytest.raises(ValueError, match="past the table head"):
+        ArrowIPCStreamReader(schema, {"path": table, "startingVersion": "3"})
+    # head+1 is the documented snapshot-then-follow anchor — still valid
+    r = ArrowIPCStreamReader(schema, {"path": table, "startingVersion": "2"})
+    assert r.initialOffset() == {"v": 1}
+
+
+def test_starting_version_vacuumed_baseline_rejected(spark, tmp_path):
+    """startingVersion whose baseline manifest (version N-1) was vacuumed
+    fails at construction with the oldest retained version named, instead
+    of a FileNotFoundError from the first batch's baseline read."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader, _manifest_versions)
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        vacuum_arrowipc)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 3)    # v1
+    _snap_ids(spark, table, 3, 6)    # v2
+    _snap_ids(spark, table, 6, 9)    # v3
+    vacuum_arrowipc(table, keep_versions=1)
+    vs = _manifest_versions(table)
+    assert vs == [3]
+    schema = StructType.fromDDL("id bigint, grp string")
+    with pytest.raises(ValueError, match="vacuumed"):
+        ArrowIPCStreamReader(schema, {"path": table, "startingVersion": "3"})
+    # anchor at head+1 never needs the dropped baselines
+    r = ArrowIPCStreamReader(schema, {"path": table, "startingVersion": "4"})
+    assert r.initialOffset() == {"v": 3}
+
+
+def test_starting_timestamp_non_monotonic_commits(spark, tmp_path):
+    """A commit-time DIP (recorded ts mixed with mtime fallback, or clock
+    skew) cannot skip a qualifying commit: resolution canonicalizes
+    monotonicity with a running max (the Delta rule), so the anchor is
+    the earliest version whose effective time reaches it and every later
+    version is delivered regardless of its raw ts (ADVICE r13)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader, _manifest_file)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 3)    # v1
+    _snap_ids(spark, table, 3, 6)    # v2
+    _snap_ids(spark, table, 6, 9)    # v3
+    # Force a non-monotonic recorded sequence: 100, 50 (dip), 200.
+    for v, ts in ((1, 100.0), (2, 50.0), (3, 200.0)):
+        mf = _manifest_file(table, v)
+        doc = json.loads(open(mf).read())
+        doc["ts"] = ts
+        with open(mf, "w") as f:
+            json.dump(doc, f)
+    schema = StructType.fromDDL("id bigint, grp string")
+    # anchor=60: v1's effective ts (100) already qualifies → tail starts
+    # at v1 and the dipped v2 rides along (initialOffset is exclusive).
+    r = ArrowIPCStreamReader(schema, {"path": table,
+                                      "startingTimestamp": "60"})
+    assert r.initialOffset() == {"v": 0}
+    # anchor=150: effective times are 100, 100, 200 → v3.
+    r = ArrowIPCStreamReader(schema, {"path": table,
+                                      "startingTimestamp": "150"})
+    assert r.initialOffset() == {"v": 2}
+
+
+def test_skip_change_commits_mixed_commit_fails(spark, tmp_path):
+    """skipChangeCommits must FAIL on a mixed commit — one that rewrites
+    files AND inserted new logical rows (MERGE with a not-matched arm) —
+    instead of silently dropping the inserts; pure rewrites (compaction,
+    insert-free MERGE) still skip silently (ADVICE r13)."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader, _load_manifest_doc, _manifest_versions)
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        compact_arrowipc, merge_arrowipc)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 4)    # v1
+    _snap_ids(spark, table, 4, 8)    # v2
+
+    # v3: compaction — a pure rewrite, hint False, skipped silently.
+    compact_arrowipc(spark, table, target_files=1)
+    assert _load_manifest_doc(table, 3)["adds_new_rows"] is False
+
+    schema = StructType.fromDDL("id bigint, grp string")
+    reader = ArrowIPCStreamReader(
+        schema, {"path": table, "skipChangeCommits": "true"})
+    head = _manifest_versions(table)[-1]
+    files = reader._added_files(0, head)
+    # v1+v2 adds delivered once; the compaction contributed nothing.
+    assert len(files) == 2
+
+    # v4: MERGE updating id=0 and inserting id=100 — a MIXED commit.
+    src = spark.createDataFrame(
+        [(0, "x"), (100, "y")], "id bigint, grp string")
+    res = merge_arrowipc(spark, table, src, key="id")
+    assert res["rows_inserted"] == 1
+    head = _manifest_versions(table)[-1]
+    assert _load_manifest_doc(table, head)["adds_new_rows"] is True
+    with pytest.raises(ValueError, match="adds_new_rows"):
+        reader._added_files(0, head)
+
+    # Legacy manifests (no hint) keep the documented skip contract.
+    mf_doc = _load_manifest_doc(table, head)
+    del mf_doc["adds_new_rows"]
+    from bossarrowstorageengine_spark.sources.arrowipc import _manifest_file
+
+    with open(_manifest_file(table, head), "w") as f:
+        json.dump(mf_doc, f)
+    assert len(reader._added_files(0, head)) >= 2   # skipped, no raise
+
+
+def test_update_delete_commits_record_no_new_rows(spark, tmp_path):
+    """UPDATE and DELETE are pure rewrites: their commits carry
+    adds_new_rows=false, so skipChangeCommits streams sail through."""
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _load_manifest_doc, _manifest_versions)
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        delete_arrowipc, update_arrowipc)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 6)    # v1
+    update_arrowipc(spark, table, "id = 1", {"grp": "'z'"})
+    delete_arrowipc(spark, table, "id = 2")
+    vs = _manifest_versions(table)
+    assert len(vs) == 3
+    for v in vs[1:]:
+        assert _load_manifest_doc(table, v)["adds_new_rows"] is False
+    # the plain append (v1) records no hint — nothing was removed
+    assert "adds_new_rows" not in _load_manifest_doc(table, vs[0])
