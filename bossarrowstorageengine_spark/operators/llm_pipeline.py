@@ -4556,6 +4556,16 @@ def q_dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PURGE_TEXT_PRED = "doc_id % 3 = 0"
 
 
+def _no_purged_members(surv: DataFrame, purged_ids: DataFrame) -> bool:
+    """RTBF membership audit: True iff no purged ``doc_id`` appears in
+    the (persisted, re-read) survivor cluster table.  Factored out so
+    the negative arm is pytest-pinable — called on a table that DOES
+    contain a purged member it returns False (ADVICE r13: the previous
+    in-plan check audited the frame against the very anti-join that
+    built it, so it could never fail)."""
+    return surv.join(purged_ids, "doc_id").count() == 0
+
+
 def _purge_text_oracle() -> str:
     """DuckDB twin of the document-space purge: the shared pipeline CTE
     chain to ``members``, then survivors, per-cluster keeper handoff
@@ -4602,20 +4612,36 @@ def q_purge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       counts, an O(purged-docs) delta, never a corpus rescan — and
       engine-verified equal to a from-scratch df over the survivors
       (``df_incremental_matches``).
-    - **Membership audit**: no purged doc_id survives in the cluster
-      table (``no_purged_members``).
+    - **Membership audit**: no purged doc_id survives in the PERSISTED
+      cluster table (``no_purged_members``) — the survivor table is
+      written out and RE-READ before auditing (ADVICE r13: checking the
+      in-plan ``left_anti`` frame against the same purged set it was
+      built from could never fail; the audit must attest the artifact
+      downstream consumers actually read).
 
     Scale: the cluster stages are the attested bounded-bucket shapes;
     the df delta joins purged-doc tokens only; the audits are the
     periodic sampling arm.  Purge predicate ``{_PURGE_TEXT_PRED}`` —
     uniform over doc ids, so keeper handoffs provably occur (pytest
     asserts non-vacuity)."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     _, edges = _pipeline_edges(d)
     members = _cc_min_label(edges).localCheckpoint()
 
     purged_ids = d.filter(_PURGE_TEXT_PRED).select("doc_id")
-    surv = members.join(purged_ids, "doc_id", "left_anti")
+    # Persist the post-purge cluster table, then derive the output AND
+    # the membership audit from the re-read — an independent artifact,
+    # so a bug that leaked purged members into the written table would
+    # flip the flag (and a purged row planted in the table DOES flip
+    # it; pytest pins that arm).
+    out_dir = os.path.join(_scratch(sf_dir, "purge_text"), "clusters")
+    (members.join(purged_ids, "doc_id", "left_anti")
+     .write.mode("overwrite").parquet(out_dir))
+    surv = spark.read.parquet(out_dir)
     clusters = surv.groupBy("cluster_id").agg(
         F.min("doc_id").cast("long").alias("new_keeper"),
         F.count(F.lit(1)).cast("long").alias("n_survivors"))
@@ -4634,7 +4660,7 @@ def q_purge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ok = (df_inc.exceptAll(df_direct).count() == 0
              and df_direct.exceptAll(df_inc).count() == 0)
 
-    no_purged = surv.join(purged_ids, "doc_id").count() == 0
+    no_purged = _no_purged_members(surv, purged_ids)
 
     return clusters.join(
         purged_ids.select(F.col("doc_id").alias("cluster_id"))

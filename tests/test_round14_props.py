@@ -11,6 +11,8 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
+import pyspark.sql.functions as F
+
 from bossarrowstorageengine_spark.operators import QUERIES
 
 REPO = Path(__file__).resolve().parents[1]
@@ -183,6 +185,42 @@ def test_skip_change_commits_mixed_commit_fails(spark, tmp_path):
     with open(_manifest_file(table, head), "w") as f:
         json.dump(mf_doc, f)
     assert len(reader._added_files(0, head)) >= 2   # skipped, no raise
+
+
+def test_purge_text_audit_reads_persisted_table(spark):
+    """q_purge_text's membership audit now attests the PERSISTED cluster
+    table (ADVICE r13: the old in-plan check was vacuous).  Pin both
+    arms: the real run persists a table and the audit passes; the same
+    audit on a table with a planted purged member FAILS."""
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _no_purged_members)
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+
+    rows = QUERIES["q_purge_text"](spark, SF).collect()
+    assert rows and all(r.no_purged_members for r in rows)
+    assert all(r.df_incremental_matches for r in rows)
+
+    # The persisted survivor table exists and is what the audit read.
+    import os
+
+    out_dir = os.path.join(
+        _SCRATCH_ROOT, os.path.basename(SF), "purge_text", "clusters")
+    surv = spark.read.parquet(out_dir)
+    purged = spark.createDataFrame(
+        [(int(r.cluster_id),) for r in rows if r.keeper_changed],
+        "doc_id bigint")
+    assert purged.count() > 0            # handoffs occurred (non-vacuous)
+    assert _no_purged_members(surv, purged)
+
+    # Negative arm: plant a purged member into a copy of the table —
+    # the audit must flip.  This is the failure the old check could
+    # never express.
+    planted = surv.unionByName(
+        purged.limit(1).select(
+            F.col("doc_id"),
+            *[F.lit(None).cast(surv.schema[c].dataType).alias(c)
+              for c in surv.columns if c != "doc_id"]).select(surv.columns))
+    assert not _no_purged_members(planted, purged)
 
 
 def test_update_delete_commits_record_no_new_rows(spark, tmp_path):
