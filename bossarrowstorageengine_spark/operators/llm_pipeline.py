@@ -1203,15 +1203,12 @@ def _ivf_nearest(vecs: DataFrame, cents: DataFrame, n: int,
         .filter(F.col("crn") <= n).drop("crn", "sim")
 
 
-def _ivf_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
-                                                          DataFrame]:
-    """Micro-unit integer vectors + the trained coarse quantizer
-    (seed → ``_IVF_ITERS`` exact-integer Lloyd passes).  Returns
-    ``(iv, cents)`` — factored so the recall report composes the SAME
-    training chain as ``q_ann_ivf`` (the `_ann_sig_probe_ctes`
-    discipline: one definition, no drift)."""
-    iv = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
+def _ivf_lloyd(iv: DataFrame) -> DataFrame:
+    """The exact-integer Lloyd chain (seed = k lowest vec_ids →
+    ``_IVF_ITERS`` assign/recompute passes) over micro-unit vectors
+    ``(vec_id, iemb)``.  Factored from ``_ivf_train`` so the maintained
+    key's RE-TRAIN arm can run the identical chain on a mutated corpus
+    snapshot (one definition, no drift)."""
     # Seed: the k lowest vec_ids (TakeOrdered — no global-window shuffle),
     # numbered by a window over just those k rows.
     seeds = iv.orderBy("vec_id").limit(_IVF_K)
@@ -1233,7 +1230,19 @@ def _ivf_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
                 lambda s: s.m).alias("cent"))
         )
-    return iv, cents
+    return cents
+
+
+def _ivf_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
+                                                          DataFrame]:
+    """Micro-unit integer vectors + the trained coarse quantizer
+    (seed → ``_IVF_ITERS`` exact-integer Lloyd passes).  Returns
+    ``(iv, cents)`` — factored so the recall report composes the SAME
+    training chain as ``q_ann_ivf`` (the `_ann_sig_probe_ctes`
+    discipline: one definition, no drift)."""
+    iv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
+    return iv, _ivf_lloyd(iv)
 
 
 def _ivf_candidates(iv: DataFrame, cents: DataFrame) -> DataFrame:
@@ -3161,14 +3170,13 @@ def _ann_idx_changes(pre: DataFrame, post: DataFrame,
                     F.lit(seq).cast("long").alias("commit_seq")))
 
 
-def _ann_mutation_feed(spark: SparkSession, sf_dir: str,
-                       base: str) -> tuple[str, str]:
-    """The shared index-maintenance fixture (batch key + streaming
-    maintainer): the embedding table at ``base/src`` mutated through the
-    declared UPDATE (vector negation — exact in IEEE floats, flips every
-    projection sign so updates provably re-bucket) and DELETE, and its
-    TWO bucket-grain feed commits at ``base/feed`` (one write job).
-    Returns ``(src, feed)``."""
+def _ann_mutated_src(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """The shared mutating-corpus fixture: the embedding table persisted
+    at ``base/src`` (snapshot v1), then the declared CoW UPDATE (vector
+    negation — exact in IEEE floats) as v2 and the DELETE as v3.
+    Factored from ``_ann_mutation_feed`` so the IVF-maintained key can
+    derive its ASSIGNMENT-grain feed from the same three versions the
+    LSH keys diff at the bucket grain."""
     import os
 
     from bossarrowstorageengine_spark.sources import register_arrowipc
@@ -3179,7 +3187,6 @@ def _ann_mutation_feed(spark: SparkSession, sf_dir: str,
 
     register_arrowipc(spark)
     src = os.path.join(base, "src")
-    feed = os.path.join(base, "feed")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
     (e.repartition(4).write.format("arrowipc")
@@ -3190,6 +3197,21 @@ def _ann_mutation_feed(spark: SparkSession, sf_dir: str,
                     schema=e.schema)
     delete_arrowipc(spark, src, _ANN_IDX_DELETE_PRED, compression="lz4",
                     predicate_columns=["vec_id"], schema=e.schema)
+    return src
+
+
+def _ann_mutation_feed(spark: SparkSession, sf_dir: str,
+                       base: str) -> tuple[str, str]:
+    """The shared index-maintenance fixture (batch key + streaming
+    maintainer): the embedding table at ``base/src`` mutated through the
+    declared UPDATE (vector negation — exact in IEEE floats, flips every
+    projection sign so updates provably re-bucket) and DELETE, and its
+    TWO bucket-grain feed commits at ``base/feed`` (one write job).
+    Returns ``(src, feed)``."""
+    import os
+
+    src = _ann_mutated_src(spark, sf_dir, base)
+    feed = os.path.join(base, "feed")
     b1, b2, b3 = (_ann_bucketed(_ann_snap(spark, src, v))
                   for v in ("1", "2", None))
     (_ann_idx_changes(b1, b2, 1).unionByName(_ann_idx_changes(b2, b3, 2))
@@ -3417,6 +3439,301 @@ def q_ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 6).alias("cos_sim"),
             "rn",
         )
+    )
+
+
+#: Re-train triggers for the maintained IVF index (scenario-calibrated,
+#: both robust at every test SF): centroid shift is q_embedding_drift's
+#: metric between the frozen-training corpus and the head (the negation
+#: mutation shifts it to 0.017-0.039 across sf0.001-0.1, an order above
+#: a stable corpus's ~0); assignment churn is the fraction of the
+#: frozen-generation corpus whose inverted-list assignment changed or
+#: died (~0.31 here — the signal an IVF operator actually watches, since
+#: churned assignments are what degrade list balance and recall).
+_IVF_DRIFT_SHIFT_MIN = 0.01
+_IVF_CHURN_MIN = 0.10
+
+
+def _ivf_assign_frozen(vecs: DataFrame, cents: DataFrame,
+                       part_cols: tuple[str, ...] = ("vec_id",)
+                       ) -> DataFrame:
+    """Nearest FROZEN centroid per vector (tie → lower centroid_id) —
+    ``_ivf_nearest``'s rule with an explicit window key, so per-commit
+    delta assignment can key on (vec_id, commit_seq) and a vector
+    re-assigned by two different commits never mixes ranks."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _ivf_cos(F.col("iemb"), F.col("cent")))
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col("sim").desc(), F.asc("centroid_id"))
+    return (scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1).drop("crn", "sim", "cent"))
+
+
+def _ivf_vec_changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
+    """One VECTOR-grain source commit: the keyed diff of two corpus
+    snapshots (micro-unit vectors), carrying both sides' embeddings so
+    the maintainer can compute pre- and post-assignments for exactly the
+    changed rows — the O(Δ) contract."""
+    j = (pre.select("vec_id", F.col("iemb").alias("e_pre"))
+         .join(post.select("vec_id", F.col("iemb").alias("e_post")),
+               "vec_id", "full_outer"))
+    change = (
+        F.when(F.col("e_post").isNull(), F.lit("delete"))
+        .when(F.col("e_pre").isNull(), F.lit("insert"))
+        .when(F.col("e_pre") != F.col("e_post"), F.lit("update"))
+        .otherwise(F.lit("same")))
+    return (j.withColumn("change", change)
+            .filter(F.col("change") != "same")
+            .select("vec_id", "e_pre", "e_post", "change",
+                    F.lit(seq).cast("long").alias("commit_seq")))
+
+
+_ANN_IVF_MAINTAINED_ORACLE = f"""
+    WITH {{ivf_ctes}}, mut_iv AS (
+        SELECT vec_id,
+               list_transform(
+                   CASE WHEN vec_id % 7 = 3
+                        THEN list_transform(embedding, x -> -x)
+                        ELSE embedding END,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_IVF_MICRO}, 0)
+                             AS BIGINT)) AS iemb
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), massign AS MATERIALIZED (
+        SELECT vec_id, iemb, centroid_id FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {{cos_vc}} DESC, c.centroid_id) AS rn
+            FROM mut_iv v CROSS JOIN cent{_IVF_ITERS} c
+        ) WHERE rn = 1
+    ), mprobes AS (
+        SELECT probe_id, piemb, centroid_id FROM (
+            SELECT v.vec_id AS probe_id, v.iemb AS piemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {{cos_vc}} DESC, c.centroid_id) AS rn
+            FROM mut_iv v CROSS JOIN cent{_IVF_ITERS} c
+            WHERE v.vec_id IN (1, 2, 3)
+        ) WHERE rn <= {_IVF_NPROBE}
+    ), ranked AS (
+        SELECT p.probe_id, l.vec_id, {{cos_pl}} AS cos_sim,
+               row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY {{cos_pl}} DESC, l.vec_id) AS rn
+        FROM mprobes p JOIN massign l
+          ON p.centroid_id = l.centroid_id AND l.vec_id <> p.probe_id
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(vec_id  AS BIGINT) AS vec_id,
+           round(cos_sim, 6)       AS cos_sim,
+           CAST(rn AS BIGINT)      AS rn,
+           CAST(0 AS BIGINT)       AS generation,
+           TRUE                    AS index_consistent,
+           TRUE                    AS retrain_due,
+           TRUE                    AS gen1_trained
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("q_ann_ivf_maintained",
+       oracle=_ANN_IVF_MAINTAINED_ORACLE
+       .replace("{ivf_ctes}", _ivf_ctes())
+       .replace("{cos_vc}", _ivf_cos_sql("v.iemb", "c.cent"))
+       .replace("{cos_pl}", _ivf_cos_sql("p.piemb", "l.iemb")))
+def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX MAINTENANCE UNDER MUTATIONS (SURVEY §7 round-14 runway
+    item 2; VERDICT r13 next-round item 2): the LSM maintenance pattern
+    applied to the TRAINED index family.  ``q_ann_lsh_maintained``
+    proved search-over-the-maintained-index for data-independent
+    hashing; real ANN deployments run TRAINED quantizers (IVF/PQ), and
+    until now a corpus mutation forced a from-scratch re-train.  Here:
+
+    - **Frozen generation 0**: ``q_ann_ivf``'s exact-integer Lloyd
+      chain trains the coarse quantizer ONCE on the v1 corpus; the
+      generation's inverted lists (vec_id → centroid_id, stored as the
+      LSM machinery's ``bucket``) are seeded as the base segment of a
+      persisted LSM index (``seed_index`` — the one corpus-sized
+      build).
+    - **Delta maintenance against FROZEN centroids**: each source
+      commit (the shared CoW UPDATE-negation + DELETE scenario) yields
+      a VECTOR-grain diff; pre- and post-embeddings of ONLY the changed
+      rows are assigned to the frozen quantizer (O(Δ·k) with k
+      broadcast centroids), assignment-preserving updates are dropped
+      as index-noise (the LSH feed's 'same' rule), and the surviving
+      moves/deletes land as one delta segment per commit
+      (``apply_index_batch`` — idempotent on the segment high-water).
+    - **Drift-triggered re-train**: ``retrain_due`` composes
+      ``q_embedding_drift``'s centroid-shift monitor (frozen-corpus
+      mean vs head mean, L2 over dims) with assignment churn (fraction
+      of gen-0 vectors whose list changed or died); either crossing its
+      floor flags a new generation.  The trigger FIRES here (the
+      negation mutation is calibrated to), and the re-train actually
+      RUNS: the same Lloyd chain on the head corpus trains generation
+      1, whose complete inverted lists are seeded as a second index
+      generation — ``gen1_trained`` attests k centroids + full
+      assignment coverage.
+    - **Search reads (generation, merge-on-read assignments)**: the
+      probe chain consumes ``read_index`` state ONLY (base + delta
+      segments, last-wins, tombstones dropped); probes rank candidates
+      from their ``nprobe`` nearest frozen centroids by exact-integer
+      cosine.  ``index_consistent`` engine-verifies the maintained
+      lists against a from-scratch assignment of the head corpus (the
+      audit arm — the only corpus-sized pass besides builds).
+
+    The EXACT oracle replays the frozen generation end-to-end: the
+    Lloyd chain from ``_ivf_ctes`` (byte-shared with ``q_ann_ivf``),
+    the mutated corpus re-assigned to the frozen centroids, and the
+    probe ranking; the re-train trigger and generation-1 completeness
+    are boolean attestations (a from-scratch Lloyd replay of the
+    mutated corpus is SQL-expressible but adds nothing the gen-0 chain
+    has not already proven about the training arithmetic).
+
+    Scale: maintenance is O(Δ·k) per commit against a broadcast
+    centroid table; the index is (vec_id, centroid_id) — bucket on
+    vec_id to co-locate the last-wins window; search is an equi-join of
+    ``nprobe/k`` of the corpus against broadcast probes; audits and
+    re-trains are the scheduled passes, never the refresh path."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        apply_index_batch,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "ann_ivf_maint")
+    idx = os.path.join(base, "idx")
+    idx_gen1 = os.path.join(base, "idx_gen1")
+    feed = os.path.join(base, "feed")
+    src = _ann_mutated_src(spark, sf_dir, base)
+
+    # Frozen generation-0 quantizer: q_ann_ivf's training chain on the
+    # v1 corpus (== the embeddings table).  16 rows, checkpointed — it
+    # feeds the seed, both delta assignments, the audit and the probes.
+    iv, cents = _ivf_train(spark, sf_dir)
+    cents = cents.localCheckpoint()
+
+    # one corpus-sized build: gen-0 inverted lists as the base segment
+    seed_index(idx, _ivf_assign_frozen(iv, cents).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket")))
+
+    def _snap_iv(ver: str | None) -> DataFrame:
+        return _ann_snap(spark, src, ver).select(
+            "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
+
+    # Vector-grain commit diffs (checkpointed: each feeds two
+    # assignment branches — the arrowipc plan-cache rule; s1 also
+    # feeds the drift monitor below, head feeds five branches).
+    s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
+    head = _snap_iv(None).localCheckpoint()
+    ch = (_ivf_vec_changes(s1, s2, 1)
+          .unionByName(_ivf_vec_changes(s2, head, 2))
+          .localCheckpoint())
+
+    # Delta assignment against the FROZEN quantizer — changed rows only.
+    keys = ("vec_id", "commit_seq")
+    new_a = _ivf_assign_frozen(
+        ch.filter(F.col("change") != "delete")
+        .select("vec_id", "commit_seq", "change",
+                F.col("e_post").alias("iemb")),
+        cents, keys).withColumnRenamed("centroid_id", "c_new")
+    old_a = _ivf_assign_frozen(
+        ch.filter(F.col("change") == "update")
+        .select("vec_id", "commit_seq", F.col("e_pre").alias("iemb")),
+        cents, keys).select("vec_id", "commit_seq",
+                            F.col("centroid_id").alias("c_old"))
+    moved = (new_a.join(old_a, list(keys), "left")
+             .filter(F.col("c_old").isNull()
+                     | (F.col("c_old") != F.col("c_new"))))
+    feed_df = (
+        moved.select(
+            "vec_id", F.col("c_new").cast("int").alias("bucket"),
+            F.when(F.col("change") == "insert", F.lit("insert"))
+            .otherwise(F.lit("rebucket")).alias("change"), "commit_seq")
+        .unionByName(
+            ch.filter(F.col("change") == "delete")
+            .select("vec_id", F.lit(None).cast("int").alias("bucket"),
+                    F.lit("delete").alias("change"), "commit_seq")))
+    (feed_df.write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "vec_id,bucket,change,commit_seq")
+                 .schema("vec_id long, bucket int, change string, "
+                         "commit_seq long")
+                 .load(feed))
+    apply_index_batch(feed_rows, 0, idx)
+    maintained = read_index(spark, idx).localCheckpoint()
+
+    # Audit: maintained lists == from-scratch frozen assignment of the
+    # head corpus (per-list count + id checksum).
+    direct = _ivf_assign_frozen(head, cents).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
+    got = maintained.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"))
+    want = direct.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n2"), F.sum("vec_id").alias("s2"))
+    consistent = (got.join(want, "bucket", "full_outer")
+                  .filter((F.coalesce("n", F.lit(0))
+                           != F.coalesce("n2", F.lit(0)))
+                          | (F.coalesce("s", F.lit(0))
+                             != F.coalesce("s2", F.lit(0))))
+                  .count() == 0)
+
+    # Re-train trigger: centroid-shift monitor (q_embedding_drift's
+    # metric, frozen corpus vs head) OR assignment churn.
+    def _mean_dims(df: DataFrame, m: str) -> DataFrame:
+        return (df.select(F.posexplode("iemb").alias("dim", "x"))
+                .groupBy("dim")
+                .agg((F.sum("x").cast("double") / F.count(F.lit(1))
+                      / _IVF_MICRO).alias(m)))
+
+    shift = (_mean_dims(s1, "m0")
+             .join(_mean_dims(head, "m1"), "dim")
+             .agg(F.sqrt(F.sum((F.col("m0") - F.col("m1"))
+                               * (F.col("m0") - F.col("m1")))))
+             .collect()[0][0])
+    n_gen0 = iv.count()
+    churn = feed_rows.select("vec_id").distinct().count() / n_gen0
+    retrain_due = bool(shift > _IVF_DRIFT_SHIFT_MIN
+                       or churn > _IVF_CHURN_MIN)
+
+    # The triggered re-train: generation 1 = the SAME Lloyd chain on
+    # the head corpus, its complete lists seeded as a fresh generation.
+    cents1 = _ivf_lloyd(head).localCheckpoint()
+    gen1_lists = _ivf_assign_frozen(head, cents1).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
+    seed_index(idx_gen1, gen1_lists)
+    gen1 = read_index(spark, idx_gen1)
+    gen1_trained = bool(
+        cents1.count() == _IVF_K and gen1.count() == head.count())
+
+    # Search over the FROZEN generation: candidates' list membership
+    # comes ONLY from the maintained index; embeddings from the head.
+    probes = (head.filter(F.col("vec_id").isin(1, 2, 3))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("iemb").alias("piemb")))
+    scored = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", _ivf_cos(F.col("piemb"), F.col("cent")))
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.asc("centroid_id"))
+    probe_lists = (scored.withColumn("crn", F.row_number().over(wp))
+                   .filter(F.col("crn") <= _IVF_NPROBE)
+                   .select("probe_id", "piemb",
+                           F.col("centroid_id").cast("int")
+                           .alias("bucket")))
+    cands = (maintained.join(head, "vec_id")
+             .join(F.broadcast(probe_lists), "bucket")
+             .filter(F.col("vec_id") != F.col("probe_id")))
+    return _ivf_topk(cands).select(
+        "probe_id", "vec_id", "cos_sim", "rn",
+        F.lit(0).cast("long").alias("generation"),
+        F.lit(consistent).alias("index_consistent"),
+        F.lit(retrain_due).alias("retrain_due"),
+        F.lit(gen1_trained).alias("gen1_trained"),
     )
 
 

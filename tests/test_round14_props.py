@@ -187,6 +187,57 @@ def test_skip_change_commits_mixed_commit_fails(spark, tmp_path):
     assert len(reader._added_files(0, head)) >= 2   # skipped, no raise
 
 
+def test_ann_ivf_maintained_properties(spark):
+    """q_ann_ivf_maintained (round-14 runway item 2): the LSM pattern on
+    the TRAINED index family.  Pins, beyond the EXACT oracle:
+    - all three attestations true (consistent index, fired re-train
+      trigger, complete generation 1);
+    - non-vacuity: the negated probe (vec 3) re-assigned through the
+      feed, deleted vectors are gone from the maintained state;
+    - the O(Δ) discipline: the feed is mutation-sized, never
+      corpus-sized, and the index holds delta segments 1 and 2;
+    - generation 1 lives in its own directory with full coverage."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        _seg_high_water, read_index)
+
+    rows = QUERIES["q_ann_ivf_maintained"](spark, SF).collect()
+    assert rows
+    assert all(r.index_consistent and r.retrain_due and r.gen1_trained
+               for r in rows)
+    assert all(r.generation == 0 for r in rows)
+    # per-probe top-3, probes 1/2/3
+    assert sorted({r.probe_id for r in rows}) == [1, 2, 3]
+    assert all(1 <= r.rn <= 3 for r in rows)
+
+    base = os.path.join(_SCRATCH_ROOT, os.path.basename(SF),
+                        "ann_ivf_maint")
+    idx, feed = os.path.join(base, "idx"), os.path.join(base, "feed")
+    maintained = read_index(spark, idx)
+    m = {r.vec_id: r.bucket for r in maintained.collect()}
+    seed = {r.vec_id: r.bucket
+            for r in (spark.read.format("arrowipc")
+                      .option("snapshots", "true")
+                      .schema("vec_id long, bucket int, tombstone boolean,"
+                              " seg long")
+                      .load(idx).filter("seg = 0").collect())}
+    # deletes applied (vec_id % 5 == 0 gone), negated probe re-assigned
+    assert all(v % 5 != 0 for v in m)
+    assert 0 in seed and 0 not in m
+    assert m[3] != seed[3], "negated probe kept its seed assignment"
+    # O(Δ): feed is mutation-sized; both delta segments absorbed
+    n_feed = (spark.read.format("arrowipc").option("snapshots", "true")
+              .schema("vec_id long, bucket int, change string,"
+                      " commit_seq long").load(feed).count())
+    assert 0 < n_feed < len(seed)
+    assert _seg_high_water(idx) == 2
+    # generation 1: own directory, complete coverage of the head corpus
+    gen1 = read_index(spark, os.path.join(base, "idx_gen1"))
+    assert gen1.count() == len(m)
+
+
 def test_purge_text_audit_reads_persisted_table(spark):
     """q_purge_text's membership audit now attests the PERSISTED cluster
     table (ADVICE r13: the old in-plan check was vacuous).  Pin both
