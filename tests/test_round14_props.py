@@ -238,6 +238,49 @@ def test_ann_ivf_maintained_properties(spark):
     assert gen1.count() == len(m)
 
 
+def test_purge_derived_properties(spark):
+    """q_purge_derived (round-14 runway item 2c): the purge reaches the
+    two derived artifacts that lacked RTBF faces.  Pins beyond the EXACT
+    oracle: all audits true, the purge actually bit (purged docs existed
+    and are gone from the persisted pack map), the CoW rewrite touched
+    only affected-shard files, and the version tags line up."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+    from bossarrowstorageengine_spark.operators.training_data import (
+        _PURGE_DERIVED_PRED)
+
+    rows = QUERIES["q_purge_derived"](spark, SF).collect()
+    assert rows
+    assert all(r.pack_purged and r.pack_matches_scratch
+               and r.untouched_preserved and r.fanout_consistent
+               and r.fanout_rollup_holds for r in rows)
+    assert all(r.src_purge_version == 2 and r.feed_purge_commit == 1
+               and r.pack_purge_version == 2 and r.mv_purge_version == 2
+               for r in rows)
+    arts = {r.artifact for r in rows}
+    assert arts == {"pack", "mv_lang", "mv_lang_source"}
+
+    base = os.path.join(_SCRATCH_ROOT, os.path.basename(SF),
+                        "purge_derived")
+    pack = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("columns", "bucket,doc_id")
+            .schema("bucket int, doc_id long")
+            .load(os.path.join(base, "pack")))
+    purged = (spark.read.format("arrowipc").option("version", "1")
+              .option("columns", "doc_id").schema("doc_id long")
+              .load(os.path.join(base, "src"))
+              .filter(_PURGE_DERIVED_PRED))
+    n_purged = purged.count()
+    assert n_purged > 0                       # the purge bit something
+    assert pack.join(purged, "doc_id", "semi").count() == 0
+    # head pack shrank by exactly the purged docs
+    assert pack.count() == (
+        spark.read.format("arrowipc").option("version", "1")
+        .option("columns", "doc_id").schema("doc_id long")
+        .load(os.path.join(base, "pack")).count() - n_purged)
+
+
 def test_purge_text_audit_reads_persisted_table(spark):
     """q_purge_text's membership audit now attests the PERSISTED cluster
     table (ADVICE r13: the old in-plan check was vacuous).  Pin both
