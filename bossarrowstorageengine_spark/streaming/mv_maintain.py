@@ -181,3 +181,160 @@ def mv_maintain_stream(spark: SparkSession, feed_dir: str, mv_dir: str,
             .foreachBatch(lambda df, bid: apply_feed_batch(df, bid, mv_dir))
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# N-grain MV FANOUT maintainer (SURVEY §7 round-14 runway item 2b) — the
+# streaming face of ``q_mv_fanout``: ONE foreachBatch consumer maintains
+# SEVERAL persisted aggregate ledgers at different grains from one feed
+# micro-batch.  The fine-grain deltas are computed ONCE per commit
+# (feed-batch-sized); every coarser grain's deltas are a rollup of them —
+# never a second feed pass, so adding a grain costs one group-sized
+# aggregation, not another stream.
+#
+# Replay-safety is per grain: each ledger's high-water ``src_commit`` is
+# checked independently, so a crash BETWEEN two grains' writes of the same
+# commit (the new window fanout introduces) re-applies only the grains
+# that missed it — the feed-position discipline of ``apply_feed_batch``
+# extended to a vector of ledgers.
+# ---------------------------------------------------------------------------
+
+
+def _grain_schema(keys: list[str]) -> str:
+    return (", ".join(f"{k} string" for k in keys)
+            + ", docs long, chars long, mv_version long, src_commit long")
+
+
+def seed_mv_fanout(grains: list[tuple[str, list[str]]],
+                   base_fine: DataFrame) -> None:
+    """Publish version 1 of every grain's ledger from ONE fine-grain base
+    aggregate: ``base_fine`` carries ``(fine keys..., docs, chars)`` (the
+    one corpus-sized pass); each grain's base is its exact
+    sum-decomposition rollup.  ``grains`` = ``[(mv_dir, key_cols), ...]``
+    with the FINE grain first; every other grain's keys must be a subset
+    of the fine grain's (the rollup requirement)."""
+    fine_keys = grains[0][1]
+    for mv_dir, keys in grains:
+        if not set(keys) <= set(fine_keys):
+            raise ValueError(
+                f"fanout grain {keys} is not a subset of the fine grain "
+                f"{fine_keys} — its deltas cannot be a rollup; feed it "
+                "from its own maintainer instead")
+        agg = (base_fine if keys == fine_keys
+               else base_fine.groupBy(*keys).agg(
+                   F.sum("docs").alias("docs"),
+                   F.sum("chars").alias("chars")))
+        (agg.select(
+            *keys, F.col("docs").cast("long"), F.col("chars").cast("long"),
+            F.lit(1).cast("long").alias("mv_version"),
+            F.lit(0).cast("long").alias("src_commit"))
+         .write.format("arrowipc").option("snapshots", "true")
+         .option("compression", "lz4").mode("append").save(mv_dir))
+
+
+def _grain_head(spark: SparkSession, mv_dir: str,
+                keys: list[str]) -> tuple[DataFrame, int, int]:
+    """``(head rows, head_version, thru_commit)`` for one grain —
+    ``_mv_head``'s two-step read with a grain-shaped schema."""
+    versions = (spark.read.format("arrowipc").option("snapshots", "true")
+                .option("columns", "mv_version,src_commit")
+                .schema("mv_version long, src_commit long").load(mv_dir))
+    head = versions.agg(F.max("mv_version").alias("v"),
+                        F.max("src_commit").alias("c")).collect()[0]
+    if head["v"] is None:
+        raise ValueError(
+            f"fanout ledger {mv_dir!r} is empty — seed every grain with "
+            "seed_mv_fanout(grains, base_fine) first")
+    rows = (spark.read.format("arrowipc").option("snapshots", "true")
+            .schema(_grain_schema(keys)).load(mv_dir)
+            .filter(F.col("mv_version") == int(head["v"])))
+    return rows, int(head["v"]), int(head["c"])
+
+
+def apply_fanout_batch(batch_df: DataFrame, batch_id: int,
+                       grains: list[tuple[str, list[str]]]) -> None:
+    """Apply one feed micro-batch to EVERY grain's ledger: one new
+    version per grain per distinct feed commit beyond THAT grain's
+    high-water.  The fine-grain deltas are computed once per commit and
+    checkpointed (group-cardinality-sized); coarser grains roll them
+    up.  Replay-safe per grain by feed position — ``batch_id`` is
+    checkpoint-scoped and appears only because foreachBatch supplies
+    it."""
+    spark = batch_df.sparkSession
+    fine_keys = grains[0][1]
+    if len(batch_df.take(1)) == 0:
+        return
+    batch = batch_df.localCheckpoint()   # sever the shared datasource plan
+    thrus = {mv_dir: _grain_head(spark, mv_dir, keys)[2]
+             for mv_dir, keys in grains}
+    floor = min(thrus.values())
+    new_commits = sorted(
+        int(r["commit_seq"])
+        for r in batch.select("commit_seq").distinct().collect()
+        if int(r["commit_seq"]) > floor)
+    for seq in new_commits:
+        fine_deltas = (batch.filter(F.col("commit_seq") == seq)
+                       .groupBy(*fine_keys).agg(
+                           F.sum((F.col("change") == "insert").cast("long")
+                                 - (F.col("change") == "delete")
+                                 .cast("long"))
+                           .cast("long").alias("docs_delta"),
+                           F.sum("delta").cast("long").alias("chars_delta"))
+                       .localCheckpoint())   # computed ONCE, N consumers
+        for mv_dir, keys in grains:
+            if seq <= thrus[mv_dir]:
+                continue   # this grain already absorbed it (crash replay)
+            deltas = (fine_deltas if keys == fine_keys
+                      else fine_deltas.groupBy(*keys).agg(
+                          F.sum("docs_delta").cast("long")
+                          .alias("docs_delta"),
+                          F.sum("chars_delta").cast("long")
+                          .alias("chars_delta")))
+            head, head_ver, _ = _grain_head(spark, mv_dir, keys)
+            new_state = (
+                head.select(*keys, "docs", "chars")
+                .join(deltas, keys, "full_outer")
+                .select(
+                    *keys,
+                    (F.coalesce("docs", F.lit(0))
+                     + F.coalesce("docs_delta", F.lit(0)))
+                    .cast("long").alias("docs"),
+                    (F.coalesce("chars", F.lit(0))
+                     + F.coalesce("chars_delta", F.lit(0)))
+                    .cast("long").alias("chars"),
+                    F.lit(head_ver + 1).cast("long").alias("mv_version"),
+                    F.lit(seq).cast("long").alias("src_commit"),
+                ))
+            (new_state.write.format("arrowipc")
+             .option("snapshots", "true").option("compression", "lz4")
+             .mode("append").save(mv_dir))
+            thrus[mv_dir] = seq
+
+
+def mv_fanout_stream(spark: SparkSession, feed_dir: str,
+                     grains: list[tuple[str, list[str]]],
+                     checkpoint_dir: str,
+                     ignore_changes: bool = False):
+    """Start the fanout maintainer: tail ``feed_dir`` and roll EVERY
+    grain's ledger forward one version per feed commit from one
+    foreachBatch.  Feed rows must carry the fine grain's key columns
+    plus ``(change, delta, commit_seq)``.  ``ignore_changes`` follows
+    ``mv_maintain_stream``'s contract (the Kafka log-compaction rule:
+    compaction may only cover commits every grain has absorbed)."""
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    fine_keys = grains[0][1]
+    cols = ",".join(fine_keys + ["change", "delta", "commit_seq"])
+    schema = (", ".join(f"{k} string" for k in fine_keys)
+              + ", change string, delta long, commit_seq long")
+    reader = (spark.readStream.format("arrowipc")
+              .option("columns", cols).schema(schema))
+    if ignore_changes:
+        reader = reader.option("ignoreChanges", "true")
+    feed = reader.load(feed_dir)
+    return (feed.writeStream
+            .foreachBatch(lambda df, bid: apply_fanout_batch(df, bid,
+                                                             grains))
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

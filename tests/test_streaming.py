@@ -2170,3 +2170,116 @@ def test_stream_starting_timestamp(spark):
                                       "startingTimestamp": iso})
     assert r.initialOffset() == {"v": 1}       # first batch = v2 onward
     shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_mv_fanout_matches_batch_twin(spark):
+    """The N-grain fanout maintainer (round 14): ONE foreachBatch rolls
+    BOTH grain ledgers forward to EXACTLY the oracle-gated batch key's
+    version table (q_mv_fanout — this differential pins the stream to
+    it), fine-grain deltas computed once and the coarse grain a rollup.
+    Then the replay arms the vector-of-ledgers design adds: full
+    redelivery is a no-op on every grain; a crash BETWEEN two grains'
+    writes of the same commit (fine absorbed it, coarse did not)
+    re-applies only the grain that missed it."""
+    import os
+    import uuid as _uuid
+
+    import __spark_entry__ as entrymod
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        _grain_schema,
+        apply_fanout_batch,
+        mv_fanout_stream,
+        seed_mv_fanout,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    # 1. the batch twin builds the shared fixture (src + feed) and
+    #    returns the oracle-gated two-grain version table
+    batch_twin = entrymod.queries()["q_mv_fanout"](spark, sf).collect()
+    assert all(r.consistent for r in batch_twin)
+    want = {(r.grain, r.mv_version, r.lang, r.source): (r.docs, r.chars)
+            for r in batch_twin}
+
+    fixture = os.path.join(_SCRATCH_ROOT, os.path.basename(sf),
+                           "mv_fanout")
+    src, feed = os.path.join(fixture, "src"), os.path.join(fixture, "feed")
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    grains = [(f"{base}/mv_fine", ["lang", "source"]),
+              (f"{base}/mv_coarse", ["lang"])]
+
+    base_fine = (spark.read.format("arrowipc").option("version", "1")
+                 .option("columns", "lang,source,n_chars")
+                 .schema("lang string, source string, n_chars long")
+                 .load(src)
+                 .groupBy("lang", "source").agg(
+                     F.count(F.lit(1)).alias("docs"),
+                     F.sum("n_chars").alias("chars")))
+    seed_mv_fanout(grains, base_fine)
+
+    # 2. stream the feed (one write job published both commits → the
+    #    fresh-checkpoint BACKLOG shape: one micro-batch, two commits,
+    #    still one version per commit per grain)
+    q = mv_fanout_stream(spark, feed, grains, f"{base}/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _rows(mv_dir, keys):
+        return (spark.read.format("arrowipc").option("snapshots", "true")
+                .schema(_grain_schema(keys)).load(mv_dir)).collect()
+
+    def _got():
+        fine = {("lang_source", r.mv_version, r.lang, r.source):
+                (r.docs, r.chars)
+                for r in _rows(grains[0][0], ["lang", "source"])}
+        coarse = {("lang", r.mv_version, r.lang, "*"): (r.docs, r.chars)
+                  for r in _rows(grains[1][0], ["lang"])}
+        return {**fine, **coarse}
+
+    assert _got() == want
+    # feed-position provenance on every grain
+    assert {r.src_commit for r in _rows(grains[0][0], ["lang", "source"])} \
+        == {0, 1, 2}
+    assert {r.src_commit for r in _rows(grains[1][0], ["lang"])} == \
+        {0, 1, 2}
+
+    def _feed_df():
+        return (spark.read.format("arrowipc").option("snapshots", "true")
+                .option("columns", "lang,source,change,delta,commit_seq")
+                .schema("lang string, source string, change string, "
+                        "delta long, commit_seq long").load(feed))
+
+    # 3. full redelivery under a fresh batch id: no-op on every grain
+    apply_fanout_batch(_feed_df(), 99, grains)
+    assert _got() == want
+
+    # 4. partial-crash replay: a second pair where the FINE grain
+    #    absorbed both commits but the coarse ledger crashed before its
+    #    writes — redelivery must advance ONLY the coarse grain, to the
+    #    identical final state
+    grains2 = [(f"{base}/mv_fine2", ["lang", "source"]),
+               (f"{base}/mv_coarse2", ["lang"])]
+    seed_mv_fanout(grains2, base_fine)
+    apply_fanout_batch(_feed_df(), 0, grains2[:1])   # fine only (crash)
+    apply_fanout_batch(_feed_df(), 1, grains2)       # recovery replay
+    fine2 = {("lang_source", r.mv_version, r.lang, r.source):
+             (r.docs, r.chars)
+             for r in _rows(grains2[0][0], ["lang", "source"])}
+    coarse2 = {("lang", r.mv_version, r.lang, "*"): (r.docs, r.chars)
+               for r in _rows(grains2[1][0], ["lang"])}
+    assert {**fine2, **coarse2} == want
+
+    # 5. an empty micro-batch bumps nothing
+    apply_fanout_batch(_feed_df().filter(F.lit(False)), 100, grains)
+    assert _got() == want
+
+    # 6. a non-subset grain is rejected up front
+    with pytest.raises(ValueError, match="not a subset"):
+        seed_mv_fanout([(f"{base}/mv_bad", ["lang"]),
+                        (f"{base}/mv_bad2", ["lang", "source"])],
+                       base_fine)
