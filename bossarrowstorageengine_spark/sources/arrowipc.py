@@ -190,6 +190,26 @@ def _manifest_versions(path: str) -> list[int]:
 #: one checkpoint read + at most this many delta reads.
 _CHECKPOINT_EVERY = 16
 
+#: Synthetic directory column of the bucketBy write layout: rows land
+#: under ``__sb=<key % buckets>`` (innermost level).  The double
+#: underscore marks it layout metadata — it is never a data column,
+#: partition-chain inference skips it, and ``groupByBucket`` reads plan
+#: one input partition per value so same-key rows from EVERY write job
+#: (base + delta segments) co-locate without a shuffle.
+_SBUCKET_COL = "__sb"
+
+
+def _sbucket_of(root: str, path: str) -> int | None:
+    """The ``__sb=<i>`` value in ``path``'s directory chain, or None."""
+    rel = os.path.relpath(os.path.dirname(path), root)
+    for seg in rel.split(os.sep):
+        if seg.startswith(f"{_SBUCKET_COL}="):
+            try:
+                return int(seg.split("=", 1)[1])
+            except ValueError:
+                return None
+    return None
+
 
 def _commit_ts(path: str, version: int) -> float:
     """Commit wall-clock of a manifest version: the ``ts`` the commit
@@ -589,8 +609,12 @@ def _list_ipc_files(path: str, missing_ok: bool = False) -> List[str]:
         raise FileNotFoundError(f"arrowipc path not found: {path}")
     files: list[str] = []
     for dirpath, dirnames, filenames in os.walk(path):
+        # Hidden dirs skipped — EXCEPT the writer's own synthetic
+        # bucket-layout dirs (__sb=N), which hold ordinary part files.
         dirnames[:] = sorted(
-            d for d in dirnames if not d.startswith((".", "_")))
+            d for d in dirnames
+            if d.startswith(f"{_SBUCKET_COL}=")
+            or not d.startswith((".", "_")))
         files.extend(
             os.path.join(dirpath, f)
             for f in filenames
@@ -894,6 +918,11 @@ class ArrowIPCPartition(InputPartition):
     #: format's random-access batch splits.  Requires write-time recorded
     #: offsets (``offsets`` in the stats sidecar); None = scan-from-head.
     stream_seek: tuple | None = None
+    #: ``groupByBucket`` mode: ALL part files of one ``__sb`` storage
+    #: bucket (across every Hive partition / LSM segment), read whole by
+    #: one task — the co-location contract partition-local merge logic
+    #: (mapInPandas last-wins) relies on.  When set, ``path`` is unused.
+    group_paths: tuple | None = None
 
 
 class ArrowIPCReader(DataSourceReader):
@@ -920,6 +949,9 @@ class ArrowIPCReader(DataSourceReader):
         # (driver-side) — never shipped to executors.
         self._file_list_path = options.get(
             "filelistpath", options.get("fileListPath"))
+        self._group_bucket = str(options.get(
+            "groupbybucket", options.get("groupByBucket", "false"))
+        ).lower() == "true"
         self._filters: list[Filter] = []
 
     def _visible_files(self) -> List[str]:
@@ -970,6 +1002,33 @@ class ArrowIPCReader(DataSourceReader):
             "batchesPerSplit", self.BATCHES_PER_SPLIT)))
         entries = _visible_entries(self._path, self._version, self._snapshots)
         files = sorted(entries)
+        if self._group_bucket:
+            # Bucket-grouped planning: ONE input partition per __sb
+            # storage bucket, covering that bucket's files across every
+            # Hive partition / LSM segment — so partition-local merge
+            # logic (a mapInPandas last-wins) sees a key's whole history
+            # without an Exchange.  Correctness requires EVERY visible
+            # file to be bucketed with the same function, so an
+            # unbucketed file fails the plan loudly.  Stat/batch pruning
+            # is skipped (bucket-local logic must see all rows; Spark
+            # still applies the filters post-scan).
+            groups: dict[int, list[str]] = {}
+            for path in files:
+                b = _sbucket_of(self._path, path)
+                if b is None:
+                    raise ValueError(
+                        f"arrowipc groupByBucket read over {self._path}: "
+                        f"part file {path} is not under a "
+                        f"{_SBUCKET_COL}= directory — the table mixes "
+                        "bucketed and unbucketed writes, so bucket-local "
+                        "merges would miss rows; rewrite it with "
+                        "bucketBy or read without groupByBucket")
+                groups.setdefault(b, []).append(path)
+            if not groups:
+                return [ArrowIPCPartition("", [])]
+            return [ArrowIPCPartition("", None,
+                                      group_paths=tuple(sorted(groups[b])))
+                    for b in sorted(groups)]
         schema_ser = None
         if self._merge:
             target = _union_schema(files)
@@ -1089,6 +1148,38 @@ class ArrowIPCReader(DataSourceReader):
 
     # -- execution ----------------------------------------------------------
     def read(self, partition: ArrowIPCPartition) -> Iterator[pa.RecordBatch]:
+        if partition is not None and partition.group_paths is not None:
+            # groupByBucket task: one storage bucket's files, whole.
+            # Batches from DIFFERENT write jobs can disagree on arrow
+            # field nullability/metadata (e.g. a computed column vs a
+            # cast literal) even when the Spark types match — and a
+            # mixed-file partition must emit ONE uniform batch schema.
+            # Normalize to the first batch's shape with every field
+            # nullable (the declared Spark schema governs JVM-side
+            # nullability anyway; types are already validated equal).
+            uniform: pa.Schema | None = None
+            for path in partition.group_paths:
+                _validate_declared_schema(
+                    self._schema, _file_arrow_schema(path), path,
+                    self._columns)
+                for batch in _read_ipc_batches(path, None, self._columns):
+                    if uniform is None:
+                        uniform = pa.schema(
+                            [f.with_nullable(True) for f in batch.schema])
+                    if batch.schema != uniform:
+                        batch = pa.RecordBatch.from_arrays(
+                            [batch.column(
+                                batch.schema.get_field_index(f.name))
+                             for f in uniform],
+                            schema=uniform)
+                    if self._fname_col is not None:
+                        fcol = pa.array([path] * batch.num_rows,
+                                        pa.string())
+                        batch = batch.append_column(
+                            pa.field(self._fname_col, pa.string(), False),
+                            fcol)
+                    yield batch
+            return
         if partition is None or not partition.path:
             return  # empty marker (all files stat-pruned)
         target = None
@@ -1309,6 +1400,28 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         part_cols = options.get("partitionby", options.get("partitionBy"))
         self._partition_cols = (
             [c.strip() for c in part_cols.split(",")] if part_cols else [])
+        bb = options.get("bucketby", options.get("bucketBy"))
+        self._bucket_col = bb.strip() if bb else None
+        self._n_buckets = int(options.get("buckets", "16"))
+        if self._bucket_col:
+            if self._n_buckets < 1:
+                raise ValueError(
+                    f"arrowipc writer: buckets={self._n_buckets} — the "
+                    "bucketBy layout needs at least one bucket")
+            f = next((f for f in schema.fields
+                      if f.name == self._bucket_col), None)
+            if f is None:
+                raise ValueError(
+                    f"arrowipc writer: bucketBy column "
+                    f"{self._bucket_col!r} is not in the written schema")
+            if f.dataType.typeName() not in (
+                    "byte", "short", "integer", "long"):
+                raise ValueError(
+                    f"arrowipc writer: bucketBy column "
+                    f"{self._bucket_col!r} must be an integral type "
+                    f"(got {f.dataType.simpleString()}) — the bucket "
+                    "function is value % buckets, fixed so every write "
+                    "job co-locates the same keys")
         self._snapshots = _snapshots_mode(options)
         self._overwrite = overwrite
         mb = options.get("maxbytesperfile", options.get("maxBytesPerFile"))
@@ -1354,7 +1467,7 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         prefix = getattr(self, "_name_prefix", "part")
         parts: dict[tuple, _RotatingPart] = {}
         try:
-            if not self._partition_cols:
+            if not self._partition_cols and not self._bucket_col:
                 parts[()] = part = _RotatingPart(
                     self._path, prefix, self._compression,
                     self._stream_format, self._max_bytes)
@@ -1373,35 +1486,53 @@ class ArrowIPCWriter(DataSourceArrowWriter):
                            parts: dict[tuple, _RotatingPart], prefix: str) -> None:
         import pyarrow.compute as pc
 
+        split_cols = list(self._partition_cols)
+        if self._bucket_col:
+            # bucketBy routing: a SYNTHETIC bucket value (key % buckets,
+            # fixed function — every write job co-locates the same keys)
+            # rides the split as the innermost directory level
+            # ``__sb=<i>``.  Unlike partitionBy columns it is derivable
+            # from the data, so it is dropped before the rows are
+            # written and the ``__sb`` dirs are layout metadata only.
+            split_cols.append(_SBUCKET_COL)
         for batch in batches:
             table = pa.Table.from_batches([batch])
+            if self._bucket_col:
+                import numpy as np
+
+                keys = table.column(self._bucket_col).to_pandas().to_numpy()
+                sb = np.mod(keys, self._n_buckets).astype("int32")
+                table = table.append_column(
+                    _SBUCKET_COL, pa.array(sb, pa.int32()))
             combos = (
-                table.select(self._partition_cols)
-                .group_by(self._partition_cols)
+                table.select(split_cols)
+                .group_by(split_cols)
                 .aggregate([])
                 .to_pylist()
             )
             for combo in combos:
-                key = tuple(combo[c] for c in self._partition_cols)
+                key = tuple(combo[c] for c in split_cols)
                 masks = [
                     pc.is_null(table[c]) if combo[c] is None
                     else pc.equal(table[c], combo[c])
-                    for c in self._partition_cols
+                    for c in split_cols
                 ]
                 mask = masks[0]
                 for m in masks[1:]:
                     mask = pc.and_kleene(mask, m)
                 sub = table.filter(mask)
+                if self._bucket_col:
+                    sub = sub.drop_columns([_SBUCKET_COL])
                 if key not in parts:
                     subdir = os.path.join(self._path, *(
                         f"{c}={_partition_segment(v)}"
-                        for c, v in zip(self._partition_cols, key)
+                        for c, v in zip(split_cols, key)
                     ))
                     parts[key] = _RotatingPart(
                         subdir, prefix, self._compression,
                         self._stream_format, self._max_bytes)
-                for sb in sub.to_batches():
-                    parts[key].append(self._encode_dictionaries(sb), sb)
+                for sb_ in sub.to_batches():
+                    parts[key].append(self._encode_dictionaries(sb_), sb_)
 
     @staticmethod
     def _merge_stats(batch_stats: list[dict]) -> dict:
@@ -1481,6 +1612,13 @@ class ArrowIPCStreamWriter(DataSourceStreamArrowWriter):
                 "model); use streaming.pipelines.stream_to_partitioned_"
                 "table (foreachBatch + the batch writer) for partitioned "
                 "streaming output")
+        if options.get("bucketby", options.get("bucketBy")):
+            # Same offset-model conflict as partitionBy: __sb= directory
+            # routing would sort files below the high-water mark.
+            raise ValueError(
+                "arrowipc streaming sink does not support bucketBy "
+                "(incompatible with the lexicographic file-name offset "
+                "model); bucket via foreachBatch + the batch writer")
         staged = dict(options)
         staged["path"] = os.path.join(self._path, ".staging")
         self._snapshots = _snapshots_mode(options)
@@ -1781,7 +1919,15 @@ class ArrowIPCDataSource(DataSource):
     only), ``partitionBy`` (comma list; write — Hive-style ``col=value``
     subdirectories, pruned on read by equality filters before any file or
     sidecar is opened; partition columns stay in the data, so stats
-    pruning covers range predicates on them too), ``columns`` (comma
+    pruning covers range predicates on them too), ``bucketBy`` (write —
+    an integral column; rows land under synthetic ``__sb=<key %
+    buckets>`` directories (innermost level, ``buckets`` values, default
+    16) so every write job co-locates the same keys; the ``__sb`` value
+    is derivable from the data and is NOT written as a column),
+    ``groupByBucket`` (read — plan ONE input partition per ``__sb``
+    storage bucket covering that bucket's files across all partitions/
+    segments, enabling partition-local merge logic without a shuffle;
+    fails loudly if any visible file is unbucketed), ``columns`` (comma
     list; read-side projection), ``mergeSchema`` (true → read the union
     of all files' columns, null-filling files that lack one — schema
     evolution), ``batchesPerSplit`` (batch read parallelism),

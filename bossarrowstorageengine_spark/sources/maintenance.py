@@ -290,7 +290,13 @@ def _partition_columns(root: str, files: list[str]) -> list[str]:
             if "=" not in seg or seg.startswith("."):
                 cols = None
                 break
-            cols.append(seg.split("=", 1)[0])
+            name = seg.split("=", 1)[0]
+            if name.startswith("__"):
+                # synthetic layout dirs (the bucketBy writer's __sb=N)
+                # are not data columns — a partitionBy on them would
+                # fail; CoW preservation covers only the Hive chain.
+                continue
+            cols.append(name)
         if not cols:
             continue
         if chain is None:

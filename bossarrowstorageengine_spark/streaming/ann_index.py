@@ -44,16 +44,51 @@ INDEX_SCHEMA = "vec_id long, bucket int, tombstone boolean, seg long"
 FEED_SCHEMA = "vec_id long, bucket int, change string, commit_seq long"
 
 
-def seed_index(idx_dir: str, bucketed: DataFrame) -> None:
+def seed_index(idx_dir: str, bucketed: DataFrame,
+               layout_buckets: int | None = None) -> None:
     """Publish the base segment (``seg=0``) — the one corpus-sized
-    build.  ``bucketed`` must carry ``(vec_id, bucket)``."""
-    (bucketed.select(
+    build.  ``bucketed`` must carry ``(vec_id, bucket)``.
+
+    ``layout_buckets=N`` additionally buckets the PHYSICAL layout on
+    ``vec_id`` (the arrowipc ``bucketBy`` option: ``__sb=<vec_id % N>``
+    directories).  Every later delta segment inherits the same layout
+    (``apply_index_batch`` auto-detects it), so a key's whole history —
+    base row, re-buckets, tombstone — lives in ONE storage bucket and
+    ``read_index``'s last-wins merge runs partition-locally with NO
+    shuffle (the groupByBucket + mapInPandas path).  Size N so a
+    bucket's merged rows fit one task's memory."""
+    w = (bucketed.select(
         "vec_id", F.col("bucket").cast("int"),
         F.lit(False).alias("tombstone"),
         F.lit(0).cast("long").alias("seg"))
-     .write.format("arrowipc").option("partitionBy", "seg")
-     .option("snapshots", "true").option("compression", "lz4")
-     .mode("append").save(idx_dir))
+        .write.format("arrowipc").option("partitionBy", "seg")
+        .option("snapshots", "true").option("compression", "lz4"))
+    if layout_buckets:
+        w = w.option("bucketBy", "vec_id").option(
+            "buckets", str(layout_buckets))
+    w.mode("append").save(idx_dir)
+    if layout_buckets:
+        # The bucket COUNT is part of the table's contract (every later
+        # writer must split keys identically — inferring it from the
+        # __sb= dirs would under-count when high buckets happen to be
+        # empty), so the seed records it once.
+        import json
+
+        with open(os.path.join(idx_dir, "_layout.json"), "w") as f:
+            json.dump({"bucket_by": "vec_id",
+                       "buckets": int(layout_buckets)}, f)
+
+
+def _layout_buckets(idx_dir: str) -> int | None:
+    """The index table's recorded physical bucket count (the seed's
+    ``_layout.json``), or None for an unbucketed layout."""
+    import json
+
+    p = os.path.join(idx_dir, "_layout.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["buckets"])
 
 
 def _seg_high_water(idx_dir: str) -> int:
@@ -98,6 +133,7 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
     # re-reads it anyway.
     batch = batch_df.localCheckpoint()
     hw = _seg_high_water(idx_dir)
+    layout = _layout_buckets(idx_dir)   # delta segments inherit the seed's
     commits = sorted(
         int(r["commit_seq"])
         for r in batch.select("commit_seq").distinct().collect()
@@ -112,9 +148,12 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
             F.lit(seq).cast("long").alias("seg"))
         # one write job per commit = one atomic manifest commit: the
         # segment is the ledger entry, no marker files
-        (seg_rows.write.format("arrowipc").option("partitionBy", "seg")
-         .option("snapshots", "true").option("compression", "lz4")
-         .mode("append").save(idx_dir))
+        w = (seg_rows.write.format("arrowipc").option("partitionBy", "seg")
+             .option("snapshots", "true").option("compression", "lz4"))
+        if layout:
+            w = w.option("bucketBy", "vec_id").option("buckets",
+                                                      str(layout))
+        w.mode("append").save(idx_dir)
 
 
 def read_index(spark: SparkSession, idx_dir: str,
@@ -122,10 +161,40 @@ def read_index(spark: SparkSession, idx_dir: str,
     """The index's logical state ``(vec_id, bucket)`` — merge-on-read:
     last-wins per vec_id by segment number, tombstones dropped.  ``thru``
     limits the merge to segments ``<= thru`` (the state as of that feed
-    commit — segment-grain time travel; None = current).  One
-    vec_id-keyed exchange; bucket the table on vec_id at scale to
-    co-locate it, and run ``compact_index`` periodically to bound the
-    merged segment count."""
+    commit — segment-grain time travel; None = current).
+
+    On a BUCKETED layout (``seed_index(layout_buckets=N)``) the merge is
+    SHUFFLE-FREE: the groupByBucket read plans one task per storage
+    bucket (a key's whole history — base row, re-buckets, tombstone —
+    co-locates by the fixed ``vec_id % N`` split every segment write
+    used), and the last-wins fold runs inside the task as a vectorized
+    Arrow-batched pass; the plan carries NO Exchange
+    (tests/test_round14_props.py pins this).  Unbucketed tables keep the
+    vec_id-keyed window (one exchange); ``compact_index`` bounds the
+    merged segment count either way."""
+    layout = _layout_buckets(idx_dir)
+    if layout:
+        rows = (spark.read.format("arrowipc")
+                .option("snapshots", "true")
+                .option("groupByBucket", "true")
+                .schema(INDEX_SCHEMA).load(idx_dir))
+        if thru is not None:
+            rows = rows.filter(F.col("seg") <= thru)
+
+        def _merge(pdfs):
+            import pandas as pd
+
+            df = pd.concat(list(pdfs), ignore_index=True)
+            if df.empty:
+                return
+            # last-wins per vec_id by segment, tombstones dropped — the
+            # whole bucket is in-task by the co-location contract
+            df = (df.sort_values(["vec_id", "seg"])
+                  .groupby("vec_id", as_index=False).tail(1))
+            df = df[~df["tombstone"]]
+            yield df[["vec_id", "bucket"]]
+
+        return rows.mapInPandas(_merge, schema="vec_id long, bucket int")
     rows = (spark.read.format("arrowipc").option("snapshots", "true")
             .schema(INDEX_SCHEMA).load(idx_dir))
     if thru is not None:
@@ -213,11 +282,26 @@ def compact_index(spark: SparkSession, idx_dir: str, thru: int,
                   .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
                   .select("vec_id", "bucket", "tombstone",
                           F.lit(thru).cast("long").alias("seg")))
-        (merged.repartitionByRange(max(1, target_files), "vec_id")
-         .sortWithinPartitions("vec_id")
-         .write.format("arrowipc")
-         .option("compression", "lz4").mode("append")
-         .save(os.path.join(staging, f"seg={thru}")))
+        layout = _layout_buckets(idx_dir)
+        if layout:
+            # Preserve the bucketed layout through the fold: shuffle by
+            # the SAME storage-bucket function so each task holds whole
+            # buckets (one merged file per bucket dir, not
+            # target_files × buckets fragments).
+            out = (merged.repartition(max(1, target_files),
+                                      F.pmod("vec_id", F.lit(layout)))
+                   .sortWithinPartitions("vec_id"))
+            writer = (out.write.format("arrowipc")
+                      .option("compression", "lz4")
+                      .option("bucketBy", "vec_id")
+                      .option("buckets", str(layout)))
+        else:
+            out = (merged.repartitionByRange(max(1, target_files),
+                                             "vec_id")
+                   .sortWithinPartitions("vec_id"))
+            writer = (out.write.format("arrowipc")
+                      .option("compression", "lz4"))
+        writer.mode("append").save(os.path.join(staging, f"seg={thru}"))
         rows = _staged_rows(staging)
         promoted: list[str] = []
         for s, _ in _walk_staged_parts(staging):

@@ -1836,13 +1836,14 @@ def test_mutation_conflict_retry_succeeds_against_new_snapshot(
     real = maintenance._write_manifest
     calls = {"n": 0}
 
-    def flaky(path, new_files, replace=False, remove=()):
+    def flaky(path, new_files, replace=False, remove=(), **kwargs):
         calls["n"] += 1
         if calls["n"] == 1:
             # Simulate losing the race once; clean up like the real path
             # would have (the wrapper raises before the real commit).
             raise ConcurrentWriteConflict("injected race loss")
-        return real(path, new_files, replace=replace, remove=remove)
+        return real(path, new_files, replace=replace, remove=remove,
+                    **kwargs)
 
     monkeypatch.setattr(maintenance, "_write_manifest", flaky)
     info = maintenance.delete_arrowipc(

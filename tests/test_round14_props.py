@@ -238,6 +238,139 @@ def test_ann_ivf_maintained_properties(spark):
     assert gen1.count() == len(m)
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketby_write_and_grouped_read_roundtrip(spark, tmp_path):
+    """arrowipc bucketBy layout (round-14 runway item 2d): rows land
+    under synthetic __sb=<key % buckets> dirs, the __sb value is NOT a
+    data column, a groupByBucket read returns the identical row set, and
+    an unbucketed file poisons the grouped read loudly."""
+    import os
+
+    import pytest
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 7).alias("v"))
+    (df.repartition(4).write.format("arrowipc")
+     .option("bucketBy", "vec_id").option("buckets", "8")
+     .option("snapshots", "true").mode("append").save(table))
+    sb_dirs = sorted(d for d in os.listdir(table) if d.startswith("__sb="))
+    assert sb_dirs == [f"__sb={i}" for i in range(8)]
+
+    back = (spark.read.format("arrowipc").option("snapshots", "true")
+            .schema("vec_id long, v long").load(table))
+    assert back.columns == ["vec_id", "v"]          # __sb never surfaces
+    assert sorted((r.vec_id, r.v) for r in back.collect()) == \
+        [(i, i % 7) for i in range(100)]
+
+    grouped = (spark.read.format("arrowipc").option("snapshots", "true")
+               .option("groupByBucket", "true")
+               .schema("vec_id long, v long").load(table))
+    assert sorted((r.vec_id, r.v) for r in grouped.collect()) == \
+        [(i, i % 7) for i in range(100)]
+    # every bucket's keys co-locate: vec_id % 8 constant per partition
+    parts = grouped.select("vec_id").rdd.glom().collect()
+    for p in parts:
+        assert len({r.vec_id % 8 for r in p}) <= 1
+
+    # a second bucketed write job (a delta segment) keeps co-location
+    (spark.range(100, 120).select(
+        F.col("id").alias("vec_id"),
+        F.lit(99).cast("long").alias("v"))
+     .write.format("arrowipc").option("bucketBy", "vec_id")
+     .option("buckets", "8").mode("append").save(table))
+    grouped2 = (spark.read.format("arrowipc").option("snapshots", "true")
+                .option("groupByBucket", "true")
+                .schema("vec_id long, v long").load(table))
+    for p in grouped2.select("vec_id").rdd.glom().collect():
+        assert len({r.vec_id % 8 for r in p}) <= 1
+
+    # mixing in an unbucketed write fails the grouped read LOUDLY
+    (spark.range(200, 205).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).cast("long").alias("v"))
+     .write.format("arrowipc").mode("append").save(table))
+    bad = (spark.read.format("arrowipc").option("snapshots", "true")
+           .option("groupByBucket", "true")
+           .schema("vec_id long, v long").load(table))
+    with pytest.raises(Exception, match="not under a"):
+        bad.collect()
+
+    # bucketBy validation: non-integral key, and the stream sink
+    with pytest.raises(Exception, match="integral"):
+        (spark.createDataFrame([("a", 1)], "k string, v long")
+         .write.format("arrowipc").option("bucketBy", "k")
+         .mode("append").save(str(tmp_path / "bad")))
+
+
+def test_bucketed_index_read_is_shuffle_free(spark, tmp_path):
+    """The LSM index on a bucketed layout: read_index's last-wins merge
+    plans NO Exchange (the groupByBucket + mapInPandas path), returns
+    the identical state to the unbucketed window path, honors thru=
+    time travel, survives compact_index with the layout preserved, and
+    apply_index_batch inherits the layout for delta segments."""
+    import os
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        _seg_high_water,
+        apply_index_batch,
+        compact_index,
+        read_index,
+        seed_index,
+    )
+
+    register_arrowipc(spark)
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(40)], "vec_id long, bucket int")
+    feed = spark.createDataFrame(
+        [(1, 9, "rebucket", 1), (3, 9, "rebucket", 1),
+         (5, None, "delete", 2), (1, None, "delete", 2),
+         (41, 9, "insert", 2)],
+        "vec_id long, bucket int, change string, commit_seq long")
+
+    idx_b = str(tmp_path / "idx_bucketed")
+    idx_p = str(tmp_path / "idx_plain")
+    seed_index(idx_b, base, layout_buckets=4)
+    seed_index(idx_p, base)
+    apply_index_batch(feed, 0, idx_b)
+    apply_index_batch(feed, 0, idx_p)
+
+    want = {r.vec_id: r.bucket for r in read_index(spark, idx_p).collect()}
+    got_df = read_index(spark, idx_b)
+    got = {r.vec_id: r.bucket for r in got_df.collect()}
+    assert got == want
+    assert got[3] == 9 and 5 not in got and got[41] == 9
+
+    plan = _plan(got_df)
+    assert "Exchange" not in plan, plan      # the whole point
+    assert "Exchange" in _plan(read_index(spark, idx_p))
+
+    # segment-grain time travel on the bucketed path
+    thru1 = {r.vec_id: r.bucket
+             for r in read_index(spark, idx_b, thru=1).collect()}
+    assert thru1[1] == 9 and thru1[5] == 5 % 3 and 41 not in thru1
+
+    # delta segments inherited the layout (every seg dir is bucketed)
+    for seg_dir in [d for d in os.listdir(idx_b) if d.startswith("seg=")]:
+        subs = os.listdir(os.path.join(idx_b, seg_dir))
+        assert any(s.startswith("__sb=") for s in subs), seg_dir
+
+    # compaction preserves state, layout, and the high-water
+    res = compact_index(spark, idx_b, thru=2)
+    assert res["rows"] > 0
+    assert {r.vec_id: r.bucket
+            for r in read_index(spark, idx_b).collect()} == want
+    assert _seg_high_water(idx_b) == 2
+    assert "Exchange" not in _plan(read_index(spark, idx_b))
+
+
 def test_purge_derived_properties(spark):
     """q_purge_derived (round-14 runway item 2c): the purge reaches the
     two derived artifacts that lacked RTBF faces.  Pins beyond the EXACT
