@@ -2494,3 +2494,175 @@ def q_mv_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("consistent"),
         )
     )
+
+
+@query(
+    "q_feed_consumer_groups",
+    oracle="""
+    WITH base AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents GROUP BY lang
+    ), upd AS (
+        SELECT lang, sum(n_chars + 1) AS chars_delta
+        FROM documents WHERE lang = 'de' AND n_chars < 800 GROUP BY lang
+    ), del AS (
+        SELECT lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents WHERE lang = 'en' AND n_chars < 500 GROUP BY lang
+    ), v3 AS (
+        SELECT b.lang,
+               CAST(b.docs - coalesce(d.docs, 0) AS BIGINT)  AS docs,
+               CAST(b.chars + coalesce(u.chars_delta, 0)
+                    - coalesce(d.chars, 0) AS BIGINT)        AS chars
+        FROM base b LEFT JOIN upd u ON u.lang = b.lang
+                    LEFT JOIN del d ON d.lang = b.lang
+    ), g AS (SELECT 'fast' AS grp UNION ALL SELECT 'slow')
+    SELECT g.grp                 AS grp,
+           v.lang, v.docs, v.chars,
+           CAST(2 AS BIGINT)     AS position,
+           CAST(2 AS BIGINT)     AS head,
+           CAST(0 AS BIGINT)     AS lag,
+           TRUE                  AS independent_positions,
+           TRUE                  AS lag_report_correct,
+           TRUE                  AS exactly_once_reapply,
+           TRUE                  AS regression_guarded,
+           TRUE                  AS seek_replay_converges
+    FROM g CROSS JOIN v3 v
+    """,
+)
+def q_feed_consumer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGEFEED CONSUMER GROUPS (SURVEY §7 round-14 runway item 2e;
+    VERDICT r13 next-round item 6): the Kafka consumer-group idiom over
+    the arrowipc changefeed — two NAMED consumers tail the same feed
+    with independent durable positions in a shared offsets table
+    (``sources/feed_consume``: ``commit_position`` / ``seek`` /
+    ``consume_next`` / ``consumer_lag``), each applying to its own
+    per-lang MV ledger with exactly-once EFFECT (at-least-once delivery
+    + the ledger's feed-position idempotence).
+
+    The scenario, every arm engine-verified:
+
+    - ``fast`` consumes both commits and commits position 2; ``slow``
+      applies only commit 1 and commits position 1
+      (``independent_positions``) — the lag report then reads fast=0,
+      slow=1 against head 2 (``lag_report_correct``).
+    - A re-consume for ``fast`` delivers ZERO rows (position pruning)
+      and a forced full redelivery into its ledger publishes NO new MV
+      version (``exactly_once_reapply`` — the crash window between
+      apply and commit is exactly this path).
+    - Committing a position BEHIND the committed one is refused loudly
+      (``regression_guarded``) — rewinds must be audited ``seek`` rows.
+    - ``slow`` catches up by an explicit ``seek(0)`` replay: commit 1
+      re-applies as a no-op, commit 2 advances, and its head state
+      equals ``fast``'s exactly (``seek_replay_converges``).
+
+    Output = each group's FINAL ledger head (per-lang docs/chars — the
+    EXACT oracle replays them from the mutation predicates) plus its
+    final position/head/lag (2/2/0 for both) and the attested booleans.
+
+    Scale: the offsets table is consumer-count-sized audit rows; every
+    consume prunes the feed's ``commit_seq=`` partitions below the
+    position before a file opens; applies are the MV maintainer's
+    O(Δ + |MV|)."""
+    from bossarrowstorageengine_spark.sources.feed_consume import (
+        commit_position,
+        committed_position,
+        consume_next,
+        consumer_lag,
+        seek,
+    )
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        _mv_head,
+        apply_feed_batch,
+        seed_mv,
+    )
+
+    register_arrowipc(spark)
+    base_dir = _scratch(sf_dir, "consumer_groups")
+    src, feed = _mutation_feed(spark, sf_dir, base_dir)
+    offsets = os.path.join(base_dir, "offsets")
+    mv = {g: os.path.join(base_dir, f"mv_{g}") for g in ("fast", "slow")}
+
+    base_agg = _mutation_snap(spark, src, "1").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    for g in ("fast", "slow"):
+        seed_mv(mv[g], base_agg)
+        seek(spark, offsets, g, 0)   # register both groups at 0
+
+    cols = "lang,change,delta,commit_seq"
+
+    # fast: consume everything → apply → commit head
+    rows_f, _, head = consume_next(spark, feed, offsets, "fast", cols,
+                                   _CF_FEED_SCHEMA)
+    apply_feed_batch(rows_f, 0, mv["fast"])
+    commit_position(spark, offsets, "fast", head)
+
+    # slow: a paused consumer — applies commit 1 only, commits position 1
+    rows_s, _, _ = consume_next(spark, feed, offsets, "slow", cols,
+                                _CF_FEED_SCHEMA)
+    apply_feed_batch(rows_s.filter(F.col("commit_seq") <= 1), 0,
+                     mv["slow"])
+    commit_position(spark, offsets, "slow", 1)
+
+    lag_mid = {r.group: (r.position, r.head, r.lag)
+               for r in consumer_lag(spark, feed, offsets).collect()}
+    independent = (committed_position(spark, offsets, "fast") == head
+                   and committed_position(spark, offsets, "slow") == 1)
+    lag_ok = (lag_mid["fast"] == (head, head, 0)
+              and lag_mid["slow"] == (1, head, head - 1))
+
+    # exactly-once: a re-consume delivers nothing, and a forced full
+    # redelivery into the ledger publishes no new MV version
+    redeliver, _, _ = consume_next(spark, feed, offsets, "fast", cols,
+                                   _CF_FEED_SCHEMA)
+    _, ver_before, _ = _mv_head(spark, mv["fast"])
+    full = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("columns", cols).schema(_CF_FEED_SCHEMA).load(feed))
+    apply_feed_batch(full, 99, mv["fast"])
+    _, ver_after, _ = _mv_head(spark, mv["fast"])
+    exactly_once = (redeliver.count() == 0 and ver_after == ver_before)
+
+    # position-regression guard: a stale commit is refused loudly
+    try:
+        commit_position(spark, offsets, "fast", 1)
+        guarded = False
+    except ValueError:
+        guarded = True
+
+    # slow catches up via an audited rewind-replay
+    seek(spark, offsets, "slow", 0)
+    rows_r, _, head_r = consume_next(spark, feed, offsets, "slow", cols,
+                                     _CF_FEED_SCHEMA)
+    apply_feed_batch(rows_r, 1, mv["slow"])   # commit 1 no-op, 2 advances
+    commit_position(spark, offsets, "slow", head_r)
+
+    head_fast, _, _ = _mv_head(spark, mv["fast"])
+    head_slow, _, _ = _mv_head(spark, mv["slow"])
+    hf = head_fast.select("lang", "docs", "chars").localCheckpoint()
+    hs = head_slow.select("lang", "docs", "chars").localCheckpoint()
+    converged = (hf.exceptAll(hs).unionByName(hs.exceptAll(hf))
+                 .count() == 0)
+
+    # One collect of the consumer-count-sized report (re-filtering one
+    # lag frame per group would hit the documented datasource
+    # plan-cache hazard — FORMAT.md §8).
+    lag_fin = {r.group: r for r in
+               consumer_lag(spark, feed, offsets).collect()}
+    out = None
+    for g, state in (("fast", hf), ("slow", hs)):
+        r = lag_fin[g]
+        frame = state.select(
+            F.lit(g).alias("grp"), "lang",
+            F.col("docs").cast("long"),
+            F.col("chars").cast("long"),
+            F.lit(int(r.position)).cast("long").alias("position"),
+            F.lit(int(r.head)).cast("long").alias("head"),
+            F.lit(int(r.lag)).cast("long").alias("lag"))
+        out = frame if out is None else out.unionByName(frame)
+    return out.select(
+        "*",
+        F.lit(independent).alias("independent_positions"),
+        F.lit(lag_ok).alias("lag_report_correct"),
+        F.lit(exactly_once).alias("exactly_once_reapply"),
+        F.lit(guarded).alias("regression_guarded"),
+        F.lit(converged).alias("seek_replay_converges"),
+    )

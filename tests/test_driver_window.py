@@ -153,7 +153,9 @@ def test_shared_module_deps_cover_direct_references():
         "sources/arrowipc.py": ("register_arrowipc", 'format("arrowipc")'),
         "sources/maintenance.py": ("sources.maintenance import",),
         "sources/feed_maintain.py": ("sources.feed_maintain import",),
+        "sources/feed_consume.py": ("sources.feed_consume import",),
         "streaming/pipelines.py": ("streaming.pipelines import",),
+        "streaming/mv_maintain.py": ("streaming.mv_maintain import",),
         "functions/components.py": ("functions.components import",),
     }
     for rel, needles in markers.items():

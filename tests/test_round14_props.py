@@ -371,6 +371,66 @@ def test_bucketed_index_read_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in _plan(read_index(spark, idx_b))
 
 
+def test_feed_consumer_groups_properties(spark):
+    """q_feed_consumer_groups (round-14 runway item 2e): two named
+    consumers over one feed with durable positions.  Beyond the EXACT
+    oracle: all five attestations true; the offsets table is an
+    ORDINARY arrowipc table whose audit history shows the whole story
+    (registrations, commits, the refused regression absent, the
+    explicit rewind as an op='seek' row); unregistered groups don't
+    appear in the lag report; seek validates its position."""
+    import os
+
+    import pytest
+
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+    from bossarrowstorageengine_spark.sources.feed_consume import (
+        OFFSETS_SCHEMA,
+        committed_position,
+        consumer_lag,
+        seek,
+    )
+
+    rows = QUERIES["q_feed_consumer_groups"](spark, SF).collect()
+    assert rows and len(rows) == 10      # 2 groups × 5 langs
+    assert all(r.independent_positions and r.lag_report_correct
+               and r.exactly_once_reapply and r.regression_guarded
+               and r.seek_replay_converges for r in rows)
+    assert all(r.position == 2 and r.head == 2 and r.lag == 0
+               for r in rows)
+
+    base = os.path.join(_SCRATCH_ROOT, os.path.basename(SF),
+                        "consumer_groups")
+    offsets = os.path.join(base, "offsets")
+    feed = os.path.join(base, "feed")
+
+    # the offsets table reads back as a plain arrowipc table — the
+    # audit log: slow = register(seek 0), commit 1, rewind(seek 0),
+    # commit 2; fast = register, commit 2 (the refused regression
+    # never landed a row)
+    audit = (spark.read.format("arrowipc").option("snapshots", "true")
+             .schema(OFFSETS_SCHEMA).load(offsets)
+             .orderBy("seq").collect())
+    slow_ops = [(r.op, r.position) for r in audit if r.group == "slow"]
+    fast_ops = [(r.op, r.position) for r in audit if r.group == "fast"]
+    assert slow_ops == [("seek", 0), ("commit", 1), ("seek", 0),
+                        ("commit", 2)]
+    assert fast_ops == [("seek", 0), ("commit", 2)]
+    assert [r.seq for r in audit] == sorted({r.seq for r in audit})
+
+    # lag report: only registered groups; a new registration appears
+    lag = {r.group: r.lag for r in
+           consumer_lag(spark, feed, offsets).collect()}
+    assert set(lag) == {"fast", "slow"}
+    seek(spark, offsets, "audit-team", 0)
+    lag2 = {r.group: (r.position, r.lag) for r in
+            consumer_lag(spark, feed, offsets).collect()}
+    assert lag2["audit-team"] == (0, 2)
+    assert committed_position(spark, offsets, "audit-team") == 0
+    with pytest.raises(ValueError, match=">= 0"):
+        seek(spark, offsets, "audit-team", -1)
+
+
 def test_purge_derived_properties(spark):
     """q_purge_derived (round-14 runway item 2c): the purge reaches the
     two derived artifacts that lacked RTBF faces.  Pins beyond the EXACT
