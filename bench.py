@@ -76,6 +76,11 @@ HEADLINE = [
     # round's CDC/purge keys stay out like the rest of the storage
     # family: Python-datasource fixed floor, tracked in SCALING.md.
     "q_vocab_drift",
+    # Round 14 adds NO headline key (first round since r9): its four new
+    # keys (q_ann_ivf_maintained, q_purge_derived, q_feed_consumer_groups
+    # + the bucketed-index read path) are all datasource-floor-dominated
+    # storage/CDC compositions — the documented rule keeps that family in
+    # SCALING.md so the 28-key bench stays round-over-round comparable.
 ]
 
 

@@ -115,7 +115,11 @@ def main() -> None:
              "q_mv_fanout", "q_vocab_drift", "q_entity_components",
              # round 13 late: purge x restore guard, chained drift,
              # document-space purge
-             "q_purge_restore_guard", "q_vocab_drift_n", "q_purge_text"]
+             "q_purge_restore_guard", "q_vocab_drift_n", "q_purge_text",
+             # round 14: trained-family index maintenance, derived-face
+             # purge (pack + fanout ledgers), changefeed consumer groups
+             "q_ann_ivf_maintained", "q_purge_derived",
+             "q_feed_consumer_groups"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

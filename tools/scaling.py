@@ -110,6 +110,14 @@ KEYS = [
     "q_mv_fanout",
     "q_vocab_drift",
     "q_vocab_drift_n",
+    # Round-14 additions (all datasource-floor-dominated like the rest
+    # of the storage family, so they live here, not in bench.py's
+    # headline set — the documented CDC-key rule).
+    "q_ann_ivf_maintained",
+    "q_purge_derived",
+    "q_feed_consumer_groups",
+    "q_feed_index_cocompact",
+    "q_purge_text",
 ]
 
 
