@@ -3404,7 +3404,8 @@ def q_ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(base, "idx")
     src, feed = _ann_mutation_feed(spark, sf_dir, base)
     # the ONE corpus-sized build (index of v1), then O(Δ) delta segments
-    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")),
+               layout_buckets=8)   # shuffle-free read_index path
     feed_rows = (spark.read.format("arrowipc")
                  .option("snapshots", "true")
                  .option("columns", "vec_id,bucket,change,commit_seq")
@@ -3616,7 +3617,8 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one corpus-sized build: gen-0 inverted lists as the base segment
     seed_index(idx, _ivf_assign_frozen(iv, cents).select(
-        "vec_id", F.col("centroid_id").cast("int").alias("bucket")))
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket")),
+        layout_buckets=8)   # shuffle-free read_index path
 
     def _snap_iv(ver: str | None) -> DataFrame:
         return _ann_snap(spark, src, ver).select(
@@ -3706,7 +3708,7 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents1 = _ivf_lloyd(head).localCheckpoint()
     gen1_lists = _ivf_assign_frozen(head, cents1).select(
         "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
-    seed_index(idx_gen1, gen1_lists)
+    seed_index(idx_gen1, gen1_lists, layout_buckets=8)
     gen1 = read_index(spark, idx_gen1)
     gen1_trained = bool(
         cents1.count() == _IVF_K and gen1.count() == head.count())
@@ -3816,7 +3818,8 @@ def q_purge_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(base, "idx")
     mv_path = os.path.join(base, "mv")
     src, feed = _ann_mutation_feed(spark, sf_dir, base)
-    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")),
+               layout_buckets=8)   # shuffle-free read_index path
     feed_schema = ("vec_id long, bucket int, change string, "
                    "commit_seq long")
 
@@ -4014,7 +4017,8 @@ def q_purge_restore_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     record_purge(_ann_snap(spark, src, "2").filter(purged_pred)
                  .select("vec_id"), ledger, purged_at=2)
 
-    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")),
+               layout_buckets=8)   # shuffle-free read_index path
     feed_schema = ("vec_id long, bucket int, change string, "
                    "commit_seq long")
 
@@ -5072,7 +5076,8 @@ def q_feed_index_cocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch(sf_dir, "cocompact")
     idx = os.path.join(base, "idx")
     src, feed = _ann_mutation_feed(spark, sf_dir, base)
-    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")))
+    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")),
+               layout_buckets=8)   # shuffle-free read_index path
     feed_schema = ("vec_id long, bucket int, change string, "
                    "commit_seq long")
 

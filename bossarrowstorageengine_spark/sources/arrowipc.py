@@ -243,6 +243,36 @@ def _parse_ts_option(raw: str) -> float:
     return dt.timestamp()
 
 
+def _version_as_of(path: str, want: float) -> int:
+    """Batch time travel by timestamp (Delta's ``timestampAsOf``): the
+    NEWEST manifest version whose effective commit time is at or before
+    the anchor.  Commit times are canonicalized monotonic with a running
+    max (the same rule the stream reader's ``startingTimestamp`` uses),
+    so a ts dip (mtime fallback, clock skew) can never resolve the
+    anchor to a version that a later-committed-but-earlier-stamped
+    version would contradict."""
+    eff = float("-inf")
+    best: int | None = None
+    versions = _manifest_versions(path)
+    for v in versions:
+        eff = max(eff, _commit_ts(path, v))
+        if eff <= want:
+            best = v
+        else:
+            break
+    if best is None:
+        if not versions:
+            raise ValueError(
+                f"arrowipc timestampAsOf: no snapshot manifests under "
+                f"{path} — time travel needs a snapshotted table")
+        raise ValueError(
+            f"arrowipc timestampAsOf: anchor predates the first commit "
+            f"(version {versions[0]}) of {path} — the earliest "
+            "travelable state is version "
+            f"{versions[0]}")
+    return best
+
+
 def _load_manifest_doc(path: str, version: int) -> dict:
     mf = _manifest_file(path, version)
     if not os.path.exists(mf):
@@ -939,6 +969,18 @@ class ArrowIPCReader(DataSourceReader):
         self._merge = options.get(
             "mergeschema", options.get("mergeSchema", "false")).lower() == "true"
         self._version = options.get("version")
+        ts = options.get("timestampasof", options.get("timestampAsOf"))
+        if ts is not None:
+            # Batch time travel by wall-clock (Delta's timestampAsOf):
+            # resolve to the newest version committed at-or-before the
+            # anchor, then read exactly like a pinned-version read.
+            if self._version is not None:
+                raise ValueError(
+                    "arrowipc reader: version and timestampAsOf are "
+                    "mutually exclusive — both pin the snapshot; pick "
+                    "one anchor.")
+            self._version = str(_version_as_of(
+                self._path, _parse_ts_option(str(ts))))
         self._snapshots = _snapshots_mode(options)
         self._fname_col = options.get(
             "filenamecolumn", options.get("filenameColumn"))
@@ -1927,7 +1969,12 @@ class ArrowIPCDataSource(DataSource):
     ``groupByBucket`` (read — plan ONE input partition per ``__sb``
     storage bucket covering that bucket's files across all partitions/
     segments, enabling partition-local merge logic without a shuffle;
-    fails loudly if any visible file is unbucketed), ``columns`` (comma
+    fails loudly if any visible file is unbucketed), ``timestampAsOf``
+    (read — batch time travel by wall-clock, epoch seconds or ISO-8601:
+    resolves to the newest manifest version committed at-or-before the
+    anchor with run-max-canonicalized commit times, then reads exactly
+    like ``version``; mutually exclusive with it; anchors before the
+    first commit fail loudly), ``columns`` (comma
     list; read-side projection), ``mergeSchema`` (true → read the union
     of all files' columns, null-filling files that lack one — schema
     evolution), ``batchesPerSplit`` (batch read parallelism),

@@ -371,6 +371,61 @@ def test_bucketed_index_read_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in _plan(read_index(spark, idx_b))
 
 
+def test_timestamp_as_of_batch_time_travel(spark, tmp_path):
+    """Batch time travel by wall-clock (round-15 runway item 4, pulled
+    forward): timestampAsOf resolves to the newest version committed
+    at-or-before the anchor — with the run-max monotonicity rule, so a
+    ts dip can't mis-resolve — reads exactly like a pinned version, and
+    the error arms (pre-first-commit anchor, version+ts both given,
+    unsnapshotted table) fail loudly."""
+    import json
+
+    import pytest
+
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_file)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 3)    # v1
+    _snap_ids(spark, table, 3, 6)    # v2
+    _snap_ids(spark, table, 6, 9)    # v3
+    # doctor commit times, with a dip at v2 (mtime-fallback scenario)
+    for v, ts in ((1, 100.0), (2, 50.0), (3, 200.0)):
+        doc = json.loads(open(_manifest_file(table, v)).read())
+        doc["ts"] = ts
+        with open(_manifest_file(table, v), "w") as f:
+            json.dump(doc, f)
+
+    def _ids(**opts):
+        r = (spark.read.format("arrowipc")
+             .schema("id bigint, grp string"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(x.id for x in r.load(table).collect())
+
+    # anchor between v2's effective time (100, run-max) and v3's 200:
+    # the newest at-or-before is v2 — the dip cannot push it back to v1
+    assert _ids(timestampAsOf="150") == list(range(6))
+    assert _ids(timestampAsOf="150") == _ids(version="2")
+    # at exactly v3's time and beyond: the head
+    assert _ids(timestampAsOf="200") == list(range(9))
+    assert _ids(timestampAsOf="1e12") == list(range(9))
+    # ISO-8601 form parses (far future → head)
+    assert _ids(timestampAsOf="2099-01-01T00:00:00") == list(range(9))
+
+    with pytest.raises(Exception, match="predates the first commit"):
+        _ids(timestampAsOf="10")
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _ids(timestampAsOf="150", version="1")
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.format("arrowipc").mode("append").save(plain)
+    with pytest.raises(Exception, match="snapshotted"):
+        (spark.read.format("arrowipc").schema("id bigint")
+         .option("timestampAsOf", "100").load(plain).collect())
+
+
 def test_feed_consumer_groups_properties(spark):
     """q_feed_consumer_groups (round-14 runway item 2e): two named
     consumers over one feed with durable positions.  Beyond the EXACT
