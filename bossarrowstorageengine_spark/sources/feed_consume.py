@@ -198,3 +198,31 @@ def consumer_lag(spark: SparkSession, feed_dir: str,
             for g, r in sorted(latest.items())]
     return spark.createDataFrame(
         rows, "group string, position long, head long, lag long")
+
+
+def consume_and_apply(spark: SparkSession, feed_dir: str,
+                      offsets_dir: str, group: str, columns: str,
+                      schema: str, apply) -> dict:
+    """One consumer-group REFRESH CYCLE: deliver the rows beyond the
+    group's position, run the caller's idempotent ``apply(rows_df)``
+    (the MV maintainer's / index maintainer's batch apply — each keyed
+    by its own sink ledger), then commit the head position.  Returns
+    ``{"from": pos, "to": head, "delivered_commits": n}``.
+
+    This is the composition the per-sink maintainers were missing: ALL
+    consumers of one feed share the audited offsets table, so a single
+    ``consumer_lag`` call reports the backlog of every derived artifact
+    (MV grains, ANN index, downstream teams) instead of each sink
+    hiding its position in its own ledger.  The crash window between
+    ``apply`` and the commit re-delivers on the next cycle; the sink
+    ledger makes the re-apply a no-op (exactly-once effect) — the same
+    at-least-once + idempotence contract the foreachBatch maintainers
+    already satisfy, now with the position durable OUTSIDE the Spark
+    checkpoint (a rebuilt checkpoint does not reset the group)."""
+    rows, pos, head = consume_next(spark, feed_dir, offsets_dir, group,
+                                   columns, schema)
+    if head > pos:
+        apply(rows)
+        commit_position(spark, offsets_dir, group, head)
+    return {"from": pos, "to": max(head, pos),
+            "delivered_commits": max(0, head - pos)}
