@@ -163,6 +163,27 @@ FLOOR_NOTES = {
         "3-action history + feed write + TWO mv_version-partitioned "
         "ledger writes + 6 direct-aggregate audit reads (2 grains x 3 "
         "versions)."),
+    "q_ann_ivf_maintained": (
+        "3-action mutation history + TWO Lloyd trainings (frozen gen-0 "
+        "+ the fired gen-1 re-train) + bucketed seed/segment/gen-1 "
+        "writes + feed write + assignment audit + drift aggregates — "
+        "the delta-assignment path itself is O(changed rows x k)."),
+    "q_purge_derived": (
+        "src write + purge DELETE + pack-map seed (32-shard partitioned "
+        "write) + feed write + CoW repack of affected shards + TWO "
+        "ledger writes + persisted-table audits (head re-read, "
+        "from-scratch repack, per-version direct aggregates)."),
+    "q_feed_consumer_groups": (
+        "3-action history + feed write + 2 MV seeds + 4 apply versions "
+        "+ consume/redelivery reads; offsets commits are driver-side "
+        "metadata (no Spark job) — the wall is the maintainer applies."),
+    "q_feed_index_cocompact": (
+        "feed+index build + co-compaction pass + vacuum on both tables "
+        "+ replay no-op probe + disk==manifest audits."),
+    "q_purge_text": (
+        "pipeline cluster stages + persisted survivor-table write and "
+        "re-read (the ADVICE r13 audit fix) + incremental-vs-direct df "
+        "comparison."),
 }
 
 
