@@ -314,14 +314,33 @@ def apply_fanout_batch(batch_df: DataFrame, batch_id: int,
 def mv_fanout_stream(spark: SparkSession, feed_dir: str,
                      grains: list[tuple[str, list[str]]],
                      checkpoint_dir: str,
-                     ignore_changes: bool = False):
+                     ignore_changes: bool = False,
+                     offsets_dir: str | None = None,
+                     group: str | None = None):
     """Start the fanout maintainer: tail ``feed_dir`` and roll EVERY
     grain's ledger forward one version per feed commit from one
     foreachBatch.  Feed rows must carry the fine grain's key columns
     plus ``(change, delta, commit_seq)``.  ``ignore_changes`` follows
     ``mv_maintain_stream``'s contract (the Kafka log-compaction rule:
-    compaction may only cover commits every grain has absorbed)."""
+    compaction may only cover commits every grain has absorbed).
+
+    ``offsets_dir``/``group`` (both or neither) additionally register
+    this maintainer as a NAMED CONSUMER GROUP: after each micro-batch's
+    applies, the group's position advances to the batch's max
+    ``commit_seq`` in the shared offsets table
+    (``sources/feed_consume``) — so ``consumer_lag`` reports this LIVE
+    maintainer's backlog next to every other consumer of the feed,
+    durably outside the Spark checkpoint.  The position is advisory
+    observability here (replay-safety stays per grain, keyed on each
+    ledger's ``src_commit``); the forward-only commit rule is respected
+    by skipping commits at-or-below the current position — a restarted
+    query re-observing an old batch never trips the regression guard."""
     from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    if (offsets_dir is None) != (group is None):
+        raise ValueError(
+            "mv_fanout_stream: offsets_dir and group come together — a "
+            "position needs a group name and a table to land in")
 
     register_arrowipc(spark)
     fine_keys = grains[0][1]
@@ -333,8 +352,22 @@ def mv_fanout_stream(spark: SparkSession, feed_dir: str,
     if ignore_changes:
         reader = reader.option("ignoreChanges", "true")
     feed = reader.load(feed_dir)
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        apply_fanout_batch(df, bid, grains)
+        if offsets_dir is None:
+            return
+        from bossarrowstorageengine_spark.sources.feed_consume import (
+            commit_position,
+            committed_position,
+        )
+
+        head = df.agg(F.max("commit_seq")).collect()[0][0]
+        if head is not None and int(head) > committed_position(
+                spark, offsets_dir, group):
+            commit_position(spark, offsets_dir, group, int(head))
+
     return (feed.writeStream
-            .foreachBatch(lambda df, bid: apply_fanout_batch(df, bid,
-                                                             grains))
+            .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .start())

@@ -2283,3 +2283,77 @@ def test_stream_mv_fanout_matches_batch_twin(spark):
         seed_mv_fanout([(f"{base}/mv_bad", ["lang"]),
                         (f"{base}/mv_bad2", ["lang", "source"])],
                        base_fine)
+
+
+@pytest.mark.slow
+def test_stream_mv_fanout_commits_consumer_group_position(spark):
+    """The LIVE fanout maintainer as a named consumer group (round 14):
+    each micro-batch's applies advance the group's position in the
+    shared offsets table, so consumer_lag reports the streaming
+    maintainer next to every batch consumer of the feed.  A restart
+    from a FRESH checkpoint re-observes the whole backlog: the grain
+    ledgers no-op (per-grain replay safety) and the position commit is
+    skipped rather than tripping the forward-only guard."""
+    import os
+    import uuid as _uuid
+
+    import __spark_entry__ as entrymod
+    from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.sources.feed_consume import (
+        committed_position,
+        consumer_lag,
+    )
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        _grain_head,
+        mv_fanout_stream,
+        seed_mv_fanout,
+    )
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    entrymod.queries()["q_mv_fanout"](spark, sf).collect()   # fixture
+    fixture = os.path.join(_SCRATCH_ROOT, os.path.basename(sf),
+                           "mv_fanout")
+    src, feed = os.path.join(fixture, "src"), os.path.join(fixture, "feed")
+    base = f"/tmp/spark_graft_stream/{_uuid.uuid4().hex}"
+    offsets = os.path.join(base, "offsets")
+    grains = [(f"{base}/mv_fine", ["lang", "source"]),
+              (f"{base}/mv_coarse", ["lang"])]
+    base_fine = (spark.read.format("arrowipc").option("version", "1")
+                 .option("columns", "lang,source,n_chars")
+                 .schema("lang string, source string, n_chars long")
+                 .load(src)
+                 .groupBy("lang", "source").agg(
+                     F.count(F.lit(1)).alias("docs"),
+                     F.sum("n_chars").alias("chars")))
+    seed_mv_fanout(grains, base_fine)
+
+    q = mv_fanout_stream(spark, feed, grains, f"{base}/ckpt",
+                         offsets_dir=offsets, group="live-fanout")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert committed_position(spark, offsets, "live-fanout") == 2
+    lag = {r.group: (r.position, r.lag)
+           for r in consumer_lag(spark, feed, offsets).collect()}
+    assert lag == {"live-fanout": (2, 0)}
+    _, ver_fine, _ = _grain_head(spark, grains[0][0], grains[0][1])
+
+    # fresh-checkpoint restart: whole backlog re-observed — ledgers
+    # no-op, position stays, no regression-guard trip
+    q2 = mv_fanout_stream(spark, feed, grains, f"{base}/ckpt2",
+                          offsets_dir=offsets, group="live-fanout")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert committed_position(spark, offsets, "live-fanout") == 2
+    _, ver_after, _ = _grain_head(spark, grains[0][0], grains[0][1])
+    assert ver_after == ver_fine
+
+    # both-or-neither validation
+    with pytest.raises(ValueError, match="come together"):
+        mv_fanout_stream(spark, feed, grains, f"{base}/ckpt3",
+                         offsets_dir=offsets)
