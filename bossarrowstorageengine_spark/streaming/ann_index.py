@@ -332,19 +332,48 @@ def compact_index(spark: SparkSession, idx_dir: str, thru: int,
 
 
 def ann_index_stream(spark: SparkSession, feed_dir: str, idx_dir: str,
-                     checkpoint_dir: str):
+                     checkpoint_dir: str,
+                     offsets_dir: str | None = None,
+                     group: str | None = None):
     """Start the maintainer: tail the bucket-grain changefeed and roll
     the persisted index one segment per feed commit.  Returns the
-    ``StreamingQuery``."""
+    ``StreamingQuery``.
+
+    ``offsets_dir``/``group`` (both or neither) register the maintainer
+    as a NAMED CONSUMER GROUP (``sources/feed_consume``), committing
+    its position to the shared offsets table after each micro-batch —
+    the ``mv_fanout_stream`` contract: advisory observability (replay
+    safety stays on the segment high-water), forward-only commits
+    skipped at-or-below the current position, so fresh-checkpoint
+    restarts never trip the regression guard."""
     from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    if (offsets_dir is None) != (group is None):
+        raise ValueError(
+            "ann_index_stream: offsets_dir and group come together — a "
+            "position needs a group name and a table to land in")
 
     register_arrowipc(spark)
     feed = (spark.readStream.format("arrowipc")
             .option("columns", "vec_id,bucket,change,commit_seq")
             .schema(FEED_SCHEMA).load(feed_dir))
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        apply_index_batch(df, bid, idx_dir)
+        if offsets_dir is None:
+            return
+        from bossarrowstorageengine_spark.sources.feed_consume import (
+            commit_position,
+            committed_position,
+        )
+
+        head = df.agg(F.max("commit_seq")).collect()[0][0]
+        if head is not None and int(head) > committed_position(
+                spark, offsets_dir, group):
+            commit_position(spark, offsets_dir, group, int(head))
+
     return (feed.writeStream
-            .foreachBatch(lambda df, bid: apply_index_batch(
-                df, bid, idx_dir))
+            .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .start())
 

@@ -1509,13 +1509,25 @@ def test_stream_ann_index_maintain_matches_rebuild(spark):
 
     seed_index(idx, b1)
     _commit(b1, b2, 1)  # lands before the stream starts
-    q = ann_index_stream(spark, feed, idx, f"{base}/ckpt")
+    # round 14: the maintainer also registers as a named consumer group
+    q = ann_index_stream(spark, feed, idx, f"{base}/ckpt",
+                         offsets_dir=f"{base}/offsets", group="lsm-index")
     try:
         q.processAllAvailable()
         _commit(b2, b3, 2)  # arrives live
         q.processAllAvailable()
     finally:
         q.stop()
+
+    from bossarrowstorageengine_spark.sources.feed_consume import (
+        committed_position,
+        consumer_lag,
+    )
+
+    assert committed_position(spark, f"{base}/offsets", "lsm-index") == 2
+    assert {(r.group, r.position, r.lag) for r in
+            consumer_lag(spark, feed, f"{base}/offsets").collect()} \
+        == {("lsm-index", 2, 0)}
 
     def idx_state():
         return sorted(map(tuple, read_index(spark, idx).collect()))
