@@ -199,6 +199,32 @@ _CHECKPOINT_EVERY = 16
 _SBUCKET_COL = "__sb"
 
 
+def _bucket_ids(keys: pa.ChunkedArray, col: str, n_buckets: int) -> pa.Array:
+    """``pmod(key, n_buckets)`` as int32, computed with pyarrow integer
+    kernels end-to-end (ADVICE r14: the previous ``to_pandas()`` route
+    coerced a nullable int64 batch to float64, so a null mapped to a
+    garbage ``__sb`` dir and keys beyond 2^53 could bucket differently
+    than ``compact_index``'s exact ``F.pmod`` — silently breaking the
+    fixed-bucket-function co-location contract).  Matches Spark's
+    ``pmod`` exactly, including negative keys; nulls fail loudly."""
+    import pyarrow.compute as pc
+
+    if keys.null_count:
+        raise ValueError(
+            f"bucketBy column {col!r} contains {keys.null_count} null(s); "
+            "bucket routing requires non-null integer keys")
+    if not pa.types.is_integer(keys.type):
+        raise TypeError(
+            f"bucketBy column {col!r} must be an integer type, got "
+            f"{keys.type}")
+    k = keys.cast(pa.int64())  # checked: overflow raises, never wraps
+    n = pa.scalar(n_buckets, pa.int64())
+    rem = pc.subtract_checked(
+        k, pc.multiply_checked(pc.divide_checked(k, n), n))
+    pmod = pc.if_else(pc.less(rem, 0), pc.add_checked(rem, n), rem)
+    return pmod.cast(pa.int32()).combine_chunks()
+
+
 def _sbucket_of(root: str, path: str) -> int | None:
     """The ``__sb=<i>`` value in ``path``'s directory chain, or None."""
     rel = os.path.relpath(os.path.dirname(path), root)
@@ -1540,12 +1566,10 @@ class ArrowIPCWriter(DataSourceArrowWriter):
         for batch in batches:
             table = pa.Table.from_batches([batch])
             if self._bucket_col:
-                import numpy as np
-
-                keys = table.column(self._bucket_col).to_pandas().to_numpy()
-                sb = np.mod(keys, self._n_buckets).astype("int32")
                 table = table.append_column(
-                    _SBUCKET_COL, pa.array(sb, pa.int32()))
+                    _SBUCKET_COL,
+                    _bucket_ids(table.column(self._bucket_col),
+                                self._bucket_col, self._n_buckets))
             combos = (
                 table.select(split_cols)
                 .group_by(split_cols)

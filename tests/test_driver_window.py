@@ -15,6 +15,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 WINDOW_SIZE = 50
+FRESHNESS_HORIZON = 7  # keep in sync with tools/curate_window.py
+
+
+def _next_round() -> int:
+    rounds = [int(p.stem.split("_r")[1])
+              for p in REPO.glob("CORRECTNESS_r*.json")]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def _green_latest() -> dict[str, int]:
@@ -87,7 +94,14 @@ def test_window_rotates_oldest_green_keys():
     [_MODIFIED_UNATTESTED] + oldest-green fill (by latest green round,
     alphabetical within a round).  Enforcing the fill stops re-verification
     from stalling: without it, a key could keep an r1-era green row forever
-    while the window re-samples recent favorites."""
+    while the window re-samples recent favorites.
+
+    Overflow rule (r15, VERDICT r14 item 1): a green key older than
+    FRESHNESS_HORIZON rounds is rotation-DUE — when never-green + modified
+    + due exceed the window, due keys outrank modified re-attestation
+    (carried modified keys stay tripwired in _MODIFIED_UNATTESTED; an
+    aging green has nothing), and the modified slots go to the priority
+    PREFIX of the _MODIFIED_UNATTESTED list."""
     from bossarrowstorageengine_spark.operators import (
         _DRIVER_WINDOW,
         _MODIFIED_UNATTESTED,
@@ -99,6 +113,26 @@ def test_window_rotates_oldest_green_keys():
     needed = [k for k in ordered if k not in latest]
     modified = [k for k in _MODIFIED_UNATTESTED if k in latest]
     mandatory = set(needed) | set(modified)
+
+    horizon = _next_round() - FRESHNESS_HORIZON - 1
+    due = sorted(
+        (k for k in ordered
+         if k in latest and latest[k] <= horizon and k not in set(modified)),
+        key=lambda k: (latest[k], k),
+    )
+    if len(needed) + len(modified) + len(due) > WINDOW_SIZE:
+        n_mod = WINDOW_SIZE - len(needed) - len(due)
+        if n_mod < 0:
+            expected = set((needed + due)[:WINDOW_SIZE])
+        else:
+            expected = set(needed) | set(due) | set(modified[:n_mod])
+        assert set(_DRIVER_WINDOW) == expected, (
+            "overflow window must be never-green + rotation-due + the "
+            "priority prefix of _MODIFIED_UNATTESTED; "
+            f"missing={sorted(expected - set(_DRIVER_WINDOW))} "
+            f"extra={sorted(set(_DRIVER_WINDOW) - expected)}"
+        )
+        return
     if len(mandatory) >= WINDOW_SIZE:
         return  # backlog fills the window; covered by the coverage test
     n_fill = WINDOW_SIZE - len(mandatory)

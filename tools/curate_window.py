@@ -10,6 +10,19 @@ changes.  Policy (SURVEY.md §5, enforced by tests/test_driver_window.py):
   3. remaining slots: already-green keys, OLDEST green round first
      (alphabetical within a round).
 
+Overflow rule (added r15, VERDICT r14 item 1): every green key must be
+re-attested within FRESHNESS_HORIZON rounds of its newest green row, or the
+attestation record rots silently (by r14, 35 keys' newest green predated r8
+because two consecutive arrowipc reworks filled the window with their
+dependent families).  When never-green + modified + rotation-due keys exceed
+the window, slots go (a) never-green — the driver can never attest them
+otherwise — then (b) rotation-due greens (they have NO other tripwire; a
+carried modified key stays tracked in ``_MODIFIED_UNATTESTED``), then (c) the
+longest PREFIX of ``_MODIFIED_UNATTESTED`` that fits — the list order is the
+curator's priority ranking (keys most exercised by the diff first).  The
+carried suffix spills to the next round's window and MUST be verified
+locally via ``tools/check.py`` in the meantime (SURVEY §7 records the run).
+
 This tool computes that window, rewrites the generated block in
 ``operators/__init__.py``, and re-records the sha256 of every shared module
 in ``operators/_staleness.py`` (run it AFTER curating
@@ -32,6 +45,11 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 WINDOW_SIZE = 50
+#: A green key whose newest attestation is more than this many rounds old is
+#: "rotation-due": it outranks modified-key re-attestation under overflow
+#: (the modified key keeps its _MODIFIED_UNATTESTED tripwire; the aging
+#: green has nothing).
+FRESHNESS_HORIZON = 7
 INIT_PATH = REPO / "bossarrowstorageengine_spark" / "operators" / "__init__.py"
 STALE_PATH = REPO / "bossarrowstorageengine_spark" / "operators" / "_staleness.py"
 
@@ -46,6 +64,12 @@ def green_latest() -> dict[str, int]:
                     and not row.get("err")):
                 latest[key] = max(latest.get(key, 0), rnd)
     return latest
+
+
+def next_round() -> int:
+    rounds = [int(p.stem.split("_r")[1])
+              for p in REPO.glob("CORRECTNESS_r*.json")]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def compute_window() -> list[str]:
@@ -72,12 +96,28 @@ def compute_window() -> list[str]:
     never = [k for k in ordered if k not in latest]
     modified = [k for k in _MODIFIED_UNATTESTED if k in latest and
                 k not in never]
+    horizon = next_round() - FRESHNESS_HORIZON - 1
+    due = sorted(
+        (k for k in ordered
+         if k in latest and latest[k] <= horizon and k not in set(modified)),
+        key=lambda k: (latest[k], k),
+    )
+    if len(never) + len(modified) + len(due) > WINDOW_SIZE:
+        # Overflow: never-green, then rotation-due, then the priority
+        # PREFIX of _MODIFIED_UNATTESTED; the suffix is carried to the
+        # next window (it stays in the list, so the tripwire holds).
+        n_mod = WINDOW_SIZE - len(never) - len(due)
+        if n_mod < 0:
+            print(f"WARNING: {len(never)} never-green + {len(due)} "
+                  "rotation-due keys alone exceed the window; truncating "
+                  "rotation-due oldest-first.", file=sys.stderr)
+            return (never + due)[:WINDOW_SIZE]
+        prefix = modified[:n_mod]
+        carried = modified[n_mod:]
+        print(f"overflow: carrying {len(carried)} modified keys to the "
+              f"next window: {' '.join(carried)}", file=sys.stderr)
+        return never + due + prefix
     mandatory = never + sorted(modified)
-    if len(mandatory) > WINDOW_SIZE:
-        print(f"WARNING: {len(mandatory)} mandatory keys exceed the "
-              f"{WINDOW_SIZE}-slot window; coverage test will enforce "
-              "never-green priority.", file=sys.stderr)
-        return mandatory[:WINDOW_SIZE]
     n_fill = WINDOW_SIZE - len(mandatory)
     fill = sorted(
         (k for k in ordered if k in latest and k not in set(mandatory)),
