@@ -493,6 +493,85 @@ def q_arrowipc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_timetravel_asof",
+    oracle="""
+    SELECT 'between' AS face,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2)         AS sum_value
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 'at' AS face,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2)         AS sum_value
+    FROM events WHERE event_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'beyond' AS face,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2)         AS sum_value
+    FROM events
+    """,
+)
+def q_timetravel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch time travel by TIMESTAMP (Delta's ``timestampAsOf``,
+    r14 feature, r15 oracle face — the attested sibling of
+    ``q_arrowipc_snapshot``'s version pinning).
+
+    Three committed appends split events by ``event_id % 3``; the
+    fixture then pins each manifest's recorded commit ``ts`` to exact
+    anchors (1000/2000/3000 epoch seconds — back-to-back commits land
+    milliseconds apart, so probing BETWEEN real wall-clock commits
+    would be racy).  Reads resolve via the shared ``_version_as_of``
+    run-max rule (sources/arrowipc.py): an anchor between commits
+    ('between', 1500) sees only v1, an anchor exactly at a commit
+    ('at', ISO-8601 form of 2000) sees v1+v2, and an anchor beyond the
+    head ('beyond', 9999) sees everything.  The pre-first-commit error
+    arm and the ts-dip (non-monotonic commit clock) arm are repo-tested
+    (tests/test_round14_props.py).
+
+    Scale: resolution is a manifest-metadata scan — O(versions) small
+    JSON reads, no data file is opened to pick the version."""
+    import json as _json
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_file, _manifest_versions)
+
+    register_arrowipc(spark)
+    path = _scratch(sf_dir, "timetravel_asof")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    for m in (0, 1, 2):
+        (ev.filter(F.col("event_id") % 3 == m)
+           .write.format("arrowipc").option("snapshots", "true")
+           .option("compression", "lz4").mode("append").save(path))
+    for v, ts in zip(_manifest_versions(path), (1000.0, 2000.0, 3000.0)):
+        mf = _manifest_file(path, v)
+        with open(mf) as f:
+            doc = _json.load(f)
+        doc["ts"] = ts
+        with open(mf, "w") as f:
+            _json.dump(doc, f)
+
+    def _face(anchor: str, tag: str) -> DataFrame:
+        df = (spark.read.format("arrowipc")
+              .option("timestampAsOf", anchor)
+              .option("columns", "event_id,user_id,value")
+              .schema("event_id long, user_id long, value double")
+              .load(path))
+        return df.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).select(F.lit(tag).alias("face"), "*")
+
+    return (_face("1500", "between")
+            .unionByName(_face("1970-01-01T00:33:20+00:00", "at"))
+            .unionByName(_face("9999", "beyond")))
+
+
+@query(
     "q_storage_delete",
     oracle="""
     SELECT 'pre' AS face, lang,

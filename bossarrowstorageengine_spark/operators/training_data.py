@@ -1121,8 +1121,8 @@ def q_purge_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.format("arrowipc").option("partitionBy", "bucket")
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(pack_path))
-    pack_v1_files = len(
-        _read_manifest(pack_path, _manifest_versions(pack_path)[-1]))
+    pack_v1_paths = _read_manifest(
+        pack_path, _manifest_versions(pack_path)[-1])
 
     base_fine = _snap("1", "lang,source,n_chars").groupBy(
         "lang", "source").agg(
@@ -1249,13 +1249,26 @@ def q_purge_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_map.exceptAll(scratch)
         .unionByName(scratch.exceptAll(head_map)).count() == 0)
 
-    # The CoW boundary: only affected-shard part files were rewritten.
-    # (Row-level preservation of untouched shards is implied: the purge
-    # does not change their pack, so pack_matches_scratch covers their
-    # content; the FILE accounting is what pins that they were not
-    # gratuitously rewritten.)
-    untouched_preserved = (not affected
-                           or res["files_rewritten"] < pack_v1_files)
+    # The CoW boundary, pinned by FILE IDENTITY (ADVICE r14): every v1
+    # part file of an UNAFFECTED bucket must still be referenced by the
+    # post-purge head manifest — a repack that gratuitously rewrote
+    # untouched shards (even into fewer files) fails this, where the old
+    # files_rewritten < v1-count proxy did not.  (Row-level content of
+    # untouched shards is covered by pack_matches_scratch.)
+    def _bucket_seg(p: str) -> int | None:
+        for seg in p.split(os.sep):
+            if seg.startswith("bucket="):
+                try:
+                    return int(seg.split("=", 1)[1])
+                except ValueError:
+                    return None
+        return None
+
+    aff_set = set(affected)
+    unaffected_v1 = {p for p in pack_v1_paths
+                     if _bucket_seg(p) not in aff_set}
+    head_paths = set(_read_manifest(pack_path, pack_purge_version))
+    untouched_preserved = unaffected_v1 <= head_paths
 
     def _mv_back(path: str, keys: list[str]) -> DataFrame:
         cols = ",".join(keys + ["docs", "chars", "mv_version"])

@@ -468,7 +468,8 @@ def set_commit_backend(backend: ConditionalPut) -> ConditionalPut:
 
 def _write_manifest(path: str, new_files: list[str], replace: bool,
                     remove: Sequence[str] = (),
-                    adds_new_rows: bool | None = None) -> int:
+                    adds_new_rows: bool | None = None,
+                    expected_prev: int | None = None) -> int:
     """Publish the next snapshot version: (previous visible set − ``remove``)
     ∪ new files (or just the new files when ``replace``).  Optimistic-
     concurrency loop over the ConditionalPut primitive: read latest version,
@@ -494,7 +495,13 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
     running ``skipChangeCommits`` use the hint to skip pure rewrites
     silently but FAIL on mixed commits instead of silently dropping the
     inserted rows; manifests without the hint (pre-round-14 tables or
-    foreign writers) keep the documented skip-entirely behavior."""
+    foreign writers) keep the documented skip-entirely behavior.
+
+    ``expected_prev`` (r15): commit-content CAS — raise
+    ``ConcurrentWriteConflict`` instead of retrying when the latest
+    version is not the one the caller derived the commit's content from
+    (the offsets table computes its ``seq`` counter against a pinned
+    snapshot and must recompute on a lost race)."""
     rel_abs = {os.path.relpath(p, path): p for p in new_files}
     rels = sorted(rel_abs)
     rm = sorted(os.path.relpath(p, path) for p in remove)
@@ -510,6 +517,16 @@ def _write_manifest(path: str, new_files: list[str], replace: bool,
     while True:
         versions = _manifest_versions(path)
         prev = versions[-1] if versions else 0
+        if expected_prev is not None and prev != expected_prev:
+            # Caller derived the commit's CONTENT from snapshot
+            # ``expected_prev`` (e.g. the offsets table's seq counter) —
+            # landing it on a different version would publish stale
+            # derived state, so surface the race instead of retrying
+            # blindly; the caller recomputes and re-commits.
+            raise ConcurrentWriteConflict(
+                f"arrowipc commit under {path}: expected to land on "
+                f"version {expected_prev} but the latest is {prev} — "
+                "recompute against the new snapshot and retry")
         next_v = prev + 1
         if rm and versions:
             # Write-write conflict detection (the Delta/Iceberg rule): a

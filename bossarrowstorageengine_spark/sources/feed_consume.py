@@ -34,9 +34,11 @@ Mechanics:
   the partition layout).
 
 Concurrency contract (Kafka's): ONE writer per group.  Offsets commits
-for different groups interleave safely (append-only rows under the
-manifest CAS); two concurrent committers for the SAME group would race
-their ``seq`` read-modify-write and must be serialized by the caller.
+for different groups interleave safely — ``seq`` is assigned inside the
+manifest-CAS loop, so concurrent commits get globally unique, totally
+ordered audit seqs (r15); two concurrent committers for the SAME group
+still race apply-vs-commit semantics and must be serialized by the
+caller.
 
 Scale: the offsets table is consumer-count-sized; ``consume_next`` reads
 feed rows beyond the position (commit-partition pruned: the feed is
@@ -64,41 +66,64 @@ _OFFSETS_ARROW = pa.schema([
 ])
 
 
-def _offset_rows(offsets_dir: str) -> list[dict]:
+def _offset_rows(offsets_dir: str, version: int | None = None) -> list[dict]:
     """Every audit row in the offsets table — driver-side pyarrow read
-    of the manifest-visible files (consumer-count-sized by design)."""
+    of the manifest-visible files (consumer-count-sized by design).
+    ``version`` pins the read to one snapshot (the seq-CAS loop needs
+    the rows AT the version its commit will land on)."""
     from bossarrowstorageengine_spark.sources.arrowipc import (
         _manifest_versions,
         _read_manifest,
     )
 
-    versions = _manifest_versions(offsets_dir)
-    if not versions:
-        return []
+    if version is None:
+        versions = _manifest_versions(offsets_dir)
+        if not versions:
+            return []
+        version = versions[-1]
     rows: list[dict] = []
-    for f in _read_manifest(offsets_dir, versions[-1]):
+    for f in _read_manifest(offsets_dir, version):
         with pa.OSFile(f, "rb") as fh:
             rows.extend(pa.ipc.open_file(fh).read_all().to_pylist())
     return rows
 
 
 def _append(offsets_dir: str, group: str, position: int, op: str) -> None:
-    os.makedirs(offsets_dir, exist_ok=True)
-    seq = max((r["seq"] for r in _offset_rows(offsets_dir)), default=0) + 1
-    tbl = pa.table(
-        {"group": [group], "position": [int(position)], "op": [op],
-         "seq": [int(seq)]}, schema=_OFFSETS_ARROW)
+    """Append one audit row with the next global ``seq``.  The seq is
+    computed INSIDE the manifest-CAS loop against the pinned snapshot
+    the commit will land on (VERDICT r14 item 5): two different groups
+    committing concurrently can no longer both observe the same max and
+    tie — the loser's commit is rejected by ``expected_prev`` and it
+    recomputes.  (Same-GROUP writers must still be serialized by the
+    caller — the documented Kafka contract.)"""
     from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConcurrentWriteConflict,
+        _manifest_versions,
         _write_manifest,
     )
 
-    final = os.path.join(offsets_dir, f"part-{uuid.uuid4().hex}.arrows")
-    tmp = final + ".tmp"
-    with pa.OSFile(tmp, "wb") as f:
-        with pa.ipc.new_file(f, _OFFSETS_ARROW) as w:
-            w.write_table(tbl)
-    os.replace(tmp, final)
-    _write_manifest(offsets_dir, [final], replace=False)
+    os.makedirs(offsets_dir, exist_ok=True)
+    while True:
+        versions = _manifest_versions(offsets_dir)
+        prev = versions[-1] if versions else 0
+        rows = _offset_rows(offsets_dir, version=prev) if prev else []
+        seq = max((r["seq"] for r in rows), default=0) + 1
+        tbl = pa.table(
+            {"group": [group], "position": [int(position)], "op": [op],
+             "seq": [int(seq)]}, schema=_OFFSETS_ARROW)
+        final = os.path.join(offsets_dir,
+                             f"part-{uuid.uuid4().hex}.arrows")
+        tmp = final + ".tmp"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, _OFFSETS_ARROW) as w:
+                w.write_table(tbl)
+        os.replace(tmp, final)
+        try:
+            _write_manifest(offsets_dir, [final], replace=False,
+                            expected_prev=prev)
+            return
+        except ConcurrentWriteConflict:
+            os.remove(final)  # lost the race: recompute seq and retry
 
 
 def committed_position(spark: SparkSession, offsets_dir: str,
@@ -171,16 +196,22 @@ def consume_next(spark: SparkSession, feed_dir: str, offsets_dir: str,
                  group: str, columns: str,
                  schema: str) -> tuple[DataFrame, int, int]:
     """The group's next delivery: ``(rows, from_position, head)`` where
-    ``rows`` carries every feed row with ``commit_seq > position`` (the
-    feed's ``commit_seq=`` partition dirs prune the absorbed prefix
-    before any file opens).  The caller applies ``rows`` idempotently,
-    then ``commit_position(head)`` — a crash in between re-delivers and
-    the sink's own ledger makes the re-apply a no-op."""
+    ``rows`` carries every feed row with ``position < commit_seq <=
+    head`` — capped at the head read in the SAME call (ADVICE r14), so
+    the delivered set matches the position the caller will commit
+    exactly: a commit landing between this read and the apply is simply
+    the next cycle's delivery, never applied-but-uncommitted.  The
+    feed's ``commit_seq=`` partition dirs prune both bounds before any
+    file opens.  The caller applies ``rows`` idempotently, then
+    ``commit_position(head)`` — a crash in between re-delivers and the
+    sink's own ledger makes the re-apply a no-op."""
     pos = committed_position(spark, offsets_dir, group)
     head = feed_head(spark, feed_dir)
     feed = (spark.read.format("arrowipc").option("snapshots", "true")
             .option("columns", columns).schema(schema).load(feed_dir))
-    return feed.filter(F.col("commit_seq") > pos), pos, head
+    rows = feed.filter((F.col("commit_seq") > pos)
+                       & (F.col("commit_seq") <= head))
+    return rows, pos, head
 
 
 def consumer_lag(spark: SparkSession, feed_dir: str,
@@ -213,7 +244,10 @@ def consume_and_apply(spark: SparkSession, feed_dir: str,
     consumers of one feed share the audited offsets table, so a single
     ``consumer_lag`` call reports the backlog of every derived artifact
     (MV grains, ANN index, downstream teams) instead of each sink
-    hiding its position in its own ledger.  The crash window between
+    hiding its position in its own ledger.  The delivery is capped at
+    the head read inside ``consume_next`` (ADVICE r14), so the applied
+    set and the committed position agree exactly; a commit landing
+    mid-cycle is the NEXT cycle's delivery.  The crash window between
     ``apply`` and the commit re-delivers on the next cycle; the sink
     ledger makes the re-apply a no-op (exactly-once effect) — the same
     at-least-once + idempotence contract the foreachBatch maintainers

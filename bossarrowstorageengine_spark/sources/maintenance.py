@@ -813,6 +813,14 @@ def vacuum_arrowipc(path: str, keep_versions: int = 1) -> dict:
             full = {"version": v, "files": sorted(ent),
                     "stats": {r: s for r, s in ent.items()
                               if s is not None}}
+            # Preserve commit metadata across the rewrite (ADVICE r14):
+            # dropping ts would skew timestampAsOf/startingTimestamp
+            # resolution to the rewrite-time mtime, and dropping
+            # adds_new_rows would let skipChangeCommits silently skip a
+            # retained MIXED commit instead of failing on it.
+            for meta in ("ts", "adds_new_rows"):
+                if meta in doc:
+                    full[meta] = doc[meta]
             tmp = _manifest_file(path, v) + f".ckpt-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump(full, f)

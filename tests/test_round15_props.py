@@ -62,6 +62,143 @@ def test_bucketby_exact_int_arithmetic(spark, tmp_path):
     assert seen == {k: k % 8 for k in keys}  # Python % == Spark pmod here
 
 
+def _snap_ids(spark, table, lo, hi):
+    df = spark.range(lo, hi).select(
+        "id", (F.col("id") % 2).cast("string").alias("grp"))
+    (df.coalesce(1).write.format("arrowipc")
+     .option("snapshots", "true").mode("append").save(table))
+
+
+def test_vacuum_checkpoint_preserves_commit_metadata(spark, tmp_path):
+    """ADVICE r14: vacuum's delta-to-checkpoint rewrite of RETAINED
+    manifests must carry ``ts`` and ``adds_new_rows`` over — otherwise a
+    retained mixed commit is silently skipped by skipChangeCommits
+    (bypassing the r14 guard) and timestampAsOf resolution falls back to
+    the rewrite-time mtime."""
+    from pyspark.sql.types import StructType
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ArrowIPCStreamReader, _load_manifest_doc, _manifest_versions)
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        merge_arrowipc, vacuum_arrowipc)
+
+    register_arrowipc(spark)
+    table = str(tmp_path / "t")
+    _snap_ids(spark, table, 0, 4)    # v1
+    _snap_ids(spark, table, 4, 8)    # v2
+    # v3: MERGE updating id=0 + inserting id=100 — a MIXED delta commit.
+    src = spark.createDataFrame(
+        [(0, "x"), (100, "y")], "id bigint, grp string")
+    merge_arrowipc(spark, table, src, key="id")
+    head = _manifest_versions(table)[-1]
+    before = _load_manifest_doc(table, head)
+    assert "files" not in before          # still a delta log entry
+    assert before["adds_new_rows"] is True
+
+    before_v2 = _load_manifest_doc(table, head - 1)
+    vacuum_arrowipc(table, keep_versions=2)   # drops v1; v2+v3 checkpointed
+    after = _load_manifest_doc(table, head)
+    assert "files" in after               # rewritten as a checkpoint
+    assert after["ts"] == before["ts"]
+    assert after["adds_new_rows"] is True
+    assert _load_manifest_doc(table, head - 1)["ts"] == before_v2["ts"]
+
+    # The skipChangeCommits guard still fires on the retained commit.
+    schema = StructType.fromDDL("id bigint, grp string")
+    reader = ArrowIPCStreamReader(
+        schema, {"path": table, "skipChangeCommits": "true"})
+    with pytest.raises(ValueError, match="adds_new_rows"):
+        reader._added_files(head - 1, head)
+
+    # timestampAsOf at the preserved commit time still resolves to head.
+    asof = (spark.read.format("arrowipc")
+            .option("timestampAsOf", str(before["ts"]))
+            .schema("id long, grp string").load(table))
+    ids = sorted(r.id for r in asof.collect())
+    assert ids == list(range(8)) + [100]
+
+
+def test_offsets_concurrent_groups_get_distinct_seqs(spark, tmp_path):
+    """VERDICT r14 item 5: seq is assigned inside the manifest-CAS loop,
+    so two DIFFERENT groups committing concurrently can never both land
+    the same audit seq (the global audit log stays totally ordered).
+    Simulated race: a conflicting commit lands between the loser's seq
+    read and its manifest claim, via a ConditionalPut wrapper that
+    injects a competing _append on the first claim attempt."""
+    from bossarrowstorageengine_spark.sources import feed_consume as fc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        ConditionalPut, set_commit_backend)
+
+    offsets = str(tmp_path / "offsets")
+    fc.seek(spark, offsets, "a", 0)
+    fc.seek(spark, offsets, "b", 0)
+
+    class RaceOnce(ConditionalPut):
+        def __init__(self, inner):
+            self.inner, self.fired = inner, False
+
+        def put_if_absent(self, target, payload):
+            if not self.fired and "_manifest-" in os.path.basename(target):
+                self.fired = True
+                # group b sneaks a commit in first — the outer _append
+                # must lose its claim, recompute seq, and retry.
+                fc.commit_position(spark, offsets, "b", 7)
+            return self.inner.put_if_absent(target, payload)
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        PosixConditionalPut)
+
+    inner = PosixConditionalPut()
+    prev = set_commit_backend(RaceOnce(inner))
+    try:
+        fc.commit_position(spark, offsets, "a", 5)
+    finally:
+        set_commit_backend(prev)
+
+    rows = fc._offset_rows(offsets)
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(range(1, len(rows) + 1))   # unique, gap-free
+    assert fc.committed_position(spark, offsets, "a") == 5
+    assert fc.committed_position(spark, offsets, "b") == 7
+
+
+def test_consume_next_caps_delivery_at_head(spark, tmp_path):
+    """ADVICE r14: the delivered set must match the head the position
+    will commit to — a commit landing after the head read inside the
+    same cycle is the NEXT cycle's delivery, not a silently-applied-but
+    -uncommitted extra."""
+    from bossarrowstorageengine_spark.sources import feed_consume as fc
+
+    register_arrowipc(spark)
+    feed = str(tmp_path / "feed")
+    offsets = str(tmp_path / "offsets")
+
+    def _commit(seq, n):
+        (spark.range(n).select(
+            F.lit(seq).cast("long").alias("commit_seq"),
+            (F.col("id") + 100 * seq).alias("doc_id"))
+         .coalesce(1).write.format("arrowipc")
+         .option("partitionBy", "commit_seq")
+         .option("snapshots", "true").mode("append").save(feed))
+
+    _commit(1, 3)
+    _commit(2, 2)
+    rows, pos, head = fc.consume_next(
+        spark, feed, offsets, "g", "commit_seq,doc_id",
+        "commit_seq long, doc_id long")
+    assert (pos, head) == (0, 2)
+    _commit(3, 4)   # lands between the head read and the apply
+    got = rows.collect()   # lazy frame evaluated AFTER commit 3
+    assert sorted({r.commit_seq for r in got}) == [1, 2]
+    assert len(got) == 5   # commit 3 is NOT delivered this cycle
+    fc.commit_position(spark, offsets, "g", head)
+    rows2, pos2, head2 = fc.consume_next(
+        spark, feed, offsets, "g", "commit_seq,doc_id",
+        "commit_seq long, doc_id long")
+    assert (pos2, head2) == (2, 3)
+    assert sorted({r.commit_seq for r in rows2.collect()}) == [3]
+
+
 def test_bucketby_null_key_fails_loudly(spark, tmp_path):
     """ADVICE r14 (medium): a null bucket key must fail the write, not
     silently route the row to a garbage __sb dir."""
