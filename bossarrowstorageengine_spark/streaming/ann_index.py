@@ -44,8 +44,15 @@ INDEX_SCHEMA = "vec_id long, bucket int, tombstone boolean, seg long"
 FEED_SCHEMA = "vec_id long, bucket int, change string, commit_seq long"
 
 
+def _payload_cols(ddl: str) -> list[str]:
+    """Column names of a payload DDL (comma-free types only — enforced
+    at seed time)."""
+    return [c.strip().split(" ")[0] for c in ddl.split(",")]
+
+
 def seed_index(idx_dir: str, bucketed: DataFrame,
-               layout_buckets: int | None = None) -> None:
+               layout_buckets: int | None = None,
+               payload: str | None = None) -> None:
     """Publish the base segment (``seg=0``) — the one corpus-sized
     build.  ``bucketed`` must carry ``(vec_id, bucket)``.
 
@@ -56,9 +63,26 @@ def seed_index(idx_dir: str, bucketed: DataFrame,
     base row, re-buckets, tombstone — lives in ONE storage bucket and
     ``read_index``'s last-wins merge runs partition-locally with NO
     shuffle (the groupByBucket + mapInPandas path).  Size N so a
-    bucket's merged rows fit one task's memory."""
+    bucket's merged rows fit one task's memory.
+
+    ``payload`` (r15, the IVF-PQ face): extra per-key column DDL (e.g.
+    ``"codes array<int>"``) carried through every segment and the
+    merge-on-read — the delta segments are then DELTA-ENCODED CODES,
+    not just list moves.  Payload columns ride last-wins with their
+    row: an upsert replaces bucket AND payload atomically; deletes
+    tombstone both.  Recorded once at seed time (``_payload.json``) —
+    every later writer and reader auto-detects it, exactly like the
+    physical layout."""
+    cols = ["vec_id", F.col("bucket").cast("int")]
+    if payload:
+        if any("," in c.strip().split(" ", 1)[1]
+               for c in payload.split(",")):
+            raise ValueError(
+                f"payload DDL {payload!r}: comma-bearing types (struct/"
+                "map) are not supported — the DDL is split on commas")
+        cols += [F.col(c) for c in _payload_cols(payload)]
     w = (bucketed.select(
-        "vec_id", F.col("bucket").cast("int"),
+        *cols,
         F.lit(False).alias("tombstone"),
         F.lit(0).cast("long").alias("seg"))
         .write.format("arrowipc").option("partitionBy", "seg")
@@ -77,6 +101,33 @@ def seed_index(idx_dir: str, bucketed: DataFrame,
         with open(os.path.join(idx_dir, "_layout.json"), "w") as f:
             json.dump({"bucket_by": "vec_id",
                        "buckets": int(layout_buckets)}, f)
+    if payload:
+        import json
+
+        with open(os.path.join(idx_dir, "_payload.json"), "w") as f:
+            json.dump({"ddl": payload}, f)
+
+
+def _payload_ddl(idx_dir: str) -> str | None:
+    """The index table's recorded payload DDL (the seed's
+    ``_payload.json``), or None for the plain ``(vec_id, bucket)``
+    layout."""
+    import json
+
+    p = os.path.join(idx_dir, "_payload.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return str(json.load(f)["ddl"])
+
+
+def _index_schema(idx_dir: str) -> tuple[str, list[str]]:
+    """Full on-disk segment schema + payload column names."""
+    ddl = _payload_ddl(idx_dir)
+    if not ddl:
+        return INDEX_SCHEMA, []
+    return (f"vec_id long, bucket int, {ddl}, tombstone boolean, "
+            "seg long"), _payload_cols(ddl)
 
 
 def _layout_buckets(idx_dir: str) -> int | None:
@@ -134,6 +185,7 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
     batch = batch_df.localCheckpoint()
     hw = _seg_high_water(idx_dir)
     layout = _layout_buckets(idx_dir)   # delta segments inherit the seed's
+    _, pay_cols = _index_schema(idx_dir)
     commits = sorted(
         int(r["commit_seq"])
         for r in batch.select("commit_seq").distinct().collect()
@@ -144,6 +196,8 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
             "vec_id",
             F.when(F.col("change") != "delete", F.col("bucket"))
             .cast("int").alias("bucket"),
+            *[F.when(F.col("change") != "delete", F.col(c)).alias(c)
+              for c in pay_cols],
             (F.col("change") == "delete").alias("tombstone"),
             F.lit(seq).cast("long").alias("seg"))
         # one write job per commit = one atomic manifest commit: the
@@ -158,8 +212,10 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
 
 def read_index(spark: SparkSession, idx_dir: str,
                thru: int | None = None) -> DataFrame:
-    """The index's logical state ``(vec_id, bucket)`` — merge-on-read:
-    last-wins per vec_id by segment number, tombstones dropped.  ``thru``
+    """The index's logical state ``(vec_id, bucket[, payload...])`` —
+    merge-on-read: last-wins per vec_id by segment number, tombstones
+    dropped; payload columns (the seed's ``payload=`` DDL, e.g. IVF-PQ
+    code vectors) ride with their winning row.  ``thru``
     limits the merge to segments ``<= thru`` (the state as of that feed
     commit — segment-grain time travel; None = current).
 
@@ -173,11 +229,16 @@ def read_index(spark: SparkSession, idx_dir: str,
     vec_id-keyed window (one exchange); ``compact_index`` bounds the
     merged segment count either way."""
     layout = _layout_buckets(idx_dir)
+    schema, pay_cols = _index_schema(idx_dir)
+    out_cols = ["vec_id", "bucket"] + pay_cols
+    ddl = _payload_ddl(idx_dir)
+    out_schema = ("vec_id long, bucket int"
+                  + (f", {ddl}" if ddl else ""))
     if layout:
         rows = (spark.read.format("arrowipc")
                 .option("snapshots", "true")
                 .option("groupByBucket", "true")
-                .schema(INDEX_SCHEMA).load(idx_dir))
+                .schema(schema).load(idx_dir))
         if thru is not None:
             rows = rows.filter(F.col("seg") <= thru)
 
@@ -192,17 +253,17 @@ def read_index(spark: SparkSession, idx_dir: str,
             df = (df.sort_values(["vec_id", "seg"])
                   .groupby("vec_id", as_index=False).tail(1))
             df = df[~df["tombstone"]]
-            yield df[["vec_id", "bucket"]]
+            yield df[out_cols]
 
-        return rows.mapInPandas(_merge, schema="vec_id long, bucket int")
+        return rows.mapInPandas(_merge, schema=out_schema)
     rows = (spark.read.format("arrowipc").option("snapshots", "true")
-            .schema(INDEX_SCHEMA).load(idx_dir))
+            .schema(schema).load(idx_dir))
     if thru is not None:
         rows = rows.filter(F.col("seg") <= thru)
     w = Window.partitionBy("vec_id").orderBy(F.col("seg").desc())
     return (rows.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
-            .select("vec_id", "bucket"))
+            .select(*out_cols))
 
 
 def compact_index(spark: SparkSession, idx_dir: str, thru: int,
@@ -275,12 +336,13 @@ def compact_index(spark: SparkSession, idx_dir: str, thru: int,
                     os.link(s, dst)
                 except OSError:
                     shutil.copy2(s, dst)
-        scoped = (spark.read.format("arrowipc").schema(INDEX_SCHEMA)
+        schema, pay_cols = _index_schema(idx_dir)
+        scoped = (spark.read.format("arrowipc").schema(schema)
                   .load(snapshot))
         w = Window.partitionBy("vec_id").orderBy(F.col("seg").desc())
         merged = (scoped.withColumn("_rn", F.row_number().over(w))
                   .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
-                  .select("vec_id", "bucket", "tombstone",
+                  .select("vec_id", "bucket", *pay_cols, "tombstone",
                           F.lit(thru).cast("long").alias("seg")))
         layout = _layout_buckets(idx_dir)
         if layout:

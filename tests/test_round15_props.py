@@ -199,6 +199,50 @@ def test_consume_next_caps_delivery_at_head(spark, tmp_path):
     assert sorted({r.commit_seq for r in rows2.collect()}) == [3]
 
 
+def test_index_payload_roundtrip_and_shuffle_free(spark, tmp_path):
+    """r15 payload face of the LSM index (the IVF-PQ delta-encoded
+    codes): seed/apply/read carry an ``array<bigint>`` payload through
+    base + delta segments, last-wins replaces bucket AND payload
+    atomically, tombstones drop both, compaction preserves the payload,
+    and the bucketed merge-on-read still plans NO Exchange."""
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        apply_index_batch, compact_index, read_index, seed_index)
+
+    register_arrowipc(spark)
+    idx = str(tmp_path / "idx")
+    base = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        F.array(F.col("id"), F.col("id") * 2).alias("codes"))
+    seed_index(idx, base, layout_buckets=4, payload="codes array<bigint>")
+
+    # commit 1: re-code vec 3 (same bucket, new codes), delete vec 5.
+    feed = spark.createDataFrame(
+        [(3, 3, [99, 98], "recode", 1), (5, None, None, "delete", 1)],
+        "vec_id long, bucket int, codes array<bigint>, change string, "
+        "commit_seq long")
+    apply_index_batch(feed, 0, idx)
+
+    got = read_index(spark, idx)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # bucketed merge: shuffle-free
+    rows = {r.vec_id: (r.bucket, list(r.codes)) for r in got.collect()}
+    assert 5 not in rows                   # tombstone dropped payload too
+    assert rows[3] == (3, [99, 98])        # payload replaced atomically
+    assert rows[7] == (3, [7, 14])         # untouched rows keep payload
+    assert len(rows) == 19
+
+    # replay safety: re-applying the same commit is a no-op.
+    apply_index_batch(feed, 1, idx)
+    assert read_index(spark, idx).count() == 19
+
+    # compaction folds segments, payload preserved.
+    compact_index(spark, idx, thru=1)
+    rows2 = {r.vec_id: (r.bucket, list(r.codes))
+             for r in read_index(spark, idx).collect()}
+    assert rows2 == rows
+
+
 def test_bucketby_null_key_fails_loudly(spark, tmp_path):
     """ADVICE r14 (medium): a null bucket key must fail the write, not
     silently route the row to a garbage __sb dir."""
