@@ -52,9 +52,18 @@ def _payload_cols(ddl: str) -> list[str]:
 
 def seed_index(idx_dir: str, bucketed: DataFrame,
                layout_buckets: int | None = None,
-               payload: str | None = None) -> None:
-    """Publish the base segment (``seg=0``) — the one corpus-sized
-    build.  ``bucketed`` must carry ``(vec_id, bucket)``.
+               payload: str | None = None,
+               base_seg: int = 0) -> None:
+    """Publish the base segment (``seg=<base_seg>``, default 0) — the
+    one corpus-sized build.  ``bucketed`` must carry ``(vec_id,
+    bucket)``.
+
+    ``base_seg`` (r15, the generation-rollover face): a re-trained
+    generation's base already REFLECTS every feed commit up to the
+    position it trained at, so it seeds with that position as its base
+    segment — the segment high-water then makes a redelivered
+    pre-rollover commit a natural no-op, the same ledger invariant as
+    every delta apply.
 
     ``layout_buckets=N`` additionally buckets the PHYSICAL layout on
     ``vec_id`` (the arrowipc ``bucketBy`` option: ``__sb=<vec_id % N>``
@@ -84,7 +93,7 @@ def seed_index(idx_dir: str, bucketed: DataFrame,
     w = (bucketed.select(
         *cols,
         F.lit(False).alias("tombstone"),
-        F.lit(0).cast("long").alias("seg"))
+        F.lit(int(base_seg)).cast("long").alias("seg"))
         .write.format("arrowipc").option("partitionBy", "seg")
         .option("snapshots", "true").option("compression", "lz4"))
     if layout_buckets:
@@ -513,3 +522,144 @@ def apply_index_batch_guarded(batch_df: DataFrame, batch_id: int,
          .option("compression", "lz4").mode("overwrite").save(ledger_dir))
     apply_index_batch(batch, batch_id, idx_dir)
     return {"n_unpurged": n_viol}
+
+
+# ---------------------------------------------------------------------------
+# Generation rollover (r15, VERDICT r14 item 3): the batch re-train arm of
+# q_ann_ivf_maintained as a LIVE foreachBatch face — the maintainer rolls
+# the TRAINED index to generation k+1 when the drift monitor trips, while
+# searches stay pinned to the generation they opened.
+# ---------------------------------------------------------------------------
+
+#: Pointer file naming the CURRENT generation (atomic os.replace flip).
+GENERATION_POINTER = "_generation.json"
+
+
+def generation_dir(idx_root: str, gen: int) -> str:
+    """One generation's index table — an ordinary LSM index dir, append-
+    only and never deleted by a roll (pinned searches keep reading it)."""
+    return os.path.join(idx_root, f"gen={gen}")
+
+
+def current_generation(idx_root: str) -> dict:
+    """The pointer: ``{"generation": k, "trained_thru": c}`` — generation
+    k's base reflects every feed commit ``<= c``."""
+    import json
+
+    p = os.path.join(idx_root, GENERATION_POINTER)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"generational index {idx_root!r} has no generation pointer "
+            "— seed generation 0 with seed_generation() first")
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish_generation(idx_root: str, gen: int, trained_thru: int) -> None:
+    """Atomically flip the pointer (os.replace — a reader sees the old
+    or the new generation, never a partial write)."""
+    import json
+    import uuid
+
+    p = os.path.join(idx_root, GENERATION_POINTER)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"generation": int(gen),
+                   "trained_thru": int(trained_thru)}, f)
+    os.replace(tmp, p)
+
+
+def seed_generation(idx_root: str, bucketed: DataFrame,
+                    layout_buckets: int | None = None,
+                    payload: str | None = None) -> None:
+    """Seed generation 0 (the one corpus-sized build) and publish the
+    pointer at ``trained_thru=0``."""
+    os.makedirs(idx_root, exist_ok=True)
+    seed_index(generation_dir(idx_root, 0), bucketed,
+               layout_buckets=layout_buckets, payload=payload)
+    _publish_generation(idx_root, 0, 0)
+
+
+def read_index_generation(spark: SparkSession, idx_root: str,
+                          gen: int | None = None,
+                          thru: int | None = None
+                          ) -> tuple[int, DataFrame]:
+    """Merge-on-read state of ONE generation, returned with its number.
+    ``gen=None`` pins the CURRENT pointer at call time — the snapshot a
+    search holds through a concurrent rollover (generation dirs are
+    immutable-append, so the pinned read stays correct while the
+    maintainer flips the pointer under it); pass an explicit ``gen`` to
+    time-travel the generation axis."""
+    g = current_generation(idx_root)["generation"] if gen is None else gen
+    return g, read_index(spark, generation_dir(idx_root, g), thru=thru)
+
+
+def generation_churn(spark: SparkSession, idx_root: str,
+                     gen: int) -> float:
+    """Cumulative assignment churn of one generation: distinct keys in
+    its DELTA segments over its base-segment row count — the streaming
+    face of ``q_ann_ivf_maintained``'s churn trigger (the base seg is
+    the generation's training snapshot, so the ratio is exactly 'what
+    fraction of the trained corpus has moved since')."""
+    gdir = generation_dir(idx_root, gen)
+    rows = (spark.read.format("arrowipc").option("snapshots", "true")
+            .option("columns", "vec_id,seg")
+            .schema("vec_id long, seg long").load(gdir)
+            .localCheckpoint())   # one read feeds both aggregates
+    base = int(rows.agg(F.min("seg")).collect()[0][0])
+    n_base = rows.filter(F.col("seg") == base).count()
+    n_delta = (rows.filter(F.col("seg") > base)
+               .select("vec_id").distinct().count())
+    return (n_delta / n_base) if n_base else 0.0
+
+
+def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
+                     checkpoint_dir: str, retrain,
+                     churn_min: float = 0.10,
+                     layout_buckets: int | None = None):
+    """Start the GENERATIONAL maintainer: tail the vector-grain
+    changefeed, apply each commit to the CURRENT generation, and ROLL
+    to generation k+1 live when the churn monitor trips.  Returns the
+    ``StreamingQuery``.
+
+    - each micro-batch applies to the current generation's index
+      (per-generation segment high-water = the usual replay safety);
+    - after the apply, ``generation_churn`` evaluates the cumulative
+      drift (``q_ann_ivf_maintained``'s trigger, streaming face); when
+      it crosses ``churn_min`` the maintainer calls
+      ``retrain(spark) -> DataFrame (vec_id, bucket)`` — the caller's
+      corpus-sized Lloyd re-train on the CURRENT head corpus — seeds
+      the result as generation k+1 with ``base_seg=<absorbed head>``
+      (the new base reflects those commits, so their redelivery
+      no-ops), and atomically flips the pointer;
+    - searches pin a generation (``read_index_generation``): an
+      in-flight search during the roll keeps reading generation k,
+      which the roll never mutates; the next search picks up k+1.
+
+    Replay safety across the roll: a redelivered pre-roll commit hits
+    generation k+1 whose base segment IS the absorbed position — the
+    high-water skips it; the churn monitor reads index state, which
+    the no-op apply left alone, so a replay cannot double-roll."""
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+
+    register_arrowipc(spark)
+    feed = (spark.readStream.format("arrowipc")
+            .option("columns", "vec_id,bucket,change,commit_seq")
+            .schema(FEED_SCHEMA).load(feed_dir))
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        ptr = current_generation(idx_root)
+        gen = int(ptr["generation"])
+        gdir = generation_dir(idx_root, gen)
+        apply_index_batch(df, bid, gdir)
+        if generation_churn(spark, idx_root, gen) <= churn_min:
+            return
+        absorbed = _seg_high_water(gdir)
+        seed_index(generation_dir(idx_root, gen + 1), retrain(spark),
+                   layout_buckets=layout_buckets, base_seg=absorbed)
+        _publish_generation(idx_root, gen + 1, absorbed)
+
+    return (feed.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

@@ -243,6 +243,123 @@ def test_index_payload_roundtrip_and_shuffle_free(spark, tmp_path):
     assert rows2 == rows
 
 
+def test_stream_ivf_generation_rollover(spark, tmp_path):
+    """r15 streaming IVF generation rollover (VERDICT r14 item 3),
+    differential vs q_ann_ivf_maintained's batch generations: the live
+    maintainer applies the vector-grain feed to generation 0, the churn
+    monitor trips after the second commit, the re-train runs and the
+    pointer flips to generation 1 — while a search pinned to generation
+    0 keeps reading the old, untouched generation.  A fresh-checkpoint
+    restart redelivers the whole backlog: the rolled generation's
+    base_seg high-water makes it a no-op and no double-roll fires."""
+    from bossarrowstorageengine_spark.operators.llm_pipeline import (
+        _ann_mutated_src, _ann_snap, _ivf_assign_frozen, _ivf_int_vec,
+        _ivf_lloyd, _ivf_train, _ivf_vec_changes)
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        current_generation, generation_churn, ivf_index_stream,
+        read_index_generation, seed_generation)
+
+    register_arrowipc(spark)
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path)
+    idx_root = os.path.join(base, "gens")
+    feed = os.path.join(base, "feed")
+    src = _ann_mutated_src(spark, sf, base)
+
+    iv, cents = _ivf_train(spark, sf)
+    cents = cents.localCheckpoint()
+    seed_generation(idx_root, _ivf_assign_frozen(iv, cents).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket")))
+
+    def _snap_iv(ver):
+        return _ann_snap(spark, src, ver).select(
+            "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
+
+    s1 = _snap_iv("1").localCheckpoint()
+    s2 = _snap_iv("2")
+    head = _snap_iv(None).localCheckpoint()
+
+    def _feed_commit(pre, post, seq):
+        ch = _ivf_vec_changes(pre, post, seq)
+        keys = ("vec_id", "commit_seq")
+        new_a = _ivf_assign_frozen(
+            ch.filter(F.col("change") != "delete")
+            .select("vec_id", "commit_seq", "change",
+                    F.col("e_post").alias("iemb")), cents, keys
+        ).withColumnRenamed("centroid_id", "c_new")
+        old_a = _ivf_assign_frozen(
+            ch.filter(F.col("change") == "update")
+            .select("vec_id", "commit_seq",
+                    F.col("e_pre").alias("iemb")), cents, keys
+        ).select("vec_id", "commit_seq",
+                 F.col("centroid_id").alias("c_old"))
+        moved = (new_a.join(old_a, list(keys), "left")
+                 .filter(F.col("c_old").isNull()
+                         | (F.col("c_old") != F.col("c_new"))))
+        rows = (moved.select(
+            "vec_id", F.col("c_new").cast("int").alias("bucket"),
+            F.lit("rebucket").alias("change"), "commit_seq")
+            .unionByName(ch.filter(F.col("change") == "delete").select(
+                "vec_id", F.lit(None).cast("int").alias("bucket"),
+                F.lit("delete").alias("change"), "commit_seq")))
+        (rows.write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+
+    _feed_commit(s1, s2, 1)
+
+    def _retrain(sess):
+        return _ivf_assign_frozen(head, _ivf_lloyd(head).localCheckpoint()
+                                  ).select(
+            "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
+
+    q = ivf_index_stream(spark, feed, idx_root, os.path.join(base, "ck1"),
+                         _retrain, churn_min=0.2)
+    try:
+        q.processAllAvailable()
+        # commit 1 alone (update churn ~1/7 minus same-assignment drops)
+        # stays under the 0.2 floor: still generation 0.
+        assert current_generation(idx_root)["generation"] == 0
+        pinned_gen, pinned = read_index_generation(spark, idx_root)
+        assert pinned_gen == 0
+        _feed_commit(s2, head, 2)   # deletes push cumulative churn > 0.2
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ptr = current_generation(idx_root)
+    assert ptr == {"generation": 1, "trained_thru": 2}
+
+    # Differential vs the batch key's generations:
+    # gen 0 fully maintained == from-scratch frozen assignment of head.
+    direct0 = sorted((r.vec_id, r.bucket) for r in _ivf_assign_frozen(
+        head, cents).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
+        .collect())
+    _, g0 = read_index_generation(spark, idx_root, gen=0)
+    assert sorted(map(tuple, g0.collect())) == direct0
+    # the PINNED pre-roll search handle still reads generation 0.
+    assert sorted(map(tuple, pinned.collect())) == direct0
+    # gen 1 == the batch key's re-train (head-trained Lloyd lists).
+    want1 = sorted((r.vec_id, r.bucket) for r in _retrain(spark).collect())
+    _, g1 = read_index_generation(spark, idx_root)
+    assert sorted(map(tuple, g1.collect())) == want1
+
+    # Fresh-checkpoint restart over the full backlog: redelivery no-ops
+    # (gen 1's base_seg=2 high-water) and no double-roll fires.
+    q2 = ivf_index_stream(spark, feed, idx_root, os.path.join(base, "ck2"),
+                          _retrain, churn_min=0.2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert current_generation(idx_root) == {"generation": 1,
+                                            "trained_thru": 2}
+    assert generation_churn(spark, idx_root, 1) == 0.0
+    _, g1b = read_index_generation(spark, idx_root)
+    assert sorted(map(tuple, g1b.collect())) == want1
+
+
 def test_bucketby_null_key_fails_loudly(spark, tmp_path):
     """ADVICE r14 (medium): a null bucket key must fail the write, not
     silently route the row to a garbage __sb dir."""
