@@ -95,11 +95,23 @@ def main() -> None:
     # Stamp the 1-minute load average before warmup and after the timed
     # runs into the JSON so every consumer can judge whether the numbers
     # are comparable, and warn loudly when the machine is already busy.
+    # r15 (VERDICT r14 item 8): don't just warn — WAIT for the box to go
+    # idle (bounded), and stamp a machine-readable contamination flag so
+    # BENCH_rN.json deltas are interpretable without a manual interleaved
+    # A/B.  r14's 13% phantom regression ran at loadavg 4.11.
+    floor = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_FLOOR", "0.5"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    waited = 0.0
+    while os.getloadavg()[0] > floor and waited < wait_budget:
+        time.sleep(10)
+        waited += 10
     load_before = round(os.getloadavg()[0], 2)
-    if load_before > 0.5:
-        print(f"WARNING: 1-min load average {load_before} > 0.5 before "
-              "warmup - timings will be inflated by background load; "
-              "re-run idle for comparable numbers", file=sys.stderr)
+    contaminated = load_before > floor
+    if contaminated:
+        print(f"WARNING: 1-min load average {load_before} > {floor} "
+              f"after waiting {waited:.0f}s - timings will be inflated "
+              "by background load; treat this run's deltas as suspect "
+              "(load_contaminated=true in the JSON)", file=sys.stderr)
 
     spark = build_session("bench", master=f"local[{CPUS}]")
     queries = entrymod.queries()
@@ -176,6 +188,10 @@ def main() -> None:
         # load (see the guard at the top of main).
         "loadavg_before": load_before,
         "loadavg_after": round(os.getloadavg()[0], 2),
+        # True = the box never went idle inside the wait budget; this
+        # run's deltas vs other rounds are NOT comparable (r15 guard).
+        "load_contaminated": contaminated,
+        "idle_wait_sec": round(waited, 1),
     }))
 
 

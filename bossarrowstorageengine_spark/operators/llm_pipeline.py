@@ -3473,8 +3473,12 @@ def _ivf_assign_frozen(vecs: DataFrame, cents: DataFrame,
 def _ivf_vec_changes(pre: DataFrame, post: DataFrame, seq: int) -> DataFrame:
     """One VECTOR-grain source commit: the keyed diff of two corpus
     snapshots (micro-unit vectors), carrying both sides' embeddings so
-    the maintainer can compute pre- and post-assignments for exactly the
-    changed rows — the O(Δ) contract."""
+    the maintainer can compute pre- and post-assignments for exactly
+    the changed rows.  NOTE the cost split (VERDICT r14): producing the
+    diff this way is O(corpus) — a fixture convenience; in production
+    the vector-grain delta comes from the changefeed the CoW mutations
+    already publish (streaming/ann_index.py tails it), and only the
+    APPLY side here is O(Δ)."""
     j = (pre.select("vec_id", F.col("iemb").alias("e_pre"))
          .join(post.select("vec_id", F.col("iemb").alias("e_post")),
                "vec_id", "full_outer"))

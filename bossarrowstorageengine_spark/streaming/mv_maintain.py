@@ -84,6 +84,40 @@ def _mv_head(spark: SparkSession, mv_dir: str) -> tuple[DataFrame, int,
     return rows, int(head["v"]), int(head["c"])
 
 
+def _merge_ledger_state(head: DataFrame, deltas: DataFrame,
+                        keys: list[str], head_ver: int,
+                        seq: int) -> DataFrame:
+    """Next ledger version = head + one commit's deltas, WITHOUT
+    shuffling the ledger side (r15, VERDICT r14 item 7): the old
+    ``full_outer`` join hash-partitioned BOTH sides — including the
+    group-cardinality head — for a mutation-sized delta.  Deltas
+    broadcast instead: existing keys merge through a broadcast LEFT
+    join (zero Exchange on the head), and brand-new keys come from a
+    broadcast anti join against the head's KEY COLUMNS only (key-width
+    × group-cardinality — strictly smaller than the full head the old
+    plan shuffled).  ``head`` carries ``(*keys, docs, chars)``;
+    ``deltas`` carries ``(*keys, docs_delta, chars_delta)`` and must be
+    pre-materialized (the callers localCheckpoint it)."""
+    base = head.select(*keys, "docs", "chars")
+    existing = (
+        base.join(F.broadcast(deltas), keys, "left")
+        .select(
+            *keys,
+            (F.col("docs") + F.coalesce("docs_delta", F.lit(0)))
+            .cast("long").alias("docs"),
+            (F.col("chars") + F.coalesce("chars_delta", F.lit(0)))
+            .cast("long").alias("chars")))
+    fresh = (
+        deltas.join(F.broadcast(base.select(*keys)), keys, "left_anti")
+        .select(*keys,
+                F.col("docs_delta").cast("long").alias("docs"),
+                F.col("chars_delta").cast("long").alias("chars")))
+    return (existing.unionByName(fresh)
+            .select(*keys, "docs", "chars",
+                    F.lit(head_ver + 1).cast("long").alias("mv_version"),
+                    F.lit(seq).cast("long").alias("src_commit")))
+
+
 def apply_feed_batch(batch_df: DataFrame, batch_id: int,
                      mv_dir: str) -> None:
     """Apply one feed micro-batch to the persisted MV: one new version
@@ -116,29 +150,18 @@ def apply_feed_batch(batch_df: DataFrame, batch_id: int,
         if int(r["commit_seq"]) > thru)
     for seq in new_commits:
         head, head_ver, _ = _mv_head(spark, mv_dir)
-        deltas = batch.filter(F.col("commit_seq") == seq).groupBy(
+        deltas = (batch.filter(F.col("commit_seq") == seq).groupBy(
             "lang").agg(
             F.sum((F.col("change") == "insert").cast("long")
                   - (F.col("change") == "delete").cast("long"))
             .cast("long").alias("docs_delta"),
             F.sum("delta").cast("long").alias("chars_delta"))
-        # full outer: an insert commit can introduce a lang the MV has
-        # never seen; a lang absent from the commit keeps its state.
-        new_state = (
-            head.select("lang", "docs", "chars")
-            .join(deltas, "lang", "full_outer")
-            .select(
-                "lang",
-                (F.coalesce("docs", F.lit(0))
-                 + F.coalesce("docs_delta", F.lit(0)))
-                .cast("long").alias("docs"),
-                (F.coalesce("chars", F.lit(0))
-                 + F.coalesce("chars_delta", F.lit(0)))
-                .cast("long").alias("chars"),
-                F.lit(head_ver + 1).cast("long").alias("mv_version"),
-                F.lit(seq).cast("long").alias("src_commit"),
-            )
-        )
+            .localCheckpoint())   # mutation-sized; broadcast twice below
+        # an insert commit can introduce a lang the MV has never seen;
+        # a lang absent from the commit keeps its state — the broadcast
+        # decomposition covers both without shuffling the ledger.
+        new_state = _merge_ledger_state(head, deltas, ["lang"],
+                                        head_ver, seq)
         (new_state.write.format("arrowipc").option("snapshots", "true")
          .option("compression", "lz4").mode("append").save(mv_dir))
 
@@ -289,22 +312,10 @@ def apply_fanout_batch(batch_df: DataFrame, batch_id: int,
                           F.sum("docs_delta").cast("long")
                           .alias("docs_delta"),
                           F.sum("chars_delta").cast("long")
-                          .alias("chars_delta")))
+                          .alias("chars_delta")).localCheckpoint())
             head, head_ver, _ = _grain_head(spark, mv_dir, keys)
-            new_state = (
-                head.select(*keys, "docs", "chars")
-                .join(deltas, keys, "full_outer")
-                .select(
-                    *keys,
-                    (F.coalesce("docs", F.lit(0))
-                     + F.coalesce("docs_delta", F.lit(0)))
-                    .cast("long").alias("docs"),
-                    (F.coalesce("chars", F.lit(0))
-                     + F.coalesce("chars_delta", F.lit(0)))
-                    .cast("long").alias("chars"),
-                    F.lit(head_ver + 1).cast("long").alias("mv_version"),
-                    F.lit(seq).cast("long").alias("src_commit"),
-                ))
+            new_state = _merge_ledger_state(head, deltas, keys,
+                                            head_ver, seq)
             (new_state.write.format("arrowipc")
              .option("snapshots", "true").option("compression", "lz4")
              .mode("append").save(mv_dir))

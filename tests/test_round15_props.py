@@ -360,6 +360,41 @@ def test_stream_ivf_generation_rollover(spark, tmp_path):
     assert sorted(map(tuple, g1b.collect())) == want1
 
 
+def test_ledger_refresh_merge_plans_no_shuffle(spark):
+    """r15 (VERDICT r14 item 7): the MV/fanout ledger refresh must not
+    hash-shuffle the group-cardinality ledger side for a mutation-sized
+    delta.  The broadcast decomposition (left join + key-only anti)
+    plans zero 'Exchange hashpartitioning' and stays algebraically
+    identical to the old full_outer merge — existing keys update,
+    untouched keys persist, brand-new keys appear."""
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        _merge_ledger_state)
+
+    head = spark.createDataFrame(
+        [("en", "web", 10, 100), ("de", "web", 5, 50),
+         ("en", "book", 2, 20)],
+        "lang string, source string, docs long, chars long"
+    ).localCheckpoint()
+    deltas = spark.createDataFrame(
+        [("en", "web", -1, -10), ("fr", "web", 3, 30)],
+        "lang string, source string, docs_delta long, chars_delta long"
+    ).localCheckpoint()
+
+    ns = _merge_ledger_state(head, deltas, ["lang", "source"], 4, 7)
+    plan = ns._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    got = {(r.lang, r.source): (r.docs, r.chars, r.mv_version,
+                                r.src_commit) for r in ns.collect()}
+    assert got == {
+        ("en", "web"): (9, 90, 5, 7),      # updated
+        ("de", "web"): (5, 50, 5, 7),      # untouched persists
+        ("en", "book"): (2, 20, 5, 7),     # untouched persists
+        ("fr", "web"): (3, 30, 5, 7),      # brand-new key appears
+    }
+
+
 def test_bucketby_null_key_fails_loudly(spark, tmp_path):
     """ADVICE r14 (medium): a null bucket key must fail the write, not
     silently route the row to a garbage __sb dir."""
