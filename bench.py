@@ -81,6 +81,9 @@ HEADLINE = [
     # + the bucketed-index read path) are all datasource-floor-dominated
     # storage/CDC compositions — the documented rule keeps that family in
     # SCALING.md so the 28-key bench stays round-over-round comparable.
+    # Round 15 likewise adds none: q_ann_ivfpq_maintained and
+    # q_timetravel_asof are storage/CDC mutation fixtures (same rule),
+    # tracked in SCALING.md and gated by tools/plan_alerts.py.
 ]
 
 

@@ -119,7 +119,10 @@ def main() -> None:
              # round 14: trained-family index maintenance, derived-face
              # purge (pack + fanout ledgers), changefeed consumer groups
              "q_ann_ivf_maintained", "q_purge_derived",
-             "q_feed_consumer_groups"]
+             "q_feed_consumer_groups",
+             # round 15: full trained-family (IVF-PQ) maintenance with
+             # delta-encoded codes, batch timestampAsOf face
+             "q_ann_ivfpq_maintained", "q_timetravel_asof"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

@@ -118,6 +118,9 @@ KEYS = [
     "q_feed_consumer_groups",
     "q_feed_index_cocompact",
     "q_purge_text",
+    # Round-15 additions (same storage-family rule).
+    "q_ann_ivfpq_maintained",
+    "q_timetravel_asof",
 ]
 
 
@@ -184,6 +187,15 @@ FLOOR_NOTES = {
         "pipeline cluster stages + persisted survivor-table write and "
         "re-read (the ADVICE r13 audit fix) + incremental-vs-direct df "
         "comparison."),
+    "q_ann_ivfpq_maintained": (
+        "3-action mutation history + TWO full IVF-PQ trainings (frozen "
+        "gen-0 coarse+codebooks; the fired gen-1 re-train) + bucketed "
+        "payload seed/segments/gen-1 writes + feed write + exceptAll "
+        "code audit + ADC search — the delta re-encode itself is "
+        "O(changed rows x (k + m x codes))."),
+    "q_timetravel_asof": (
+        "3 snapshotted appends + 3 manifest-ts pins + 3 timestamp-"
+        "resolved reads (resolution is O(versions) metadata)."),
 }
 
 
