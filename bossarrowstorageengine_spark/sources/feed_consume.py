@@ -260,3 +260,32 @@ def consume_and_apply(spark: SparkSession, feed_dir: str,
         commit_position(spark, offsets_dir, group, head)
     return {"from": pos, "to": max(head, pos),
             "delivered_commits": max(0, head - pos)}
+
+
+def positions_asof(spark: SparkSession, offsets_dir: str,
+                   anchor: str) -> DataFrame:
+    """Every group's committed position AS OF a wall-clock anchor
+    (epoch seconds or ISO-8601, naive = UTC) — consumer-position time
+    travel (r15): the offsets table is an ordinary arrowipc snapshot
+    table, so the anchor resolves through the shared run-max
+    ``timestampAsOf`` rule to one manifest version, and the positions
+    are that snapshot's last-wins rows.  Answers "where was every
+    consumer when the incident started?" from the audit log alone.
+
+    Driver-side metadata, like every offsets read: O(versions) manifest
+    stats + consumer-count-sized rows — no Spark job."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _parse_ts_option,
+        _version_as_of,
+    )
+
+    version = _version_as_of(offsets_dir, _parse_ts_option(anchor))
+    latest: dict[str, dict] = {}
+    for r in _offset_rows(offsets_dir, version=version):
+        cur = latest.get(r["group"])
+        if cur is None or r["seq"] > cur["seq"]:
+            latest[r["group"]] = r
+    rows = [(g, int(r["position"]), int(r["seq"]))
+            for g, r in sorted(latest.items())]
+    return spark.createDataFrame(
+        rows, "group string, position long, seq long")

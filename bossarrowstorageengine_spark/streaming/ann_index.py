@@ -613,10 +613,21 @@ def generation_churn(spark: SparkSession, idx_root: str,
     return (n_delta / n_base) if n_base else 0.0
 
 
+class GenerationMismatch(RuntimeError):
+    """A generation-tagged feed batch carries UNABSORBED rows encoded
+    against a generation the maintainer has already rolled past (the
+    producer read the pointer, the roll won the race, the producer
+    committed anyway).  Those rows' buckets/codes live in the OLD
+    generation's quantizer space — applying them to the current
+    generation would corrupt it, and the maintainer cannot re-encode
+    them (it has no embeddings).  The producer must re-encode against
+    the current generation and re-commit."""
+
+
 def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
                      checkpoint_dir: str, retrain,
                      churn_min: float = 0.10,
-                     layout_buckets: int | None = None):
+                     generation_tagged: bool = False):
     """Start the GENERATIONAL maintainer: tail the vector-grain
     changefeed, apply each commit to the CURRENT generation, and ROLL
     to generation k+1 live when the churn monitor trips.  Returns the
@@ -627,14 +638,28 @@ def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
     - after the apply, ``generation_churn`` evaluates the cumulative
       drift (``q_ann_ivf_maintained``'s trigger, streaming face); when
       it crosses ``churn_min`` the maintainer calls
-      ``retrain(spark) -> DataFrame (vec_id, bucket)`` — the caller's
-      corpus-sized Lloyd re-train on the CURRENT head corpus — seeds
-      the result as generation k+1 with ``base_seg=<absorbed head>``
-      (the new base reflects those commits, so their redelivery
-      no-ops), and atomically flips the pointer;
+      ``retrain(spark) -> DataFrame`` — the caller's corpus-sized
+      re-train on the CURRENT head corpus, carrying ``(vec_id,
+      bucket)`` plus the index's payload columns if it has any — and
+      seeds the result as generation k+1 with ``base_seg=<absorbed
+      head>`` (the new base reflects those commits, so their
+      redelivery no-ops), atomically flipping the pointer.  The new
+      generation INHERITS the physical layout and payload DDL recorded
+      by generation k's seed — one schema contract across the axis;
     - searches pin a generation (``read_index_generation``): an
       in-flight search during the roll keeps reading generation k,
       which the roll never mutates; the next search picks up k+1.
+
+    ``generation_tagged=True`` (the producer-coordination face): feed
+    rows carry a ``gen`` column stamped by the producer from the
+    pointer it encoded against.  The maintainer then applies only
+    rows tagged with the CURRENT generation; stale-tagged rows whose
+    ``commit_seq`` the current generation's training already absorbed
+    are skipped silently (their effect is in the base), but
+    stale-tagged UNABSORBED rows raise :class:`GenerationMismatch` —
+    the producer lost the pointer race and must re-encode, never be
+    silently merged into the wrong quantizer space.  Future-tagged
+    rows always raise (a producer cannot be ahead of the pointer).
 
     Replay safety across the roll: a redelivered pre-roll commit hits
     generation k+1 whose base segment IS the absorbed position — the
@@ -643,20 +668,60 @@ def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
     from bossarrowstorageengine_spark.sources import register_arrowipc
 
     register_arrowipc(spark)
+    # The payload DDL is a schema contract ACROSS generations (each roll
+    # inherits it), so reading it once from the current generation at
+    # stream start is stable through any mid-stream rollover.
+    ptr0 = current_generation(idx_root)
+    pay_ddl = _payload_ddl(generation_dir(idx_root,
+                                          int(ptr0["generation"])))
+    cols = "vec_id,bucket"
+    schema = "vec_id long, bucket int"
+    if pay_ddl:
+        cols += "," + ",".join(_payload_cols(pay_ddl))
+        schema += f", {pay_ddl}"
+    cols += ",change,commit_seq"
+    schema += ", change string, commit_seq long"
+    if generation_tagged:
+        cols += ",gen"
+        schema += ", gen long"
     feed = (spark.readStream.format("arrowipc")
-            .option("columns", "vec_id,bucket,change,commit_seq")
-            .schema(FEED_SCHEMA).load(feed_dir))
+            .option("columns", cols).schema(schema).load(feed_dir))
 
     def _apply(df: DataFrame, bid: int) -> None:
         ptr = current_generation(idx_root)
         gen = int(ptr["generation"])
         gdir = generation_dir(idx_root, gen)
-        apply_index_batch(df, bid, gdir)
+        batch = df
+        if generation_tagged:
+            batch = df.localCheckpoint()
+            ahead = batch.filter(F.col("gen") > gen).count()
+            if ahead:
+                raise GenerationMismatch(
+                    f"feed batch {bid}: {ahead} row(s) tagged for a "
+                    f"FUTURE generation (> {gen}) — the producer cannot "
+                    "be ahead of the published pointer; check the "
+                    "producer's pointer read")
+            stale_live = (batch.filter(
+                (F.col("gen") < gen)
+                & (F.col("commit_seq") > int(ptr["trained_thru"])))
+                .count())
+            if stale_live:
+                raise GenerationMismatch(
+                    f"feed batch {bid}: {stale_live} row(s) encoded "
+                    f"against a rolled-past generation (< {gen}) with "
+                    f"commit_seq beyond the generation's training "
+                    f"position {ptr['trained_thru']} — their buckets/"
+                    "codes are in the old quantizer space; the producer "
+                    "must re-encode against the current generation and "
+                    "re-commit")
+            batch = batch.filter(F.col("gen") == gen).drop("gen")
+        apply_index_batch(batch, bid, gdir)
         if generation_churn(spark, idx_root, gen) <= churn_min:
             return
         absorbed = _seg_high_water(gdir)
         seed_index(generation_dir(idx_root, gen + 1), retrain(spark),
-                   layout_buckets=layout_buckets, base_seg=absorbed)
+                   layout_buckets=_layout_buckets(gdir),
+                   payload=_payload_ddl(gdir), base_seg=absorbed)
         _publish_generation(idx_root, gen + 1, absorbed)
 
     return (feed.writeStream

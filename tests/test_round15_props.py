@@ -395,6 +395,114 @@ def test_ledger_refresh_merge_plans_no_shuffle(spark):
     }
 
 
+def test_generational_rollover_inherits_payload_and_checks_gen_tags(
+        spark, tmp_path):
+    """r16 runway items 3+5 pulled forward: (a) a rolled generation
+    INHERITS the payload DDL and physical layout from the generation it
+    replaces — the retrained base carries fresh code vectors; (b) with
+    a generation-tagged feed, stale-tagged rows already absorbed by the
+    new generation's training are skipped, while stale-tagged UNABSORBED
+    rows fail loudly (GenerationMismatch) instead of corrupting the new
+    quantizer space."""
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        GenerationMismatch, current_generation, generation_dir,
+        ivf_index_stream, read_index_generation, seed_generation)
+
+    register_arrowipc(spark)
+    idx_root = str(tmp_path / "gens")
+    feed = str(tmp_path / "feed")
+
+    base = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+        F.array(F.col("id"), F.col("id")).alias("codes"))
+    seed_generation(idx_root, base, layout_buckets=2,
+                    payload="codes array<bigint>")
+
+    def _commit(rows):
+        (spark.createDataFrame(
+            rows, "vec_id long, bucket int, codes array<bigint>, "
+            "change string, commit_seq long, gen long")
+         .coalesce(1).write.format("arrowipc")
+         .option("partitionBy", "commit_seq")
+         .option("snapshots", "true").mode("append").save(feed))
+
+    # commit 1 (tagged gen 0): recode 3 keys — churn 0.3 > 0.2 → roll.
+    _commit([(i, 1, [90 + i, 0], "recode", 1, 0) for i in (0, 2, 4)])
+
+    def _retrain(sess):
+        return sess.range(10).select(
+            F.col("id").alias("vec_id"),
+            F.lit(1).cast("int").alias("bucket"),
+            F.array(F.lit(7).cast("long"),
+                    F.col("id")).alias("codes"))
+
+    q = ivf_index_stream(spark, feed, idx_root, str(tmp_path / "ck"),
+                         _retrain, churn_min=0.2, generation_tagged=True)
+    try:
+        q.processAllAvailable()
+        assert current_generation(idx_root) == {"generation": 1,
+                                                "trained_thru": 1}
+        # the rolled generation carries the retrained payload + layout
+        _, g1 = read_index_generation(spark, idx_root)
+        rows = {r.vec_id: (r.bucket, list(r.codes)) for r in g1.collect()}
+        assert rows == {i: (1, [7, i]) for i in range(10)}
+        assert os.path.exists(os.path.join(
+            generation_dir(idx_root, 1), "_payload.json"))
+        assert os.path.exists(os.path.join(
+            generation_dir(idx_root, 1), "_layout.json"))
+
+        # commit 2 tagged gen 0 with commit_seq 2 > trained_thru 1:
+        # a producer that lost the pointer race — must fail loudly.
+        _commit([(5, 0, [1, 1], "recode", 2, 0)])
+        with pytest.raises(Exception) as ei:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert "GenerationMismatch" in str(ei.value) or isinstance(
+        ei.value, GenerationMismatch)
+    # the failed batch corrupted nothing: generation 1 state unchanged.
+    _, g1b = read_index_generation(spark, idx_root)
+    assert {r.vec_id: (r.bucket, list(r.codes))
+            for r in g1b.collect()} == rows
+
+
+def test_positions_asof_replays_consumer_history(spark, tmp_path):
+    """r16 runway item 4 pulled forward: positions_asof resolves the
+    offsets table through the shared timestampAsOf run-max rule and
+    replays every group's committed position at the anchor."""
+    import json
+
+    from bossarrowstorageengine_spark.sources import feed_consume as fc
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_file, _manifest_versions)
+
+    offsets = str(tmp_path / "offsets")
+    fc.seek(spark, offsets, "a", 0)          # v1
+    fc.commit_position(spark, offsets, "a", 5)   # v2
+    fc.commit_position(spark, offsets, "b", 3)   # v3
+    fc.commit_position(spark, offsets, "a", 9)   # v4
+    for v, ts in zip(_manifest_versions(offsets),
+                     (1000.0, 2000.0, 3000.0, 4000.0)):
+        mf = _manifest_file(offsets, v)
+        with open(mf) as f:
+            doc = json.load(f)
+        doc["ts"] = ts
+        with open(mf, "w") as f:
+            json.dump(doc, f)
+
+    def _at(anchor):
+        return {(r.group, r.position) for r in
+                fc.positions_asof(spark, offsets, anchor).collect()}
+
+    assert _at("1500") == {("a", 0)}
+    assert _at("2000") == {("a", 5)}
+    assert _at("3500") == {("a", 5), ("b", 3)}
+    assert _at("9999") == {("a", 9), ("b", 3)}
+    with pytest.raises(ValueError):
+        fc.positions_asof(spark, offsets, "500")   # pre-first-commit
+
+
 def test_bucketby_null_key_fails_loudly(spark, tmp_path):
     """ADVICE r14 (medium): a null bucket key must fail the write, not
     silently route the row to a garbage __sb dir."""
