@@ -728,3 +728,26 @@ def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
             .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+def vacuum_generations(idx_root: str, keep: int = 2) -> dict:
+    """Retention for rolled-past generations: delete every generation
+    directory older than the newest ``keep`` (pointer generation always
+    survives).  Pinned searches hold a generation NUMBER, not a lock —
+    the retention window is the operator's promise about how long a
+    pinned search may run, exactly like snapshot-vacuum's contract for
+    time travel.  Returns ``{"removed_generations": [...],
+    "kept": [...]}``."""
+    import re
+    import shutil
+
+    cur = int(current_generation(idx_root)["generation"])
+    gens = sorted(
+        int(m.group(1)) for d in os.listdir(idx_root)
+        if (m := re.fullmatch(r"gen=(\d+)", d)))
+    keep = max(1, int(keep))
+    kept = [g for g in gens if g > cur - keep or g == cur]
+    removed = [g for g in gens if g not in kept]
+    for g in removed:
+        shutil.rmtree(generation_dir(idx_root, g))
+    return {"removed_generations": removed, "kept": kept}

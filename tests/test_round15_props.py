@@ -467,6 +467,33 @@ def test_generational_rollover_inherits_payload_and_checks_gen_tags(
             for r in g1b.collect()} == rows
 
 
+def test_vacuum_generations_retention(spark, tmp_path):
+    """Generation retention: old generation dirs beyond the keep window
+    are deleted; the pointer generation always survives; a pinned read
+    inside the window still works."""
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        _publish_generation, read_index_generation, seed_generation,
+        seed_index, generation_dir, vacuum_generations)
+
+    register_arrowipc(spark)
+    idx_root = str(tmp_path / "gens")
+    mk = lambda n: spark.range(5).select(  # noqa: E731
+        F.col("id").alias("vec_id"),
+        F.lit(n).cast("int").alias("bucket"))
+    seed_generation(idx_root, mk(0))
+    for g in (1, 2, 3):
+        seed_index(generation_dir(idx_root, g), mk(g), base_seg=g)
+        _publish_generation(idx_root, g, g)
+
+    res = vacuum_generations(idx_root, keep=2)
+    assert res == {"removed_generations": [0, 1], "kept": [2, 3]}
+    _, g2 = read_index_generation(spark, idx_root, gen=2)
+    assert {r.bucket for r in g2.collect()} == {2}
+    assert not os.path.exists(generation_dir(idx_root, 0))
+    # the pointer generation survives even with keep=1
+    assert vacuum_generations(idx_root, keep=1)["kept"] == [3]
+
+
 def test_positions_asof_replays_consumer_history(spark, tmp_path):
     """r16 runway item 4 pulled forward: positions_asof resolves the
     offsets table through the shared timestampAsOf run-max rule and
