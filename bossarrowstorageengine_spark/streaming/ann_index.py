@@ -575,8 +575,10 @@ def seed_generation(idx_root: str, bucketed: DataFrame,
     """Seed generation 0 (the one corpus-sized build) and publish the
     pointer at ``trained_thru=0``."""
     os.makedirs(idx_root, exist_ok=True)
-    seed_index(generation_dir(idx_root, 0), bucketed,
+    gdir = generation_dir(idx_root, 0)
+    seed_index(gdir, bucketed,
                layout_buckets=layout_buckets, payload=payload)
+    _write_gen_meta(gdir, 0, bucketed.count())
     _publish_generation(idx_root, 0, 0)
 
 
@@ -594,22 +596,64 @@ def read_index_generation(spark: SparkSession, idx_root: str,
     return g, read_index(spark, generation_dir(idx_root, g), thru=thru)
 
 
+def _gen_meta_path(gdir: str) -> str:
+    return os.path.join(gdir, "_gen.json")
+
+
+def _write_gen_meta(gdir: str, base_seg: int, base_rows: int) -> None:
+    """Per-generation seed metadata: the base segment number and its
+    row count — what the churn monitor divides by, recorded ONCE at
+    seed time so the per-batch monitor never re-scans the corpus-sized
+    base."""
+    import json
+
+    with open(_gen_meta_path(gdir), "w") as f:
+        json.dump({"base_seg": int(base_seg),
+                   "base_rows": int(base_rows)}, f)
+
+
+def _read_gen_meta(gdir: str) -> dict | None:
+    import json
+
+    p = _gen_meta_path(gdir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def generation_churn(spark: SparkSession, idx_root: str,
                      gen: int) -> float:
     """Cumulative assignment churn of one generation: distinct keys in
-    its DELTA segments over its base-segment row count — the streaming
-    face of ``q_ann_ivf_maintained``'s churn trigger (the base seg is
-    the generation's training snapshot, so the ratio is exactly 'what
-    fraction of the trained corpus has moved since')."""
+    its DELTA segments over its base row count — the streaming face of
+    ``q_ann_ivf_maintained``'s churn trigger (the base seg is the
+    generation's training snapshot, so the ratio is exactly 'what
+    fraction of the trained corpus has moved since').
+
+    Scale: the monitor runs after EVERY micro-batch, so it must never
+    re-scan the corpus-sized base — the base row count comes from the
+    seed-time ``_gen.json``, and the delta read pushes ``seg >
+    base_seg`` down to the partition directories (O(deltas) per call).
+    Generations seeded before r15's meta file fall back to one full
+    scan per call."""
     gdir = generation_dir(idx_root, gen)
-    rows = (spark.read.format("arrowipc").option("snapshots", "true")
-            .option("columns", "vec_id,seg")
-            .schema("vec_id long, seg long").load(gdir)
-            .localCheckpoint())   # one read feeds both aggregates
-    base = int(rows.agg(F.min("seg")).collect()[0][0])
-    n_base = rows.filter(F.col("seg") == base).count()
-    n_delta = (rows.filter(F.col("seg") > base)
-               .select("vec_id").distinct().count())
+    meta = _read_gen_meta(gdir)
+    if meta is None:   # pre-meta generation: the old full-scan path
+        rows = (spark.read.format("arrowipc").option("snapshots", "true")
+                .option("columns", "vec_id,seg")
+                .schema("vec_id long, seg long").load(gdir)
+                .localCheckpoint())
+        base = int(rows.agg(F.min("seg")).collect()[0][0])
+        n_base = rows.filter(F.col("seg") == base).count()
+        n_delta = (rows.filter(F.col("seg") > base)
+                   .select("vec_id").distinct().count())
+        return (n_delta / n_base) if n_base else 0.0
+    n_base = int(meta["base_rows"])
+    deltas = (spark.read.format("arrowipc").option("snapshots", "true")
+              .option("columns", "vec_id,seg")
+              .schema("vec_id long, seg long").load(gdir)
+              .filter(F.col("seg") > int(meta["base_seg"])))
+    n_delta = deltas.select("vec_id").distinct().count()
     return (n_delta / n_base) if n_base else 0.0
 
 
@@ -719,9 +763,12 @@ def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
         if generation_churn(spark, idx_root, gen) <= churn_min:
             return
         absorbed = _seg_high_water(gdir)
-        seed_index(generation_dir(idx_root, gen + 1), retrain(spark),
+        new_base = retrain(spark).localCheckpoint()  # seed + count, once
+        ndir = generation_dir(idx_root, gen + 1)
+        seed_index(ndir, new_base,
                    layout_buckets=_layout_buckets(gdir),
                    payload=_payload_ddl(gdir), base_seg=absorbed)
+        _write_gen_meta(ndir, absorbed, new_base.count())
         _publish_generation(idx_root, gen + 1, absorbed)
 
     return (feed.writeStream
