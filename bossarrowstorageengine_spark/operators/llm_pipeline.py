@@ -4065,6 +4065,137 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_generations",
+    oracle=f"""
+    WITH mut AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), g0 AS (
+        SELECT vec_id, ({_lsh_bucket_sql(8)}) AS bucket FROM mut
+    ), g1 AS (
+        SELECT vec_id, ({_lsh_bucket_sql(4)}) AS bucket FROM mut
+    )
+    SELECT 'gen0' AS face, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT)    AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+           CAST(1 AS BIGINT) AS generation,
+           CAST(2 AS BIGINT) AS trained_thru,
+           TRUE AS rolled, TRUE AS gen0_pinned_matches
+    FROM g0 GROUP BY bucket
+    UNION ALL
+    SELECT 'gen1' AS face, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT)    AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+           CAST(1 AS BIGINT) AS generation,
+           CAST(2 AS BIGINT) AS trained_thru,
+           TRUE AS rolled, TRUE AS gen0_pinned_matches
+    FROM g1 GROUP BY bucket
+    """,
+)
+def q_ann_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATIONAL INDEX ROLLOVER, driver-attested (r15; the oracle
+    face of ``ivf_index_stream``'s machinery): the persisted ANN index
+    lives as one LSM table per trained GENERATION under a root with an
+    atomically-flipped pointer; mutations maintain the current
+    generation until the churn monitor trips, then a re-train seeds
+    generation k+1 and the pointer rolls — while reads pinned to the
+    old generation stay correct (it is immutable after the roll).
+
+    The fixture: the shared CoW mutation scenario feeds TWO bucket-grain
+    commits; generation 0 (the 8-plane LSH lists of the v1 corpus,
+    bucketed layout) absorbs both as delta segments; cumulative churn
+    (~0.31 — updates re-bucket under negation, deletes tombstone)
+    crosses the 0.2 floor and ``apply_generational_batch`` rolls:
+    the 'retrain' is a 4-plane LSH re-index of the head corpus (a
+    genuinely different geometry, the codebook-retrain idiom at LSH
+    cost), seeded with ``base_seg=2`` so redelivery no-ops.
+
+    Faces returned (both EXACT-replayed by the oracle from the mutation
+    predicates): per-bucket (count, id-checksum) of the FROZEN
+    generation-0 state (pinned read, post-mutations — must equal the
+    8-plane buckets of the mutated corpus) and of the ROLLED
+    generation-1 state (the 4-plane re-index); ``generation`` /
+    ``trained_thru`` come from the pointer, ``rolled`` from the apply
+    result, and ``gen0_pinned_matches`` attests that a read handle
+    opened BEFORE the roll still reads generation-0 state after it.
+
+    Scale: maintenance is O(Δ) per commit; the roll's re-train is the
+    scheduled corpus pass; the pointer is one JSON replace; pinned
+    readers never block the roll (generation dirs are append-only,
+    retention via ``vacuum_generations``)."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        apply_generational_batch,
+        current_generation,
+        read_index_generation,
+        seed_generation,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "ann_generations")
+    idx_root = os.path.join(base, "gens")
+    feed = os.path.join(base, "feed")
+    src = _ann_mutated_src(spark, sf_dir, base)
+    b1, b2, b3 = (_ann_bucketed(_ann_snap(spark, src, v))
+                  for v in ("1", "2", None))
+    seed_generation(idx_root, b1, layout_buckets=8)
+    for pre, post, seq in ((b1, b2, 1), (b2, b3, 2)):
+        (_ann_idx_changes(pre, post, seq)
+         .write.format("arrowipc").option("partitionBy", "commit_seq")
+         .option("snapshots", "true").option("compression", "lz4")
+         .mode("append").save(feed))
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "vec_id,bucket,change,commit_seq")
+                 .schema("vec_id long, bucket int, change string, "
+                         "commit_seq long")
+                 .load(feed))
+
+    def _retrain(sess: SparkSession) -> DataFrame:
+        return _ann_snap(sess, src, None).select(
+            "vec_id", _lsh_bucket_col(4).alias("bucket"))
+
+    pinned_gen, pinned = read_index_generation(spark, idx_root)
+    res = apply_generational_batch(spark, feed_rows, 0, idx_root,
+                                   _retrain, churn_min=0.2)
+    ptr = current_generation(idx_root)
+    _, g0 = read_index_generation(spark, idx_root, gen=0)
+    g0 = g0.localCheckpoint()   # feeds the pinned audit AND the face agg
+    _, g1 = read_index_generation(spark, idx_root)
+    # A handle opened before the roll (pinned to gen 0) must still read
+    # generation-0 state — row identity both ways.
+    pinned_matches = bool(
+        pinned_gen == 0
+        and pinned.exceptAll(g0).unionByName(g0.exceptAll(pinned))
+        .count() == 0)
+
+    def _face(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_vecs"),
+                     F.sum("vec_id").cast("long").alias("id_checksum"))
+                .select(F.lit(tag).alias("face"),
+                        F.col("bucket").cast("int").alias("bucket"),
+                        "n_vecs", "id_checksum"))
+
+    return (_face(g0, "gen0").unionByName(_face(g1, "gen1"))
+            .select("face", "bucket", "n_vecs", "id_checksum",
+                    F.lit(int(ptr["generation"])).cast("long")
+                    .alias("generation"),
+                    F.lit(int(ptr["trained_thru"])).cast("long")
+                    .alias("trained_thru"),
+                    F.lit(bool(res["rolled"])).alias("rolled"),
+                    F.lit(pinned_matches)
+                    .alias("gen0_pinned_matches")))
+
+
+@query(
     "q_purge_propagate",
     oracle=f"""
     WITH mut AS (

@@ -732,49 +732,67 @@ def ivf_index_stream(spark: SparkSession, feed_dir: str, idx_root: str,
             .option("columns", cols).schema(schema).load(feed_dir))
 
     def _apply(df: DataFrame, bid: int) -> None:
-        ptr = current_generation(idx_root)
-        gen = int(ptr["generation"])
-        gdir = generation_dir(idx_root, gen)
-        batch = df
-        if generation_tagged:
-            batch = df.localCheckpoint()
-            ahead = batch.filter(F.col("gen") > gen).count()
-            if ahead:
-                raise GenerationMismatch(
-                    f"feed batch {bid}: {ahead} row(s) tagged for a "
-                    f"FUTURE generation (> {gen}) — the producer cannot "
-                    "be ahead of the published pointer; check the "
-                    "producer's pointer read")
-            stale_live = (batch.filter(
-                (F.col("gen") < gen)
-                & (F.col("commit_seq") > int(ptr["trained_thru"])))
-                .count())
-            if stale_live:
-                raise GenerationMismatch(
-                    f"feed batch {bid}: {stale_live} row(s) encoded "
-                    f"against a rolled-past generation (< {gen}) with "
-                    f"commit_seq beyond the generation's training "
-                    f"position {ptr['trained_thru']} — their buckets/"
-                    "codes are in the old quantizer space; the producer "
-                    "must re-encode against the current generation and "
-                    "re-commit")
-            batch = batch.filter(F.col("gen") == gen).drop("gen")
-        apply_index_batch(batch, bid, gdir)
-        if generation_churn(spark, idx_root, gen) <= churn_min:
-            return
-        absorbed = _seg_high_water(gdir)
-        new_base = retrain(spark).localCheckpoint()  # seed + count, once
-        ndir = generation_dir(idx_root, gen + 1)
-        seed_index(ndir, new_base,
-                   layout_buckets=_layout_buckets(gdir),
-                   payload=_payload_ddl(gdir), base_seg=absorbed)
-        _write_gen_meta(ndir, absorbed, new_base.count())
-        _publish_generation(idx_root, gen + 1, absorbed)
+        apply_generational_batch(spark, df, bid, idx_root, retrain,
+                                 churn_min=churn_min,
+                                 generation_tagged=generation_tagged)
 
     return (feed.writeStream
             .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+def apply_generational_batch(spark: SparkSession, df: DataFrame,
+                             bid: int, idx_root: str, retrain,
+                             churn_min: float = 0.10,
+                             generation_tagged: bool = False) -> dict:
+    """One generational maintenance step — ``ivf_index_stream``'s
+    foreachBatch body, callable from batch consumers too (e.g. a
+    ``consume_and_apply`` refresh cycle): apply the batch's commits to
+    the CURRENT generation, evaluate churn, roll to generation k+1 if
+    the monitor trips.  Returns ``{"generation": k', "rolled": bool}``
+    (the pointer after the step).  Semantics, replay safety, and the
+    ``generation_tagged`` contract are documented on
+    :func:`ivf_index_stream`."""
+    ptr = current_generation(idx_root)
+    gen = int(ptr["generation"])
+    gdir = generation_dir(idx_root, gen)
+    batch = df
+    if generation_tagged:
+        batch = df.localCheckpoint()
+        ahead = batch.filter(F.col("gen") > gen).count()
+        if ahead:
+            raise GenerationMismatch(
+                f"feed batch {bid}: {ahead} row(s) tagged for a "
+                f"FUTURE generation (> {gen}) — the producer cannot "
+                "be ahead of the published pointer; check the "
+                "producer's pointer read")
+        stale_live = (batch.filter(
+            (F.col("gen") < gen)
+            & (F.col("commit_seq") > int(ptr["trained_thru"])))
+            .count())
+        if stale_live:
+            raise GenerationMismatch(
+                f"feed batch {bid}: {stale_live} row(s) encoded "
+                f"against a rolled-past generation (< {gen}) with "
+                f"commit_seq beyond the generation's training "
+                f"position {ptr['trained_thru']} — their buckets/"
+                "codes are in the old quantizer space; the producer "
+                "must re-encode against the current generation and "
+                "re-commit")
+        batch = batch.filter(F.col("gen") == gen).drop("gen")
+    apply_index_batch(batch, bid, gdir)
+    if generation_churn(spark, idx_root, gen) <= churn_min:
+        return {"generation": gen, "rolled": False}
+    absorbed = _seg_high_water(gdir)
+    new_base = retrain(spark).localCheckpoint()  # seed + count, once
+    ndir = generation_dir(idx_root, gen + 1)
+    seed_index(ndir, new_base,
+               layout_buckets=_layout_buckets(gdir),
+               payload=_payload_ddl(gdir), base_seg=absorbed)
+    _write_gen_meta(ndir, absorbed, new_base.count())
+    _publish_generation(idx_root, gen + 1, absorbed)
+    return {"generation": gen + 1, "rolled": True}
 
 
 def vacuum_generations(idx_root: str, keep: int = 2) -> dict:

@@ -122,7 +122,8 @@ def main() -> None:
              "q_feed_consumer_groups",
              # round 15: full trained-family (IVF-PQ) maintenance with
              # delta-encoded codes, batch timestampAsOf face
-             "q_ann_ivfpq_maintained", "q_timetravel_asof"]
+             "q_ann_ivfpq_maintained", "q_timetravel_asof",
+             "q_ann_generations"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

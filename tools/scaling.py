@@ -121,6 +121,7 @@ KEYS = [
     # Round-15 additions (same storage-family rule).
     "q_ann_ivfpq_maintained",
     "q_timetravel_asof",
+    "q_ann_generations",
 ]
 
 
@@ -196,6 +197,10 @@ FLOOR_NOTES = {
     "q_timetravel_asof": (
         "3 snapshotted appends + 3 manifest-ts pins + 3 timestamp-"
         "resolved reads (resolution is O(versions) metadata)."),
+    "q_ann_generations": (
+        "3-action mutation history + gen-0 seed + feed write + delta "
+        "applies + the fired 4-plane re-train seed + pinned-read "
+        "exceptAll audit + two face aggregates."),
 }
 
 
