@@ -25,6 +25,72 @@ from pyspark.sql import functions as F
 from bossarrowstorageengine_spark.sources import register_arrowipc
 
 
+def test_bucket_ids_property_matches_pmod():
+    """Property (hypothesis): _bucket_ids == Spark's pmod semantics for
+    ANY int64 keys and bucket count — including every value float64
+    cannot represent and both sign combinations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bossarrowstorageengine_spark.sources.arrowipc import _bucket_ids
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                      min_size=1, max_size=50),
+        n=st.integers(min_value=1, max_value=1024),
+    )
+    def prop(keys, n):
+        arr = pa.chunked_array([pa.array(keys, pa.int64())])
+        got = _bucket_ids(arr, "k", n).to_pylist()
+        # Python's % already has pmod semantics (sign of divisor).
+        assert got == [k % n for k in keys]
+
+    prop()
+
+
+def test_merge_ledger_state_property_matches_full_outer(spark):
+    """Property: the broadcast decomposition is algebraically identical
+    to the old full_outer merge for ANY head/delta key overlap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bossarrowstorageengine_spark.streaming.mv_maintain import (
+        _merge_ledger_state)
+
+    keys = st.text(alphabet="abcdef", min_size=1, max_size=3)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        head=st.dictionaries(keys, st.tuples(
+            st.integers(0, 100), st.integers(0, 1000)), max_size=6),
+        deltas=st.dictionaries(keys, st.tuples(
+            st.integers(-50, 50), st.integers(-500, 500)),
+            min_size=1, max_size=6),
+    )
+    def prop(head, deltas):
+        h = spark.createDataFrame(
+            [(k, d, c) for k, (d, c) in head.items()] or
+            [("zz_empty", 0, 0)],
+            "lang string, docs long, chars long")
+        if not head:
+            h = h.filter(F.col("lang") != "zz_empty")
+        dl = spark.createDataFrame(
+            [(k, d, c) for k, (d, c) in deltas.items()],
+            "lang string, docs_delta long, chars_delta long"
+        ).localCheckpoint()
+        got = {(r.lang): (r.docs, r.chars) for r in
+               _merge_ledger_state(h, dl, ["lang"], 1, 2).collect()}
+        want = {}
+        for k in set(head) | set(deltas):
+            d0, c0 = head.get(k, (0, 0))
+            dd, cd = deltas.get(k, (0, 0))
+            want[k] = (d0 + dd, c0 + cd)
+        assert got == want
+
+    prop()
+
+
 def _read_ipc_dir(table: str, pattern: str) -> pa.Table:
     tabs = []
     for path in glob.glob(os.path.join(table, pattern)):
