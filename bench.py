@@ -102,6 +102,20 @@ def main() -> None:
     # idle (bounded), and stamp a machine-readable contamination flag so
     # BENCH_rN.json deltas are interpretable without a manual interleaved
     # A/B.  r14's 13% phantom regression ran at loadavg 4.11.
+    # r16 (VERDICT r15 item 4): loadavg cannot see hypervisor STEAL —
+    # r15's contaminated legs ran at loadavg ≈ 0 while /proc/stat showed
+    # nonzero steal ticks.  Stamp the cumulative steal-tick delta across
+    # the whole run (warmup + timed legs) so a "clean" loadavg with a
+    # large steal delta is machine-readably suspect.
+    def steal_ticks() -> int | None:
+        try:
+            with open("/proc/stat") as fh:
+                fields = fh.readline().split()
+            # cpu  user nice system idle iowait irq softirq steal ...
+            return int(fields[8]) if fields[0] == "cpu" else None
+        except (OSError, IndexError, ValueError):
+            return None
+
     floor = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_FLOOR", "0.5"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
     waited = 0.0
@@ -115,6 +129,9 @@ def main() -> None:
               f"after waiting {waited:.0f}s - timings will be inflated "
               "by background load; treat this run's deltas as suspect "
               "(load_contaminated=true in the JSON)", file=sys.stderr)
+
+    steal_start = steal_ticks()
+    run_t0 = time.perf_counter()
 
     spark = build_session("bench", master=f"local[{CPUS}]")
     queries = entrymod.queries()
@@ -171,6 +188,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    steal_end = steal_ticks()
     sf_tag = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
         sf = float(sf_tag)
@@ -195,6 +213,16 @@ def main() -> None:
         # run's deltas vs other rounds are NOT comparable (r15 guard).
         "load_contaminated": contaminated,
         "idle_wait_sec": round(waited, 1),
+        # Cumulative /proc/stat steal-tick delta over the run (warmup +
+        # timed legs) and the wall it was measured over.  Steal is
+        # hypervisor CPU confiscation that loadavg CANNOT see (r15: the
+        # worst per-key "regressions" were on legs with loadavg ≈ 0 but
+        # nonzero steal); ticks are USER_HZ (100/s) summed across CPUs,
+        # so e.g. 3200 ticks over 60 s on 32 CPUs ≈ 1.7% stolen.  null =
+        # /proc/stat unavailable.
+        "steal_ticks": (None if steal_start is None or steal_end is None
+                        else steal_end - steal_start),
+        "steal_window_sec": round(time.perf_counter() - run_t0, 1),
     }))
 
 
