@@ -97,7 +97,16 @@ def _merge_ledger_state(head: DataFrame, deltas: DataFrame,
     × group-cardinality — strictly smaller than the full head the old
     plan shuffled).  ``head`` carries ``(*keys, docs, chars)``;
     ``deltas`` carries ``(*keys, docs_delta, chars_delta)`` and must be
-    pre-materialized (the callers localCheckpoint it)."""
+    pre-materialized (the callers localCheckpoint it).
+
+    GRAIN ASSUMPTION (VERDICT r15): the anti-join arm broadcasts the
+    head's key columns, which is sound ONLY because these ledgers
+    aggregate at per-lang / per-(lang, source) grain — group
+    cardinality is dozens, so key-width × groups is trivially
+    broadcastable.  A ledger keyed at DOCUMENT grain would make that
+    broadcast corpus-sized: do NOT reuse this merge for per-doc state —
+    flip the anti-join arm to a shuffled join (or bucket both sides)
+    before raising the key grain."""
     base = head.select(*keys, "docs", "chars")
     existing = (
         base.join(F.broadcast(deltas), keys, "left")
