@@ -3533,7 +3533,8 @@ _ANN_IVF_MAINTAINED_ORACLE = f"""
            CAST(0 AS BIGINT)       AS generation,
            TRUE                    AS index_consistent,
            TRUE                    AS retrain_due,
-           TRUE                    AS gen1_trained
+           TRUE                    AS gen1_trained,
+           TRUE                    AS vacuumed
     FROM ranked WHERE rn <= 3
 """
 
@@ -3595,21 +3596,32 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table; the index is (vec_id, centroid_id) — bucket on
     vec_id to co-locate the last-wins window; search is an equi-join of
     ``nprobe/k`` of the corpus against broadcast probes; audits and
-    re-trains are the scheduled passes, never the refresh path."""
+    re-trains are the scheduled passes, never the refresh path.
+
+    r16 (VERDICT r15 item 2): the generation axis now lives on the
+    SHARED pointer machinery — ``seed_generation`` publishes gen 0,
+    the triggered re-train rolls through :func:`roll_generation`
+    (crash-idempotent temp-dir+rename, pointer flip), gen-1 state is
+    read back via ``read_index_generation``, and ``vacuum_generations``
+    retires the rolled-past gen-0 directory AFTER the pinned gen-0
+    search state materialized (the ``vacuumed`` attestation)."""
     import os
 
     from bossarrowstorageengine_spark.operators.scans import _scratch
     from bossarrowstorageengine_spark.sources import register_arrowipc
     from bossarrowstorageengine_spark.streaming.ann_index import (
+        _seg_high_water,
         apply_index_batch,
-        read_index,
-        seed_index,
+        generation_dir,
+        read_index_generation,
+        roll_generation,
+        seed_generation,
+        vacuum_generations,
     )
 
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_ivf_maint")
-    idx = os.path.join(base, "idx")
-    idx_gen1 = os.path.join(base, "idx_gen1")
+    idx_root = os.path.join(base, "idx_gens")
     feed = os.path.join(base, "feed")
     src = _ann_mutated_src(spark, sf_dir, base)
 
@@ -3619,10 +3631,12 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv, cents = _ivf_train(spark, sf_dir)
     cents = cents.localCheckpoint()
 
-    # one corpus-sized build: gen-0 inverted lists as the base segment
-    seed_index(idx, _ivf_assign_frozen(iv, cents).select(
+    # one corpus-sized build: gen-0 inverted lists as the base segment,
+    # published under the shared generation pointer
+    seed_generation(idx_root, _ivf_assign_frozen(iv, cents).select(
         "vec_id", F.col("centroid_id").cast("int").alias("bucket")),
         layout_buckets=8)   # shuffle-free read_index path
+    idx = generation_dir(idx_root, 0)
 
     def _snap_iv(ver: str | None) -> DataFrame:
         return _ann_snap(spark, src, ver).select(
@@ -3672,7 +3686,11 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "commit_seq long")
                  .load(feed))
     apply_index_batch(feed_rows, 0, idx)
-    maintained = read_index(spark, idx).localCheckpoint()
+    # Pin generation 0 (the pointer at read time) and MATERIALIZE it:
+    # the pinned search state survives both the roll and the vacuum
+    # below — the generational read contract.
+    pinned_gen, maintained = read_index_generation(spark, idx_root)
+    maintained = maintained.localCheckpoint()
 
     # Audit: maintained lists == from-scratch frozen assignment of the
     # head corpus (per-list count + id checksum).
@@ -3708,14 +3726,25 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                        or churn > _IVF_CHURN_MIN)
 
     # The triggered re-train: generation 1 = the SAME Lloyd chain on
-    # the head corpus, its complete lists seeded as a fresh generation.
+    # the head corpus, its complete lists ROLLED through the shared
+    # generation machinery (temp-dir seed + atomic rename + pointer
+    # flip — crash-idempotent, trained_thru = the absorbed feed head).
     cents1 = _ivf_lloyd(head).localCheckpoint()
     gen1_lists = _ivf_assign_frozen(head, cents1).select(
         "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
-    seed_index(idx_gen1, gen1_lists, layout_buckets=8)
-    gen1 = read_index(spark, idx_gen1)
+    roll = roll_generation(idx_root, gen1_lists, _seg_high_water(idx),
+                           layout_buckets=8)
+    gen1_no, gen1 = read_index_generation(spark, idx_root)
     gen1_trained = bool(
-        cents1.count() == _IVF_K and gen1.count() == head.count())
+        roll == {"generation": 1, "rolled": True} and gen1_no == 1
+        and cents1.count() == _IVF_K and gen1.count() == head.count())
+
+    # Retention: the rolled-past gen-0 directory is retired (keep=1 →
+    # only the pointer generation survives); the pinned gen-0 search
+    # state above already materialized, so the read outlives the dir.
+    vac = vacuum_generations(idx_root, keep=1)
+    vacuumed = bool(vac == {"removed_generations": [0], "kept": [1]}
+                    and not os.path.exists(idx))
 
     # Search over the FROZEN generation: candidates' list membership
     # comes ONLY from the maintained index; embeddings from the head.
@@ -3736,10 +3765,11 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("vec_id") != F.col("probe_id")))
     return _ivf_topk(cands).select(
         "probe_id", "vec_id", "cos_sim", "rn",
-        F.lit(0).cast("long").alias("generation"),
+        F.lit(pinned_gen).cast("long").alias("generation"),
         F.lit(consistent).alias("index_consistent"),
         F.lit(retrain_due).alias("retrain_due"),
         F.lit(gen1_trained).alias("gen1_trained"),
+        F.lit(vacuumed).alias("vacuumed"),
     )
 
 
@@ -3838,7 +3868,8 @@ def _ann_ivfpq_maintained_oracle() -> str:
            CAST(0 AS BIGINT)         AS generation,
            TRUE                      AS index_consistent,
            TRUE                      AS retrain_due,
-           TRUE                      AS gen1_trained
+           TRUE                      AS gen1_trained,
+           TRUE                      AS vacuumed
     FROM (
         SELECT probe_id, vec_id, approx_d2, exact_d2,
                row_number() OVER (PARTITION BY probe_id
@@ -3900,21 +3931,34 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the PQ compression that makes 100 TB vector search feasible);
     search touches ~nprobe/k of the corpus via the bucketed,
     shuffle-free merge-on-read and reranks only shortlist-many full
-    vectors per probe."""
+    vectors per probe.
+
+    r16 (VERDICT r15 item 2): the generation axis lives on the SHARED
+    pointer machinery — ``seed_generation`` publishes gen 0 with its
+    payload DDL, the triggered re-train rolls the PAYLOAD-CARRYING
+    generation through :func:`roll_generation` (which inherits nothing
+    implicitly here: the codes DDL is re-declared because gen 1 is a
+    fresh training, not a copy), gen-1 codes are read back via
+    ``read_index_generation``, and ``vacuum_generations`` retires the
+    rolled-past gen-0 directory after the pinned search state
+    materialized (the ``vacuumed`` attestation)."""
     import os
 
     from bossarrowstorageengine_spark.operators.scans import _scratch
     from bossarrowstorageengine_spark.sources import register_arrowipc
     from bossarrowstorageengine_spark.streaming.ann_index import (
+        _seg_high_water,
         apply_index_batch,
-        read_index,
-        seed_index,
+        generation_dir,
+        read_index_generation,
+        roll_generation,
+        seed_generation,
+        vacuum_generations,
     )
 
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_ivfpq_maint")
-    idx = os.path.join(base, "idx")
-    idx_gen1 = os.path.join(base, "idx_gen1")
+    idx_root = os.path.join(base, "idx_gens")
     feed = os.path.join(base, "feed")
     src = _ann_mutated_src(spark, sf_dir, base)
 
@@ -3930,9 +3974,10 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lambda st: st.code).alias("codes"),
                   F.sum("cd2").cast("long").alias("dist"))
               .localCheckpoint())
-    seed_index(idx, codes0.select(
+    seed_generation(idx_root, codes0.select(
         "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
         "codes"), layout_buckets=8, payload="codes array<bigint>")
+    idx = generation_dir(idx_root, 0)
 
     def _snap_iv(ver: str | None) -> DataFrame:
         return _ann_snap(spark, src, ver).select(
@@ -3985,7 +4030,10 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "change string, commit_seq long")
                  .load(feed))
     apply_index_batch(feed_rows, 0, idx)
-    maintained = read_index(spark, idx).localCheckpoint()
+    # Pin generation 0 and MATERIALIZE it: the pinned (list, codes)
+    # search state survives the roll and the vacuum below.
+    pinned_gen, maintained = read_index_generation(spark, idx_root)
+    maintained = maintained.localCheckpoint()
 
     # Audit: maintained (vec_id, list, codes) == from-scratch frozen
     # encode of the head corpus — row identity both ways.
@@ -4008,21 +4056,34 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The triggered re-train: generation 1 = the identical chain on the
     # head corpus (fewer seeds survive the delete — empty-cluster
-    # removal handles that), seeded as a second payload index.
+    # removal handles that), ROLLED as a payload-carrying generation
+    # through the shared machinery (temp-dir seed + atomic rename +
+    # pointer flip).
     _, cents1, _, codebook1, enc1 = _ivfpq_train_encode(
         head, _PQ_LLOYD_PASSES)
     codes1 = (enc1.groupBy("vec_id", "centroid_id")
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("s", "code"))),
                   lambda st: st.code).alias("codes")))
-    seed_index(idx_gen1, codes1.select(
-        "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
-        "codes"), layout_buckets=8, payload="codes array<bigint>")
-    gen1 = read_index(spark, idx_gen1).localCheckpoint()
+    roll = roll_generation(
+        idx_root, codes1.select(
+            "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
+            "codes"),
+        _seg_high_water(idx), layout_buckets=8,
+        payload="codes array<bigint>")
+    gen1_no, gen1 = read_index_generation(spark, idx_root)
+    gen1 = gen1.localCheckpoint()
     gen1_trained = bool(
-        cents1.count() >= 1
+        roll == {"generation": 1, "rolled": True} and gen1_no == 1
+        and cents1.count() >= 1
         and gen1.count() == head.count()
         and gen1.filter(F.size("codes") != _IVFPQ_NSUB).count() == 0)
+
+    # Retention: retire the rolled-past gen-0 directory; the pinned
+    # gen-0 (list, codes) state above already materialized.
+    vac = vacuum_generations(idx_root, keep=1)
+    vacuumed = bool(vac == {"removed_generations": [0], "kept": [1]}
+                    and not os.path.exists(idx))
 
     # Search over the FROZEN generation: candidates' list AND codes come
     # ONLY from the maintained index; exact rerank reads head vectors.
@@ -4057,10 +4118,11 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("approx_d2")))
     return _ivfpq_rerank(adc, head, probes).select(
         "probe_id", "vec_id", "approx_d2", "exact_d2", "rn",
-        F.lit(0).cast("long").alias("generation"),
+        F.lit(pinned_gen).cast("long").alias("generation"),
         F.lit(consistent).alias("index_consistent"),
         F.lit(retrain_due).alias("retrain_due"),
         F.lit(gen1_trained).alias("gen1_trained"),
+        F.lit(vacuumed).alias("vacuumed"),
     )
 
 

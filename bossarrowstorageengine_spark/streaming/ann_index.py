@@ -795,37 +795,54 @@ def apply_generational_batch(spark: SparkSession, df: DataFrame,
     apply_index_batch(batch, bid, gdir)
     if generation_churn(spark, idx_root, gen) <= churn_min:
         return {"generation": gen, "rolled": False}
+    return roll_generation(idx_root, lambda: retrain(spark),
+                           _seg_high_water(gdir),
+                           layout_buckets=_layout_buckets(gdir),
+                           payload=_payload_ddl(gdir))
+
+
+def roll_generation(idx_root: str, new_base, absorbed: int, *,
+                    layout_buckets: int | None = None,
+                    payload: str | None = None) -> dict:
+    """Publish a re-trained base as the NEXT generation — the ONE roll
+    path shared by the streaming maintainer (``ivf_index_stream``'s
+    churn-triggered roll via :func:`apply_generational_batch`) and the
+    batch maintained-index faces (``q_ann_ivf_maintained`` /
+    ``q_ann_ivfpq_maintained``), r16 unification (VERDICT r15 item 2).
+    ``new_base`` is the retrained ``(vec_id, bucket[, payload...])``
+    frame or a zero-arg thunk producing it; ``absorbed`` is the feed
+    position the training reflects (seeded as ``base_seg`` so
+    redelivered pre-roll commits no-op, published as ``trained_thru``).
+
+    Crash-idempotent (ADVICE r15 medium): the seed lands in a temp dir
+    committed by ONE atomic os.rename, so the target directory's
+    existence proves a COMPLETE seed.  A replay after a crash between
+    the rename and the pointer flip resumes by publishing — the thunk
+    is never re-invoked (a second append-mode seed would stack a
+    duplicate base segment at the same seg, and a non-deterministic
+    retrain would mix rows from two trainings under last-wins).  A
+    crash MID-seed leaves only a ``.tmp`` orphan, swept on the next
+    roll attempt."""
     import shutil
 
-    ndir = generation_dir(idx_root, gen + 1)
+    cur = int(current_generation(idx_root)["generation"])
+    ndir = generation_dir(idx_root, cur + 1)
     if os.path.exists(ndir):
-        # A prior roll crashed AFTER seeding generation k+1 but BEFORE
-        # the pointer flip (ADVICE r15 medium).  The seed below lands
-        # via an atomic os.rename, so the directory's existence proves
-        # a COMPLETE seed — resume by publishing the pointer, never by
-        # re-seeding: a second append-mode seed would stack a duplicate
-        # base segment at the same seg, and a non-deterministic retrain
-        # would mix rows from two trainings under last-wins.
         meta = _read_gen_meta(ndir)
         _publish_generation(
-            idx_root, gen + 1,
-            int(meta["base_seg"]) if meta else _seg_high_water(gdir))
-        return {"generation": gen + 1, "rolled": True}
-    absorbed = _seg_high_water(gdir)
-    new_base = retrain(spark).localCheckpoint()  # seed + count, once
-    # Seed into a temp dir and rename: the rename is the commit point,
-    # so a crash mid-seed leaves only a ``.tmp`` orphan (swept by the
-    # next roll), and a crash between rename and pointer flip is
-    # resumed by the existence check above.
+            idx_root, cur + 1,
+            int(meta["base_seg"]) if meta else int(absorbed))
+        return {"generation": cur + 1, "rolled": True}
+    base_df = new_base() if callable(new_base) else new_base
+    base_df = base_df.localCheckpoint()  # seed + count, once
     tmp = ndir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    seed_index(tmp, new_base,
-               layout_buckets=_layout_buckets(gdir),
-               payload=_payload_ddl(gdir), base_seg=absorbed)
-    _write_gen_meta(tmp, absorbed, new_base.count())
+    seed_index(tmp, base_df, layout_buckets=layout_buckets,
+               payload=payload, base_seg=int(absorbed))
+    _write_gen_meta(tmp, int(absorbed), base_df.count())
     os.rename(tmp, ndir)
-    _publish_generation(idx_root, gen + 1, absorbed)
-    return {"generation": gen + 1, "rolled": True}
+    _publish_generation(idx_root, cur + 1, int(absorbed))
+    return {"generation": cur + 1, "rolled": True}
 
 
 def vacuum_generations(idx_root: str, keep: int = 2) -> dict:
