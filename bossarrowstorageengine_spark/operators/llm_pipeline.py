@@ -4257,6 +4257,296 @@ def q_ann_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("gen0_pinned_matches")))
 
 
+def _ann_generations_payload_oracle() -> str:
+    """DuckDB twin of the PAYLOAD-carrying generation roll: gen-0
+    pinned state = the head corpus re-encoded against the FROZEN v1
+    artifacts (``_ivfpq_ctes``'s cents + codebook — exactly what the
+    maintained deltas leave in the index), gen-1 = the zero-pass
+    retrain chain (seed codebooks) on the head corpus, both reduced to
+    per-list (count, id-checksum, position-weighted code-checksum)."""
+    l2 = _ivfpq_l2_sql
+    sub = _IVFPQ_SUBDIM
+    return f"""
+    WITH {_ivfpq_ctes()}, mut_iv AS (
+        SELECT vec_id,
+               list_transform(
+                   CASE WHEN vec_id % 7 = 3
+                        THEN list_transform(embedding, x -> -x)
+                        ELSE embedding END,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0)
+                             AS BIGINT)) AS iemb
+        FROM embeddings
+        WHERE NOT (vec_id % 5 = 0)
+    ), m_lists AS (
+        SELECT vec_id, centroid_id,
+               list_transform(range(1, 65), i -> iemb[i] - cent[i]) AS res
+        FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id, c.cent,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {l2('v.iemb', 'c.cent', 64)}, c.centroid_id) AS rn
+            FROM mut_iv v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), m_sub AS MATERIALIZED (
+        SELECT vec_id, centroid_id, g.s AS s,
+               list_slice(res, g.s * {sub} + 1, g.s * {sub} + {sub}) AS rsub
+        FROM m_lists CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
+    ), m_enc AS MATERIALIZED (
+        SELECT vec_id, centroid_id, s, code FROM (
+            SELECT a.vec_id, a.centroid_id, a.s, c.code,
+                   row_number() OVER (PARTITION BY a.vec_id, a.s
+                       ORDER BY {l2('a.rsub', 'c.cvec', sub)}, c.code) AS rn
+            FROM m_sub a JOIN codebook c ON c.s = a.s
+        ) WHERE rn = 1
+    ), g1cents0 AS (
+        SELECT vec_id AS centroid_id, iemb AS cent FROM mut_iv
+        WHERE vec_id < {_IVFPQ_K}
+    ), g1assign0 AS (
+        SELECT vec_id, iemb, centroid_id FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {l2('v.iemb', 'c.cent', 64)}, c.centroid_id) AS rn
+            FROM mut_iv v CROSS JOIN g1cents0 c
+        ) WHERE rn = 1
+    ), g1cents AS MATERIALIZED (
+        SELECT centroid_id, list(m ORDER BY d) AS cent FROM (
+            SELECT centroid_id, g.d AS d,
+                   CAST(round(CAST(sum(iemb[g.d + 1]) AS DOUBLE) / count(*), 0)
+                        AS BIGINT) AS m
+            FROM g1assign0 CROSS JOIN generate_series(0, 63) AS g(d)
+            GROUP BY centroid_id, g.d
+        ) GROUP BY centroid_id
+    ), g1lists AS (
+        SELECT vec_id, centroid_id,
+               list_transform(range(1, 65), i -> iemb[i] - cent[i]) AS res
+        FROM (
+            SELECT v.vec_id, v.iemb, c.centroid_id, c.cent,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {l2('v.iemb', 'c.cent', 64)}, c.centroid_id) AS rn
+            FROM mut_iv v CROSS JOIN g1cents c
+        ) WHERE rn = 1
+    ), g1sub AS MATERIALIZED (
+        SELECT vec_id, centroid_id, g.s AS s,
+               list_slice(res, g.s * {sub} + 1, g.s * {sub} + {sub}) AS rsub
+        FROM g1lists CROSS JOIN generate_series(0, {_IVFPQ_NSUB - 1}) AS g(s)
+    ), g1codebook AS MATERIALIZED (
+        SELECT vec_id - {_IVFPQ_CODE_LO} AS code, s, rsub AS cvec
+        FROM g1sub
+        WHERE vec_id >= {_IVFPQ_CODE_LO} AND vec_id < {_IVFPQ_CODE_HI}
+    ), g1enc AS (
+        SELECT vec_id, centroid_id, s, code FROM (
+            SELECT a.vec_id, a.centroid_id, a.s, c.code,
+                   row_number() OVER (PARTITION BY a.vec_id, a.s
+                       ORDER BY {l2('a.rsub', 'c.cvec', sub)}, c.code) AS rn
+            FROM g1sub a JOIN g1codebook c ON c.s = a.s
+        ) WHERE rn = 1
+    ), g0_face AS (
+        SELECT centroid_id AS bucket, count(*) AS n_vecs,
+               sum(vec_id) AS id_checksum
+        FROM m_lists GROUP BY centroid_id
+    ), g0_codes AS (
+        SELECT centroid_id AS bucket,
+               sum(code * (s + 1)) AS code_checksum
+        FROM m_enc GROUP BY centroid_id
+    ), g1_face AS (
+        SELECT centroid_id AS bucket, count(*) AS n_vecs,
+               sum(vec_id) AS id_checksum
+        FROM g1lists GROUP BY centroid_id
+    ), g1_codes AS (
+        SELECT centroid_id AS bucket,
+               sum(code * (s + 1)) AS code_checksum
+        FROM g1enc GROUP BY centroid_id
+    )
+    SELECT 'gen0' AS face, CAST(f.bucket AS INT) AS bucket,
+           CAST(f.n_vecs AS BIGINT)        AS n_vecs,
+           CAST(f.id_checksum AS BIGINT)   AS id_checksum,
+           CAST(c.code_checksum AS BIGINT) AS code_checksum,
+           CAST(1 AS BIGINT) AS generation,
+           CAST(2 AS BIGINT) AS trained_thru,
+           TRUE AS rolled, TRUE AS gen0_pinned_matches
+    FROM g0_face f JOIN g0_codes c ON c.bucket = f.bucket
+    UNION ALL
+    SELECT 'gen1' AS face, CAST(f.bucket AS INT) AS bucket,
+           CAST(f.n_vecs AS BIGINT)        AS n_vecs,
+           CAST(f.id_checksum AS BIGINT)   AS id_checksum,
+           CAST(c.code_checksum AS BIGINT) AS code_checksum,
+           CAST(1 AS BIGINT) AS generation,
+           CAST(2 AS BIGINT) AS trained_thru,
+           TRUE AS rolled, TRUE AS gen0_pinned_matches
+    FROM g1_face f JOIN g1_codes c ON c.bucket = f.bucket
+    """
+
+
+@query("q_ann_generations_payload",
+       oracle=_ann_generations_payload_oracle())
+def q_ann_generations_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD-CARRYING GENERATIONAL ROLLOVER, driver-attested (r16,
+    VERDICT r15 item 7): ``q_ann_generations`` rolls a payload-less LSH
+    index; this key rolls the CODES-carrying IVF-PQ face through the
+    same pointer machinery — the delta segments are delta-encoded code
+    vectors (the ``payload`` face), and the roll's re-train re-encodes
+    the whole head corpus so generation 1 carries FRESH codes from a
+    re-seeded codebook.
+
+    The fixture: gen 0 = ``q_ann_ivfpq``'s trained artifacts on the v1
+    corpus, seeded with ``payload="codes array<bigint>"``; the shared
+    CoW mutation scenario yields two vector-grain commits whose changed
+    rows are re-encoded against the FROZEN artifacts (only rows whose
+    list or codes changed survive as deltas — index-noise is dropped);
+    ``apply_generational_batch`` applies both commits, the churn
+    monitor (~0.31 > 0.2) trips, and the re-train — the zero-pass
+    (seed-codebook) chain of ``_ivfpq_train_encode`` on the head
+    corpus, a genuinely different quantizer — rolls as a
+    payload-carrying generation 1 via :func:`roll_generation`.
+
+    Faces returned (both EXACT-replayed by the oracle): per-list
+    (count, id-checksum, position-weighted code-checksum
+    ``Σ codes[s]·(s+1)``) of the FROZEN gen-0 state (pinned read, post
+    mutations — must equal the frozen re-encode of the head corpus)
+    and of the ROLLED gen-1 state (the head-corpus zero-pass retrain);
+    ``generation``/``trained_thru`` come from the pointer, ``rolled``
+    from the apply result, and ``gen0_pinned_matches`` attests a read
+    handle opened before the roll still reads gen-0 state — codes
+    included — after it.
+
+    Scale: identical envelope to ``q_ann_ivfpq_maintained`` — O(Δ·(k +
+    m·codes)) maintenance against broadcast artifacts, the roll's
+    re-train is the scheduled corpus pass, the pointer flip is one
+    atomic JSON replace, and pinned readers never block the roll."""
+    import os
+
+    from bossarrowstorageengine_spark.operators.scans import _scratch
+    from bossarrowstorageengine_spark.sources import register_arrowipc
+    from bossarrowstorageengine_spark.streaming.ann_index import (
+        apply_generational_batch,
+        current_generation,
+        read_index_generation,
+        seed_generation,
+    )
+
+    register_arrowipc(spark)
+    base = _scratch(sf_dir, "ann_gens_payload")
+    idx_root = os.path.join(base, "gens")
+    feed = os.path.join(base, "feed")
+    src = _ann_mutated_src(spark, sf_dir, base)
+
+    # Frozen gen-0 artifacts: q_ann_ivfpq's training chain on v1.
+    iv, cents, _, codebook, enc = _ivfpq_encode(
+        spark, sf_dir, _PQ_LLOYD_PASSES)
+    codes0 = (enc.groupBy("vec_id", "centroid_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("s", "code"))),
+                  lambda st: st.code).alias("codes")))
+    seed_generation(idx_root, codes0.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
+        "codes"), layout_buckets=8, payload="codes array<bigint>")
+
+    def _snap_iv(ver: str | None) -> DataFrame:
+        return _ann_snap(spark, src, ver).select(
+            "vec_id", _ivfpq_milli(F.col("embedding")).alias("iemb"))
+
+    s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
+    head = _snap_iv(None).localCheckpoint()
+    ch = (_ivf_vec_changes(s1, s2, 1)
+          .unionByName(_ivf_vec_changes(s2, head, 2))
+          .localCheckpoint())
+
+    # Code-carrying deltas: changed rows re-encoded against the FROZEN
+    # artifacts; unchanged (list, codes) pairs are index-noise.
+    keys = ("vec_id", "commit_seq")
+    new_e = _ivfpq_encode_frozen(
+        ch.filter(F.col("change") != "delete")
+        .select("vec_id", "commit_seq", "change",
+                F.col("e_post").alias("iemb")),
+        cents, codebook, ("vec_id", "commit_seq", "change")
+    ).localCheckpoint()
+    old_e = _ivfpq_encode_frozen(
+        ch.filter(F.col("change") == "update")
+        .select("vec_id", "commit_seq", F.col("e_pre").alias("iemb")),
+        cents, codebook, keys
+    ).select("vec_id", "commit_seq",
+             F.col("centroid_id").alias("c_old"),
+             F.col("codes").alias("codes_old"))
+    moved = (new_e.join(old_e, list(keys), "left")
+             .filter(F.col("c_old").isNull()
+                     | (F.col("c_old") != F.col("centroid_id"))
+                     | (F.col("codes_old") != F.col("codes"))))
+    feed_df = (
+        moved.select(
+            "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
+            "codes",
+            F.when(F.col("change") == "insert", F.lit("insert"))
+            .otherwise(F.lit("recode")).alias("change"), "commit_seq")
+        .unionByName(
+            ch.filter(F.col("change") == "delete")
+            .select("vec_id", F.lit(None).cast("int").alias("bucket"),
+                    F.lit(None).cast("array<bigint>").alias("codes"),
+                    F.lit("delete").alias("change"), "commit_seq")))
+    (feed_df.write.format("arrowipc").option("partitionBy", "commit_seq")
+     .option("snapshots", "true").option("compression", "lz4")
+     .mode("append").save(feed))
+    feed_rows = (spark.read.format("arrowipc")
+                 .option("snapshots", "true")
+                 .option("columns", "vec_id,bucket,codes,change,commit_seq")
+                 .schema("vec_id long, bucket int, codes array<bigint>, "
+                         "change string, commit_seq long")
+                 .load(feed))
+
+    def _retrain(sess: SparkSession) -> DataFrame:
+        # Zero-pass retrain on the head corpus: re-seeded coarse
+        # centroids + SEED codebooks (a genuinely different quantizer,
+        # the codebook-retrain idiom at seed cost) — fresh codes for
+        # every surviving vector.
+        _, _, _, _, enc1 = _ivfpq_train_encode(head, 0)
+        return (enc1.groupBy("vec_id", "centroid_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda st: st.code).alias("codes"))
+                .select("vec_id",
+                        F.col("centroid_id").cast("int").alias("bucket"),
+                        "codes"))
+
+    pinned_gen, pinned = read_index_generation(spark, idx_root)
+    res = apply_generational_batch(spark, feed_rows, 0, idx_root,
+                                   _retrain, churn_min=0.2)
+    ptr = current_generation(idx_root)
+    _, g0 = read_index_generation(spark, idx_root, gen=0)
+    g0 = g0.localCheckpoint()   # feeds the pinned audit AND the face agg
+    _, g1 = read_index_generation(spark, idx_root)
+    # A handle opened before the roll must still read generation-0
+    # state — codes included — row identity both ways.
+    pinned_matches = bool(
+        pinned_gen == 0
+        and pinned.exceptAll(g0).unionByName(g0.exceptAll(pinned))
+        .count() == 0)
+
+    code_sum = F.aggregate(
+        F.zip_with(F.col("codes"),
+                   F.sequence(F.lit(1), F.size("codes")),
+                   lambda c, i: c * i),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def _face(df: DataFrame, tag: str) -> DataFrame:
+        return (df.withColumn("csum", code_sum)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_vecs"),
+                     F.sum("vec_id").cast("long").alias("id_checksum"),
+                     F.sum("csum").cast("long").alias("code_checksum"))
+                .select(F.lit(tag).alias("face"),
+                        F.col("bucket").cast("int").alias("bucket"),
+                        "n_vecs", "id_checksum", "code_checksum"))
+
+    return (_face(g0, "gen0").unionByName(_face(g1, "gen1"))
+            .select("face", "bucket", "n_vecs", "id_checksum",
+                    "code_checksum",
+                    F.lit(int(ptr["generation"])).cast("long")
+                    .alias("generation"),
+                    F.lit(int(ptr["trained_thru"])).cast("long")
+                    .alias("trained_thru"),
+                    F.lit(bool(res["rolled"])).alias("rolled"),
+                    F.lit(pinned_matches)
+                    .alias("gen0_pinned_matches")))
+
+
 @query(
     "q_purge_propagate",
     oracle=f"""
