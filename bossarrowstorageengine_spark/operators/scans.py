@@ -2745,3 +2745,77 @@ def q_feed_consumer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(guarded).alias("regression_guarded"),
         F.lit(converged).alias("seek_replay_converges"),
     )
+
+
+@query(
+    "q_positions_asof",
+    oracle="""
+    SELECT face, grp,
+           CAST(position AS BIGINT) AS position,
+           CAST(seq AS BIGINT)      AS seq
+    FROM (VALUES
+        ('register', 'fast', 0, 1),
+        ('mid',      'fast', 1, 3),
+        ('mid',      'slow', 0, 2),
+        ('head',     'fast', 2, 5),
+        ('head',     'slow', 1, 4)
+    ) AS t(face, grp, position, seq)
+    """,
+)
+def q_positions_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSUMER-POSITION TIME TRAVEL, driver-attested (r16, VERDICT r15
+    item 6): ``positions_asof`` (sources/feed_consume.py) answers
+    "where was every consumer when the incident started?" from the
+    offsets audit log alone — the offsets table is an ordinary arrowipc
+    snapshot table, so a wall-clock anchor resolves through the SAME
+    run-max ``timestampAsOf`` rule as ``q_timetravel_asof`` and the
+    positions are that snapshot's last-wins rows.
+
+    The fixture replays two groups' audited history — five serialized
+    offsets commits (``seek(fast,0)``, ``seek(slow,0)``,
+    ``commit(fast,1)``, ``commit(slow,1)``, ``commit(fast,2)`` — the
+    seq-CAS assigns global seqs 1..5) — then pins each manifest's
+    commit ``ts`` to exact anchors (1000..5000 epoch seconds, the
+    ``q_timetravel_asof`` pattern: back-to-back commits land
+    milliseconds apart, so probing between REAL timestamps would be
+    racy).  Three anchor faces: 'register' (1500 — only fast exists,
+    at 0), 'mid' (the ISO-8601 form of 3500 — fast committed 1, slow
+    still registered at 0), 'head' (9999 — the final positions).  The
+    pre-first-commit error arm and the feed linkage (these positions
+    driving real deliveries) are attested by tests/test_round15_props
+    and ``q_feed_consumer_groups``.
+
+    Scale: entirely driver-side metadata — O(versions) manifest-stat
+    reads to resolve each anchor plus consumer-count-sized audit rows;
+    no Spark job touches data."""
+    import json as _json
+
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_file, _manifest_versions)
+    from bossarrowstorageengine_spark.sources.feed_consume import (
+        commit_position, positions_asof, seek)
+
+    register_arrowipc(spark)
+    offsets = os.path.join(_scratch(sf_dir, "positions_asof"), "offsets")
+    seek(spark, offsets, "fast", 0)          # v1, seq 1
+    seek(spark, offsets, "slow", 0)          # v2, seq 2
+    commit_position(spark, offsets, "fast", 1)   # v3, seq 3
+    commit_position(spark, offsets, "slow", 1)   # v4, seq 4
+    commit_position(spark, offsets, "fast", 2)   # v5, seq 5
+    for v, ts in zip(_manifest_versions(offsets),
+                     (1000.0, 2000.0, 3000.0, 4000.0, 5000.0)):
+        mf = _manifest_file(offsets, v)
+        with open(mf) as f:
+            doc = _json.load(f)
+        doc["ts"] = ts
+        with open(mf, "w") as f:
+            _json.dump(doc, f)
+
+    def _face(anchor: str, tag: str) -> DataFrame:
+        return positions_asof(spark, offsets, anchor).select(
+            F.lit(tag).alias("face"), F.col("group").alias("grp"),
+            "position", "seq")
+
+    return (_face("1500", "register")
+            .unionByName(_face("1970-01-01T00:58:20+00:00", "mid"))
+            .unionByName(_face("9999", "head")))
