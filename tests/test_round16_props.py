@@ -158,6 +158,25 @@ def test_vacuum_generations_counts_present_dirs_not_numbers(
     assert res2 == {"removed_generations": [], "kept": [5, 6]}
 
 
+def test_cc_check_every_deprecation(spark):
+    """ADVICE r13 standing order (landed r16): explicitly passing the
+    ignored ``check_every`` warns DeprecationWarning; the default call
+    stays silent."""
+    import warnings
+
+    from bossarrowstorageengine_spark.functions.components import (
+        cc_min_label)
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    with pytest.warns(DeprecationWarning, match="check_every"):
+        labels, conv = cc_min_label(edges, max_rounds=10, check_every=5)
+    assert conv and {r.label for r in labels.collect()} == {1}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        labels, conv = cc_min_label(edges, max_rounds=10)
+    assert conv
+
+
 def test_generation_churn_backfills_gen_meta(spark, tmp_path):
     """A pre-r15 generation (no ``_gen.json``) pays ONE full scan:
     the fallback backfills the meta file, so the next call takes the

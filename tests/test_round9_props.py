@@ -433,8 +433,10 @@ def test_cc_min_label_matches_union_find(spark):
     _, conv = cc_min_label(chain, max_rounds=2, strict=False)
     assert conv is False
     # batching never over-runs: check_every larger than the diameter
-    # still converges with the exact component minima
-    labels, conv = cc_min_label(chain, max_rounds=20, check_every=7)
+    # still converges with the exact component minima (r16: explicitly
+    # passing the ignored parameter now warns — ADVICE r13)
+    with _pytest.warns(DeprecationWarning, match="check_every"):
+        labels, conv = cc_min_label(chain, max_rounds=20, check_every=7)
     assert conv is True
     assert {r.node: r.label for r in labels.collect()} == \
         {i: 0 for i in range(6)}
