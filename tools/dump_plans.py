@@ -123,7 +123,10 @@ def main() -> None:
              # round 15: full trained-family (IVF-PQ) maintenance with
              # delta-encoded codes, batch timestampAsOf face
              "q_ann_ivfpq_maintained", "q_timetravel_asof",
-             "q_ann_generations"]
+             "q_ann_generations",
+             # round 16: payload-carrying generation roll, consumer-
+             # position time travel
+             "q_ann_generations_payload", "q_positions_asof"]
     out = [
         "# PLANS — physical plans of the bench headline queries",
         "",

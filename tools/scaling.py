@@ -122,6 +122,9 @@ KEYS = [
     "q_ann_ivfpq_maintained",
     "q_timetravel_asof",
     "q_ann_generations",
+    # Round-16 additions (same storage-family rule).
+    "q_ann_generations_payload",
+    "q_positions_asof",
 ]
 
 
@@ -201,6 +204,15 @@ FLOOR_NOTES = {
         "3-action mutation history + gen-0 seed + feed write + delta "
         "applies + the fired 4-plane re-train seed + pinned-read "
         "exceptAll audit + two face aggregates."),
+    "q_ann_generations_payload": (
+        "3-action mutation history + full IVF-PQ gen-0 training + "
+        "payload seed + frozen delta re-encode feed + the fired "
+        "zero-pass head re-train rolled as a payload generation + "
+        "pinned-read exceptAll audit + two code-checksum faces."),
+    "q_positions_asof": (
+        "5 offsets-table CAS commits + 5 manifest-ts pins + 3 "
+        "timestamp-resolved driver-side position reads — metadata "
+        "only, no Spark data job."),
 }
 
 
