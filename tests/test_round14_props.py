@@ -188,54 +188,60 @@ def test_skip_change_commits_mixed_commit_fails(spark, tmp_path):
 
 
 def test_ann_ivf_maintained_properties(spark):
-    """q_ann_ivf_maintained (round-14 runway item 2): the LSM pattern on
-    the TRAINED index family.  Pins, beyond the EXACT oracle:
-    - all three attestations true (consistent index, fired re-train
-      trigger, complete generation 1);
-    - non-vacuity: the negated probe (vec 3) re-assigned through the
-      feed, deleted vectors are gone from the maintained state;
+    """q_ann_ivf_maintained (round-14 runway item 2; generation axis
+    unified on the pointer machinery in r16).  Pins, beyond the EXACT
+    oracle:
+    - all four attestations true (consistent index, fired re-train
+      trigger, complete generation 1, vacuumed gen-0 dir) — the
+      in-key exceptAll/checksum audit covers the maintained-state
+      semantics the pre-r16 test re-derived from the gen-0 dir, which
+      the key now retires via ``vacuum_generations`` by design;
+    - the pointer landed on generation 1 with ``trained_thru=2``
+      (both delta segments absorbed before the roll);
+    - gen-0's directory is GONE (vacuumed), gen-1 is readable through
+      ``read_index_generation`` with full head-corpus coverage
+      (deletes applied: every vec_id % 5 == 0 absent);
     - the O(Δ) discipline: the feed is mutation-sized, never
-      corpus-sized, and the index holds delta segments 1 and 2;
-    - generation 1 lives in its own directory with full coverage."""
+      corpus-sized."""
     import os
 
     from bossarrowstorageengine_spark.operators.scans import _SCRATCH_ROOT
     from bossarrowstorageengine_spark.streaming.ann_index import (
-        _seg_high_water, read_index)
+        current_generation, generation_dir, read_index_generation)
 
     rows = QUERIES["q_ann_ivf_maintained"](spark, SF).collect()
     assert rows
     assert all(r.index_consistent and r.retrain_due and r.gen1_trained
-               for r in rows)
-    assert all(r.generation == 0 for r in rows)
+               and r.vacuumed for r in rows)
+    assert all(r.generation == 0 for r in rows)   # pinned pre-roll read
     # per-probe top-3, probes 1/2/3
     assert sorted({r.probe_id for r in rows}) == [1, 2, 3]
     assert all(1 <= r.rn <= 3 for r in rows)
 
     base = os.path.join(_SCRATCH_ROOT, os.path.basename(SF),
                         "ann_ivf_maint")
-    idx, feed = os.path.join(base, "idx"), os.path.join(base, "feed")
-    maintained = read_index(spark, idx)
-    m = {r.vec_id: r.bucket for r in maintained.collect()}
-    seed = {r.vec_id: r.bucket
-            for r in (spark.read.format("arrowipc")
-                      .option("snapshots", "true")
-                      .schema("vec_id long, bucket int, tombstone boolean,"
-                              " seg long")
-                      .load(idx).filter("seg = 0").collect())}
-    # deletes applied (vec_id % 5 == 0 gone), negated probe re-assigned
-    assert all(v % 5 != 0 for v in m)
-    assert 0 in seed and 0 not in m
-    assert m[3] != seed[3], "negated probe kept its seed assignment"
-    # O(Δ): feed is mutation-sized; both delta segments absorbed
+    idx_root, feed = os.path.join(base, "idx_gens"), os.path.join(
+        base, "feed")
+    # pointer: rolled to gen 1, trained through both delta commits
+    assert current_generation(idx_root) == {"generation": 1,
+                                            "trained_thru": 2}
+    # gen-0 retired by the in-key vacuum; gen-1 readable via the pointer
+    assert not os.path.exists(generation_dir(idx_root, 0))
+    gen_no, gen1 = read_index_generation(spark, idx_root)
+    assert gen_no == 1
+    g1 = {r.vec_id for r in gen1.collect()}
+    v1_ids = {r.vec_id for r in
+              (spark.read.format("arrowipc").option("version", "1")
+               .schema("vec_id long, embedding array<float>")
+               .load(os.path.join(base, "src"))
+               .select("vec_id").collect())}
+    # full head coverage: exactly the delete-surviving v1 corpus
+    assert g1 == {v for v in v1_ids if v % 5 != 0}
+    # O(Δ): feed is mutation-sized, never corpus-sized
     n_feed = (spark.read.format("arrowipc").option("snapshots", "true")
               .schema("vec_id long, bucket int, change string,"
                       " commit_seq long").load(feed).count())
-    assert 0 < n_feed < len(seed)
-    assert _seg_high_water(idx) == 2
-    # generation 1: own directory, complete coverage of the head corpus
-    gen1 = read_index(spark, os.path.join(base, "idx_gen1"))
-    assert gen1.count() == len(m)
+    assert 0 < n_feed < len(v1_ids)
 
 
 def _plan(df) -> str:
