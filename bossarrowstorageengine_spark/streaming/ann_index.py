@@ -852,11 +852,21 @@ def vacuum_generations(idx_root: str, keep: int = 2) -> dict:
     the retention window is the operator's promise about how long a
     pinned search may run, exactly like snapshot-vacuum's contract for
     time travel.  Returns ``{"removed_generations": [...],
-    "kept": [...]}``."""
+    "kept": [...]}``.
+
+    Also silently sweeps DEAD ``gen=<k>.tmp`` seed orphans (crashed
+    mid-seed before the atomic rename — see :func:`roll_generation`)
+    for ``k <= current``: those can never be renamed into place (the
+    target exists or was rolled past), while ``gen=<current+1>.tmp``
+    may be a LIVE in-flight roll and is never touched."""
     import re
     import shutil
 
     cur = int(current_generation(idx_root)["generation"])
+    for d in os.listdir(idx_root):
+        if (m := re.fullmatch(r"gen=(\d+)\.tmp", d)) \
+                and int(m.group(1)) <= cur:
+            shutil.rmtree(os.path.join(idx_root, d), ignore_errors=True)
     gens = sorted(
         int(m.group(1)) for d in os.listdir(idx_root)
         if (m := re.fullmatch(r"gen=(\d+)", d)))

@@ -158,6 +158,30 @@ def test_vacuum_generations_counts_present_dirs_not_numbers(
     assert res2 == {"removed_generations": [], "kept": [5, 6]}
 
 
+def test_vacuum_sweeps_dead_tmp_orphans_only(spark, tmp_path):
+    """vacuum_generations sweeps crashed-seed ``gen=<k>.tmp`` orphans
+    with k <= current (they can never be renamed into place) but never
+    touches ``gen=<current+1>.tmp`` — a possibly LIVE in-flight roll."""
+    from bossarrowstorageengine_spark.streaming import ann_index as ai
+
+    register_arrowipc(spark)
+    idx_root = str(tmp_path / "gens")
+    ai.seed_generation(idx_root, _base(spark, 5))
+    ai.seed_index(ai.generation_dir(idx_root, 1), _base(spark, 5),
+                  base_seg=1)
+    ai._publish_generation(idx_root, 1, 1)
+    dead0 = ai.generation_dir(idx_root, 0) + ".tmp"
+    dead1 = ai.generation_dir(idx_root, 1) + ".tmp"
+    live2 = ai.generation_dir(idx_root, 2) + ".tmp"
+    for d in (dead0, dead1, live2):
+        os.makedirs(d)
+
+    res = ai.vacuum_generations(idx_root, keep=2)
+    assert res == {"removed_generations": [], "kept": [0, 1]}
+    assert not os.path.exists(dead0) and not os.path.exists(dead1)
+    assert os.path.exists(live2)   # in-flight roll seed untouched
+
+
 def test_cc_check_every_deprecation(spark):
     """ADVICE r13 standing order (landed r16): explicitly passing the
     ignored ``check_every`` warns DeprecationWarning; the default call
