@@ -3436,24 +3436,34 @@ def q_ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: read_index is one vec_id-keyed window over base+deltas
     (bucket on vec_id to co-locate; ``compact_index`` bounds the merged
     segment count); the search itself is the q_ann_lsh shape — bucket
-    equi-join against 3 broadcast probes, never all-pairs."""
+    equi-join against 3 broadcast probes, never all-pairs.
+
+    r16 (with the IVF/IVF-PQ unification): the index lives under the
+    SHARED generation-pointer layout (``seed_generation`` publishes
+    gen 0; reads pin it via ``read_index_generation``) — no roll fires
+    here (LSH has nothing to re-train), but all three maintained faces
+    now share one directory contract, so a future drift-triggered
+    re-index drops into the same `roll_generation` path the trained
+    families use."""
     import os
 
     from bossarrowstorageengine_spark.operators.scans import _scratch
     from bossarrowstorageengine_spark.sources import register_arrowipc
     from bossarrowstorageengine_spark.streaming.ann_index import (
         apply_index_batch,
-        read_index,
-        seed_index,
+        generation_dir,
+        read_index_generation,
+        seed_generation,
     )
 
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_lsh_maint")
-    idx = os.path.join(base, "idx")
+    idx_root = os.path.join(base, "idx_gens")
     src, feed = _ann_mutation_feed(spark, sf_dir, base)
     # the ONE corpus-sized build (index of v1), then O(Δ) delta segments
-    seed_index(idx, _ann_bucketed(_ann_snap(spark, src, "1")),
-               layout_buckets=8)   # shuffle-free read_index path
+    seed_generation(idx_root, _ann_bucketed(_ann_snap(spark, src, "1")),
+                    layout_buckets=8)   # shuffle-free read_index path
+    idx = generation_dir(idx_root, 0)
     feed_rows = (spark.read.format("arrowipc")
                  .option("snapshots", "true")
                  .option("columns", "vec_id,bucket,change,commit_seq")
@@ -3462,17 +3472,21 @@ def q_ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .load(feed))
     apply_index_batch(feed_rows, 0, idx)
 
-    # Fresh load() per branch (FORMAT.md §8: the upstream Python-
-    # datasource plan cache means the probe branch's vec_id pushdown
-    # would otherwise poison the candidate branch's shared scan).
+    def _gen0(_):
+        # Fresh pinned read per branch (FORMAT.md §8: the upstream
+        # Python-datasource plan cache means the probe branch's vec_id
+        # pushdown would otherwise poison the candidate branch's
+        # shared scan).
+        return read_index_generation(spark, idx_root)[1]
+
     probes = (_ann_snap(spark, src, None)
-              .join(read_index(spark, idx), "vec_id")
+              .join(_gen0("probe"), "vec_id")
               .filter(F.col("vec_id").isin(1, 2, 3))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("probe_emb"),
                       "bucket"))
     indexed = (_ann_snap(spark, src, None)       # mutated head: embeddings
-               .join(read_index(spark, idx), "vec_id"))  # bucket: index ONLY
+               .join(_gen0("cand"), "vec_id"))   # bucket: index ONLY
     cands = indexed.join(F.broadcast(probes), "bucket").filter(
         F.col("vec_id") != F.col("probe_id"))
     w = Window.partitionBy("probe_id").orderBy(
