@@ -21,6 +21,16 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Inferred parquet schema per table path — the catalog role a metastore
+#: plays for a real engine.  The driver tables are immutable fixture files,
+#: so their physical schema cannot change under a running process; caching
+#: the one footer-inference pass per (sf_dir, table) and handing later
+#: reads an explicit schema skips ~80-130 ms of per-``load()`` JVM footer
+#: inference (measured idle, r16) — a fixed cost every single query used
+#: to pay per table reference.  This caches plan METADATA only, never
+#: results: every query still scans the parquet data itself.
+_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -48,7 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        # Explicit schema = no footer-inference pass; the schema is the
+        # one inferred from these same immutable files earlier in the
+        # process, so semantics are identical (a mismatch would fail the
+        # read loudly, exactly like a stale metastore entry).
+        df = spark.read.schema(cached).parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

@@ -101,7 +101,12 @@ def q_scan_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8)
     li.repartition(n_files).write.format("arrowipc") \
         .option("compression", "lz4").mode("append").save(path)
-    back = spark.read.format("arrowipc").load(path)
+    # Explicit read schema (= the written frame's, which the IPC round-trip
+    # preserves exactly): skips the Python-datasource schema-inference
+    # plan-worker round trip (~0.15-0.25 s of fixed floor — guide §1.2/§6;
+    # same trick the changefeed chain has used since r9).  A mismatch
+    # fails the read loudly via _validate_declared_schema.
+    back = spark.read.format("arrowipc").schema(li.schema).load(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
@@ -135,7 +140,9 @@ def q_scan_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("compression", "zstd").option("ipcFormat", "stream") \
         .option("dictionary", "o_orderstatus,o_orderpriority") \
         .mode("append").save(path)
-    back = spark.read.format("arrowipc").load(path)
+    # Explicit schema (= the written frame's; dictionary columns decode
+    # back to plain strings): skips the inference round trip (r16).
+    back = spark.read.format("arrowipc").schema(orders.schema).load(path)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -486,9 +493,12 @@ def q_arrowipc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         ).select(F.lit(tag).alias("snapshot"), "*")
 
-    v1 = spark.read.format("arrowipc").option("version", "1").load(path)
+    # Explicit schema (= the written frame's): skips the inference
+    # plan-worker round trip per face read (r16).
+    v1 = (spark.read.format("arrowipc").option("version", "1")
+          .schema(ev.schema).load(path))
     latest = (spark.read.format("arrowipc")
-              .option("snapshots", "true").load(path))
+              .option("snapshots", "true").schema(ev.schema).load(path))
     return _agg(v1, "v1").unionByName(_agg(latest, "latest"))
 
 
@@ -628,12 +638,16 @@ def q_storage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("face"), "*")
 
     # Explicit read-side projection (no pruning hook in the Python
-    # DataSource API): the faces aggregate lang/n_chars only.
+    # DataSource API): the faces aggregate lang/n_chars only.  The
+    # explicit schema (selected columns in option order — the reader's
+    # composition rule) skips the schema-inference plan-worker round
+    # trip on each face read (r16 floor cut; see q_storage_changefeed).
+    pruned = T.StructType([d.schema["lang"], d.schema["n_chars"]])
     pre = (spark.read.format("arrowipc").option("version", "1")
-           .option("columns", "lang,n_chars").load(path))
+           .option("columns", "lang,n_chars").schema(pruned).load(path))
     post = (spark.read.format("arrowipc")
             .option("snapshots", "true")
-            .option("columns", "lang,n_chars").load(path))
+            .option("columns", "lang,n_chars").schema(pruned).load(path))
     return _agg(pre, "pre").unionByName(_agg(post, "post"))
 
 
@@ -691,10 +705,14 @@ def q_storage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                    compression="lz4", schema=d.schema)
 
     # Explicit read-side projection (no pruning hook in the Python
-    # DataSource API): the post-merge face never needs ``source``.
+    # DataSource API): the post-merge face never needs ``source``.  The
+    # explicit schema skips the inference plan-worker round trip (r16).
     latest = (spark.read.format("arrowipc")
               .option("snapshots", "true")
-              .option("columns", "doc_id,lang,n_chars").load(path))
+              .option("columns", "doc_id,lang,n_chars")
+              .schema(T.StructType([d.schema["doc_id"], d.schema["lang"],
+                                    d.schema["n_chars"]]))
+              .load(path))
     return latest.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
@@ -781,7 +799,9 @@ def q_scan_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("ipcFormat", "stream")
      .option("dictionary", "lang,source")
      .mode("append").save(path))
-    back = spark.read.format("arrowipc").load(path)
+    # Explicit schema (= the written frame's; dictionary columns decode
+    # back to plain strings): skips the inference round trip (r16).
+    back = spark.read.format("arrowipc").schema(d.schema).load(path)
     return back.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
@@ -891,9 +911,12 @@ def q_storage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_edited"),
         ).select(F.lit(tag).alias("face"), "*")
 
-    pre = spark.read.format("arrowipc").option("version", "1").load(path)
+    # Explicit schema (= the written frame's) on both face reads: skips
+    # the schema-inference plan-worker round trip per load (r16).
+    pre = (spark.read.format("arrowipc").option("version", "1")
+           .schema(d.schema).load(path))
     post = (spark.read.format("arrowipc")
-            .option("snapshots", "true").load(path))
+            .option("snapshots", "true").schema(d.schema).load(path))
     return _agg(pre, "pre").unionByName(_agg(post, "post"))
 
 
@@ -949,10 +972,12 @@ def q_storage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("snapshots", "true").option("compression", "lz4")
      .mode("append").save(path))
     res = compact_arrowipc(spark, path, target_files=_COMPACT_TARGET,
-                           compression="lz4")
+                           compression="lz4", schema=ev.schema)
 
+    # Explicit schema (= the written frame's): skips the inference
+    # plan-worker round trip (r16).
     back = (spark.read.format("arrowipc")
-            .option("snapshots", "true").load(path))
+            .option("snapshots", "true").schema(ev.schema).load(path))
     return back.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("event_id").cast("long").alias("id_checksum"),
@@ -1956,10 +1981,12 @@ def q_storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     predicate_columns=["lang"], schema=d.schema)
 
     faces = []
+    # Pruned explicit schema per version read (r16 floor cut).
+    id_only = T.StructType([d.schema["doc_id"]])
     for h in history_arrowipc(path):
         df = (spark.read.format("arrowipc")
               .option("version", str(h["version"]))
-              .option("columns", "doc_id").load(path))
+              .option("columns", "doc_id").schema(id_only).load(path))
         faces.append(df.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("doc_id").cast("long").alias("id_checksum"),
@@ -2036,9 +2063,11 @@ def q_storage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         ).select(F.lit(tag).alias("face"), F.lit(kind).alias("kind"), "*")
 
-    pre = (spark.read.format("arrowipc").option("version", "2").load(path))
+    # Explicit schema (= the written frame's) on both face reads (r16).
+    pre = (spark.read.format("arrowipc").option("version", "2")
+           .schema(d.schema).load(path))
     restored = (spark.read.format("arrowipc")
-                .option("snapshots", "true").load(path))
+                .option("snapshots", "true").schema(d.schema).load(path))
     return _face(pre, "pre_restore", kinds[2]).unionByName(
         _face(restored, "restored", kinds[res["version"]]))
 
@@ -2102,7 +2131,10 @@ def q_storage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     latest = (spark.read.format("arrowipc")
               .option("snapshots", "true")
-              .option("columns", "doc_id,n_chars").load(path))
+              .option("columns", "doc_id,n_chars")
+              .schema(T.StructType([d.schema["doc_id"],
+                                    d.schema["n_chars"]]))
+              .load(path))
     return latest.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("doc_id").cast("long").alias("id_checksum"),

@@ -49,8 +49,17 @@ def compact_arrowipc(
     ipc_format: str = "file",
     dictionary: str | None = None,
     zorder: str | None = None,
+    schema: StructType | None = None,
 ) -> dict:
     """Rewrite an arrowipc directory into ``target_files`` part files.
+
+    ``schema``: the table schema, when the caller already holds it —
+    skips the internal full read's Python-datasource schema inference
+    (one plan-worker round trip of the fixed per-action floor, same as
+    the mutations' ``schema`` parameter).  Flat tables only: on a
+    Hive-partitioned table the reader composes partition columns from
+    directory names, so the caller-supplied schema would not match —
+    pass None there and pay the inference.
 
     ``zorder="colA,colB"`` additionally clusters the rewrite on the
     Morton interleave of the two (numeric) columns — the Delta
@@ -95,7 +104,10 @@ def compact_arrowipc(
             except OSError:
                 shutil.copy2(src, dst)
 
-    df = spark.read.format("arrowipc").load(snapshot)
+    reader = spark.read.format("arrowipc")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(snapshot)
 
     # Keep the table's Hive partition layout through compaction (same
     # rationale as the CoW rewrite): target_files bounds the shuffle
