@@ -1229,6 +1229,15 @@ def _ivf_lloyd(iv: DataFrame) -> DataFrame:
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
                 lambda s: s.m).alias("cent"))
+            # k rows, but the lineage embeds a full corpus assign; pass
+            # r+1 broadcasts cents as its crossJoin build side, which
+            # would otherwise replay pass r's whole subtree inside the
+            # next plan (r16 measurement: the recall report's IVF branch
+            # was its slowest family at 7s, ~1s of it this duplication —
+            # guide §5 / the same per-stage materialization the IVF-PQ
+            # trainer has used since r8).  Values identical; only
+            # materialization points change.
+            .localCheckpoint()
         )
     return cents
 
