@@ -1217,7 +1217,7 @@ def _ivf_lloyd(iv: DataFrame) -> DataFrame:
         .alias("centroid_id"),
         F.col("iemb").alias("cent"),
     )
-    for _ in range(_IVF_ITERS):
+    for it in range(_IVF_ITERS):
         assigned = _ivf_nearest(iv, cents, 1, "iemb")
         cents = (
             assigned.select("centroid_id",
@@ -1229,16 +1229,21 @@ def _ivf_lloyd(iv: DataFrame) -> DataFrame:
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
                 lambda s: s.m).alias("cent"))
+        )
+        if it < _IVF_ITERS - 1:
             # k rows, but the lineage embeds a full corpus assign; pass
             # r+1 broadcasts cents as its crossJoin build side, which
             # would otherwise replay pass r's whole subtree inside the
             # next plan (r16 measurement: the recall report's IVF branch
             # was its slowest family at 7s, ~1s of it this duplication —
             # guide §5 / the same per-stage materialization the IVF-PQ
-            # trainer has used since r8).  Values identical; only
-            # materialization points change.
-            .localCheckpoint()
-        )
+            # trainer has used since r8).  The FINAL pass is left lazy:
+            # every caller either localCheckpoints the result itself or
+            # consumes it once, and an unconditional checkpoint here
+            # double-materialized it (+1 job per training — measured as
+            # a net LOSS on q_ann_ivf_maintained, which trains twice).
+            # Values identical; only materialization points change.
+            cents = cents.localCheckpoint()
     return cents
 
 

@@ -216,28 +216,59 @@ FLOOR_NOTES = {
 }
 
 
+def _splice_rows(results: dict[str, dict[str, float]]) -> None:
+    """Subset mode: replace just the measured keys' rows in the existing
+    SCALING.md (same methodology, same format), leaving every other row
+    and the footer untouched — so a targeted re-measure after an
+    optimization doesn't require the full 75-key grind."""
+    path = REPO / "SCALING.md"
+    lines = path.read_text().splitlines()
+    out = []
+    for ln in lines:
+        key = ln.split("|")[1].strip() if ln.startswith("| q_") else None
+        if key in results:
+            r = results[key]
+            growth = (r.get("sf0.1", 0) / r["sf0.01"]) if r.get("sf0.01") else 0
+            ln = (f"| {key} | " + " | ".join(
+                f"{r.get(sf, float('nan')):.2f}s" for sf in SFS)
+                + f" | {growth:.1f}× |")
+        out.append(ln)
+    path.write_text("\n".join(out) + "\n")
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from bossarrowstorageengine_spark.session import build_session
+
+    subset = sys.argv[1:]
+    keys = subset or KEYS
+    unknown = [k for k in keys if k not in KEYS]
+    if unknown:
+        raise SystemExit(f"not in SCALING keys: {unknown}")
 
     spark = build_session("scaling")
     qs = entrymod.queries()
     # Global warmup: one pass of every query at the smallest SF so the
     # session-level costs (codegen infra, Python workers, datasource
     # registration, parquet footers) don't land in the first measured cell.
-    for k in KEYS:
+    for k in keys:
         qs[k](spark, "/root/testdata/sf0.001").collect()
-    results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    results: dict[str, dict[str, float]] = {k: {} for k in keys}
     for sf in SFS:
         sf_dir = f"/root/testdata/{sf}"
         if not os.path.isdir(sf_dir):
             continue
-        for k in KEYS:
+        for k in keys:
             qs[k](spark, sf_dir).collect()  # warm (codegen, workers)
             t0 = time.time()
             qs[k](spark, sf_dir).collect()
             results[k][sf] = time.time() - t0
     spark.stop()
+
+    if subset:
+        _splice_rows(results)
+        print(f"spliced {len(results)} rows into SCALING.md")
+        return
 
     lines = [
         "# SCALING — steady-state wall time per scale factor",
