@@ -176,7 +176,11 @@ def q_arrowipc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.repartition(2).write.format("arrowipc") \
         .option("compression", "zstd").option("partitionBy", "lang") \
         .mode("append").save(path)
-    back = spark.read.format("arrowipc").load(path).filter(F.col("lang") == "en")
+    # Explicit schema (= the written frame's; partition columns are also
+    # stored physically, so the composed read schema is identical —
+    # verified empirically r16): skips the inference round trip.
+    back = (spark.read.format("arrowipc").schema(d.schema).load(path)
+            .filter(F.col("lang") == "en"))
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
