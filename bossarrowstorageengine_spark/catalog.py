@@ -66,8 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         # Explicit schema = no footer-inference pass; the schema is the
         # one inferred from these same immutable files earlier in the
-        # process, so semantics are identical (a mismatch would fail the
-        # read loudly, exactly like a stale metastore entry).
+        # process, so semantics are identical.  (Safety net, precisely:
+        # a TYPE mismatch fails the read at scan time; a column added to
+        # or removed from the files would be silently null-filled /
+        # dropped by Spark's parquet reader — acceptable only because
+        # the fixture files are immutable for a process lifetime.)
         df = spark.read.schema(cached).parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType

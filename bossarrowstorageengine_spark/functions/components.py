@@ -32,10 +32,9 @@ probe is a filter over the frame the round's ``localCheckpoint`` just
 materialized — no separate join+count job per check.  With the probe
 metadata-cheap it runs EVERY round: convergence is detected exactly one
 round after the fixpoint, and the old trade (job-launch overhead vs
-detection delay) no longer exists.  ``check_every`` remains in the
-signature for caller compatibility, is ignored, and warns
-``DeprecationWarning`` when explicitly set (r16, ADVICE r13) — it will
-be removed once no caller passes it.
+detection delay) no longer exists.  (The legacy ``check_every``
+parameter that batched the probe was deprecated in r16 and removed in
+r17 — passing it is now a ``TypeError``.)
 
 At 100 TB the same loop runs with the edge list persisted and the label
 frame checkpointed to storage.  For graphs whose diameter is what hurts
@@ -133,7 +132,6 @@ def cc_min_label(
     max_rounds: int = 20,
     *,
     strict: bool = True,
-    check_every: int = 2,
     algorithm: str = "min_label",
 ) -> tuple[DataFrame, bool]:
     """Connected components over undirected edges by min-label
@@ -156,17 +154,6 @@ def cc_min_label(
     long-diameter graphs — see module doc).  Same contract, same
     labels, differential-tested against each other and union-find.
     """
-    if check_every != 2:
-        # Ignored since the r13 ride-the-round probe (module doc); kept
-        # only so existing call sites don't break.  Warn on explicit
-        # use so the parameter can eventually be removed (ADVICE r13).
-        import warnings
-
-        warnings.warn(
-            "cc_min_label(check_every=...) is deprecated and IGNORED: "
-            "the convergence probe rides every round for free since "
-            "r13; remove the argument",
-            DeprecationWarning, stacklevel=2)
     if algorithm == "large_small_star":
         return _cc_large_small_star(pairs, max_rounds, strict)
     if algorithm != "min_label":

@@ -134,13 +134,28 @@ SHARED_MODULE_DEPS: dict[str, list[str]] = {
         "q_entity_components",
         "q_purge_text",
     ],
+    # catalog.py sits on EVERY query's scan path (ADVICE r16 medium).
+    # Scheduling all 293 keys per diff would eat the whole 50-key window,
+    # so the dependent set is a curated representative slice: one key per
+    # fixture table family, covering the schema-cache path and the
+    # events ns→µs normalization (the one semantic transform in there).
+    "catalog.py": [
+        "q_agg_basic",        # lineitem
+        "q_scan_parquet",     # lineitem, cache-then-reload
+        "q_join_multiway",    # orders/customer/nation/region joins
+        "q_text_stats",       # documents
+        "q_sim_search",       # embeddings
+        "q_stream_tumbling",  # events (ns→µs normalization)
+    ],
 }
 
 #: sha256 of each shared file as of the last `tools/curate_window.py` run.
 #: REGENERATED BY THE TOOL — do not edit by hand.
 SHARED_MODULE_HASHES: dict[str, str] = {
+    "catalog.py":
+        "e24833c4588ad91b27409cbef37ac3187311ef8b79edb6679a34fc7463c3d18c",
     "functions/components.py":
-        "6bb6167d61fe4b394ef38fb8dd396da781e52742fa685f0ddb75a8696680548a",
+        "c124fbf14d4bf91c77f2e9fb90677de360ff5ae8d963c68763ef4968f2bff8e9",
     "functions/zorder.py":
         "efcfa982491ac135131a4395882285af32bd8e00b5efa171053dcd38531ffb10",
     "sources/arrowipc.py":

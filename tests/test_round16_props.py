@@ -182,23 +182,22 @@ def test_vacuum_sweeps_dead_tmp_orphans_only(spark, tmp_path):
     assert os.path.exists(live2)   # in-flight roll seed untouched
 
 
-def test_cc_check_every_deprecation(spark):
-    """ADVICE r13 standing order (landed r16): explicitly passing the
-    ignored ``check_every`` warns DeprecationWarning; the default call
-    stays silent."""
+def test_cc_check_every_removed(spark):
+    """The deprecated ``check_every`` parameter (warned r16 per ADVICE
+    r13, soaked one round) is GONE in r17: passing it is a TypeError;
+    the default call neither warns nor accepts it."""
     import warnings
 
     from bossarrowstorageengine_spark.functions.components import (
         cc_min_label)
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
-    with pytest.warns(DeprecationWarning, match="check_every"):
-        labels, conv = cc_min_label(edges, max_rounds=10, check_every=5)
-    assert conv and {r.label for r in labels.collect()} == {1}
+    with pytest.raises(TypeError, match="check_every"):
+        cc_min_label(edges, max_rounds=10, check_every=5)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         labels, conv = cc_min_label(edges, max_rounds=10)
-    assert conv
+    assert conv and {r.label for r in labels.collect()} == {1}
 
 
 def test_generation_churn_backfills_gen_meta(spark, tmp_path):

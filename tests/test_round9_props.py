@@ -432,21 +432,16 @@ def test_cc_min_label_matches_union_find(spark):
         _cc_min_label(chain, max_rounds=2)
     _, conv = cc_min_label(chain, max_rounds=2, strict=False)
     assert conv is False
-    # batching never over-runs: check_every larger than the diameter
-    # still converges with the exact component minima (r16: explicitly
-    # passing the ignored parameter now warns — ADVICE r13)
-    with _pytest.warns(DeprecationWarning, match="check_every"):
-        labels, conv = cc_min_label(chain, max_rounds=20, check_every=7)
+    # a budget exactly one past the fixpoint round still converges: a
+    # 6-node path reaches its fixpoint at round 5 — detectable only by
+    # round 6's no-change pass, so max_rounds=6 must accept it (the
+    # every-round probe never needs slack; check_every was removed r17).
+    labels, conv = cc_min_label(chain, max_rounds=20)
     assert conv is True
     assert {r.node: r.label for r in labels.collect()} == \
         {i: 0 for i in range(6)}
-    # batching must not SHRINK the round budget (code-review regression):
-    # a 6-node path reaches its fixpoint at round 5 — detectable only by
-    # round 6's no-change pass.  With max_rounds=6 and check_every=2 the
-    # final check must compare against round 5, not the round-4 snapshot,
-    # or an input the unbatched loop accepted would raise.
     path6 = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"])
-    labels, conv = cc_min_label(path6, max_rounds=6, check_every=2)
+    labels, conv = cc_min_label(path6, max_rounds=6)
     assert conv is True
     assert {r.label for r in labels.collect()} == {0}
