@@ -223,6 +223,20 @@ def main() -> None:
         "steal_ticks": (None if steal_start is None or steal_end is None
                         else steal_end - steal_start),
         "steal_window_sec": round(time.perf_counter() - run_t0, 1),
+        # r17 (VERDICT r16 item 6): machine-readable adjudication of the
+        # steal stamp — True when the hypervisor confiscated more than 1%
+        # of this run's CPU time (steal ticks are USER_HZ=100/s summed
+        # across all CPUs, so the denominator is window * 100 * n_cpus).
+        # A leg with steal_contaminated=true is NOT comparable round-over-
+        # round; use the other leg / re-run (the r15/r16 phantom-
+        # regression class self-adjudicates from this flag).  The
+        # denominator uses the MACHINE cpu count (/proc/stat aggregates
+        # every host CPU), not $SPARK_GRAFT_CPUS.
+        "steal_contaminated": (
+            None if steal_start is None or steal_end is None else bool(
+                (steal_end - steal_start)
+                > 0.01 * (time.perf_counter() - run_t0) * 100
+                * (os.cpu_count() or 32))),
     }))
 
 

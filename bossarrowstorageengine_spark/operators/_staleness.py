@@ -163,7 +163,7 @@ SHARED_MODULE_HASHES: dict[str, str] = {
     "sources/feed_consume.py":
         "70324fe69b9868287686818026ba5a3313d808165116027c446c95f6a3422400",
     "sources/feed_maintain.py":
-        "d017ad38bddef1904698d202d182e42dafc7ae5241912c31bf2131497639304c",
+        "44afb611117e79ca45df00a5e11f931f844da3e0ae36a580ebc683c90557b874",
     "sources/maintenance.py":
         "b08eec8cce9aa8a18aff6be9e4a5a3abb3854b33a6efeb0d90d8aa0c9ace58b9",
     "streaming/ann_index.py":

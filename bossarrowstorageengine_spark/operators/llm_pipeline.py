@@ -6027,7 +6027,10 @@ def q_feed_index_cocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- the co-compaction pass: one retention position, both tables --
     K = 2
-    res_f = compact_feed_thru(spark, feed, thru=K)
+    # schema=: the ANN feed's full on-disk layout (the bucket-grain
+    # change rows) — the rewrite's internal read skips inference
+    # (VERDICT r16 item 3).
+    res_f = compact_feed_thru(spark, feed, thru=K, schema=feed_schema)
     res_i = compact_index(spark, idx, thru=K)
     if res_f["compacted"] == 0 or res_i["files_after"] >= res_i["files_before"]:
         raise RuntimeError(

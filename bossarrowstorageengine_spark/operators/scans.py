@@ -2151,6 +2151,13 @@ def q_storage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Full on-disk row layout of the three-commit feed fixture (the write
+#: below selects exactly these columns in this order; the partitioned
+#: writer stores commit_seq physically, so this is also the read schema).
+_THREE_COMMIT_FEED_SCHEMA = ("doc_id long, lang string, delta long, "
+                             "change string, commit_seq long")
+
+
 def _write_three_commit_feed(spark: SparkSession, sf_dir: str,
                              feed: str) -> None:
     """The shared feed fixture for the checkpoint-maintenance keys
@@ -2159,7 +2166,10 @@ def _write_three_commit_feed(spark: SparkSession, sf_dir: str,
     small-commit accumulation that checkpoint compaction exists for.
     Commit 1 = the de-update's deltas, commit 2 = the en-delete's,
     commit 3 = the fr-delete's (all from the shared time-travel
-    mutation predicates, so DuckDB replays the content exactly)."""
+    mutation predicates, so DuckDB replays the content exactly).
+    The full on-disk row layout is ``_THREE_COMMIT_FEED_SCHEMA`` —
+    callers hand it to ``compact_feed_thru(schema=...)`` so the
+    rewrite's internal read skips inference."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
     commits = [
@@ -2268,7 +2278,11 @@ def q_feed_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a handful of rows.
     pre = _feed_commit_deltas(_read_feed(spark, feed, seqs),
                               seqs).localCheckpoint()
-    res = compact_feed_thru(spark, feed, thru=2)
+    # schema=: the fixture's full on-disk feed row layout, so the
+    # rewrite's internal read skips schema inference (VERDICT r16 item
+    # 3 — same §1.2 mechanism as the mutation-history reads).
+    res = compact_feed_thru(spark, feed, thru=2,
+                            schema=_THREE_COMMIT_FEED_SCHEMA)
     if res["compacted"] == 0:
         raise RuntimeError(
             "feed compaction found nothing in scope — the fixture wrote "
@@ -2364,7 +2378,8 @@ def q_feed_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_three_commit_feed(spark, sf_dir, feed)        # v1..v3
 
     seqs = [1, 2, 3]
-    res = compact_feed_thru(spark, feed, thru=2)         # v4: rewrite
+    res = compact_feed_thru(spark, feed, thru=2,         # v4: rewrite
+                            schema=_THREE_COMMIT_FEED_SCHEMA)
     if res["compacted"] == 0:
         raise RuntimeError(
             "feed compaction found nothing in scope — the fixture wrote "

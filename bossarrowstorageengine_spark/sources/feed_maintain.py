@@ -77,6 +77,7 @@ def compact_feed_thru(
     thru: int,
     compression: str = "zstd",
     target_files: int = 1,
+    schema=None,
 ) -> dict:
     """Collapse the feed's commit partitions ``1..thru`` (and any earlier
     checkpoints they subsume) into one checkpoint part set under
@@ -85,6 +86,17 @@ def compact_feed_thru(
     thousands of commits on a real feed wants several — the range
     repartition keeps each output file a CONTIGUOUS ``commit_seq``
     span, so per-file min/max stats still prune commit-range reads.
+
+    ``schema`` (r17, VERDICT r16 item 3): the feed's FULL on-disk row
+    schema (DDL string or StructType), when the caller knows it — the
+    rewrite's internal read then skips the Python-datasource
+    schema-inference plan-worker round trip (~0.2 s of fixed floor per
+    call, guide §1.2).  Partition columns (``commit_seq``) are stored
+    physically by the writer, so the written frame's schema IS the read
+    schema; a type mismatch fails the read loudly via
+    ``_validate_declared_schema``.  ``None`` keeps inference (callers
+    compacting a feed of unknown layout).
+
     Returns ``{"files_before", "files_after", "compacted", "rows",
     "version", "thru"}``; no-op (no manifest commit) when nothing is in
     scope."""
@@ -129,7 +141,10 @@ def compact_feed_thru(
         # commit_seq rides along as a data column — it was stored
         # physically by the partitioned write, so the collapse loses
         # nothing.
-        (spark.read.format("arrowipc").load(snapshot)
+        reader = spark.read.format("arrowipc")
+        if schema is not None:
+            reader = reader.schema(schema)
+        (reader.load(snapshot)
          .repartitionByRange(max(1, target_files), "commit_seq")
          .sortWithinPartitions("commit_seq")
          .write.format("arrowipc").option("compression", compression)
