@@ -224,6 +224,7 @@ def _splice_rows(results: dict[str, dict[str, float]]) -> None:
     path = REPO / "SCALING.md"
     lines = path.read_text().splitlines()
     out = []
+    spliced: set[str] = set()
     for ln in lines:
         key = ln.split("|")[1].strip() if ln.startswith("| q_") else None
         if key in results:
@@ -232,7 +233,17 @@ def _splice_rows(results: dict[str, dict[str, float]]) -> None:
             ln = (f"| {key} | " + " | ".join(
                 f"{r.get(sf, float('nan')):.2f}s" for sf in SFS)
                 + f" | {growth:.1f}× |")
+            spliced.add(key)
         out.append(ln)
+    # A measured key with no existing SCALING.md row would be dropped on
+    # the floor (ADVICE r16) — fail loudly so the operator adds the row
+    # (or runs the full grind) instead of silently updating nothing.
+    unspliced = set(results) - spliced
+    if unspliced:
+        raise SystemExit(
+            f"_splice_rows: measured keys have no SCALING.md row to "
+            f"replace: {sorted(unspliced)} — add rows for them (or run "
+            "the full table) before splicing")
     path.write_text("\n".join(out) + "\n")
 
 
