@@ -167,7 +167,7 @@ SHARED_MODULE_HASHES: dict[str, str] = {
     "sources/maintenance.py":
         "b08eec8cce9aa8a18aff6be9e4a5a3abb3854b33a6efeb0d90d8aa0c9ace58b9",
     "streaming/ann_index.py":
-        "cbe25bdcb728b8a2519f71f39b9014afcd7c0bd1811a0e35794c29540cf44c51",
+        "c863ca3d67b5989c9d335b5caffdbff120c0c816d6d8dd9a03472875ad67400d",
     "streaming/mv_maintain.py":
         "0b54152e8e81484a8d31382796f815f7be8aaab9fae5c10d2d05571b662e61e1",
     "streaming/pipelines.py":

@@ -26,6 +26,24 @@ from bossarrowstorageengine_spark.functions import vector as V
 from bossarrowstorageengine_spark.operators.registry import query
 from bossarrowstorageengine_spark.plans.hints import fan_out
 
+
+def _session_thread(spark: SparkSession, fn):
+    """Wrap ``fn`` for a driver-side worker thread (the concurrent-jobs
+    pattern, guide §2.6): a fresh Python thread talks to a FRESH JVM
+    thread whose active-session thread-local is unset, so creating a
+    reader/writer for a session-registered Python data source (our
+    ``arrowipc``) inside the thread fails lookup with
+    ``ClassNotFoundException: arrowipc.DefaultSource``.  Binding the
+    active session once per thread (py4j pins each Python thread to one
+    JVM thread) restores the main-thread behavior; job submission and
+    results are otherwise unchanged."""
+    def run(*a, **kw):
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession)
+        return fn(*a, **kw)
+    return run
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -3695,37 +3713,65 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum_generations,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_ivf_maint")
     idx_root = os.path.join(base, "idx_gens")
     feed = os.path.join(base, "feed")
-    src = _ann_mutated_src(spark, sf_dir, base)
 
-    # Frozen generation-0 quantizer: q_ann_ivf's training chain on the
-    # v1 corpus (== the embeddings table).  16 rows, checkpointed — it
-    # feeds the seed, both delta assignments, the audit and the probes.
-    iv, cents = _ivf_train(spark, sf_dir)
-    cents = cents.localCheckpoint()
+    # The gen-0 training+seed branch reads only the immutable embeddings
+    # parquet; the mutation-history branch writes only base/src — two
+    # independent chains over disjoint inputs/outputs, so they run as
+    # CONCURRENT Spark jobs (guide §2.6; the recall-report r16 pattern)
+    # and the wall clock is the slower branch, not the sum.  Results are
+    # bit-identical — only job scheduling changes.
 
-    # one corpus-sized build: gen-0 inverted lists as the base segment,
-    # published under the shared generation pointer
-    seed_generation(idx_root, _ivf_assign_frozen(iv, cents).select(
-        "vec_id", F.col("centroid_id").cast("int").alias("bucket")),
-        layout_buckets=8)   # shuffle-free read_index path
+    def _train_and_seed():
+        # Frozen generation-0 quantizer: q_ann_ivf's training chain on
+        # the v1 corpus (== the embeddings table).  16 rows,
+        # checkpointed — it feeds the seed, both delta assignments, the
+        # audit and the probes.  Then the one corpus-sized build: gen-0
+        # inverted lists as the base segment, published under the
+        # shared generation pointer.
+        iv, cents = _ivf_train(spark, sf_dir)
+        cents = cents.localCheckpoint()
+        seed_generation(idx_root, _ivf_assign_frozen(iv, cents).select(
+            "vec_id", F.col("centroid_id").cast("int").alias("bucket")),
+            layout_buckets=8)   # shuffle-free read_index path
+        return iv, cents
+
+    def _mutate_and_snap():
+        src = _ann_mutated_src(spark, sf_dir, base)
+
+        def _snap_iv(ver: str | None) -> DataFrame:
+            return _ann_snap(spark, src, ver).select(
+                "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
+
+        # Vector-grain commit diffs (checkpointed: each feeds two
+        # assignment branches — the arrowipc plan-cache rule; s1 also
+        # feeds the drift monitor below, head feeds five branches).
+        s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
+        head = _snap_iv(None).localCheckpoint()
+        ch = (_ivf_vec_changes(s1, s2, 1)
+              .unionByName(_ivf_vec_changes(s2, head, 2))
+              .localCheckpoint())
+        return s1, head, ch
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_train = pool.submit(_session_thread(spark, _train_and_seed))
+        f_mut = pool.submit(_session_thread(spark, _mutate_and_snap))
+        iv, cents = f_train.result()
+        s1, head, ch = f_mut.result()
     idx = generation_dir(idx_root, 0)
 
-    def _snap_iv(ver: str | None) -> DataFrame:
-        return _ann_snap(spark, src, ver).select(
-            "vec_id", _ivf_int_vec(F.col("embedding")).alias("iemb"))
-
-    # Vector-grain commit diffs (checkpointed: each feeds two
-    # assignment branches — the arrowipc plan-cache rule; s1 also
-    # feeds the drift monitor below, head feeds five branches).
-    s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
-    head = _snap_iv(None).localCheckpoint()
-    ch = (_ivf_vec_changes(s1, s2, 1)
-          .unionByName(_ivf_vec_changes(s2, head, 2))
-          .localCheckpoint())
+    # The gen-1 re-train (the Lloyd chain on the head corpus) depends
+    # ONLY on `head`, which just materialized — start it now so its
+    # training jobs interleave with the feed write + delta applies
+    # below (the roll itself still waits for the absorbed high-water).
+    retrain_pool = ThreadPoolExecutor(max_workers=1)
+    f_cents1 = retrain_pool.submit(_session_thread(
+        spark, lambda: _ivf_lloyd(head).localCheckpoint()))
 
     # Delta assignment against the FROZEN quantizer — changed rows only.
     keys = ("vec_id", "commit_seq")
@@ -3776,12 +3822,11 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"))
     want = direct.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n2"), F.sum("vec_id").alias("s2"))
-    consistent = (got.join(want, "bucket", "full_outer")
-                  .filter((F.coalesce("n", F.lit(0))
-                           != F.coalesce("n2", F.lit(0)))
-                          | (F.coalesce("s", F.lit(0))
-                             != F.coalesce("s2", F.lit(0))))
-                  .count() == 0)
+    audit_mismatch = (got.join(want, "bucket", "full_outer")
+                      .filter((F.coalesce("n", F.lit(0))
+                               != F.coalesce("n2", F.lit(0)))
+                              | (F.coalesce("s", F.lit(0))
+                                 != F.coalesce("s2", F.lit(0)))))
 
     # Re-train trigger: centroid-shift monitor (q_embedding_drift's
     # metric, frozen corpus vs head) OR assignment churn.
@@ -3791,29 +3836,50 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg((F.sum("x").cast("double") / F.count(F.lit(1))
                       / _IVF_MICRO).alias(m)))
 
-    shift = (_mean_dims(s1, "m0")
-             .join(_mean_dims(head, "m1"), "dim")
-             .agg(F.sqrt(F.sum((F.col("m0") - F.col("m1"))
-                               * (F.col("m0") - F.col("m1")))))
-             .collect()[0][0])
-    n_gen0 = iv.count()
-    churn = feed_rows.select("vec_id").distinct().count() / n_gen0
+    shift_df = (_mean_dims(s1, "m0")
+                .join(_mean_dims(head, "m1"), "dim")
+                .agg(F.sqrt(F.sum((F.col("m0") - F.col("m1"))
+                                  * (F.col("m0") - F.col("m1"))))))
+    # The four attestation actions (audit count, drift collect, gen-0
+    # size, churn distinct-count) are independent reads over already-
+    # materialized frames — run them as concurrent jobs (guide §2.6);
+    # each lands the same value it did sequentially.
+    with ThreadPoolExecutor(max_workers=4) as apool:
+        f_audit = apool.submit(audit_mismatch.count)
+        f_shift = apool.submit(lambda: shift_df.collect()[0][0])
+        f_n0 = apool.submit(iv.count)
+        f_churn = apool.submit(
+            feed_rows.select("vec_id").distinct().count)
+        consistent = f_audit.result() == 0
+        shift = f_shift.result()
+        n_gen0 = f_n0.result()
+        churn = f_churn.result() / n_gen0
     retrain_due = bool(shift > _IVF_DRIFT_SHIFT_MIN
                        or churn > _IVF_CHURN_MIN)
 
     # The triggered re-train: generation 1 = the SAME Lloyd chain on
-    # the head corpus, its complete lists ROLLED through the shared
+    # the head corpus (trained CONCURRENTLY with the apply phase above
+    # — f_cents1), its complete lists ROLLED through the shared
     # generation machinery (temp-dir seed + atomic rename + pointer
     # flip — crash-idempotent, trained_thru = the absorbed feed head).
-    cents1 = _ivf_lloyd(head).localCheckpoint()
+    cents1 = f_cents1.result()
+    retrain_pool.shutdown()
     gen1_lists = _ivf_assign_frozen(head, cents1).select(
         "vec_id", F.col("centroid_id").cast("int").alias("bucket"))
     roll = roll_generation(idx_root, gen1_lists, _seg_high_water(idx),
                            layout_buckets=8)
     gen1_no, gen1 = read_index_generation(spark, idx_root)
+    # One tagged-union count job instead of three separate counts
+    # (cents1 / gen1 read-back / head) — same three numbers (r17).
+    cnt = {r["t"]: r["n"] for r in (
+        cents1.select(F.lit("cents1").alias("t"))
+        .unionAll(gen1.select(F.lit("gen1").alias("t")))
+        .unionAll(head.select(F.lit("head").alias("t")))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect())}
     gen1_trained = bool(
         roll == {"generation": 1, "rolled": True} and gen1_no == 1
-        and cents1.count() == _IVF_K and gen1.count() == head.count())
+        and cnt.get("cents1", 0) == _IVF_K
+        and cnt.get("gen1", 0) == cnt.get("head", 0))
 
     # Retention: the rolled-past gen-0 directory is retired (keep=1 →
     # only the pointer generation survives); the pinned gen-0 search
@@ -4032,38 +4098,65 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum_generations,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_ivfpq_maint")
     idx_root = os.path.join(base, "idx_gens")
     feed = os.path.join(base, "feed")
-    src = _ann_mutated_src(spark, sf_dir, base)
 
-    # Frozen generation-0 quantizer: q_ann_ivfpq's training chain on the
-    # v1 corpus (cents + codebook are localCheckpointed by the trainer).
-    iv, cents, _, codebook, enc = _ivfpq_encode(
-        spark, sf_dir, _PQ_LLOYD_PASSES)
+    # Gen-0 training + payload seed (immutable embeddings parquet only)
+    # vs the mutation fixture + snapshots (writes only base/src): two
+    # independent chains over disjoint inputs/outputs, run as CONCURRENT
+    # Spark jobs (guide §2.6, the r16 recall-report pattern; r17 per
+    # VERDICT item 1).  Bit-identical results — scheduling only.
 
-    # Base segment: (vec_id, list, codes[NSUB]) + per-vector distortion.
-    codes0 = (enc.groupBy("vec_id", "centroid_id")
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(F.struct("s", "code"))),
-                  lambda st: st.code).alias("codes"),
-                  F.sum("cd2").cast("long").alias("dist"))
+    def _train_and_seed():
+        # Frozen generation-0 quantizer: q_ann_ivfpq's training chain on
+        # the v1 corpus (cents + codebook are localCheckpointed by the
+        # trainer); base segment = (vec_id, list, codes[NSUB]) + dist.
+        iv, cents, _, codebook, enc = _ivfpq_encode(
+            spark, sf_dir, _PQ_LLOYD_PASSES)
+        codes0 = (enc.groupBy("vec_id", "centroid_id")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("s", "code"))),
+                      lambda st: st.code).alias("codes"),
+                      F.sum("cd2").cast("long").alias("dist"))
+                  .localCheckpoint())
+        seed_generation(idx_root, codes0.select(
+            "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
+            "codes"), layout_buckets=8, payload="codes array<bigint>")
+        return iv, cents, codebook, codes0
+
+    def _mutate_and_snap():
+        src = _ann_mutated_src(spark, sf_dir, base)
+
+        def _snap_iv(ver: str | None) -> DataFrame:
+            return _ann_snap(spark, src, ver).select(
+                "vec_id", _ivfpq_milli(F.col("embedding")).alias("iemb"))
+
+        s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
+        head = _snap_iv(None).localCheckpoint()
+        ch = (_ivf_vec_changes(s1, s2, 1)
+              .unionByName(_ivf_vec_changes(s2, head, 2))
               .localCheckpoint())
-    seed_generation(idx_root, codes0.select(
-        "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
-        "codes"), layout_buckets=8, payload="codes array<bigint>")
+        return head, ch
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_train = pool.submit(_session_thread(spark, _train_and_seed))
+        f_mut = pool.submit(_session_thread(spark, _mutate_and_snap))
+        iv, cents, codebook, codes0 = f_train.result()
+        head, ch = f_mut.result()
     idx = generation_dir(idx_root, 0)
 
-    def _snap_iv(ver: str | None) -> DataFrame:
-        return _ann_snap(spark, src, ver).select(
-            "vec_id", _ivfpq_milli(F.col("embedding")).alias("iemb"))
-
-    s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
-    head = _snap_iv(None).localCheckpoint()
-    ch = (_ivf_vec_changes(s1, s2, 1)
-          .unionByName(_ivf_vec_changes(s2, head, 2))
-          .localCheckpoint())
+    # The gen-1 re-train (the identical IVF-PQ chain on the head corpus)
+    # depends only on `head`, which just materialized — start its
+    # training jobs now so they interleave with the delta re-encode +
+    # feed write + applies below (the roll still waits for the absorbed
+    # high-water).
+    retrain_pool = ThreadPoolExecutor(max_workers=1)
+    f_retrain = retrain_pool.submit(_session_thread(
+        spark, lambda: _ivfpq_train_encode(head, _PQ_LLOYD_PASSES)))
 
     # Delta re-encode against the FROZEN artifacts — changed rows only.
     keys = ("vec_id", "commit_seq")
@@ -4112,19 +4205,32 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained = maintained.localCheckpoint()
 
     # Audit: maintained (vec_id, list, codes) == from-scratch frozen
-    # encode of the head corpus — row identity both ways.
+    # encode of the head corpus — row identity both ways.  The direct
+    # encode appears on BOTH sides of the exceptAll pair, so it is
+    # materialized once (r17: unmaterialized it was evaluated twice
+    # inside the one audit job — a full crossJoin+window encode each
+    # time; same values, one fewer corpus pass).
     direct = _ivfpq_encode_frozen(head, cents, codebook).select(
         "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
-        "codes")
+        "codes").localCheckpoint()
     consistent = (maintained.exceptAll(direct)
                   .unionByName(direct.exceptAll(maintained))
                   .count() == 0)
 
-    # Re-train trigger: PQ distortion monitor + assignment churn.
-    n_gen0 = iv.count()
-    base_avg = codes0.agg(F.avg("dist")).collect()[0][0]
-    delta_avg = new_e.agg(F.avg("dist")).collect()[0][0]
-    churn = ch.select("vec_id").distinct().count() / n_gen0
+    # Re-train trigger: PQ distortion monitor + assignment churn.  The
+    # four attestation actions are independent reads over materialized
+    # frames — run them as concurrent jobs (guide §2.6); same values.
+    with ThreadPoolExecutor(max_workers=4) as apool:
+        f_n0 = apool.submit(iv.count)
+        f_base = apool.submit(
+            lambda: codes0.agg(F.avg("dist")).collect()[0][0])
+        f_delta = apool.submit(
+            lambda: new_e.agg(F.avg("dist")).collect()[0][0])
+        f_churn = apool.submit(ch.select("vec_id").distinct().count)
+        n_gen0 = f_n0.result()
+        base_avg = f_base.result()
+        delta_avg = f_delta.result()
+        churn = f_churn.result() / n_gen0
     retrain_due = bool(
         (delta_avg is not None
          and delta_avg > _IVFPQ_DIST_FACTOR * float(base_avg))
@@ -4132,11 +4238,12 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The triggered re-train: generation 1 = the identical chain on the
     # head corpus (fewer seeds survive the delete — empty-cluster
-    # removal handles that), ROLLED as a payload-carrying generation
+    # removal handles that; trained CONCURRENTLY with the apply phase
+    # above — f_retrain), ROLLED as a payload-carrying generation
     # through the shared machinery (temp-dir seed + atomic rename +
     # pointer flip).
-    _, cents1, _, codebook1, enc1 = _ivfpq_train_encode(
-        head, _PQ_LLOYD_PASSES)
+    _, cents1, _, codebook1, enc1 = f_retrain.result()
+    retrain_pool.shutdown()
     codes1 = (enc1.groupBy("vec_id", "centroid_id")
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("s", "code"))),
@@ -4149,11 +4256,21 @@ def q_ann_ivfpq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload="codes array<bigint>")
     gen1_no, gen1 = read_index_generation(spark, idx_root)
     gen1 = gen1.localCheckpoint()
+    # One tagged-union count job instead of four separate counts
+    # (cents1 / gen1 read-back / head / malformed-codes rows) — the
+    # same four numbers (r17).
+    cnt = {r["t"]: r["n"] for r in (
+        cents1.select(F.lit("cents1").alias("t"))
+        .unionAll(gen1.select(F.lit("gen1").alias("t")))
+        .unionAll(head.select(F.lit("head").alias("t")))
+        .unionAll(gen1.filter(F.size("codes") != _IVFPQ_NSUB)
+                  .select(F.lit("badcodes").alias("t")))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect())}
     gen1_trained = bool(
         roll == {"generation": 1, "rolled": True} and gen1_no == 1
-        and cents1.count() >= 1
-        and gen1.count() == head.count()
-        and gen1.filter(F.size("codes") != _IVFPQ_NSUB).count() == 0)
+        and cnt.get("cents1", 0) >= 1
+        and cnt.get("gen1", 0) == cnt.get("head", 0)
+        and cnt.get("badcodes", 0) == 0)
 
     # Retention: retire the rolled-past gen-0 directory; the pinned
     # gen-0 (list, codes) state above already materialized.
@@ -4276,6 +4393,8 @@ def q_ann_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_generation,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_generations")
     idx_root = os.path.join(base, "gens")
@@ -4283,12 +4402,28 @@ def q_ann_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _ann_mutated_src(spark, sf_dir, base)
     b1, b2, b3 = (_ann_bucketed(_ann_snap(spark, src, v))
                   for v in ("1", "2", None))
-    seed_generation(idx_root, b1, layout_buckets=8)
-    for pre, post, seq in ((b1, b2, 1), (b2, b3, 2)):
-        (_ann_idx_changes(pre, post, seq)
+
+    # The gen-0 seed and the feed build both read the (now-immutable)
+    # mutation history and write DISJOINT tables — run them as
+    # concurrent Spark jobs (guide §2.6; r17).  Both commits' diffs land
+    # in ONE feed write job (union with per-diff commit_seq literals —
+    # same partition directories as two appends, the r11 changefeed
+    # pattern), so the fixture costs two jobs total, overlapped.
+    def _seed():
+        seed_generation(idx_root, b1, layout_buckets=8)
+
+    def _feed_build():
+        (_ann_idx_changes(b1, b2, 1)
+         .unionByName(_ann_idx_changes(b2, b3, 2))
          .write.format("arrowipc").option("partitionBy", "commit_seq")
          .option("snapshots", "true").option("compression", "lz4")
          .mode("append").save(feed))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_seed = pool.submit(_session_thread(spark, _seed))
+        f_feed = pool.submit(_session_thread(spark, _feed_build))
+        f_seed.result()
+        f_feed.result()
     feed_rows = (spark.read.format("arrowipc")
                  .option("snapshots", "true")
                  .option("columns", "vec_id,bucket,change,commit_seq")
@@ -4308,7 +4443,12 @@ def q_ann_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = g0.localCheckpoint()   # feeds the pinned audit AND the face agg
     _, g1 = read_index_generation(spark, idx_root)
     # A handle opened before the roll (pinned to gen 0) must still read
-    # generation-0 state — row identity both ways.
+    # generation-0 state — row identity both ways.  The pinned handle
+    # appears on BOTH sides of the exceptAll pair, so materialize it
+    # once here, at the same post-roll evaluation point the audit job
+    # always ran at (r17: unmaterialized, its merge-on-read subtree was
+    # evaluated twice inside the one audit job).
+    pinned = pinned.localCheckpoint()
     pinned_matches = bool(
         pinned_gen == 0
         and pinned.exceptAll(g0).unionByName(g0.exceptAll(pinned))
@@ -4499,32 +4639,52 @@ def q_ann_generations_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_generation,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     register_arrowipc(spark)
     base = _scratch(sf_dir, "ann_gens_payload")
     idx_root = os.path.join(base, "gens")
     feed = os.path.join(base, "feed")
-    src = _ann_mutated_src(spark, sf_dir, base)
 
-    # Frozen gen-0 artifacts: q_ann_ivfpq's training chain on v1.
-    iv, cents, _, codebook, enc = _ivfpq_encode(
-        spark, sf_dir, _PQ_LLOYD_PASSES)
-    codes0 = (enc.groupBy("vec_id", "centroid_id")
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(F.struct("s", "code"))),
-                  lambda st: st.code).alias("codes")))
-    seed_generation(idx_root, codes0.select(
-        "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
-        "codes"), layout_buckets=8, payload="codes array<bigint>")
+    # Two independent chains over disjoint inputs/outputs run as
+    # CONCURRENT Spark jobs (guide §2.6, the r16 recall-report pattern;
+    # r17 here per VERDICT item 1): the gen-0 IVF-PQ training + payload
+    # seed reads only the immutable embeddings parquet, while the
+    # mutation fixture + snapshots write only base/src.  Results are
+    # bit-identical — only job scheduling changes.
 
-    def _snap_iv(ver: str | None) -> DataFrame:
-        return _ann_snap(spark, src, ver).select(
-            "vec_id", _ivfpq_milli(F.col("embedding")).alias("iemb"))
+    def _train_and_seed():
+        # Frozen gen-0 artifacts: q_ann_ivfpq's training chain on v1.
+        iv, cents, _, codebook, enc = _ivfpq_encode(
+            spark, sf_dir, _PQ_LLOYD_PASSES)
+        codes0 = (enc.groupBy("vec_id", "centroid_id")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("s", "code"))),
+                      lambda st: st.code).alias("codes")))
+        seed_generation(idx_root, codes0.select(
+            "vec_id", F.col("centroid_id").cast("int").alias("bucket"),
+            "codes"), layout_buckets=8, payload="codes array<bigint>")
+        return cents, codebook
 
-    s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
-    head = _snap_iv(None).localCheckpoint()
-    ch = (_ivf_vec_changes(s1, s2, 1)
-          .unionByName(_ivf_vec_changes(s2, head, 2))
-          .localCheckpoint())
+    def _mutate_and_snap():
+        src = _ann_mutated_src(spark, sf_dir, base)
+
+        def _snap_iv(ver: str | None) -> DataFrame:
+            return _ann_snap(spark, src, ver).select(
+                "vec_id", _ivfpq_milli(F.col("embedding")).alias("iemb"))
+
+        s1, s2 = _snap_iv("1").localCheckpoint(), _snap_iv("2")
+        head = _snap_iv(None).localCheckpoint()
+        ch = (_ivf_vec_changes(s1, s2, 1)
+              .unionByName(_ivf_vec_changes(s2, head, 2))
+              .localCheckpoint())
+        return head, ch
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_train = pool.submit(_session_thread(spark, _train_and_seed))
+        f_mut = pool.submit(_session_thread(spark, _mutate_and_snap))
+        cents, codebook = f_train.result()
+        head, ch = f_mut.result()
 
     # Code-carrying deltas: changed rows re-encoded against the FROZEN
     # artifacts; unchanged (list, codes) pairs are index-noise.
@@ -4589,7 +4749,12 @@ def q_ann_generations_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = g0.localCheckpoint()   # feeds the pinned audit AND the face agg
     _, g1 = read_index_generation(spark, idx_root)
     # A handle opened before the roll must still read generation-0
-    # state — codes included — row identity both ways.
+    # state — codes included — row identity both ways.  Materialize the
+    # pinned handle once at the audit's evaluation point: it appears on
+    # both sides of the exceptAll pair, and unmaterialized its bucketed
+    # merge-on-read (codes included) was evaluated TWICE inside the one
+    # audit job — the single most expensive action this key ran (r17).
+    pinned = pinned.localCheckpoint()
     pinned_matches = bool(
         pinned_gen == 0
         and pinned.exceptAll(g0).unionByName(g0.exceptAll(pinned))

@@ -193,19 +193,21 @@ def apply_index_batch(batch_df: DataFrame, batch_id: int,
     commit beyond the index's high-water segment, ascending.  Replay-
     safe by feed position — ``batch_id`` is checkpoint-scoped and only
     appears because foreachBatch supplies it."""
-    if len(batch_df.take(1)) == 0:
-        return
     # One materialization before the mixed filtered actions below (the
     # documented arrowipc pushdown plan-cache hazard), and each commit
-    # re-reads it anyway.
+    # re-reads it anyway.  The commit list doubles as the emptiness
+    # probe (r17: the old separate take(1) was one more full job at the
+    # per-action floor; an empty batch's checkpoint is a no-op job).
     batch = batch_df.localCheckpoint()
+    all_commits = sorted(
+        int(r["commit_seq"])
+        for r in batch.select("commit_seq").distinct().collect())
+    if not all_commits:
+        return
     hw = _seg_high_water(idx_dir)
     layout = _layout_buckets(idx_dir)   # delta segments inherit the seed's
     _, pay_cols = _index_schema(idx_dir)
-    commits = sorted(
-        int(r["commit_seq"])
-        for r in batch.select("commit_seq").distinct().collect()
-        if int(r["commit_seq"]) > hw)
+    commits = [c for c in all_commits if c > hw]
     for seq in commits:
         rows = batch.filter(F.col("commit_seq") == seq)
         seg_rows = rows.select(
@@ -576,6 +578,26 @@ def _publish_generation(idx_root: str, gen: int, trained_thru: int) -> None:
     os.replace(tmp, p)
 
 
+def _seeded_rows(idx_dir: str) -> int:
+    """Row count of a freshly seeded index table from its stats sidecars
+    (the writer emits one per part; the manifest names the parts) —
+    metadata only, no Spark job.  Exactly the rows the seed's save just
+    streamed, so it replaces a second corpus-sized ``count()`` pass
+    (r17, VERDICT r16 item 1: each such count was one more full job on
+    an UNmaterialized corpus-sized frame)."""
+    from bossarrowstorageengine_spark.sources.arrowipc import (
+        _manifest_versions,
+        _read_manifest,
+    )
+    from bossarrowstorageengine_spark.sources.maintenance import (
+        _part_row_count,
+    )
+
+    versions = _manifest_versions(idx_dir)
+    return sum(_part_row_count(f)
+               for f in _read_manifest(idx_dir, versions[-1]))
+
+
 def seed_generation(idx_root: str, bucketed: DataFrame,
                     layout_buckets: int | None = None,
                     payload: str | None = None) -> None:
@@ -585,7 +607,7 @@ def seed_generation(idx_root: str, bucketed: DataFrame,
     gdir = generation_dir(idx_root, 0)
     seed_index(gdir, bucketed,
                layout_buckets=layout_buckets, payload=payload)
-    _write_gen_meta(gdir, 0, bucketed.count())
+    _write_gen_meta(gdir, 0, _seeded_rows(gdir))
     _publish_generation(idx_root, 0, 0)
 
 
@@ -834,12 +856,15 @@ def roll_generation(idx_root: str, new_base, absorbed: int, *,
             int(meta["base_seg"]) if meta else int(absorbed))
         return {"generation": cur + 1, "rolled": True}
     base_df = new_base() if callable(new_base) else new_base
-    base_df = base_df.localCheckpoint()  # seed + count, once
+    # The seed's save is base_df's ONLY consumer (the meta row count
+    # comes from the staged stats sidecars below), so the frame needs no
+    # materialization point — the thunk is invoked once either way (r17;
+    # the old localCheckpoint + count() were two extra jobs per roll).
     tmp = ndir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     seed_index(tmp, base_df, layout_buckets=layout_buckets,
                payload=payload, base_seg=int(absorbed))
-    _write_gen_meta(tmp, int(absorbed), base_df.count())
+    _write_gen_meta(tmp, int(absorbed), _seeded_rows(tmp))
     os.rename(tmp, ndir)
     _publish_generation(idx_root, cur + 1, int(absorbed))
     return {"generation": cur + 1, "rolled": True}
