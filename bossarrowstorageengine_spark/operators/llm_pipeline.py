@@ -4924,19 +4924,27 @@ def q_purge_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- purge audit (fresh load per probe) ----------------------------
     purged = "vec_id % 5 = 0"
     head_v = _manifest_versions(src)[-1]
-    n_head = _ann_snap(spark, src, None).filter(purged).count()
-    n_prev = _ann_snap(spark, src, str(head_v - 1)).filter(purged).count()
-    source_purged = n_head == 0 and n_prev > 0
+    # One tagged-union count job for the head/previous-version probes
+    # (r17: two separate counts before — same two numbers, one action).
+    src_cnt = {r["t"]: r["n"] for r in (
+        _ann_snap(spark, src, None).filter(purged)
+        .select(F.lit("head").alias("t"))
+        .unionAll(_ann_snap(spark, src, str(head_v - 1)).filter(purged)
+                  .select(F.lit("prev").alias("t")))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect())}
+    source_purged = (src_cnt.get("head", 0) == 0
+                     and src_cnt.get("prev", 0) > 0)
 
     n_alive_pre = (read_index(spark, idx, thru=1)
                    .filter(purged).count())
-    n_tombstoned = (_feed_rows()
-                    .filter((F.col("change") == "delete")
-                            & F.expr(purged)).count())
-    feed_purge_commit = (_feed_rows()
-                         .filter((F.col("change") == "delete")
-                                 & F.expr(purged))
-                         .agg(F.max("commit_seq")).collect()[0][0] or 0)
+    # Count + high-water of the purge tombstones in ONE agg job (r17:
+    # the same filtered feed scan ran twice before).
+    tomb = (_feed_rows()
+            .filter((F.col("change") == "delete") & F.expr(purged))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("commit_seq").alias("hw")).collect()[0])
+    n_tombstoned = tomb["n"]
+    feed_purge_commit = tomb["hw"] or 0
     feed_tombstoned = n_tombstoned == n_alive_pre and n_tombstoned > 0
 
     index_purged = read_index(spark, idx).filter(purged).count() == 0
@@ -4960,8 +4968,11 @@ def q_purge_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count(F.lit(1)).cast("long").alias("n_vecs"),
                   F.sum("vec_id").cast("long").alias("id_checksum")))
     mv_final = _mv_back(3)
-    mv_consistent = (mv_final.exceptAll(direct).count() == 0
-                     and direct.exceptAll(mv_final).count() == 0)
+    # Both exceptAll directions in ONE count job (r17: two before; the
+    # conjunction needs both anyway on the green path).
+    mv_consistent = (mv_final.exceptAll(direct)
+                     .unionByName(direct.exceptAll(mv_final))
+                     .count() == 0)
     mv_purge_version = ((spark.read.format("arrowipc")
                          .option("snapshots", "true")
                          .option("columns", "mv_version")
@@ -5108,10 +5119,12 @@ def q_purge_restore_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = read_index(spark, idx)
     direct = _ann_bucketed(_ann_snap(spark, src, None))
-    consistent = (state.select("vec_id", "bucket")
-                  .exceptAll(direct).count() == 0
-                  and direct.exceptAll(
-                      state.select("vec_id", "bucket")).count() == 0)
+    # Both exceptAll directions in ONE count job (r17: two before; the
+    # conjunction needs both anyway on the green path).
+    consistent = (state.select("vec_id", "bucket").exceptAll(direct)
+                  .unionByName(direct.exceptAll(
+                      state.select("vec_id", "bucket")))
+                  .count() == 0)
     # versions derived, not asserted: the purge position from the
     # PRE-override ledger (time travel — the un-purge overwrite kept it),
     # the resurrection position from the feed itself
@@ -5188,12 +5201,23 @@ def _ivfpq_train_encode(iv: DataFrame, pq_lloyd_passes: int):
     # mean of its list — exact integer sums + one deterministic division,
     # so the oracle replays it bit-identically.  More passes drop in the
     # same way (q_ann_ivf runs 2).
-    wv = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    #
+    # r17 argmin shape (guide §2.3 "aggregate before you shuffle"): the
+    # k-candidate argmin is a groupBy + min(struct(d2, centroid_id)) —
+    # lexicographic struct-min == the old row_number window's (d2 ASC,
+    # centroid_id ASC) rank-1 row, both on exact integers, so the winner
+    # is bit-identical — but the aggregate PARTIALLY AGGREGATES map-side:
+    # the exchange carries ~1 row per vector instead of k full-width
+    # candidate rows, and the per-partition sort the window needed is
+    # gone.  iemb is constant across a vector's k candidate rows, so
+    # any_value reads THE value (deterministic in value, order-free).
     assign0 = (
         iv.crossJoin(F.broadcast(cents0))
         .withColumn("d2", _il2(F.col("iemb"), F.col("cent")))
-        .withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
-        .select("vec_id", "iemb", "centroid_id")
+        .groupBy("vec_id")
+        .agg(F.any_value("iemb").alias("iemb"),
+             F.min(F.struct("d2", "centroid_id")).alias("_m"))
+        .select("vec_id", "iemb", F.col("_m.centroid_id").alias("centroid_id"))
     )
     cents = (
         assign0.select("centroid_id", F.posexplode("iemb").alias("dim", "x"))
@@ -5210,13 +5234,20 @@ def _ivfpq_train_encode(iv: DataFrame, pq_lloyd_passes: int):
         .localCheckpoint()
     )
 
-    # (1) coarse assignment + residuals.
+    # (1) coarse assignment + residuals (same min-struct argmin; the
+    # winning centroid's vector rides the struct so the residual is
+    # computed after the aggregate — (d2, centroid_id) is already a
+    # unique key per candidate, so `cent` never participates in the
+    # comparison).
     lists = (
         iv.crossJoin(F.broadcast(cents))
         .withColumn("d2", _il2(F.col("iemb"), F.col("cent")))
-        .withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
-        .select("vec_id", "iemb", "centroid_id",
-                F.zip_with("iemb", "cent", lambda x, y: x - y).alias("res"))
+        .groupBy("vec_id")
+        .agg(F.any_value("iemb").alias("iemb"),
+             F.min(F.struct("d2", "centroid_id", "cent")).alias("_m"))
+        .select("vec_id", "iemb", F.col("_m.centroid_id").alias("centroid_id"),
+                F.zip_with("iemb", F.col("_m.cent"),
+                           lambda x, y: x - y).alias("res"))
     )
 
     cand_sub = lists.select(
@@ -5229,19 +5260,23 @@ def _ivfpq_train_encode(iv: DataFrame, pq_lloyd_passes: int):
                         & (F.col("vec_id") < _IVFPQ_CODE_HI))
         .select((F.col("vec_id") - _IVFPQ_CODE_LO).alias("code"),
                 F.col("s").alias("cs"), F.col("rsub").alias("cvec")))
-    we = Window.partitionBy("vec_id", "s").orderBy("cd2", "code")
     # LLOYD-TRAIN the residual codebooks (VERDICT r6 item 3): the same
     # assign -> rounded-integer-mean step as the coarse quantizer above,
     # applied per subspace over residual sub-vectors.  Codes that
     # attract no residuals drop out (standard empty-cluster removal);
     # rounding BEFORE re-assignment keeps the DuckDB replay exact.
+    # The per-(vector, subspace) code argmin uses the same min-struct
+    # aggregate shape as the coarse argmin above (r17): identical winner
+    # (exact-integer cd2, tie -> lower code), partial map-side agg
+    # instead of a window over 16 candidate rows each.
     for _ in range(pq_lloyd_passes):
         assigned = (
             cand_sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))
             .withColumn("cd2", _il2(F.col("rsub"), F.col("cvec")))
-            .withColumn("ern", F.row_number().over(we))
-            .filter(F.col("ern") == 1)
-            .select("s", "code", "rsub")
+            .groupBy("vec_id", "s")
+            .agg(F.any_value("rsub").alias("rsub"),
+                 F.min(F.struct("cd2", "code")).alias("_m"))
+            .select("s", F.col("_m.code").alias("code"), "rsub")
         )
         codebook = (
             assigned.select("s", "code", F.posexplode("rsub").alias("d", "x"))
@@ -5262,8 +5297,11 @@ def _ivfpq_train_encode(iv: DataFrame, pq_lloyd_passes: int):
     enc = (
         cand_sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))
         .withColumn("cd2", _il2(F.col("rsub"), F.col("cvec")))
-        .withColumn("ern", F.row_number().over(we)).filter(F.col("ern") == 1)
-        .select("vec_id", "centroid_id", "s", "code", "cd2")
+        .groupBy("vec_id", "s")
+        .agg(F.any_value("centroid_id").alias("centroid_id"),
+             F.min(F.struct("cd2", "code")).alias("_m"))
+        .select("vec_id", "centroid_id", "s",
+                F.col("_m.code").alias("code"), F.col("_m.cd2").alias("cd2"))
     )
     return iv, cents, cand_sub, codebook, enc
 
@@ -5350,22 +5388,31 @@ def _ivfpq_encode_frozen(vecs: DataFrame, cents: DataFrame,
     ``(vec_id, commit_seq)``.  Returns ``(*part_cols, centroid_id,
     codes array<bigint> ordered by subspace, dist = total squared
     quantization error)``."""
-    wv = Window.partitionBy(*part_cols).orderBy("d2", "centroid_id")
+    # Same min-struct argmin shape as _ivfpq_train_encode (r17): exact-
+    # integer distances, lexicographic struct-min == the old window's
+    # rank-1 row, partial map-side aggregation instead of a full-width
+    # candidate shuffle + sort.
     lists = (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("d2", _il2(F.col("iemb"), F.col("cent")))
-        .withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
-        .select(*part_cols, "centroid_id",
-                F.zip_with("iemb", "cent", lambda x, y: x - y).alias("res")))
+        .groupBy(*part_cols)
+        .agg(F.any_value("iemb").alias("iemb"),
+             F.min(F.struct("d2", "centroid_id", "cent")).alias("_m"))
+        .select(*part_cols, F.col("_m.centroid_id").alias("centroid_id"),
+                F.zip_with("iemb", F.col("_m.cent"),
+                           lambda x, y: x - y).alias("res")))
     sub = lists.select(
         *part_cols, "centroid_id", _subspaces("res").alias("e")
     ).select(*part_cols, "centroid_id", "e.s", "e.rsub")
-    we = Window.partitionBy(*part_cols, "s").orderBy("cd2", "code")
     enc = (
         sub.join(F.broadcast(codebook), F.col("cs") == F.col("s"))
         .withColumn("cd2", _il2(F.col("rsub"), F.col("cvec")))
-        .withColumn("ern", F.row_number().over(we)).filter(F.col("ern") == 1)
-        .select(*part_cols, "centroid_id", "s", "code", "cd2"))
+        .groupBy(*part_cols, "s")
+        .agg(F.any_value("centroid_id").alias("centroid_id"),
+             F.min(F.struct("cd2", "code")).alias("_m"))
+        .select(*part_cols, "centroid_id", "s",
+                F.col("_m.code").alias("code"),
+                F.col("_m.cd2").alias("cd2")))
     return (enc.groupBy(*part_cols, "centroid_id")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("s", "code"))),
@@ -6071,8 +6118,9 @@ def q_purge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("df") > 0))
     df_direct = (toks.join(purged_ids, "doc_id", "left_anti")
                  .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
-    df_ok = (df_inc.exceptAll(df_direct).count() == 0
-             and df_direct.exceptAll(df_inc).count() == 0)
+    # Both exceptAll directions in ONE count job (r17).
+    df_ok = (df_inc.exceptAll(df_direct)
+             .unionByName(df_direct.exceptAll(df_inc)).count() == 0)
 
     no_purged = _no_purged_members(surv, purged_ids)
 
@@ -6203,11 +6251,13 @@ def q_feed_index_cocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1..2 and index segments 0..2, so thru=2 must rewrite both")
 
     post_feed = _feed_face()
-    feed_ok = (pre_feed.exceptAll(post_feed).count() == 0
-               and post_feed.exceptAll(pre_feed).count() == 0)
+    # Both exceptAll directions in ONE count job per audit pair (r17).
+    feed_ok = (pre_feed.exceptAll(post_feed)
+               .unionByName(post_feed.exceptAll(pre_feed)).count() == 0)
     post_state = read_index(spark, idx)
-    state_ok = (pre_state.exceptAll(post_state).count() == 0
-                and post_state.exceptAll(pre_state).count() == 0)
+    state_ok = (pre_state.exceptAll(post_state)
+                .unionByName(post_state.exceptAll(pre_state))
+                .count() == 0)
     hw_ok = _seg_high_water(idx) == K
 
     n_ver = len(_manifest_versions(idx))
