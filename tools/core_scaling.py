@@ -88,7 +88,18 @@ def gen(factor: int = FACTOR) -> None:
         pq.write_table(t, os.path.join(BIG, f"{name}.parquet"))
     for name, cols in OFFSETS.items():
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        reps = []
+        # One parquet FILE PER REPLICA inside a `<table>.parquet/`
+        # directory (spark.read.parquet takes the dir transparently):
+        # a single 250 MB file yields only ~2 scan splits at the 128 MB
+        # default, which caps scan parallelism at 2 tasks and makes the
+        # 8-vs-32-core comparison measure nothing — many files is also
+        # what a real big table looks like.
+        ddir = os.path.join(BIG, f"{name}.parquet")
+        import shutil
+
+        shutil.rmtree(ddir, ignore_errors=True)
+        os.makedirs(ddir, exist_ok=True)
+        n_rows = 0
         for i in range(factor):
             r = t
             for col in cols:
@@ -97,28 +108,42 @@ def gen(factor: int = FACTOR) -> None:
                 shifted = pc.add(r[col], pa.scalar(
                     off, type=r.schema.field(col).type))
                 r = r.set_column(idx, r.schema.field(col), shifted)
-            reps.append(r)
-        big = pa.concat_tables(reps)
-        pq.write_table(big, os.path.join(BIG, f"{name}.parquet"),
-                       row_group_size=1 << 20)
-        print(f"gen {name}: {t.num_rows} -> {big.num_rows} rows")
+            pq.write_table(r, os.path.join(ddir, f"part-{i:03d}.parquet"),
+                           row_group_size=1 << 18)
+            n_rows += r.num_rows
+        print(f"gen {name}: {t.num_rows} -> {n_rows} rows ({factor} files)")
 
 
 def leg(cpus: int) -> None:
     import __spark_entry__ as entrymod
     from bossarrowstorageengine_spark.session import build_session
 
-    spark = build_session(f"core-scaling-{cpus}", master=f"local[{cpus}]")
+    # Scaled data needs a real heap (the default 1g local-mode driver OOMs
+    # on the 18M-row shuffles); this is the demo harness's own session,
+    # not the bench's, so the bump is demo-scoped.
+    spark = build_session(
+        f"core-scaling-{cpus}", master=f"local[{cpus}]",
+        extra_conf={"spark.driver.memory": "16g"})
     qs = entrymod.queries()
+
+    def noop(df):
+        # Time the COMPUTATION, not the driver's result ingest (guide
+        # §1.4): a collect() of a 30x-scaled result set serializes
+        # single-threaded through the driver and would swamp the
+        # cluster-side scaling this demo exists to show.  The bench's
+        # own contract (collect) is untouched — this is a separate
+        # harness at a separate scale.
+        df.write.format("noop").mode("overwrite").save()
+
     # warmup: touch each table + one run of each key (codegen, workers)
     for k in KEYS:
-        qs[k](spark, BIG).collect()
+        noop(qs[k](spark, BIG))
     out = {}
     for k in KEYS:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            qs[k](spark, BIG).collect()
+            noop(qs[k](spark, BIG))
             best = min(best, time.perf_counter() - t0)
         out[k] = round(best, 3)
     print(json.dumps({"cpus": cpus, "queries": out}))
